@@ -1,0 +1,66 @@
+"""Text-analysis column expressions: tokenization, shingling, quality
+ratios, token counting. All built-in functions (split / transform /
+regexp_*) — these run in whole-stage codegen, no Python in the hot path.
+
+Each expression has a DuckDB-SQL equivalent used by the oracle queries in
+plans/llm_ops.py; keep the two in lockstep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Marker stopwords present in the synthetic corpus vocabulary.
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+# BPE-ish token pattern: letter runs, digit runs, or single non-alnum marks.
+TOKEN_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+PUNCT_PATTERN = "[^.,!?;:]"  # regexp_replace keeps only punctuation
+
+
+def words(text: Column) -> Column:
+    """Whitespace word split (single-space corpus; mirrors string_split)."""
+    return F.split(text, " ")
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array<string>.
+
+    transform over an index sequence — stays JVM-side; no explode until the
+    caller chooses to."""
+    w = words(text)
+    idx = F.sequence(F.lit(0), F.size(w) - n)
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.get(w, i + j) for j in range(n)])
+    )
+    return F.when(F.size(w) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def token_count_expr(text: Column) -> Column:
+    """Count of BPE-ish tokens (lowercased). Group index 0 = whole match
+    (the pattern has no capture groups)."""
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(TOKEN_PATTERN), 0))
+
+
+def punct_ratio_expr(text: Column) -> Column:
+    """punctuation chars / total chars, rounded (both engines compute the
+    identical double division)."""
+    n_punct = F.length(F.regexp_replace(text, PUNCT_PATTERN, ""))
+    return F.round(n_punct.cast("double") / F.length(text), 6)
+
+
+def stopword_ratio_expr(text: Column) -> Column:
+    """stopword tokens / word tokens."""
+    w = words(F.lower(text))
+    n_stop = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
+    return F.round(n_stop.cast("double") / F.size(w), 6)
+
+
+def avg_word_len_expr(text: Column) -> Column:
+    """Mean word length = non-space chars / word count."""
+    n_chars = F.length(F.regexp_replace(text, " ", ""))
+    return F.round(n_chars.cast("double") / F.size(words(text)), 6)

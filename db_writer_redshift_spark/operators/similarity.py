@@ -1,0 +1,165 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Two tiers:
+  * brute_force_topk — exact cosine top-k: broadcast the (small) query set
+    against the corpus, fold the dot product JVM-side, per-query top-k via
+    window row_number. Linear scan — the correctness baseline and the
+    oracle-checkable path.
+  * lsh_topk — random-hyperplane LSH: H sign-bits per table × L tables;
+    candidates share a bucket in ≥1 table, then exact cosine re-rank within
+    candidates. At 100 TB the bucket equi-join replaces the corpus-×-query
+    cross product; recall is tuned by (H, L) and validated in tests against
+    the brute-force baseline.
+
+Hyperplanes are generated from a fixed seed with numpy and shipped as
+literal arrays (they are tiny: L×H×dim floats) — deterministic, no RNG at
+execution time.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from db_writer_redshift_spark.functions.vector import cosine_sim
+
+
+def brute_force_topk(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    Output: (query_id, neighbor_id, cosine_sim, nn_rank), self-matches
+    excluded, rank ties broken by neighbor id (deterministic set).
+    """
+    from pyspark.sql.window import Window
+
+    q = queries_df.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus_df.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_sim(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "nn_rank")
+    )
+
+
+def cosine_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine ≥ threshold, id_a < id_b.
+    Exact all-pairs form (oracle-checkable); the LSH tier is the scale path.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    sim = F.round(cosine_sim(F.col("va"), F.col("vb")), 6)
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def _hyperplanes(dim: int, num_planes: int, num_tables: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(num_tables, num_planes, dim)).astype(float)
+
+
+def _bucket_expr(vec_col, planes: np.ndarray):
+    """Sign-bit bucket id for one table: packs sign(v·plane_j) bits into a
+    long via fold — all column expressions, evaluated JVM-side."""
+    bits = []
+    for j, plane in enumerate(planes):
+        lit = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(vec_col, lit, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot >= 0, F.shiftleft(F.lit(1).cast("bigint"), j)).otherwise(F.lit(0).cast("bigint")))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def lsh_topk(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    num_planes: int = 8,
+    num_tables: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k via random-hyperplane LSH + exact re-rank of candidates.
+
+    Same output schema as brute_force_topk; approximate (recall checked in
+    tests). The bucket join keys on (table, bucket) — at scale the shuffle
+    moves only bucket-collided pairs.
+    """
+    from pyspark.sql.window import Window
+
+    planes = _hyperplanes(dim, num_planes, num_tables, seed)
+
+    def with_buckets(df: DataFrame, idname: str, vecname: str) -> DataFrame:
+        buckets = F.array(
+            *[
+                F.struct(F.lit(t).alias("t"), _bucket_expr(F.col(vecname), planes[t]).alias("bkt"))
+                for t in range(num_tables)
+            ]
+        )
+        return df.select(
+            F.col(idname), F.col(vecname), F.explode(buckets).alias("tb")
+        ).select(idname, vecname, F.col("tb.t").alias("t"), F.col("tb.bkt").alias("bkt"))
+
+    q = with_buckets(
+        queries_df.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
+        "query_id",
+        "q_vec",
+    )
+    c = with_buckets(
+        corpus_df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
+        "neighbor_id",
+        "c_vec",
+    )
+    cand = (
+        q.join(c, ["t", "bkt"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_sim(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "nn_rank")
+    )

@@ -1,0 +1,83 @@
+"""Document-level text analysis operators: quality scoring, token counting,
+language identification, fingerprinting. All single-pass column-expression
+projections (no shuffle, no UDF) — at 100 TB these are embarrassingly
+parallel map stages bounded by scan throughput.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from db_writer_redshift_spark.functions.text import (
+    STOPWORDS,
+    avg_word_len_expr,
+    punct_ratio_expr,
+    stopword_ratio_expr,
+    token_count_expr,
+    words,
+)
+
+# Marker-word profiles for the heuristic language scorer. Deterministic and
+# SQL-portable (the oracle mirrors the same CASE logic).
+LANG_MARKERS = {
+    "en": ("the", "a", "of"),
+    "simple": ("fast", "slow", "small", "big"),
+    "tech": ("spark", "query", "hash", "vector", "batch"),
+}
+
+
+def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document quality features: char/word/token counts, mean word
+    length, punctuation ratio, stopword ratio, and a composite [0,1] score.
+    """
+    t = F.col(text_col)
+    n_words = F.size(words(t))
+    qual = (
+        F.lit(1.0)
+        - F.least(F.lit(1.0), F.abs(avg_word_len_expr(t) - 5) / 5) * 0.3
+        - F.least(F.lit(1.0), punct_ratio_expr(t) * 10) * 0.3
+        - F.least(F.lit(1.0), F.abs(stopword_ratio_expr(t) - 0.4)) * 0.4
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(t).alias("n_chars_actual"),
+        n_words.alias("n_words"),
+        token_count_expr(t).alias("n_tokens"),
+        avg_word_len_expr(t).alias("avg_word_len"),
+        punct_ratio_expr(t).alias("punct_ratio"),
+        stopword_ratio_expr(t).alias("stopword_ratio"),
+        F.round(qual, 6).alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic language ID: count marker-word hits per profile, argmax
+    with deterministic tiebreak (profile declaration order)."""
+    w = words(F.lower(F.col(text_col)))
+    scores = {
+        lang: F.size(F.filter(w, lambda x: x.isin(*markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[scores[lang] for lang in langs])
+    pred = F.lit(langs[0])
+    # reversed CASE chain → earlier profile wins ties
+    for lang in reversed(langs):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    cols = [F.col(id_col).alias("doc_id")]
+    cols += [scores[lang].alias(f"score_{lang}") for lang in langs]
+    cols.append(pred.alias("pred_lang"))
+    return df.select(*cols)
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Content fingerprints: md5 (exact, engine-portable) + a 64-bit xxhash64
+    (engine-internal, used by dedup/simhash paths)."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(t).alias("md5_fp"),
+        F.xxhash64(t).alias("xx64_fp"),
+        F.substring(F.md5(t), 1, 8).alias("md5_prefix"),
+    )

@@ -1,0 +1,297 @@
+"""Training-data pipeline queries over documents/embeddings: dedup tiers,
+similarity search, text analysis, multimodal plumbing.
+
+Oracle-checkable queries mirror their SQL exactly (see determinism contract
+in plans/registry.py). Engine-internal operators (xxhash64-based MinHash/
+SimHash, LSH) have no SQL oracle — the driver does rows-only checks and the
+pytest suite validates them against exact baselines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from db_writer_redshift_spark.operators import dedup, multimodal, similarity, text
+from db_writer_redshift_spark.plans.registry import load_table, register
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_docs",
+    oracle="""
+SELECT MD5(text) AS fingerprint, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents GROUP BY MD5(text)
+""",
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5-fingerprint hash aggregation (one shuffle keyed on
+    the 128-bit hash — uniform, unskewable)."""
+    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "dedup_shingle_jaccard",
+    oracle="""
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+  FROM docs, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3
+),
+rare AS (
+  SELECT g.doc_id, g.sh FROM grams g
+  JOIN (SELECT sh, COUNT(*) AS dfc FROM grams GROUP BY sh HAVING COUNT(*) <= 100) f
+  ON g.sh = f.sh
+),
+counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM rare GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common), 4) AS jaccard
+FROM pairs
+JOIN counts ca ON ca.doc_id = doc_a
+JOIN counts cb ON cb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common) >= 0.05
+""",
+)
+def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup pairs via inverted-index join with a
+    document-frequency cap (stop-shingle pruning keeps it sub-quadratic)."""
+    return dedup.shingle_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.05,
+        max_doc_freq=100,
+    )
+
+
+@register("dedup_minhash_lsh", oracle=None)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + 16-band LSH candidate pairs with estimated Jaccard.
+    xxhash64-seeded — engine-internal hashing, so no SQL oracle; accuracy vs
+    exact Jaccard is asserted in tests/test_dedup.py."""
+    return dedup.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.3
+    )
+
+
+@register("dedup_simhash_pairs", oracle=None)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs (hamming ≤ 12) with pigeonhole 16-bit chunk
+    blocking. Rows-only driver check; fidelity tested in tests/test_dedup.py."""
+    return dedup.simhash_pairs(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id % 10 = 0),
+sims AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(list_reduce(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2]), (x, y) -> x + y)
+               / (SQRT(list_reduce(list_transform(a.e, x -> x*x), (x, y) -> x + y))
+                  * SQRT(list_reduce(list_transform(b.e, x -> x*x), (x, y) -> x + y))), 6) AS cosine_sim
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine_sim FROM sims WHERE cosine_sim >= 0.2
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs over a 1-in-10 sample (exact
+    all-pairs form — the LSH tier in ann_lsh_topk is the scale path)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    return similarity.cosine_dup_pairs(emb, "vec_id", "embedding", threshold=0.2)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_brute_force_topk",
+    oracle="""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+sims AS (
+  SELECT q.query_id, c.neighbor_id,
+         ROUND(list_reduce(list_transform(list_zip(q.qe, c.ce), p -> p[1] * p[2]), (x, y) -> x + y)
+               / (SQRT(list_reduce(list_transform(q.qe, x -> x*x), (x, y) -> x + y))
+                  * SQRT(list_reduce(list_transform(c.ce, x -> x*x), (x, y) -> x + y))), 6) AS cosine_sim
+  FROM q JOIN c ON q.query_id <> c.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS nn_rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, cosine_sim, nn_rank FROM ranked WHERE nn_rank <= 5
+""",
+)
+def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for a 1-in-50 query sample: broadcast
+    queries × corpus scan, sequential-fold dot product, windowed top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return similarity.brute_force_topk(queries, emb, "vec_id", "embedding", k=5)
+
+
+@register("ann_lsh_topk", oracle=None)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN (8 bits × 6 tables) + exact re-rank of
+    bucket-collided candidates. Approximate: no oracle; recall vs brute
+    force asserted in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return similarity.lsh_topk(queries, emb, "vec_id", "embedding", k=5)
+
+
+@register(
+    "embedding_norm_stats",
+    oracle="""
+SELECT label,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(CAST(ROUND(SQRT(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x), (a, b) -> a + b)), 6) AS DECIMAL(18,6))) AS DOUBLE) AS norm_sum
+FROM embeddings
+GROUP BY label
+""",
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector-norm aggregation. The norm is rounded then cast to
+    DECIMAL before SUM so cross-row accumulation is exact (raw double sums
+    are partition-order-dependent)."""
+    from db_writer_redshift_spark.functions.vector import norm_double
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm_dec = F.round(norm_double(F.col("embedding")), 6).cast("decimal(18,6)")
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum(norm_dec).cast("double").alias("norm_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_quality_scores",
+    oracle="""
+WITH base AS (
+  SELECT doc_id,
+         LENGTH(text) AS n_chars_actual,
+         len(string_split(text, ' ')) AS n_words,
+         len(regexp_extract_all(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_tokens,
+         ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')), 6) AS avg_word_len,
+         ROUND(CAST(LENGTH(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / LENGTH(text), 6) AS punct_ratio,
+         ROUND(CAST(len(list_filter(string_split(LOWER(text), ' '), x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+               / len(string_split(text, ' ')), 6) AS stopword_ratio
+  FROM documents
+)
+SELECT doc_id, n_chars_actual, n_words, n_tokens, avg_word_len, punct_ratio, stopword_ratio,
+       ROUND(1.0 - LEAST(1.0, ABS(avg_word_len - 5) / 5) * 0.3
+                 - LEAST(1.0, punct_ratio * 10) * 0.3
+                 - LEAST(1.0, ABS(stopword_ratio - 0.4)) * 0.4, 6) AS quality_score
+FROM base
+""",
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features + composite score — pure projection,
+    shuffle-free."""
+    return text.quality_features(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "text_lang_id",
+    oracle="""
+WITH scores AS (
+  SELECT doc_id,
+         len(list_filter(string_split(LOWER(text), ' '), x -> x IN ('the','a','of'))) AS score_en,
+         len(list_filter(string_split(LOWER(text), ' '), x -> x IN ('fast','slow','small','big'))) AS score_simple,
+         len(list_filter(string_split(LOWER(text), ' '), x -> x IN ('spark','query','hash','vector','batch'))) AS score_tech
+  FROM documents
+)
+SELECT doc_id, score_en, score_simple, score_tech,
+       CASE WHEN score_en >= score_simple AND score_en >= score_tech THEN 'en'
+            WHEN score_simple >= score_tech THEN 'simple'
+            ELSE 'tech' END AS pred_lang
+FROM scores
+""",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language scorer with deterministic argmax tiebreak."""
+    return text.language_id(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+SELECT doc_id, MD5(text) AS md5_fp, SUBSTR(MD5(text), 1, 8) AS md5_prefix
+FROM documents
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints (md5 — engine-portable; the xxhash64 variant is
+    engine-internal and excluded from the oracle projection)."""
+    return text.fingerprint(load_table(spark, sf_dir, "documents"), "doc_id", "text").select(
+        "doc_id", "md5_fp", "md5_prefix"
+    )
+
+
+@register(
+    "text_token_stats_by_lang",
+    oracle="""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       SUM(len(regexp_extract_all(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS total_tokens,
+       ROUND(CAST(SUM(len(regexp_extract_all(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS DOUBLE) / COUNT(*), 4) AS avg_tokens,
+       MAX(n_chars) AS max_chars
+FROM documents
+GROUP BY lang
+""",
+)
+def text_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per (labeled) language — integer sums, exact."""
+    from db_writer_redshift_spark.functions.text import token_count_expr
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = token_count_expr(F.col("text"))
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(tok).alias("total_tokens"),
+        F.round(F.sum(tok).cast("double") / F.count("*"), 4).alias("avg_tokens"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@register("multimodal_features", oracle=None)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline: synthesize payloads → mapInPandas stub decode
+    → per-media-type feature rollup. The decode is a deterministic stub (no
+    codecs in this container — multimodal.py documents the swap point); the
+    Arrow-batched plumbing is the real thing. Rows-only driver check."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_media(docs, "doc_id", "text")
+    feats = multimodal.extract_features(media)
+    return feats.groupBy("media_type").agg(
+        F.count("*").alias("n_items"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.min("checksum").alias("min_checksum"),
+        F.max("width").alias("max_width"),
+    )

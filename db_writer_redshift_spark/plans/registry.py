@@ -1,0 +1,69 @@
+"""Query registry: name → (spark, sf_dir) -> DataFrame, plus DuckDB oracles.
+
+Design rules (all queries obey these — they are what makes the driver's
+order-insensitive value-hash comparison against DuckDB deterministic):
+
+* Every computed column is aliased identically in the DataFrame code and the
+  oracle SQL.
+* Monetary / quantity aggregations cast inputs to DECIMAL before SUM so the
+  aggregation is exact and order-independent, then cast the result to DOUBLE.
+  Raw double SUMs are order-dependent across partitions and would flap.
+* Averages and ratios are computed as exact-decimal sums divided in double
+  space (bit-identical given identical operands), then rounded.
+* No functions whose float behavior differs across libm implementations
+  (exp/log/trig) feed hashed output unless rounded aggressively.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None → driver does rows-only check
+    doc: str
+
+
+QUERIES: dict[str, QuerySpec] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    """Decorator: add a (spark, sf_dir) -> DataFrame query to the registry."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        spec = QuerySpec(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+        QUERIES[name] = spec
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one of the driver-provided parquet tables.
+
+    Plain ``spark.read.parquet`` — the vectorized reader + Catalyst give
+    column pruning and predicate pushdown for free; at cluster scale the
+    same call fans out over file splits.
+
+    Special case: ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's
+    reader only accepts as long (spark.sql.legacy.parquet.nanosAsLong).
+    Convert to micros with floor division — the same truncation DuckDB
+    applies when it coerces nanos to its micro-precision TIMESTAMP, so both
+    engines see identical values.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz")
+        )
+    return df

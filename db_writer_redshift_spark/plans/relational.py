@@ -1,0 +1,988 @@
+"""Relational operator coverage: scans, filters, joins (all flavors),
+aggregations, grouping sets, windows, sorts/top-k, set ops, subqueries,
+scalar functions, time-bucketed event analytics.
+
+The reference engine (keboola/db-writer-redshift) has no query operators of
+its own — SURVEY.md §2.4 records every category as absent/delegated to
+Redshift. This module supplies that analytical surface on Spark built-ins so
+Catalyst plans every physical detail (broadcast vs shuffle join, partial
+aggregation, pushdown). Citations in docstrings point at the reference file
+that motivated the nearest behavior.
+
+Determinism contract (see plans/registry.py docstring): exact DECIMAL
+aggregation → DOUBLE output; deterministic total orders under every LIMIT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from db_writer_redshift_spark.plans.registry import load_table, register
+
+DEC = "decimal(18,4)"
+
+
+def _dec(c: str):
+    return F.col(c).cast(DEC)
+
+
+def _dsum(expr, alias: str):
+    """Exact decimal SUM surfaced as double (order-independent).
+
+    The ROUND to scale 4 before the cast is load-bearing: DuckDB converts
+    wide decimals to double as (int128 unscaled)/10^scale in float space,
+    which loses ulps once the unscaled value exceeds 2^53; capping the scale
+    keeps the conversion exactly representable in both engines."""
+    return F.round(F.sum(expr), 4).cast("double").alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# Aggregation family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_qty,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_base_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS sum_disc_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(CAST(1 - CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(9,4)) * CAST(1 + CAST(l_tax AS DECIMAL(18,4)) AS DECIMAL(9,4)) AS DECIMAL(18,8))), 4) AS DOUBLE) AS sum_charge,
+       ROUND(CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+       ROUND(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 4) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+       ROUND(CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(18,4))), 4) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: filter → hash aggregate with partial (map-side) combine.
+
+    Flagship query (SURVEY.md §7 Phase 0). Scale: the filter and the two
+    grouping columns push down to the parquet scan; the aggregation is
+    partial-aggregated before the 6-group shuffle, so shuffled bytes are
+    O(partitions × groups), independent of row count.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    disc = _dec("l_discount")
+    tax = _dec("l_tax")
+    ep = _dec("l_extendedprice")
+    # (9,4)×(9,4) → DECIMAL(19,8): exact in both engines. A (19,4)×(19,4)
+    # product would exceed Spark's 38-digit cap and silently round (the
+    # allowPrecisionLoss path) while DuckDB stays exact at width 38.
+    charge_factor = (
+        (F.lit(1) - disc).cast("decimal(9,4)") * (F.lit(1) + tax).cast("decimal(9,4)")
+    ).cast("decimal(18,8)")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(_dec("l_quantity"), "sum_qty"),
+            _dsum(ep, "sum_base_price"),
+            _dsum(ep * (F.lit(1) - disc), "sum_disc_price"),
+            _dsum(ep * charge_factor, "sum_charge"),
+            F.round(F.round(F.sum(_dec("l_quantity")), 4).cast("double") / F.count("*"), 6).alias("avg_qty"),
+            F.round(F.round(F.sum(ep), 4).cast("double") / F.count("*"), 6).alias("avg_price"),
+            F.round(F.round(F.sum(disc), 4).cast("double") / F.count("*"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_distinct_per_segment",
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(DISTINCT c_nationkey) AS n_nations,
+       COUNT(*) AS n_customers,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_acctbal
+FROM customer
+GROUP BY c_mktsegment
+""",
+)
+def agg_distinct_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) + plain aggregates in one pass (Spark expands to a
+    two-stage distinct aggregation automatically)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count("*").alias("n_customers"),
+        _dsum(_dec("c_acctbal"), "total_acctbal"),
+    )
+
+
+@register("agg_approx_distinct", oracle=None)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ sketch — approx_count_distinct. No SQL oracle: the
+    estimate is engine-specific (driver does the rows-only check); the pytest
+    suite asserts the estimate is within 5% of exact. At 100 TB this replaces
+    a full distinct shuffle with fixed-size sketch merging."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "agg_variance_manual",
+    oracle="""
+WITH bp AS (
+  SELECT l_returnflag, CAST(ROUND(l_discount * 10000) AS BIGINT) AS d_bp FROM lineitem
+)
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       SUM(d_bp) AS disc_sum_bp,
+       ROUND((CAST(SUM(d_bp * d_bp) AS DOUBLE)
+              - CAST(SUM(d_bp) AS DOUBLE) * CAST(SUM(d_bp) AS DOUBLE) / COUNT(*))
+             / (COUNT(*) - 1), 6) AS disc_var_bp
+FROM bp
+GROUP BY l_returnflag
+""",
+)
+def agg_variance_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance via exact integer sum / sum-of-squares (one pass,
+    map-side partials) instead of the built-in var_samp, whose double
+    accumulation order differs across engines and partitionings.
+
+    The measure is discount in basis points (exact int64: values ≤ 10^3, so
+    sums and sums-of-squares stay far below 2^53 even at sf≫1) — every
+    arithmetic step after the exact sums is a single IEEE op on identical
+    operands in both engines."""
+    l = load_table(spark, sf_dir, "lineitem")
+    d_bp = F.round(F.col("l_discount") * 10000).cast("bigint")
+    bp = l.select("l_returnflag", d_bp.alias("d_bp"))
+    n = F.count("*")
+    sum_d = F.sum("d_bp").cast("double")
+    sumsq_d = F.sum(F.col("d_bp") * F.col("d_bp")).cast("double")
+    return bp.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        F.sum("d_bp").alias("disc_sum_bp"),
+        F.round((sumsq_d - sum_d * sum_d / n) / (n - F.lit(1)), 6).alias("disc_var_bp"),
+    )
+
+
+@register(
+    "rollup_order_priority",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus) AS g_status, GROUPING(o_orderpriority) AS g_prio,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+)
+def rollup_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals; GROUPING() flags disambiguate subtotal rows
+    from genuine NULL group keys."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+        F.count("*").alias("n_orders"),
+        _dsum(_dec("o_totalprice"), "total_price"),
+    ).select(
+        "o_orderstatus", "o_orderpriority", "g_status", "g_prio", "n_orders", "total_price"
+    )
+
+
+@register(
+    "cube_returnflag_linestatus",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status,
+       COUNT(*) AS n_items,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def cube_returnflag_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two low-cardinality dims — all 2^2 grouping sets in one
+    shuffle (Spark expands, partial-aggregates each set map-side)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.count("*").alias("n_items"),
+        _dsum(_dec("l_quantity"), "total_qty"),
+    ).select("l_returnflag", "l_linestatus", "g_flag", "g_status", "n_items", "total_qty")
+
+
+@register(
+    "grouping_sets_mixed",
+    oracle="""
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+""",
+)
+def grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through Spark SQL (same Catalyst Expand node
+    as rollup/cube)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders
+        FROM gs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+SELECT l_orderkey,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1997-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → 3-way join → agg → top-k.
+
+    Scale: customer (filtered) is broadcast, so the big lineitem side never
+    shuffles for the first join; the top-k is a TakeOrdered physical op —
+    no global sort materialization.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    return (
+        l.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+               F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dsum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")), "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+SELECT n_name,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+""",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join with a cross-table equality
+    (customer nation == supplier nation). Dimension chain
+    (region→nation→supplier) broadcasts; only orders⋈lineitem shuffles."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    dims = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(dims),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(_dsum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")), "revenue"))
+    )
+
+
+@register(
+    "join_inner_brand_volume",
+    oracle="""
+SELECT p_brand,
+       COUNT(*) AS n_items,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size <= 25
+GROUP BY p_brand
+""",
+)
+def join_inner_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner fact⋈dim join with a dim-side predicate. The filtered part table
+    is broadcast; lineitem streams map-side with zero shuffle."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 25)
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_items"), _dsum(_dec("l_quantity"), "total_qty"))
+    )
+
+
+@register(
+    "join_left_outer_customer_orders",
+    oracle="""
+SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+       CAST(ROUND(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 0), 4) AS DOUBLE) AS total_spent
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+""",
+)
+def join_left_outer_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving customers with zero orders (COUNT(col)
+    skips the null-extended rows; SUM coalesced to 0)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum(_dec("o_totalprice")), F.lit(0)), 4)
+            .cast("double")
+            .alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "join_semi_customers_with_urgent",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+""",
+)
+def join_semi_customers_with_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join — the probe side of the reference's merge DELETE
+    (``DELETE FROM staging USING target``, Redshift.php:193-199) is this same
+    shape. Emits each matching customer once, no duplication."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti_customers_no_orders",
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+)
+def join_anti_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join — the keep-unmatched-target half of the reference's
+    UPDATE/INSERT merge (SURVEY.md §2.1 L-9 rewrite, Redshift.php:155-209)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "join_full_outer_nation_presence",
+    oracle="""
+SELECT COALESCE(s.nk, c.nk) AS nationkey,
+       COALESCE(s.n_suppliers, 0) AS n_suppliers,
+       COALESCE(c.n_customers, 0) AS n_customers
+FROM (SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers FROM supplier GROUP BY s_nationkey) s
+FULL OUTER JOIN (SELECT c_nationkey AS nk, COUNT(*) AS n_customers FROM customer GROUP BY c_nationkey) c
+ON s.nk = c.nk
+""",
+)
+def join_full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two aggregates over different tables; COALESCE
+    merges the key and fills absent sides with 0."""
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    return s.join(c, s.nk == c.nk, "full_outer").select(
+        F.coalesce(s.nk, c.nk).alias("nationkey"),
+        F.coalesce(F.col("n_suppliers"), F.lit(0)).alias("n_suppliers"),
+        F.coalesce(F.col("n_customers"), F.lit(0)).alias("n_customers"),
+    )
+
+
+@register(
+    "merge_upsert_orders",
+    oracle="""
+WITH target AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+                FROM orders WHERE o_orderkey % 10 < 8),
+     staging AS (SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+                        CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)) * CAST(1.1 AS DECIMAL(18,4)), 2) AS DOUBLE) AS o_totalprice
+                 FROM orders WHERE o_orderkey % 5 = 0)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM target
+WHERE o_orderkey NOT IN (SELECT o_orderkey FROM staging)
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM staging
+""",
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's one real relational operator — the UPDATE/DELETE/INSERT
+    upsert (Redshift.php:155-209, SURVEY.md L-9) — run as a query: target rows
+    without a staging match (left ANTI join) ∪ all staging rows. Single join +
+    union replaces the reference's three non-atomic SQL statements."""
+    o = load_table(spark, sf_dir, "orders")
+    target = o.filter(F.col("o_orderkey") % 10 < 8).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    staging = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        F.round(_dec("o_totalprice") * F.lit(1.1).cast(DEC), 2).cast("double").alias("o_totalprice"),
+    )
+    from db_writer_redshift_spark.operators.merge import upsert_dataframes
+
+    return upsert_dataframes(target, staging, ["o_orderkey"])
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "topk_expensive_orders",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+""",
+)
+def topk_expensive_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: ORDER BY + LIMIT plans as TakeOrderedAndProject —
+    each partition keeps k rows, driver merges; no full sort/shuffle.
+    Tie-broken on the key for a deterministic result set."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_rank_orders_per_customer",
+    oracle="""
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         RANK()       OVER w AS price_rank,
+         ROW_NUMBER() OVER w AS rn
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+) WHERE price_rank <= 3
+""",
+)
+def window_rank_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-N via RANK — one hash-partitioned shuffle on the window
+    key, sort within partitions, no global sort."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.rank().over(w).alias("price_rank"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("price_rank") <= 3)
+    )
+
+
+@register(
+    "window_lag_order_gap",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(o_orderdate AS DATE) - CAST(LAG(o_orderdate) OVER w AS DATE) AS days_since_prev
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def window_lag_order_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG over an event-time order: days between a customer's consecutive
+    orders (NULL for the first)."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias("days_since_prev"),
+    )
+
+
+@register(
+    "window_moving_avg_daily_revenue",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(l_shipdate AS DATE) AS ship_day,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS day_rev
+  FROM lineitem GROUP BY CAST(l_shipdate AS DATE)
+)
+SELECT ship_day,
+       CAST(day_rev AS DOUBLE) AS day_rev,
+       ROUND(CAST(SUM(day_rev) OVER w AS DOUBLE) / COUNT(*) OVER w, 4) AS ma7
+FROM daily
+WINDOW w AS (ORDER BY ship_day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
+)
+def window_moving_avg_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average over daily revenue with an explicit ROWS frame.
+    The windowed SUM runs over exact decimals (sliding-window double
+    accumulation is engine-dependent, decimal is not) and divides in double."""
+    from pyspark.sql.window import Window
+
+    l = load_table(spark, sf_dir, "lineitem")
+    daily = l.groupBy(F.col("l_shipdate").cast("date").alias("ship_day")).agg(
+        F.sum(_dec("l_extendedprice")).alias("day_rev")
+    )
+    w = Window.orderBy("ship_day").rowsBetween(-6, 0)
+    return daily.select(
+        "ship_day",
+        F.col("day_rev").cast("double").alias("day_rev"),
+        F.round(F.sum("day_rev").over(w).cast("double") / F.count("*").over(w), 4).alias("ma7"),
+    )
+
+
+@register(
+    "window_cumulative_share",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_spent,
+       NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS quartile
+FROM orders
+""",
+)
+def window_cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative running total + NTILE bucketing per customer."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(_dec("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+        .alias("cum_spent"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "set_union_high_value_keys",
+    oracle="""
+SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 8000
+UNION
+SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+""",
+)
+def set_union_high_value_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of keys from two different predicates/tables."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    a = c.filter(F.col("c_acctbal") > 8000).select(F.col("c_custkey").alias("custkey"))
+    b = o.filter(F.col("o_totalprice") > 400000).select(F.col("o_custkey").alias("custkey"))
+    return a.union(b).distinct()
+
+
+@register(
+    "set_intersect_segments",
+    oracle="""
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+""",
+)
+def set_intersect_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT — customers appearing under both predicates."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    return a.intersect(b)
+
+
+@register(
+    "set_except_inactive",
+    oracle="""
+SELECT c_custkey AS custkey FROM customer
+EXCEPT
+SELECT o_custkey AS custkey FROM orders
+""",
+)
+def set_except_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT — customer keys that never placed an order (set-op spelling of
+    the anti join)."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return c.exceptAll(o).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Subqueries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "subquery_scalar_above_avg",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_totalprice > (SELECT CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DOUBLE) / COUNT(*) FROM orders)
+""",
+)
+def subquery_scalar_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: orders above the global average price.
+    The scalar aggregates once and broadcasts into the filter (cross join of
+    a 1-row relation — no shuffle of the fact side)."""
+    o = load_table(spark, sf_dir, "orders")
+    avg_price = o.agg(
+        (F.round(F.sum(_dec("o_totalprice")), 4).cast("double") / F.count("*")).alias("thr")
+    )
+    return (
+        o.crossJoin(F.broadcast(avg_price))
+        .filter(F.col("o_totalprice") > F.col("thr"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "subquery_correlated_max_per_customer",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM orders o
+WHERE o_totalprice = (SELECT MAX(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+""",
+)
+def subquery_correlated_max_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated subquery (each customer's most expensive order[s]) —
+    decorrelated into an aggregate + join, which is exactly how Catalyst
+    rewrites the SQL form. MAX over raw doubles is order-independent (safe)."""
+    o = load_table(spark, sf_dir, "orders")
+    mx = o.groupBy(F.col("o_custkey").alias("mk")).agg(F.max("o_totalprice").alias("max_price"))
+    return (
+        o.join(
+            F.broadcast(mx),
+            (o.o_custkey == mx.mk) & (o.o_totalprice == mx.max_price),
+        )
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function coverage
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_string_funcs",
+    oracle="""
+SELECT c_custkey,
+       UPPER(c_name) AS name_upper,
+       LENGTH(c_name) AS name_len,
+       SUBSTR(c_name, 1, 8) AS name_prefix,
+       REPLACE(c_name, '#', '-') AS name_dashed,
+       CONCAT(c_mktsegment, ':', CAST(c_nationkey AS VARCHAR)) AS seg_nation,
+       TRIM(c_mktsegment) AS seg_trim,
+       LPAD(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+       REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS name_digits
+FROM customer
+""",
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function battery (upper/length/substr/replace/concat/trim/
+    lpad/regexp_extract) — all JVM-side codegen, no UDFs."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("name_dashed"),
+        F.concat(F.col("c_mktsegment"), F.lit(":"), F.col("c_nationkey").cast("string")).alias(
+            "seg_nation"
+        ),
+        F.trim(F.col("c_mktsegment")).alias("seg_trim"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+        F.regexp_extract(F.col("c_name"), "([0-9]+)", 1).alias("name_digits"),
+    )
+
+
+@register(
+    "scalar_date_funcs",
+    oracle="""
+SELECT o_orderkey,
+       EXTRACT(YEAR FROM o_orderdate) AS order_year,
+       EXTRACT(MONTH FROM o_orderdate) AS order_month,
+       EXTRACT(DAY FROM o_orderdate) AS order_day,
+       CAST(o_orderdate AS DATE) AS order_date,
+       CAST(LAST_DAY(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+       CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_ts,
+       CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start
+FROM orders
+""",
+)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function battery: extract, last_day, interval arithmetic,
+    date_trunc — all on naive (NTZ) timestamps with UTC session tz."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        F.month("o_orderdate").cast("bigint").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("order_day"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("due_ts"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("timestamp_ntz").alias("month_start"),
+    )
+
+
+@register(
+    "scalar_math_funcs",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       ABS(l_discount - 0.05) AS disc_dev,
+       l_extendedprice / 100 AS price_hundreds,
+       FLOOR(l_quantity) AS qty_floor,
+       CEIL(l_quantity / 7) AS qty_ceil7,
+       CAST(l_orderkey % 7 AS BIGINT) AS key_mod7,
+       SQRT(l_quantity) AS qty_sqrt,
+       GREATEST(l_tax, l_discount) AS max_rate,
+       LEAST(l_tax, l_discount) AS min_rate,
+       CAST(SIGN(l_discount - l_tax) AS INTEGER) AS rate_sign
+FROM lineitem
+""",
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math battery restricted to IEEE-deterministic ops (+,-,*,/ round floor
+    ceil mod sqrt greatest least sign) so oracle comparison is bit-exact."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        # raw double division — IEEE-identical across engines; a ROUND here
+        # would hit decimal-vs-binary half-way disagreements
+        (F.col("l_extendedprice") / 100).alias("price_hundreds"),
+        F.floor("l_quantity").cast("double").alias("qty_floor"),
+        F.ceil(F.col("l_quantity") / 7).cast("double").alias("qty_ceil7"),
+        (F.col("l_orderkey") % 7).cast("bigint").alias("key_mod7"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+        F.signum(F.col("l_discount") - F.col("l_tax")).cast("int").alias("rate_sign"),
+    )
+
+
+@register(
+    "case_when_order_buckets",
+    oracle="""
+SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+            WHEN o_totalprice < 200000 THEN 'medium'
+            ELSE 'large' END AS bucket,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DOUBLE) AS bucket_total
+FROM orders
+GROUP BY 1
+""",
+)
+def case_when_order_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bucketing feeding an aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 200000, "medium")
+        .otherwise("large")
+        .alias("bucket")
+    )
+    return o.groupBy(bucket).agg(
+        F.count("*").alias("n_orders"), _dsum(_dec("o_totalprice"), "bucket_total")
+    )
+
+
+@register(
+    "pivot_status_by_priority",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS status_f,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS status_o,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS status_p
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with an explicit value list (explicit values keep it a single
+    pass — no extra distinct job to discover columns)."""
+    o = load_table(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-stream analytics (batch shape; streaming variants in streaming/)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_tumbling_hourly",
+    oracle="""
+SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hour_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate over the event stream (batch form;
+    streaming/events.py runs the same plan with readStream + watermark)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("hour_start"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"), _dsum(_dec("value"), "total_value"))
+    )
+
+
+@register(
+    "events_sessionization",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+              OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, event_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM sessions
+GROUP BY user_id, session_id
+""",
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): LAG → new-session flag →
+    running SUM as session id → per-session rollup. One shuffle on user_id
+    shared by both window ops and the final aggregate."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # NTZ → LTZ under the UTC session tz is the identity on the naive value,
+    # so unix_micros here equals DuckDB's epoch_us on the same timestamps.
+    ts_ltz = F.col("ts").cast("timestamp_ltz")
+    gap_us = F.unix_micros(ts_ltz) - F.unix_micros(F.lag(ts_ltz).over(w))
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0).alias("new_session"),
+    )
+    sessions = flagged.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("session_id"),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@register(
+    "events_json_extract",
+    oracle="""
+SELECT event_type,
+       CAST(SUM(CAST(REGEXP_EXTRACT(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS BIGINT) AS k_sum,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+""",
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull an integer out of the JSON ``props``
+    string with a portable regexp (reference parses JSON only as control
+    data — manifest/config, Redshift.php:326-343; here it's row data)."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), '"k":\\s*(\\d+)', 1).cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.sum(k).alias("k_sum"), F.count("*").alias("n_events")
+    )

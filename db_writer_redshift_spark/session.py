@@ -1,0 +1,88 @@
+"""SparkSession factory.
+
+Reference parity: ``createConnection`` (Redshift.php:44-77) builds the PDO
+connection and pins ``search_path``; ``testConnection`` (Redshift.php:321-324)
+runs ``select current_date``. Here the "connection" is a SparkSession with the
+settings every other module assumes:
+
+* UTC session timezone — parquet test data is timestamp_ntz (naive); all
+  date/timestamp arithmetic must agree with the DuckDB oracle.
+* AQE on (runtime coalescing + skew-join handling) — the scale story for
+  100 TB runs; harmless locally.
+* shuffle.partitions sized from the env (local[32] default 32; a real
+  cluster overrides via spark-submit conf).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "db_writer_redshift_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    warehouse_dir: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    When a session already exists (driver harness, pytest fixture) we return
+    it untouched except for session-scoped confs that are safe to set late
+    (timezone, AQE, Arrow).
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+    if warehouse_dir:
+        builder = builder.config("spark.sql.warehouse.dir", warehouse_dir)
+    builder = (
+        builder.config("spark.sql.session.timeZone", "UTC")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        # naive parquet timestamps stay naive (match DuckDB semantics)
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+        .config("spark.sql.timestampType", "TIMESTAMP_NTZ")
+        # events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
+        # rejects; read as long and convert (plans/registry.load_table)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    # Session-scoped settings that must hold even on a pre-built session.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
+def configure_existing(spark: SparkSession) -> SparkSession:
+    """Pin the confs the engine relies on onto a session built elsewhere
+    (e.g. the driver harness passes its own SparkSession into ``entry``)."""
+    for k, v in {
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+    }.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # immutable in some deployments; engine still works
+    return spark
+
+
+def test_connection(spark: SparkSession) -> None:
+    """Smoke probe — reference ``testConnection`` runs ``select current_date``
+    (Redshift.php:321-324)."""
+    spark.sql("SELECT current_date()").collect()
