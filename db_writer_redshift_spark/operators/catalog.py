@@ -1,0 +1,102 @@
+"""Managed-table catalog ops — the DDL surface (L-6…L-8, L-10, A-5).
+
+Reference parity:
+* ``create``       (Redshift.php:129-153) → create_table from the declared
+  StructType; ``ignore`` columns excluded; defaults kept in column metadata.
+* ``drop``         (Redshift.php:124-127) → DROP TABLE IF EXISTS.
+* ``tableExists``  (Redshift.php:216-224) → spark.catalog.tableExists.
+* ``generateTmpName`` (Redshift.php:345-348) → same ``_temp_<uniqid>`` scheme.
+* ``showTables``/``getTableInfo`` — unimplemented stubs in the reference
+  (Redshift.php:295-303); implemented properly here via spark.catalog (A-5).
+
+Tables are managed parquet (``USING parquet``): columnar, splittable,
+partition-prunable — the warehouse the reference delegated to Redshift.
+"""
+
+from __future__ import annotations
+
+import re
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from db_writer_redshift_spark.config.errors import UserException
+from db_writer_redshift_spark.config.schema import TableConfig, struct_type_for
+
+_IDENT_OK = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
+
+
+def quote_ident(name: str) -> str:
+    """Backtick-quote an identifier (L-17 analog; unlike the reference we
+    reject embedded quote characters instead of silently mangling them)."""
+    if "`" in name:
+        raise UserException(f"Invalid identifier: {name!r}")
+    return name if _IDENT_OK.match(name) else f"`{name}`"
+
+
+def generate_tmp_name(table_name: str) -> str:
+    """Staging-name scheme (L-10): ``<table>_temp_<uniqid>``."""
+    uniq = f"{int(time.time()):x}{uuid.uuid4().hex[:8]}"
+    return f"{table_name}_temp_{uniq}"
+
+
+def table_exists(spark: SparkSession, name: str) -> bool:
+    return spark.catalog.tableExists(name)
+
+
+def drop_table(spark: SparkSession, name: str) -> None:
+    spark.sql(f"DROP TABLE IF EXISTS {quote_ident(name)}")
+
+
+def create_table(
+    spark: SparkSession,
+    table: TableConfig,
+    name: str | None = None,
+    buckets: int | None = None,
+) -> None:
+    """CREATE TABLE from config items (L-6).
+
+    ``buckets``: optional hash-bucketing on the primary key so repeated
+    incremental merges co-locate both sides and skip the shuffle — the
+    Spark analog of a Redshift DISTKEY (which the reference never sets;
+    deliberate scale improvement).
+    """
+    target = name or table.db_name
+    schema = struct_type_for(table)
+    ddl_cols = ", ".join(
+        f"{quote_ident(f.name)} {f.dataType.simpleString()}"
+        + ("" if f.nullable else " NOT NULL")
+        for f in schema.fields
+    )
+    clustered = ""
+    if buckets and table.primary_key:
+        pk = ", ".join(quote_ident(c) for c in table.primary_key)
+        clustered = f" CLUSTERED BY ({pk}) INTO {buckets} BUCKETS"
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {quote_ident(target)} ({ddl_cols})"
+        f" USING parquet{clustered}"
+    )
+
+
+def show_tables(spark: SparkSession) -> list[str]:
+    """A-5 done properly (reference stub throws 'Method not implemented')."""
+    return [t.name for t in spark.catalog.listTables()]
+
+
+def get_table_info(spark: SparkSession, name: str) -> dict:
+    """Name + column name/type list, the shape getTablesInfo wanted (A-5)."""
+    if not table_exists(spark, name):
+        raise UserException(f'Table "{name}" does not exist')
+    schema = spark.table(name).schema
+    return {
+        "name": name,
+        "columns": [
+            {"name": f.name, "type": f.dataType.simpleString(), "nullable": f.nullable}
+            for f in schema.fields
+        ],
+    }
+
+
+def read_table(spark: SparkSession, name: str) -> DataFrame:
+    return spark.table(name)

@@ -1,0 +1,67 @@
+"""Write modes — full load and incremental upsert (L-9, L-11, L-12).
+
+Reference lifecycle (RedshiftApplication.php:109-139):
+
+* ``loadFull``: drop → create → COPY. Destructive replace.
+* ``loadIncremental``: COPY into a fresh ``_temp_`` staging table → create
+  target if missing → 3-statement upsert → drop staging. Non-atomic in the
+  reference; here the merged relation is computed functionally
+  (operators/merge.upsert_dataframes) and swapped in with one overwrite —
+  a crash mid-merge leaves the old target intact (documented improvement,
+  SURVEY.md §7 Phase 3).
+
+Scale: the overwrite writes through a checkpointed temp location because a
+Spark overwrite of a table being read would otherwise race with its own
+scan. At 100 TB the incremental path's cost is one PK-partitioned anti
+join (broadcast when staging is small) + a rewrite of the target —
+same order as Redshift's UPDATE+INSERT which also rewrites touched blocks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from db_writer_redshift_spark.config.schema import TableConfig
+from db_writer_redshift_spark.operators import catalog
+from db_writer_redshift_spark.operators.merge import upsert_dataframes
+
+
+def load_full(spark: SparkSession, table: TableConfig, df: DataFrame) -> None:
+    """L-11: drop → create → write (overwrite semantics in one shot)."""
+    catalog.drop_table(spark, table.db_name)
+    df.write.mode("overwrite").saveAsTable(table.db_name)
+
+
+def load_incremental(spark: SparkSession, table: TableConfig, staging: DataFrame) -> None:
+    """L-12: merge ``staging`` into the target by primary key.
+
+    Missing target → behaves like full load (reference creates the target
+    then upserts into the empty table, same result). PK-less → append
+    (Redshift.php:169-200 guard via upsert_dataframes).
+    """
+    if not catalog.table_exists(spark, table.db_name):
+        staging.write.mode("overwrite").saveAsTable(table.db_name)
+        return
+    target = spark.table(table.db_name)
+    merged = upsert_dataframes(target, staging, list(table.primary_key))
+    # Materialize before overwriting the table the plan reads from: stage
+    # into a _temp_ table (the reference's staging-table scheme, L-10),
+    # then swap. Two sequential jobs, no self-overwrite race.
+    tmp = catalog.generate_tmp_name(table.db_name)
+    merged.write.mode("overwrite").saveAsTable(tmp)
+    try:
+        spark.table(tmp).write.mode("overwrite").saveAsTable(table.db_name)
+    finally:
+        catalog.drop_table(spark, tmp)
+
+
+def load_table(
+    spark: SparkSession,
+    table: TableConfig,
+    df: DataFrame,
+) -> None:
+    """Dispatch on the config's ``incremental`` flag (RedshiftApplication.php:93-96)."""
+    if table.incremental:
+        load_incremental(spark, table, df)
+    else:
+        load_full(spark, table, df)

@@ -1,0 +1,11 @@
+"""Data sources: CSV ingest (the reference's COPY path), manifests, parquet."""
+
+from db_writer_redshift_spark.sources.csv_ingest import (  # noqa: F401
+    LoadError,
+    apply_schema,
+    ingest_table,
+    load_errors_to_exception,
+    read_manifest_entries,
+    read_table_csv,
+    validate_load,
+)

@@ -1,0 +1,289 @@
+"""CSV ingest — the Spark analog of the reference's Redshift COPY (L-1…L-5).
+
+Reference command (Redshift.php:93-112)::
+
+    COPY "t" FROM 's3://…' CREDENTIALS … REGION …
+    DELIMITER ',' CSV QUOTE '"' NULL AS 'NULL' ACCEPTANYDATE
+    TRUNCATECOLUMNS … GZIP  [MANIFEST | IGNOREHEADER 1]
+
+Spark mapping:
+
+* dialect    → ``spark.read.csv(quote='"', escape='"', multiLine=True)``.
+  ``escape='"'`` is mandatory: Spark's default ``escape='\\'`` corrupts
+  fields containing literal backslashes (the reference's ``special.csv``
+  torture fixture — quote-doubling is the ONLY escape in this dialect).
+* NULL AS 'NULL'       → ``nullValue='NULL'`` (L-3).
+* GZIP                 → transparent via file extension.
+* MANIFEST             → JSON ``{"entries": [{"url": …}]}`` resolved to a
+  path list fed to ONE ``spark.read.csv(paths)`` call — Spark parallelizes
+  by file natively, same as Redshift's sliced COPY (L-2). An empty entry
+  list short-circuits to a zero-row success (Redshift.php:83-90).
+* IGNOREHEADER 1       → ``header=True`` on single files; sliced files are
+  headerless with schema from config.
+* TRUNCATECOLUMNS      → explicit ``substring(1, size)`` projection on
+  sized string columns (L-4; no reader option exists).
+* ACCEPTANYDATE        → multi-pattern lenient parse (L-5) + a validation
+  pass producing the reference's error contract
+  ``Column 'col', line N: reason`` (E-2; golden message asserted by the
+  reference functional test: a short non-date string fails with
+  "Invalid Date Format - length must be 10 or more").
+
+Scale notes: ``multiLine=True`` disables intra-file split parallelism
+(a quoted newline can straddle a split), exactly like Redshift's COPY of a
+single CSV — parallelism comes from slicing, which the manifest path gives
+us for free. The validation pass is one extra distributed scan, columnar
+and codegen'd, collecting only (up to) the first few error rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from urllib.parse import urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from db_writer_redshift_spark.config.errors import UserException
+from db_writer_redshift_spark.config.schema import (
+    ColumnItem,
+    TableConfig,
+    parse_decimal_size,
+)
+
+#: Lenient date patterns honored by the ACCEPTANYDATE analog (L-5).
+_DATE_PATTERNS = ("yyyy-MM-dd", "yyyy/MM/dd", "MM/dd/yyyy", "yyyyMMdd")
+_TS_PATTERNS = (
+    "yyyy-MM-dd HH:mm:ss",
+    "yyyy-MM-dd'T'HH:mm:ss",
+    "yyyy-MM-dd HH:mm:ss.SSSSSS",
+    "yyyy-MM-dd",
+)
+
+_LINE_COL = "_load_line"
+
+
+@dataclass(frozen=True)
+class LoadError:
+    """One rejected input cell — the stl_load_errors analog (E-2)."""
+
+    column: str
+    line: int  # 1-based data line (header excluded), like stl_load_errors
+    raw_value: str | None
+    reason: str
+
+    def message(self) -> str:
+        return f"Column '{self.column}', line {self.line}: {self.reason}"
+
+
+def read_manifest_entries(manifest_path: str) -> list[str]:
+    """Resolve a sliced-load JSON manifest to local/remote file paths (L-2).
+
+    Shape per the reference (Redshift.php:326-343): ``{"entries":
+    [{"url": "s3://…"}, …]}``. Returns [] for an empty manifest — the
+    caller must treat that as a zero-row success, not an error.
+    """
+    with open(manifest_path, encoding="utf-8") as fh:
+        manifest = json.load(fh)
+    entries = manifest.get("entries", [])
+    paths = []
+    for e in entries:
+        url = e["url"] if isinstance(e, dict) else str(e)
+        parsed = urlparse(url)
+        if parsed.scheme in ("", "file"):
+            paths.append(parsed.path or url)
+        else:
+            paths.append(url)  # s3a:// etc — handed to Hadoop FS as-is
+    return paths
+
+
+def read_table_csv(
+    spark: SparkSession,
+    source: str | list[str],
+    table: TableConfig,
+    sliced: bool = False,
+) -> DataFrame:
+    """Read raw CSV with the pinned dialect; all columns as strings, named
+    by the declared config order, plus a 1-based ``_load_line`` column
+    (input order) used by :func:`validate_load` for error reporting.
+    """
+    names = [i.name for i in table.items]
+    raw_schema = T.StructType([T.StructField(n, T.StringType(), True) for n in names])
+    reader = (
+        spark.read.option("quote", '"')
+        .option("escape", '"')
+        .option("multiLine", "true")
+        .option("nullValue", "NULL")
+        .option("header", "false" if sliced else "true")
+        .option("mode", "PERMISSIVE")
+        .schema(raw_schema)
+    )
+    df = reader.csv(source)
+    # Input-order line index: monotonically_increasing_id is ascending within
+    # a partition and partition ids follow input-split order, so a row_number
+    # over it reconstructs file order. The window is only materialized when
+    # validate_load needs line numbers (lazy plan).
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.monotonically_increasing_id())
+    return df.withColumn(_LINE_COL, F.row_number().over(w))
+
+
+def _lenient_date(col: F.Column) -> F.Column:
+    return F.coalesce(*[F.try_to_timestamp(col, F.lit(p)).cast("date") for p in _DATE_PATTERNS])
+
+
+def _lenient_ts(col: F.Column) -> F.Column:
+    return F.coalesce(
+        *[F.try_to_timestamp(col, F.lit(p)).cast("timestamp_ntz") for p in _TS_PATTERNS]
+    )
+
+
+def _cast_expr(item: ColumnItem) -> F.Column:
+    """Build the typed expression for one declared column (COPY's implicit
+    coercions, L-3/L-4/L-5)."""
+    t = item.type
+    col = F.col(item.name)
+    if t in ("char", "character", "nchar", "bpchar", "varchar", "character varying", "nvarchar"):
+        if item.size:
+            try:
+                width = int(str(item.size).split(",")[0])
+            except ValueError:
+                width = None
+            if width:
+                col = F.substring(col, 1, width)  # TRUNCATECOLUMNS (L-4)
+        return col
+    if t == "text":
+        return col
+    if t in ("int", "integer", "int4"):
+        return col.try_cast("int")
+    if t in ("int2", "smallint"):
+        return col.try_cast("smallint")
+    if t in ("int8", "bigint"):
+        return col.try_cast("bigint")
+    if t in ("decimal", "numeric"):
+        p, s = parse_decimal_size(item.size)
+        return col.try_cast(f"decimal({p},{s})")
+    if t in ("real", "float4"):
+        return col.try_cast("float")
+    if t in ("double precision", "float", "float8"):
+        return col.try_cast("double")
+    if t == "boolean":
+        return col.try_cast("boolean")
+    if t == "date":
+        return _lenient_date(col)
+    if t in ("timestamp", "timestamp without timezone"):
+        return _lenient_ts(col)
+    return col
+
+
+def apply_schema(raw: DataFrame, table: TableConfig) -> DataFrame:
+    """Project the raw string DataFrame to the declared schema:
+    drop ``ignore`` columns (L-16), rename to dbName, cast per type."""
+    exprs = [
+        _cast_expr(item).alias(item.db_name) for item in table.effective_items
+    ]
+    return raw.select(*exprs)
+
+
+def _error_reason(item: ColumnItem) -> F.Column:
+    """Reason string per failing cell, matching the reference's golden
+    message for short date strings (FunctionalTest.php:73-78)."""
+    raw = F.col(item.name)
+    if item.type == "date":
+        return F.when(
+            F.length(raw) < 10,
+            F.lit("Invalid Date Format - length must be 10 or more"),
+        ).otherwise(F.concat(F.lit("Invalid Date Format - '"), raw, F.lit("'")))
+    return F.concat(
+        F.lit(f"Cannot cast value '"), raw, F.lit(f"' to type {item.type}")
+    )
+
+
+def validate_load(raw: DataFrame, table: TableConfig, max_errors: int = 10) -> list[LoadError]:
+    """Distributed scan for uncastable non-NULL cells; returns up to
+    ``max_errors`` :class:`LoadError` in line order (E-2 parity).
+
+    One pass over the data: each typed column contributes a
+    ``raw IS NOT NULL AND try_cast(raw) IS NULL`` predicate; a row failing
+    any predicate emits (column, line, raw, reason) structs that are
+    exploded and limited. All codegen'd — no Python in the row path.
+    """
+    checks = []
+    for item in table.effective_items:
+        t = item.type
+        if t in _STRINGY:
+            continue  # strings always load (truncation is silent, L-4)
+        typed = _cast_expr(item)
+        raw_col = F.col(item.name)
+        failed = raw_col.isNotNull() & typed.isNull()
+        checks.append(
+            F.when(
+                failed,
+                F.struct(
+                    F.lit(item.name).alias("column"),
+                    F.col(_LINE_COL).alias("line"),
+                    raw_col.alias("raw_value"),
+                    _error_reason(item).alias("reason"),
+                ),
+            )
+        )
+    if not checks:
+        return []
+    errs = (
+        raw.select(F.explode(F.array_compact(F.array(*checks))).alias("e"))
+        .select("e.*")
+        .orderBy("line", "column")
+        .limit(max_errors)
+        .collect()
+    )
+    return [LoadError(r.column, r.line, r.raw_value, r.reason) for r in errs]
+
+
+_STRINGY = {
+    "char",
+    "character",
+    "nchar",
+    "bpchar",
+    "varchar",
+    "character varying",
+    "nvarchar",
+    "text",
+}
+
+
+def load_errors_to_exception(errors: list[LoadError]) -> UserException:
+    """Format like the reference's errorsToException (Redshift.php:268-285)."""
+    lines = "\n".join(e.message() for e in errors)
+    return UserException(f"Failed to load data:\n{lines}")
+
+
+def ingest_table(
+    spark: SparkSession,
+    table: TableConfig,
+    csv_path: str | None = None,
+    manifest_path: str | None = None,
+) -> DataFrame | None:
+    """Full COPY analog: resolve source (single file w/ header, or sliced
+    manifest), read, validate, cast. Returns None for an empty sliced
+    manifest (zero-row success short-circuit, Redshift.php:83-90).
+
+    Raises UserException with the E-2 message contract on bad cells.
+    """
+    if manifest_path is not None:
+        paths = read_manifest_entries(manifest_path)
+        if not paths:
+            return None
+        raw = read_table_csv(spark, paths, table, sliced=True)
+    elif csv_path is not None:
+        if not os.path.exists(csv_path):
+            raise UserException(f"Source file not found: {csv_path}")
+        raw = read_table_csv(spark, csv_path, table, sliced=False)
+    else:
+        raise UserException("No csv_path or manifest_path given")
+    errors = validate_load(raw, table)
+    if errors:
+        raise load_errors_to_exception(errors)
+    return apply_schema(raw, table)

@@ -1,0 +1,151 @@
+"""Phase 4 tests: CLI end-to-end — exit codes, JSON results, messages.
+
+Mirrors the reference's functional layer (BaseFunctionalTest.php): happy
+path exit 0 + uploaded list, column-order mismatch exit 1 + exact message,
+testConnection JSON, bad date exit 1 + golden error line.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+
+import pytest
+
+from db_writer_redshift_spark.app import main
+from db_writer_redshift_spark.operators import catalog
+
+
+def _write_data_dir(tmp_path, data_path, *, columns=None, tables=None, action=None):
+    cfg_tables = tables or [
+        {
+            "tableId": "simple",
+            "dbName": "simple_cli",
+            "export": True,
+            "incremental": False,
+            "primaryKey": ["id"],
+            "items": [
+                {"name": "id", "dbName": "id", "type": "int"},
+                {"name": "name", "dbName": "name", "type": "nvarchar", "size": "255"},
+                {"name": "glasses", "dbName": "glasses", "type": "nvarchar", "size": "255"},
+            ],
+        }
+    ]
+    raw = {
+        "parameters": {
+            "db": {"host": "local", "#password": "x", "user": "u", "database": "d"},
+            "tables": cfg_tables,
+        },
+        "storage": {
+            "input": {
+                "tables": [
+                    {
+                        "source": t["tableId"],
+                        "columns": columns or [i["name"] for i in t["items"]],
+                    }
+                    for t in cfg_tables
+                ]
+            }
+        },
+    }
+    if action:
+        raw["parameters"]["action"] = action
+    (tmp_path / "in" / "tables").mkdir(parents=True, exist_ok=True)
+    (tmp_path / "config.json").write_text(json.dumps(raw))
+    for t in cfg_tables:
+        src = data_path(f"{t['tableId']}.csv")
+        try:
+            shutil.copy(src, tmp_path / "in" / "tables" / f"{t['tableId']}.csv")
+        except FileNotFoundError:
+            pass
+    return tmp_path
+
+
+def test_cli_happy_path_exit_0(spark, tmp_path, data_path, capsys):
+    d = _write_data_dir(tmp_path, data_path)
+    try:
+        rc = main(["--data", str(d)])
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        assert rc == 0
+        assert json.loads(out) == {"status": "success", "uploaded": ["simple"]}
+        assert spark.table("simple_cli").count() == 10
+    finally:
+        catalog.drop_table(spark, "simple_cli")
+
+
+def test_cli_column_mismatch_exit_1(spark, tmp_path, data_path, capsys):
+    d = _write_data_dir(tmp_path, data_path, columns=["name", "id", "glasses"])
+    rc = main(["--data", str(d)])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert 'Columns in configuration of table "simple" does not match with input mapping.' in out
+
+
+def test_cli_test_connection_action(spark, tmp_path, data_path, capsys):
+    d = _write_data_dir(tmp_path, data_path, action="testConnection")
+    rc = main(["--data", str(d)])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    assert rc == 0
+    assert json.loads(out) == {"status": "success"}
+
+
+def test_cli_bad_date_exit_1_golden_message(spark, tmp_path, data_path, capsys):
+    tables = [
+        {
+            "tableId": "bad_type",
+            "dbName": "bad_cli",
+            "export": True,
+            "incremental": False,
+            "primaryKey": ["id"],
+            "items": [
+                {"name": "id", "dbName": "id", "type": "int"},
+                {"name": "name", "dbName": "name", "type": "nvarchar", "size": "255"},
+                {"name": "glasses", "dbName": "glasses", "type": "nvarchar", "size": "255"},
+                {"name": "created", "dbName": "created", "type": "date"},
+            ],
+        }
+    ]
+    d = _write_data_dir(tmp_path, data_path, tables=tables)
+    rc = main(["--data", str(d)])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "Column 'created', line 3: Invalid Date Format - length must be 10 or more" in out
+
+
+def test_cli_unknown_action_exit_1(spark, tmp_path, data_path, capsys):
+    d = _write_data_dir(tmp_path, data_path, action="explode")
+    rc = main(["--data", str(d)])
+    assert rc == 1
+    assert "Action 'explode' does not exist." in capsys.readouterr().out
+
+
+def test_cli_missing_config_exit_1(tmp_path, capsys):
+    assert main(["--data", str(tmp_path)]) == 1
+
+
+def test_cli_export_false_skips(spark, tmp_path, data_path, capsys):
+    tables = [
+        {
+            "tableId": "simple",
+            "dbName": "skip_cli",
+            "export": False,
+            "items": [{"name": "id", "dbName": "id", "type": "int"}],
+        }
+    ]
+    d = _write_data_dir(tmp_path, data_path, tables=tables, columns=["id"])
+    rc = main(["--data", str(d)])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    assert rc == 0
+    assert json.loads(out) == {"status": "success", "uploaded": []}
+    assert not catalog.table_exists(spark, "skip_cli")
+
+
+def test_cli_empty_items_skips(spark, tmp_path, data_path, capsys):
+    tables = [
+        {"tableId": "simple", "dbName": "noitems_cli", "export": True, "items": []}
+    ]
+    d = _write_data_dir(tmp_path, data_path, tables=tables, columns=[])
+    rc = main(["--data", str(d)])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    assert rc == 0
+    assert json.loads(out) == {"status": "success", "uploaded": []}  # L-14

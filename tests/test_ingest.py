@@ -1,0 +1,167 @@
+"""Phase 2 tests: CSV dialect fidelity, NULL decode, truncation, lenient
+dates, load-error contract, manifests.
+
+Acceptance criteria from the reference test suite (SURVEY.md §5):
+special-CSV round-trip, zero-row success on empty input, and the golden
+bad-date message 'Column 'created', line 3: Invalid Date Format - length
+must be 10 or more' (FunctionalTest.php:73-78 shape).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from db_writer_redshift_spark.config.errors import UserException
+from db_writer_redshift_spark.config.schema import ColumnItem, TableConfig
+from db_writer_redshift_spark.sources import (
+    apply_schema,
+    ingest_table,
+    read_manifest_entries,
+    read_table_csv,
+    validate_load,
+)
+
+
+def _table(items, pk=(), incremental=False, table_id="t"):
+    return TableConfig(
+        table_id=table_id,
+        db_name=table_id,
+        items=tuple(items),
+        incremental=incremental,
+        primary_key=tuple(pk),
+    )
+
+
+SPECIAL = _table(
+    [
+        ColumnItem("col1", "col1", "varchar", "255"),
+        ColumnItem("col2", "col2", "varchar", "255"),
+    ],
+    table_id="special",
+)
+
+SIMPLE = _table(
+    [
+        ColumnItem("id", "id", "int"),
+        ColumnItem("name", "name", "nvarchar", "255"),
+        ColumnItem("glasses", "glasses", "nvarchar", "255"),
+    ],
+    pk=("id",),
+    table_id="simple",
+)
+
+BAD = _table(
+    [
+        ColumnItem("id", "id", "int"),
+        ColumnItem("name", "name", "nvarchar", "255"),
+        ColumnItem("glasses", "glasses", "nvarchar", "255"),
+        ColumnItem("created", "created", "date"),
+    ],
+    pk=("id",),
+    table_id="bad_type",
+)
+
+
+def test_special_csv_round_trip(spark, data_path):
+    """Dialect torture: doubled quotes, embedded newlines (incl. double),
+    tabs, literal backslashes, single quotes — byte-identical round-trip."""
+    df = apply_schema(read_table_csv(spark, data_path("special.csv"), SPECIAL), SPECIAL)
+    rows = {r.col1: r.col2 for r in df.collect()}
+    assert rows['quote " doubled'] == 'with "two" quotes'
+    assert rows["multi\nline\nfield"] == "after newline"
+    assert rows["double\n\nnewline inside"] == "ok"
+    assert rows["tab\tinside"] == "col"
+    assert rows["backslash \\ inside"] == "kept"
+    assert rows["literal \\n and \\t and \\\\"] == "not escapes"
+    assert rows["'single quotes'"] == "fin"
+    assert len(rows) == 8
+
+
+def test_null_literal_decodes_to_null(spark, tmp_path):
+    p = tmp_path / "n.csv"
+    p.write_text('id,name\n1,NULL\n2,"NULL"\n3,real\n')
+    t = _table([ColumnItem("id", "id", "int"), ColumnItem("name", "name", "text")])
+    df = apply_schema(read_table_csv(spark, str(p), t), t)
+    got = {r.id: r.name for r in df.collect()}
+    # unquoted NULL → SQL NULL (L-3); Spark also nulls the quoted form
+    assert got[1] is None
+    assert got[3] == "real"
+
+
+def test_width_truncation(spark, tmp_path):
+    p = tmp_path / "w.csv"
+    p.write_text("id,short\n1,abcdefghij\n")
+    t = _table(
+        [ColumnItem("id", "id", "int"), ColumnItem("short", "short", "varchar", "4")]
+    )
+    df = apply_schema(read_table_csv(spark, str(p), t), t)
+    assert df.collect()[0].short == "abcd"  # TRUNCATECOLUMNS (L-4)
+
+
+def test_lenient_date_formats(spark, tmp_path):
+    p = tmp_path / "d.csv"
+    p.write_text("d\n2024-06-22\n2024/06/22\n06/22/2024\n20240622\n")
+    t = _table([ColumnItem("d", "d", "date")])
+    df = apply_schema(read_table_csv(spark, str(p), t), t)
+    vals = {str(r.d) for r in df.collect()}
+    assert vals == {"2024-06-22"}  # ACCEPTANYDATE (L-5)
+
+
+def test_bad_date_error_message_golden(spark, data_path):
+    """E-2 contract: exact column/line/reason shape, 1-based data line."""
+    with pytest.raises(UserException) as err:
+        ingest_table(spark, BAD, csv_path=data_path("bad_type.csv"))
+    msg = str(err.value)
+    assert "Column 'created', line 3: Invalid Date Format - length must be 10 or more" in msg
+
+
+def test_bad_int_reported_with_line(spark, tmp_path):
+    p = tmp_path / "i.csv"
+    p.write_text("id,name\n1,ok\nxx,bad\n3,ok\n")
+    t = _table([ColumnItem("id", "id", "int"), ColumnItem("name", "name", "text")])
+    errs = validate_load(read_table_csv(spark, str(p), t), t)
+    assert len(errs) == 1
+    assert errs[0].column == "id" and errs[0].line == 2
+    assert "Cannot cast value 'xx' to type int" in errs[0].message()
+
+
+def test_header_only_file_zero_rows(spark, data_path):
+    t = _table([ColumnItem("id", "id", "int"), ColumnItem("name", "name", "nvarchar", "255")])
+    df = ingest_table(spark, t, csv_path=data_path("empty.csv"))
+    assert df.count() == 0  # zero-row success (RedshiftTest.php:152-179 analog)
+
+
+def test_empty_manifest_short_circuits(spark, tmp_path):
+    m = tmp_path / "t.csv.manifest"
+    m.write_text(json.dumps({"entries": []}))
+    t = _table([ColumnItem("id", "id", "int")])
+    assert ingest_table(spark, t, manifest_path=str(m)) is None  # L-2 guard
+
+
+def test_sliced_manifest_headerless_read(spark, tmp_path):
+    """Sliced load: N headerless gzip slices listed in a JSON manifest,
+    read by ONE spark.read.csv(paths) call (per-file parallelism)."""
+    import gzip
+
+    paths = []
+    for i, body in enumerate([b"1,Ada\n2,Bela\n", b"3,Cilla\n"]):
+        sl = tmp_path / f"part{i}.csv.gz"
+        sl.write_bytes(gzip.compress(body))
+        paths.append({"url": f"file://{sl}"})
+    m = tmp_path / "t.csv.manifest"
+    m.write_text(json.dumps({"entries": paths}))
+    t = _table([ColumnItem("id", "id", "int"), ColumnItem("name", "name", "text")])
+    df = ingest_table(spark, t, manifest_path=str(m))
+    assert sorted((r.id, r.name) for r in df.collect()) == [
+        (1, "Ada"),
+        (2, "Bela"),
+        (3, "Cilla"),
+    ]
+
+
+def test_manifest_entries_parse(tmp_path):
+    m = tmp_path / "m.manifest"
+    m.write_text(json.dumps({"entries": [{"url": "file:///tmp/a.csv"}, {"url": "s3a://b/k"}]}))
+    assert read_manifest_entries(str(m)) == ["/tmp/a.csv", "s3a://b/k"]

@@ -1,0 +1,122 @@
+"""Phase 3 tests: merge semantics, full/incremental load, catalog ops.
+
+The simple/simple_increment/simple_merged fixture triple is the golden
+seed (reference RedshiftTest.php:181-219 upsert test); merge edge cases
+from SURVEY.md §7: duplicate staging PKs, composite PK, PK-less append.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from db_writer_redshift_spark.config.schema import ColumnItem, TableConfig
+from db_writer_redshift_spark.operators import catalog
+from db_writer_redshift_spark.operators.merge import upsert_dataframes
+from db_writer_redshift_spark.operators.writer import load_incremental, load_table
+from db_writer_redshift_spark.sources import apply_schema, ingest_table, read_table_csv
+
+SIMPLE = TableConfig(
+    table_id="simple",
+    db_name="simple_w",
+    items=(
+        ColumnItem("id", "id", "int"),
+        ColumnItem("name", "name", "nvarchar", "255"),
+        ColumnItem("glasses", "glasses", "nvarchar", "255"),
+    ),
+    incremental=True,
+    primary_key=("id",),
+)
+
+
+def _read(spark, data_path, name, table=SIMPLE):
+    return apply_schema(read_table_csv(spark, data_path(name), table), table)
+
+
+def test_upsert_golden_merge(spark, data_path):
+    base = _read(spark, data_path, "simple.csv")
+    inc = _read(spark, data_path, "simple_increment.csv")
+    golden = {(r.id, r.name, r.glasses) for r in _read(spark, data_path, "simple_merged.csv").collect()}
+    merged = upsert_dataframes(base, inc, ["id"])
+    assert {(r.id, r.name, r.glasses) for r in merged.collect()} == golden
+    assert merged.count() == 12
+
+
+def test_upsert_no_pk_appends(spark, data_path):
+    base = _read(spark, data_path, "simple.csv")
+    inc = _read(spark, data_path, "simple_increment.csv")
+    merged = upsert_dataframes(base, inc, [])
+    assert merged.count() == 14  # pure append (Redshift.php:169-200 guard)
+
+
+def test_upsert_duplicate_staging_pk_last_wins(spark):
+    base = spark.createDataFrame([(1, "old")], "id int, v string")
+    stage = spark.createDataFrame([(1, "first"), (1, "second"), (2, "x")], "id int, v string")
+    merged = upsert_dataframes(base, stage, ["id"])
+    got = {r.id: r.v for r in merged.collect()}
+    assert got == {1: "second", 2: "x"}  # deterministic last-occurrence-wins
+
+
+def test_upsert_composite_pk(spark):
+    base = spark.createDataFrame([(1, "a", "keep"), (1, "b", "old")], "k1 int, k2 string, v string")
+    stage = spark.createDataFrame([(1, "b", "new"), (2, "c", "ins")], "k1 int, k2 string, v string")
+    merged = upsert_dataframes(base, stage, ["k1", "k2"])
+    got = {(r.k1, r.k2): r.v for r in merged.collect()}
+    assert got == {(1, "a"): "keep", (1, "b"): "new", (2, "c"): "ins"}
+
+
+def test_full_then_incremental_load_via_catalog(spark, data_path):
+    full_cfg = TableConfig(
+        table_id="simple", db_name="simple_w", items=SIMPLE.items,
+        incremental=False, primary_key=("id",),
+    )
+    try:
+        load_table(spark, full_cfg, _read(spark, data_path, "simple.csv"))
+        assert spark.table("simple_w").count() == 10
+        load_incremental(spark, SIMPLE, _read(spark, data_path, "simple_increment.csv"))
+        result = {(r.id, r.glasses) for r in spark.table("simple_w").collect()}
+        assert (8, "sometimes") in result and (10, "no") in result
+        assert len(result) == 12
+    finally:
+        catalog.drop_table(spark, "simple_w")
+
+
+def test_incremental_into_missing_target_creates_it(spark, data_path):
+    try:
+        load_incremental(spark, SIMPLE, _read(spark, data_path, "simple_increment.csv"))
+        assert spark.table("simple_w").count() == 4
+    finally:
+        catalog.drop_table(spark, "simple_w")
+
+
+def test_catalog_create_exists_drop_info(spark):
+    t = TableConfig(
+        table_id="cat_t", db_name="cat_t",
+        items=(
+            ColumnItem("id", "id", "int", nullable=False),
+            ColumnItem("v", "v", "decimal", "10,2"),
+            ColumnItem("junk", "junk", "ignore"),
+        ),
+        primary_key=("id",),
+    )
+    try:
+        catalog.create_table(spark, t)
+        assert catalog.table_exists(spark, "cat_t")
+        info = catalog.get_table_info(spark, "cat_t")
+        assert [c["name"] for c in info["columns"]] == ["id", "v"]  # ignore dropped
+        assert info["columns"][1]["type"] == "decimal(10,2)"
+        assert "cat_t" in catalog.show_tables(spark)
+    finally:
+        catalog.drop_table(spark, "cat_t")
+    assert not catalog.table_exists(spark, "cat_t")
+
+
+def test_tmp_name_scheme():
+    n = catalog.generate_tmp_name("orders")
+    assert n.startswith("orders_temp_") and len(n) > len("orders_temp_")
+
+
+def test_get_table_info_missing_raises(spark):
+    from db_writer_redshift_spark.config.errors import UserException
+
+    with pytest.raises(UserException, match="does not exist"):
+        catalog.get_table_info(spark, "nope_nope")
