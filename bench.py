@@ -63,6 +63,7 @@ def main() -> int:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"[bench] {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -83,31 +83,16 @@ def shingle_jaccard_pairs(
     )
 
 
-def _minhash_signature(shingle_hashes, num_hashes: int, seed: int = 42):
-    """num_hashes MinHash values as an array column: min over the shingle
-    hashes of (a_i*h + b_i) mod p. Parameters derive deterministically from
-    the seed via a splitmix-style mix — no RNG state, reproducible anywhere.
-    """
-
-    def mix(i: int) -> tuple[int, int]:
+def _hash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) universal-hash parameters from the seed via a
+    splitmix-style mix — no RNG state, reproducible anywhere."""
+    params = []
+    for i in range(num_hashes):
         x = (seed * 0x9E3779B97F4A7C15 + i * 0xBF58476D1CE4E5B9) & ((1 << 63) - 1)
         a = (x % (_MERSENNE_P - 1)) + 1  # in [1, p-1]
         b = ((x >> 17) + i * 0x632BE59B) % _MERSENNE_P
-        return a, b
-
-    sigs = []
-    for i in range(num_hashes):
-        a, b = mix(i)
-        sigs.append(
-            F.array_min(
-                F.transform(
-                    shingle_hashes,
-                    lambda h: (F.lit(a) * F.pmod(h, F.lit(_MERSENNE_P)) + F.lit(b))
-                    % F.lit(_MERSENNE_P),
-                )
-            )
-        )
-    return F.array(*sigs)
+        params.append((a, b))
+    return params
 
 
 def minhash_signatures(
@@ -120,15 +105,40 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, signature: array<bigint>[num_hashes]) per document.
 
+    Plan shape: explode distinct shingles → ONE base hash per (doc, shingle)
+    row → num_hashes flat affine projections ((a_i*h+b_i) mod p; a,h < 2^31
+    so the products stay under 2^62 — ANSI-overflow-safe) → one
+    groupBy(doc_id) with num_hashes MIN aggregates → assemble the array.
+    Partial aggregation runs map-side, so the shuffle carries one
+    num_hashes-wide row per doc per map partition — NOT per shingle.
+
+    (A previous formulation used num_hashes nested array_min/transform
+    lambdas over the shingle array; the codegen'd expression tree was
+    megabytes and dominated runtime. Flat projections + min aggs are the
+    scale path.)
+
     Shingle hashing uses xxhash64 (JVM, seeded) — engine-internal, hence no
     SQL oracle; tests validate signature similarity against exact Jaccard.
     """
-    sh = shingles(F.col(text_col), n)
-    hashes = F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed)))
-    return df.select(
+    params = _hash_params(num_hashes, seed)
+    exploded = df.select(
         F.col(id_col).alias("doc_id"),
-        _minhash_signature(hashes, num_hashes, seed).alias("signature"),
-    ).filter(F.size("signature") > 0)
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("sh"),
+    )
+    h = F.pmod(F.xxhash64("sh", F.lit(seed)), F.lit(_MERSENNE_P))
+    projected = exploded.select(
+        "doc_id",
+        *[
+            ((F.lit(a) * h + F.lit(b)) % F.lit(_MERSENNE_P)).alias(f"h{i}")
+            for i, (a, b) in enumerate(params)
+        ],
+    )
+    agg = projected.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)]
+    )
+    return agg.select(
+        "doc_id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("signature")
+    )
 
 
 def minhash_lsh_pairs(
@@ -151,9 +161,11 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
+    # Banded rows carry only (doc_id, band, bucket) — NOT the 64-element
+    # signature. The bucket equi-join shuffles 16 narrow rows per doc;
+    # signatures rejoin only the (far fewer) surviving candidate pairs.
     banded = sig.select(
         "doc_id",
-        "signature",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -171,7 +183,7 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("bb"),
-    ).select("doc_id", "signature", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -181,14 +193,12 @@ def minhash_lsh_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.signature").alias("sig_a"),
-            F.col("b.signature").alias("sig_b"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    cand = cand.join(
+        sig.select(F.col("doc_id").alias("doc_a"), F.col("signature").alias("sig_a")), "doc_a"
+    ).join(sig.select(F.col("doc_id").alias("doc_b"), F.col("signature").alias("sig_b")), "doc_b")
     est = (
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)).cast(
             "double"
@@ -231,33 +241,58 @@ def simhash(df: DataFrame, id_col: str, text_col: str, seed: int = 42) -> DataFr
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 12, seed: int = 42
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 6, seed: int = 42
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
 
-    Candidate generation blocks on 16-bit chunks (pigeonhole: distance ≤ 12
-    over 4 chunks guarantees ≥1 identical chunk) so the join is an equi-join
-    on (chunk_idx, chunk_value), never all-pairs.
+    Candidate generation (Manku-style multi-probe blocking): split the
+    64-bit fingerprint into 4 × 16-bit chunks. One side of the join emits
+    each chunk's exact value; the other side also emits all 16 one-bit
+    flips of each chunk (17 probe keys per chunk). The equi-join on
+    (chunk_idx, value) therefore catches every pair whose chunk differs by
+    ≤1 bit — and by pigeonhole, hamming ≤ 6 over 4 chunks forces some
+    chunk to carry ≤1 flip (4×2 > 6), so candidate generation is COMPLETE
+    for the default radius. Never an all-pairs product: buckets key on
+    16-bit values (65k spread), probe fan-out is a fixed 68 rows/doc.
     """
     sh = simhash(df, id_col, text_col, seed)
-    chunks = sh.select(
+
+    def chunk_val(i: int) -> F.Column:
+        return F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+
+    exact = sh.select(
         "doc_id",
         "simhash",
         F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("ci"),
-                        F.shiftrightunsigned(F.col("simhash"), 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("cv"),
-                    )
-                    for i in range(4)
-                ]
+            F.array(*[F.struct(F.lit(i).alias("ci"), chunk_val(i).alias("cv")) for i in range(4)])
+        ).alias("c"),
+    ).select("doc_id", "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    probes = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.flatten(
+                F.array(
+                    *[
+                        F.array(
+                            F.struct(F.lit(i).alias("ci"), chunk_val(i).alias("cv")),
+                            *[
+                                F.struct(
+                                    F.lit(i).alias("ci"),
+                                    chunk_val(i)
+                                    .bitwiseXOR(F.lit(1 << j))
+                                    .alias("cv"),
+                                )
+                                for j in range(16)
+                            ],
+                        )
+                        for i in range(4)
+                    ]
+                )
             )
         ).alias("c"),
     ).select("doc_id", "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
-    a, b = chunks.alias("a"), chunks.alias("b")
+    a, b = exact.alias("a"), probes.alias("b")
     cand = (
         a.join(
             b,

@@ -112,8 +112,8 @@ def lsh_topk(
     vec_col: str = "embedding",
     k: int = 5,
     dim: int = 64,
-    num_planes: int = 8,
-    num_tables: int = 6,
+    num_planes: int = 4,
+    num_tables: int = 16,
     seed: int = 42,
 ) -> DataFrame:
     """ANN top-k via random-hyperplane LSH + exact re-rank of candidates.
@@ -121,6 +121,12 @@ def lsh_topk(
     Same output schema as brute_force_topk; approximate (recall checked in
     tests). The bucket join keys on (table, bucket) — at scale the shuffle
     moves only bucket-collided pairs.
+
+    Defaults (4 bits × 16 tables → recall@5 ≈ 0.9 on the fixture corpus,
+    whose top-5 neighbors sit at modest cosine ~0.4) trade candidate-set
+    size for recall. On a billion-vector corpus raise num_planes (finer
+    buckets, ~N/2^planes candidates per table) and re-measure recall —
+    the (planes, tables) pair IS the cost/recall dial.
     """
     from pyspark.sql.window import Window
 

@@ -148,7 +148,7 @@ def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("ann_lsh_topk", oracle=None)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH ANN (8 bits × 6 tables) + exact re-rank of
+    """Random-hyperplane LSH ANN (4 bits × 16 tables) + exact re-rank of
     bucket-collided candidates. Approximate: no oracle; recall vs brute
     force asserted in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")

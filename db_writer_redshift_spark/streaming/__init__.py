@@ -1,0 +1,17 @@
+"""Structured Streaming extension track.
+
+The reference is batch-only ("incremental" means batch upsert —
+SURVEY.md §2.4); this package is the §7 extension: the same event
+semantics expressed as streams with watermarks, windows, state, and an
+exactly-once-per-batch merge sink that reuses the batch merge operator.
+"""
+
+from db_writer_redshift_spark.streaming.jobs import (  # noqa: F401
+    EVENTS_SCHEMA,
+    merge_sink,
+    read_events_stream,
+    stream_dedup_events,
+    stream_sessionize,
+    stream_tumbling_counts,
+    streaming_running_totals,
+)

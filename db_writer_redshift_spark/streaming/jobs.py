@@ -1,0 +1,158 @@
+"""Streaming jobs over the ``events`` shape (event_id, ts, user_id,
+event_type, value, props).
+
+Each transformation takes/returns DataFrames so the same logic composes
+onto a batch frame (tests) or a ``readStream`` frame (production). All
+state is Spark-managed (watermarks / session windows / flatMapGroups
+state); nothing is collected to the driver.
+
+Scale notes:
+* Watermarks bound state size — without one, a windowed agg on an
+  unbounded stream grows state forever.
+* ``session_window`` is the built-in sessionization path (dynamic-gap
+  merge handled by Spark's state store; no custom shuffle).
+* The merge sink runs the batch anti-join merge per micro-batch inside
+  ``foreachBatch`` — per-batch atomic overwrite, the streaming analog of
+  the reference's incremental load (RedshiftApplication.php:109-129).
+* ``applyInPandasWithState`` powers the custom running-total operator:
+  per-user state is an Arrow-batched pandas frame, grouped on user_id —
+  the documented custom-stateful-operator pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream: new parquet files landing under ``path`` become
+    micro-batches (the streaming analog of the sliced-manifest bulk load)."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)
+
+
+def stream_tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window event counts + value sums per event_type, late data
+    beyond ``watermark`` dropped."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_sessionize(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-user sessions via the built-in ``session_window`` (gap-merged by
+    the state store — the streaming twin of the batch events_sessionization
+    query)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_dedup_events(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once event feed: drop duplicate event_ids across
+    micro-batches with watermark-bounded state
+    (``dropDuplicatesWithinWatermark`` keeps state only ``watermark`` long —
+    unbounded-safe, unlike plain dropDuplicates on a stream)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def streaming_running_totals(events: DataFrame, timeout_s: int = 3600) -> DataFrame:
+    """Custom stateful operator: per-user lifetime event count + value sum,
+    emitted once per micro-batch per active user, via
+    ``applyInPandasWithState`` (Arrow-batched per-group state)."""
+    import pandas as pd  # noqa: F401 — imported for executors
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id bigint, n_events bigint, sum_value double"
+    state_schema = "n bigint, s double"
+
+    def update(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, s))
+        state.setTimeoutDuration(timeout_s * 1000)
+        import pandas as pd
+
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 6)]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def merge_sink(
+    stream_df: DataFrame,
+    table_name: str,
+    primary_key: list[str],
+    checkpoint_dir: str,
+):
+    """Write a stream into a managed table with per-batch upsert semantics:
+    ``foreachBatch`` runs the batch anti-join merge, so replayed batches
+    (at-least-once source) still converge — idempotent by PK."""
+    from db_writer_redshift_spark.operators.merge import upsert_dataframes
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if not spark.catalog.tableExists(table_name):
+            batch_df.write.mode("overwrite").saveAsTable(table_name)
+            return
+        target = spark.table(table_name)
+        merged = upsert_dataframes(target, batch_df.select(*target.columns), primary_key)
+        tmp = table_name + "_stream_tmp"
+        merged.write.mode("overwrite").saveAsTable(tmp)
+        spark.table(tmp).write.mode("overwrite").saveAsTable(table_name)
+        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )

@@ -1,0 +1,94 @@
+"""Dedup-operator fidelity tests at sf0.001: the engine-internal tiers
+(MinHash-LSH, SimHash) are validated against the exact baselines they
+approximate — this is the accuracy contract the rows-only driver check
+can't see.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from db_writer_redshift_spark.operators import dedup
+from db_writer_redshift_spark.plans.registry import load_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason=f"testdata missing: {SF_DIR}"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_DIR, "documents").cache()
+
+
+def test_exact_dedup_partitions_corpus(spark, docs):
+    """Every doc lands in exactly one fingerprint group; group sizes sum to
+    the corpus size."""
+    groups = dedup.exact_dedup(docs, "doc_id", "text")
+    total = groups.agg({"n_copies": "sum"}).collect()[0][0]
+    assert total == docs.count()
+
+
+def test_minhash_estimates_match_exact_jaccard(spark, docs):
+    """For every exact-Jaccard pair ≥0.5, MinHash-64 must estimate within
+    ±0.25 (Chernoff at 64 hashes) — and LSH(16 bands) must surface it."""
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.shingle_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert exact, "fixture should contain near-dup pairs at 0.5"
+    est = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.3).collect()
+    }
+    missed = [p for p in exact if p not in est]
+    assert len(missed) <= max(1, len(exact) // 10), f"LSH missed {missed}"
+    for p, j in exact.items():
+        if p in est:
+            assert abs(est[p] - j) <= 0.25, (p, est[p], j)
+
+
+def test_minhash_identical_docs_estimate_1(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "alpha beta gamma delta epsilon zeta")],
+        "doc_id int, text string",
+    )
+    rows = dedup.minhash_lsh_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    assert len(rows) == 1 and rows[0].est_jaccard == 1.0
+
+
+def test_simhash_near_identical_low_hamming(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    df = spark.createDataFrame(
+        [(1, base), (2, base + "tail"), (3, "completely different words entirely unrelated corpus")],
+        "doc_id int, text string",
+    )
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in dedup.simhash_pairs(df, "doc_id", "text").collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 6
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_blocking_never_drops_close_pairs(spark, docs):
+    """Pigeonhole check: at the guaranteed radius (hamming ≤ 6 with 4
+    chunks × 1-bit probes) the blocked join must equal the exact all-pairs
+    hamming filter (on a sample)."""
+    sample = docs.limit(120)
+    import pyspark.sql.functions as F
+
+    sh = dedup.simhash(sample, "doc_id", "text")
+    a = sh.selectExpr("doc_id as doc_a", "simhash as h_a")
+    b = sh.selectExpr("doc_id as doc_b", "simhash as h_b")
+    exact = (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("hamming"))
+        .filter(F.col("hamming") <= 6)
+    )
+    blocked = dedup.simhash_pairs(sample, "doc_id", "text", max_hamming=6)
+    e = {(r.doc_a, r.doc_b, r.hamming) for r in exact.collect()}
+    g = {(r.doc_a, r.doc_b, r.hamming) for r in blocked.collect()}
+    assert e == g

@@ -1,0 +1,68 @@
+"""ANN fidelity: LSH top-k recall against the exact brute-force baseline.
+
+The driver's rows-only check proves ann_lsh_topk runs; this proves it's a
+useful approximation (recall@5 floor on real fixture embeddings).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_writer_redshift_spark.operators import similarity
+from db_writer_redshift_spark.plans.registry import load_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason=f"testdata missing: {SF_DIR}"
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_DIR, "embeddings").cache()
+
+
+def test_brute_force_topk_is_exact_and_ranked(spark, emb):
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    out = similarity.brute_force_topk(queries, emb, "vec_id", "embedding", k=5)
+    per_q = (
+        out.groupBy("query_id")
+        .agg(F.count("*").alias("n"), F.min("nn_rank").alias("lo"), F.max("nn_rank").alias("hi"))
+        .collect()
+    )
+    assert per_q
+    for r in per_q:
+        assert r.n == 5 and r.lo == 1 and r.hi == 5
+    # ranks strictly follow similarity order within each query
+    bad = (
+        out.alias("x")
+        .join(out.alias("y"), (F.col("x.query_id") == F.col("y.query_id")) & (F.col("x.nn_rank") + 1 == F.col("y.nn_rank")))
+        .filter(F.col("y.cosine_sim") > F.col("x.cosine_sim"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_lsh_topk_recall_floor(spark, emb):
+    """recall@5 vs brute force ≥ 0.7 with the default 4 bits × 16 tables
+    (measured 0.9 on the fixture corpus; floor left loose — the point is
+    'useful approximation', and the parameters trade recall for
+    candidate-set size)."""
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = similarity.brute_force_topk(queries, emb, "vec_id", "embedding", k=5)
+    approx = similarity.lsh_topk(queries, emb, "vec_id", "embedding", k=5)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.7, f"recall@5 = {recall:.2f}"
+
+
+def test_lsh_topk_schema_matches_brute_force(spark, emb):
+    queries = emb.filter(F.col("vec_id") % 50 == 0).limit(2)
+    exact = similarity.brute_force_topk(queries, emb, "vec_id", "embedding", k=3)
+    approx = similarity.lsh_topk(queries, emb, "vec_id", "embedding", k=3)
+    assert exact.columns == approx.columns

@@ -1,0 +1,129 @@
+"""Streaming tests: file-source micro-batches driven with availableNow,
+results landed in memory sinks / managed tables.
+
+Data is synthesized events-shaped parquet (two "arrival" files to force
+multiple micro-batches on the dedup/merge paths).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from db_writer_redshift_spark.streaming import (
+    EVENTS_SCHEMA,
+    merge_sink,
+    read_events_stream,
+    stream_dedup_events,
+    stream_sessionize,
+    stream_tumbling_counts,
+    streaming_running_totals,
+)
+
+T0 = dt.datetime(2025, 3, 1, 10, 0, 0)
+
+
+def _mk(eid, minutes, uid, etype="click", value=1.0):
+    return (eid, T0 + dt.timedelta(minutes=minutes), uid, etype, value, "{}")
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    """Two parquet arrival files → two micro-batches."""
+    from db_writer_redshift_spark.session import get_spark
+
+    spark = get_spark()
+    d = tmp_path_factory.mktemp("events_stream")
+    batch1 = [
+        _mk(1, 0, 100),
+        _mk(2, 5, 100),
+        _mk(3, 90, 100),  # new session for user 100 (gap > 30m)
+        _mk(4, 2, 200, "view", 2.5),
+    ]
+    batch2 = [
+        _mk(4, 2, 200, "view", 2.5),  # duplicate event_id across batches
+        _mk(5, 95, 200, "click", 4.0),
+    ]
+    spark.createDataFrame(batch1, EVENTS_SCHEMA).coalesce(1).write.parquet(str(d / "b1"))
+    spark.createDataFrame(batch2, EVENTS_SCHEMA).coalesce(1).write.parquet(str(d / "b2"))
+    # file source wants a flat dir of files
+    flat = tmp_path_factory.mktemp("events_flat")
+    import glob
+    import shutil
+
+    for i, f in enumerate(sorted(glob.glob(str(d / "b*" / "*.parquet")))):
+        shutil.copy(f, flat / f"arrival_{i}.parquet")
+    return str(flat)
+
+
+def _run_to_memory(spark, df, name, tmp_path, mode="append"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_stream_tumbling_counts(spark, events_dir, tmp_path):
+    src = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    # complete mode: finite test stream ends before the watermark would
+    # close the final windows, so append would emit nothing for them
+    out = _run_to_memory(
+        spark, stream_tumbling_counts(src, "1 hour"), "t_tumble", tmp_path, mode="complete"
+    )
+    rows = {(r.window_start.hour, r.event_type): r.n_events for r in out.collect()}
+    # hour 10: 3 clicks (e1,e2 user100 + dup-counted e4? e4 is view) …
+    assert rows[(10, "click")] == 2
+    assert rows[(10, "view")] == 2  # e4 arrives once per batch
+    assert rows[(11, "click")] == 2  # e3 @ +90m, e5 @ +95m
+
+
+def test_stream_sessionize_gap_split(spark, events_dir, tmp_path):
+    src = read_events_stream(spark, events_dir)
+    out = _run_to_memory(
+        spark, stream_sessionize(src, "30 minutes"), "t_sess", tmp_path, mode="complete"
+    )
+    per_user = {}
+    for r in out.collect():
+        per_user.setdefault(r.user_id, []).append(r.n_events)
+    assert sorted(per_user[100]) == [1, 2]  # 2-event session + the +90m single
+    assert 200 in per_user
+
+
+def test_stream_dedup_across_batches(spark, events_dir, tmp_path):
+    src = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    out = _run_to_memory(spark, stream_dedup_events(src), "t_dedup", tmp_path)
+    ids = sorted(r.event_id for r in out.collect())
+    assert ids == [1, 2, 3, 4, 5]  # duplicate e4 dropped by state
+
+
+def test_streaming_running_totals_state(spark, events_dir, tmp_path):
+    src = read_events_stream(spark, events_dir)
+    out = _run_to_memory(
+        spark, streaming_running_totals(src), "t_state", tmp_path, mode="update"
+    )
+    latest = {r.user_id: (r.n_events, r.sum_value) for r in out.collect()}
+    assert latest[100] == (3, 3.0)
+    assert latest[200] == (3, 9.0)  # dup e4 counted twice + e5
+
+
+def test_merge_sink_idempotent_upsert(spark, events_dir, tmp_path):
+    from db_writer_redshift_spark.operators import catalog
+
+    src = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    try:
+        q = merge_sink(src, "events_merged", ["event_id"], str(tmp_path / "ck_merge")).trigger(
+            availableNow=True
+        ).start()
+        q.awaitTermination(120)
+        got = spark.table("events_merged")
+        assert got.count() == 5  # e4 upserted, not duplicated
+        assert sorted(r.event_id for r in got.collect()) == [1, 2, 3, 4, 5]
+    finally:
+        catalog.drop_table(spark, "events_merged")
