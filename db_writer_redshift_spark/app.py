@@ -37,6 +37,7 @@ from db_writer_redshift_spark.config.schema import (
 )
 from db_writer_redshift_spark.operators import writer as writer_ops
 from db_writer_redshift_spark.operators import catalog
+from db_writer_redshift_spark.operators.retry import run_with_retry
 from db_writer_redshift_spark.sources.csv_ingest import ingest_table
 from db_writer_redshift_spark.session import get_spark, test_connection
 
@@ -128,7 +129,12 @@ class Application:
         if df is None:  # empty sliced manifest → zero-row success (L-2)
             logger.info('Table "%s": empty manifest, nothing to load', table.table_id)
             return True
-        writer_ops.load_table(self.spark, table, df)
+        # E-1 analog: transient write failures get the reference's
+        # 3-attempt quadratic-backoff retry (UserExceptions never retry).
+        run_with_retry(
+            lambda: writer_ops.load_table(self.spark, table, df),
+            what=f'write table "{table.table_id}"',
+        )
         logger.info('Table "%s" written to "%s"', table.table_id, table.db_name)
         return True
 

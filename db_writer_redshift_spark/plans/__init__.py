@@ -14,3 +14,4 @@ from db_writer_redshift_spark.plans.registry import (  # noqa: F401
 # Importing these modules populates the registry.
 from db_writer_redshift_spark.plans import relational  # noqa: F401,E402
 from db_writer_redshift_spark.plans import llm_ops  # noqa: F401,E402
+from db_writer_redshift_spark.plans import temporal_queries  # noqa: F401,E402

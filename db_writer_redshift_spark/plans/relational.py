@@ -167,6 +167,33 @@ def agg_variance_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_percentiles_price",
+    oracle="""
+SELECT o_orderpriority,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+       ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def agg_percentiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median + p90) per order priority.
+
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` share the linear
+    interpolation definition, so the rounded doubles hash-match. At scale
+    exact percentiles shuffle the group's values; swap to
+    ``approx_percentile`` (t-digest sketch, fixed memory) when groups stop
+    fitting — same call shape."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", 0.5), 4).alias("median_price"),
+        F.round(F.percentile("o_totalprice", 0.9), 4).alias("p90_price"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register(
     "rollup_order_priority",
     oracle="""
 SELECT o_orderstatus, o_orderpriority,

@@ -1,0 +1,105 @@
+"""As-of and range join queries over the events stream table.
+
+These cover the two temporal join shapes Spark has no built-in operator
+for (SURVEY.md custom-operator track); both implementations are
+compositions of DataFrame ops (operators/temporal.py) and both are
+oracle-checked — DuckDB has native ASOF JOIN and inequality joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from db_writer_redshift_spark.operators.temporal import asof_join, range_join_days
+from db_writer_redshift_spark.plans.registry import load_table, register
+
+
+def _purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right side for both joins: purchase events, deduped per
+    (user_id, ts) with a max-event_id tiebreak so as-of matches are
+    deterministic in both engines."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_event_id"))
+    )
+
+
+@register(
+    "asof_join_purchase_attribution",
+    oracle="""
+WITH p AS (
+  SELECT user_id, ts, MAX(event_id) AS purchase_event_id
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+),
+l AS (
+  SELECT event_id, user_id, ts, event_type FROM events WHERE event_type <> 'purchase'
+)
+SELECT l.event_id, l.user_id, l.ts, l.event_type,
+       p.purchase_event_id, p.ts AS purchase_ts
+FROM l ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts >= p.ts
+""",
+)
+def asof_join_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: attach each non-purchase event to the user's most
+    recent purchase at-or-before it (left-outer; NULL before the first).
+
+    Implementation is the union+window composition (operators/temporal.py)
+    — one shuffle on user_id, no inequality join. Oracle: DuckDB's native
+    ASOF LEFT JOIN."""
+    e = load_table(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    right = _purchases(spark, sf_dir).select(
+        "user_id", "ts", "purchase_event_id", F.col("ts").alias("purchase_ts")
+    )
+    return asof_join(
+        left,
+        right,
+        on="ts",
+        by=["user_id"],
+        right_cols=["purchase_event_id", "purchase_ts"],
+    )
+
+
+@register(
+    "range_join_purchase_window",
+    oracle="""
+WITH p AS (
+  SELECT user_id, ts, MAX(event_id) AS purchase_event_id
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT c.event_id AS click_event_id, c.user_id, c.ts AS click_ts,
+       p.purchase_event_id
+FROM events c JOIN p
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts
+ AND c.ts <= p.ts + INTERVAL 2 DAY
+WHERE c.event_type = 'click'
+""",
+)
+def range_join_purchase_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: clicks landing inside a 2-day window after any purchase
+    by the same user (one output row per qualifying (click, window) pair).
+
+    Day-bucket blocking (operators/temporal.py) turns the inequality join
+    into an equi-join on (user_id, day); Catalyst alone would pick
+    BroadcastNestedLoopJoin for the raw BETWEEN predicate."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    windows = _purchases(spark, sf_dir).select(
+        "user_id",
+        F.col("ts").alias("p_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 DAYS")).alias("p_end"),
+        "purchase_event_id",
+    )
+    return range_join_days(
+        clicks, windows, "click_ts", "p_start", "p_end", keys=["user_id"]
+    ).select("click_event_id", "user_id", "click_ts", "purchase_event_id")

@@ -1,0 +1,111 @@
+"""Unit tests for the as-of join and range join compositions."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_writer_redshift_spark.operators.temporal import asof_join, range_join_days
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def quotes_trades(spark):
+    trades = spark.createDataFrame(
+        [
+            (1, "A", _ts("2024-01-01 10:00:00"), 100.0),
+            (2, "A", _ts("2024-01-01 10:05:00"), 101.0),
+            (3, "B", _ts("2024-01-01 09:59:00"), 50.0),
+            (4, "B", _ts("2024-01-01 11:00:00"), 51.0),
+        ],
+        "trade_id int, sym string, ts timestamp, price double",
+    )
+    quotes = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 09:58:00"), 99.5),
+            ("A", _ts("2024-01-01 10:02:00"), 100.5),
+            ("B", _ts("2024-01-01 10:30:00"), 50.5),
+        ],
+        "sym string, ts timestamp, quote double",
+    )
+    return quotes, trades
+
+
+def test_asof_backward(spark, quotes_trades):
+    quotes, trades = quotes_trades
+    out = asof_join(trades, quotes, on="ts", by=["sym"], right_cols=["quote"])
+    got = {r.trade_id: r.quote for r in out.collect()}
+    assert got == {1: 99.5, 2: 100.5, 3: None, 4: 50.5}  # 3: no quote yet
+
+
+def test_asof_forward(spark, quotes_trades):
+    quotes, trades = quotes_trades
+    out = asof_join(trades, quotes, on="ts", by=["sym"], right_cols=["quote"], direction="forward")
+    got = {r.trade_id: r.quote for r in out.collect()}
+    assert got == {1: 100.5, 2: None, 3: 50.5, 4: None}  # next quote at/after
+
+
+def test_asof_exact_tie_matches(spark):
+    left = spark.createDataFrame([(1, "A", _ts("2024-01-01 10:00:00"))], "id int, k string, ts timestamp")
+    right = spark.createDataFrame([("A", _ts("2024-01-01 10:00:00"), 7.0)], "k string, ts timestamp, v double")
+    out = asof_join(left, right, on="ts", by=["k"], right_cols=["v"]).collect()
+    assert out[0].v == 7.0  # <= includes the equal key
+
+
+def test_asof_preserves_left_row_count(spark, quotes_trades):
+    quotes, trades = quotes_trades
+    assert asof_join(trades, quotes, on="ts", by=["sym"], right_cols=["quote"]).count() == trades.count()
+
+
+def test_asof_bad_direction_raises(spark, quotes_trades):
+    quotes, trades = quotes_trades
+    with pytest.raises(ValueError):
+        asof_join(trades, quotes, on="ts", by=["sym"], right_cols=["quote"], direction="sideways")
+
+
+def test_range_join_inclusive_bounds(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 00:00:00")),  # exactly at start
+            (2, _ts("2024-01-03 00:00:00")),  # exactly at end
+            (3, _ts("2024-01-03 00:00:01")),  # just outside
+            (4, _ts("2023-12-31 23:59:59")),  # just before
+        ],
+        "id int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("w1", _ts("2024-01-01 00:00:00"), _ts("2024-01-03 00:00:00"))],
+        "win string, s timestamp, e timestamp",
+    )
+    out = range_join_days(left, right, "ts", "s", "e")
+    assert sorted(r.id for r in out.collect()) == [1, 2]
+
+
+def test_range_join_with_keys_blocks_cross_group(spark):
+    left = spark.createDataFrame(
+        [(1, "u1", _ts("2024-01-02 12:00:00")), (2, "u2", _ts("2024-01-02 12:00:00"))],
+        "id int, uid string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u1", _ts("2024-01-01 00:00:00"), _ts("2024-01-05 00:00:00"))],
+        "uid string, s timestamp, e timestamp",
+    )
+    out = range_join_days(left, right, "ts", "s", "e", keys=["uid"])
+    assert [r.id for r in out.collect()] == [1]
+
+
+def test_range_join_multi_day_interval_fanout(spark):
+    """A left row matches an interval spanning several days exactly once
+    (the day-explode is blocking only; the BETWEEN refine dedupes nothing
+    because each left row carries one day bucket)."""
+    left = spark.createDataFrame([(1, _ts("2024-01-05 08:00:00"))], "id int, ts timestamp")
+    right = spark.createDataFrame(
+        [("w", _ts("2024-01-01 00:00:00"), _ts("2024-01-10 00:00:00"))],
+        "win string, s timestamp, e timestamp",
+    )
+    assert range_join_days(left, right, "ts", "s", "e").count() == 1
