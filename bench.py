@@ -27,6 +27,8 @@ HEADLINE = [
     "window_rank_orders_per_customer",
     "merge_upsert_orders",
     "events_sessionization",
+    "asof_join_purchase_attribution",
+    "range_join_purchase_window",
     # LLM-pipeline operators
     "dedup_exact_docs",
     "dedup_minhash_lsh",

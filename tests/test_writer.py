@@ -120,3 +120,38 @@ def test_get_table_info_missing_raises(spark):
 
     with pytest.raises(UserException, match="does not exist"):
         catalog.get_table_info(spark, "nope_nope")
+
+
+def test_bucketed_merge_skips_target_shuffle(spark, data_path):
+    """Scale contract: a PK-bucketed target feeds the merge anti join
+    without an Exchange — only staging shuffles. (Forced SMJ: broadcast
+    would hide the bucketing.)"""
+    import re
+
+    from db_writer_redshift_spark.operators.merge import upsert_dataframes
+
+    t = TableConfig(
+        table_id="b", db_name="bkt_t", items=SIMPLE.items,
+        incremental=True, primary_key=("id",),
+    )
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+        "spark.sql.adaptive.enabled": spark.conf.get("spark.sql.adaptive.enabled"),
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        from db_writer_redshift_spark.operators.writer import load_full, load_incremental
+
+        load_full(spark, t, _read(spark, data_path, "simple.csv"), buckets=4)
+        stage = _read(spark, data_path, "simple_increment.csv")
+        merged = upsert_dataframes(spark.table("bkt_t"), stage, ["id"], dedupe=False)
+        plan = merged._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+        assert len(re.findall("Exchange hashpartitioning", plan)) == 1  # staging only
+        load_incremental(spark, t, stage, buckets=4)
+        assert spark.table("bkt_t").count() == 12
+    finally:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        catalog.drop_table(spark, "bkt_t")
