@@ -156,6 +156,16 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(queries, emb, "vec_id", "embedding", k=5)
 
 
+@register("ann_ivf_topk", oracle=None)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-probe ANN (8 deterministic centroids, 4 probes) + exact
+    re-rank within probed cells. Approximate: no oracle; recall vs brute
+    force asserted in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return similarity.ivf_topk(queries, emb, "vec_id", "embedding", k=5)
+
+
 @register(
     "embedding_norm_stats",
     oracle="""

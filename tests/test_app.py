@@ -149,3 +149,56 @@ def test_cli_empty_items_skips(spark, tmp_path, data_path, capsys):
     out = capsys.readouterr().out.strip().splitlines()[-1]
     assert rc == 0
     assert json.loads(out) == {"status": "success", "uploaded": []}  # L-14
+
+
+def test_cli_config_row_mode(spark, tmp_path, data_path, capsys):
+    """Single-table config-row layout (FunctionalRowTest analog): the table
+    config sits at parameters top level, no tables[] array."""
+    raw = {
+        "parameters": {
+            "db": {"host": "local", "#password": "x", "user": "u", "database": "d"},
+            "tableId": "simple",
+            "dbName": "simple_row_cli",
+            "incremental": False,
+            "primaryKey": ["id"],
+            "items": [
+                {"name": "id", "dbName": "id", "type": "int"},
+                {"name": "name", "dbName": "name", "type": "nvarchar", "size": "255"},
+                {"name": "glasses", "dbName": "glasses", "type": "nvarchar", "size": "255"},
+            ],
+        }
+    }
+    (tmp_path / "in" / "tables").mkdir(parents=True)
+    (tmp_path / "config.json").write_text(json.dumps(raw))
+    shutil.copy(data_path("simple.csv"), tmp_path / "in" / "tables" / "simple.csv")
+    try:
+        rc = main(["--data", str(tmp_path)])
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        assert rc == 0
+        assert json.loads(out) == {"status": "success", "uploaded": ["simple"]}
+        assert spark.table("simple_row_cli").count() == 10
+    finally:
+        catalog.drop_table(spark, "simple_row_cli")
+
+
+def test_cli_get_tables_info_action(spark, tmp_path, data_path, capsys):
+    """A-5 done properly: the reference's getTablesInfo stubs throw
+    'Method not implemented'; ours lists real catalog tables."""
+    d = _write_data_dir(tmp_path, data_path)
+    try:
+        assert main(["--data", str(d)]) == 0  # load simple_cli first
+        capsys.readouterr()
+        (tmp_path / "config2").mkdir()
+        cfg = json.loads((d / "config.json").read_text())
+        cfg["parameters"]["action"] = "getTablesInfo"
+        (tmp_path / "config2" / "config.json").write_text(json.dumps(cfg))
+        rc = main(["--data", str(tmp_path / "config2")])
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        assert rc == 0
+        payload = json.loads(out)
+        assert payload["status"] == "success"
+        assert "simple_cli" in payload["tables"]
+        cols = [c["name"] for c in payload["tables"]["simple_cli"]["columns"]]
+        assert cols == ["id", "name", "glasses"]
+    finally:
+        catalog.drop_table(spark, "simple_cli")

@@ -66,3 +66,18 @@ def test_lsh_topk_schema_matches_brute_force(spark, emb):
     exact = similarity.brute_force_topk(queries, emb, "vec_id", "embedding", k=3)
     approx = similarity.lsh_topk(queries, emb, "vec_id", "embedding", k=3)
     assert exact.columns == approx.columns
+
+
+def test_ivf_topk_recall_floor(spark, emb):
+    """IVF with 8 cells / 4 probes: recall@5 floor 0.6 vs brute force
+    (measured 0.76; the fixture's neighbor structure is diffuse, so the
+    floor is loose by design)."""
+    from pyspark.sql import functions as F
+
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = similarity.brute_force_topk(queries, emb, "vec_id", "embedding", k=5)
+    approx = similarity.ivf_topk(queries, emb, "vec_id", "embedding", k=5)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, f"IVF recall@5 = {recall:.2f}"
