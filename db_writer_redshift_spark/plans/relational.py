@@ -995,6 +995,53 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_multi_rollup",
+    oracle="""
+SELECT COALESCE(CAST(CAST(ts AS DATE) AS VARCHAR), 'ALL') AS day_bucket,
+       COALESCE(CAST(date_trunc('hour', ts) AS VARCHAR), 'ALL') AS hour_bucket,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY GROUPING SETS ((CAST(ts AS DATE), date_trunc('hour', ts), event_type),
+                        (CAST(ts AS DATE), event_type),
+                        (event_type))
+""",
+)
+def events_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: hourly, daily, and total
+    aggregates per event type in ONE pass via grouping sets (the
+    continuous-aggregate pattern, batch form). One shuffle produces every
+    resolution — at 100 TB this replaces three separate scans.
+
+    Bucket columns are stringified with a COALESCE('ALL') so the grouping-
+    set NULLs are distinguishable from genuine nulls in both engines."""
+    e = load_table(spark, sf_dir, "events")
+    day_b = F.col("ts").cast("date")
+    hour_b = F.date_trunc("hour", F.col("ts"))
+    val_dec = F.round(F.col("value"), 6).cast("decimal(18,6)")
+    return (
+        e.select(
+            day_b.alias("_day"), hour_b.alias("_hour"), "event_type", val_dec.alias("_v")
+        )
+        .groupingSets(
+            [["_day", "_hour", "event_type"], ["_day", "event_type"], ["event_type"]],
+            "_day",
+            "_hour",
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"), F.sum("_v").cast("double").alias("sum_value"))
+        .select(
+            F.coalesce(F.col("_day").cast("string"), F.lit("ALL")).alias("day_bucket"),
+            F.coalesce(F.col("_hour").cast("string"), F.lit("ALL")).alias("hour_bucket"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
     "events_json_extract",
     oracle="""
 SELECT event_type,

@@ -109,3 +109,24 @@ def test_range_join_multi_day_interval_fanout(spark):
         "win string, s timestamp, e timestamp",
     )
     assert range_join_days(left, right, "ts", "s", "e").count() == 1
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting changes the shuffle layout, never the result."""
+    from db_writer_redshift_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(i % 3, f"row{i}") for i in range(300)], "k int, payload string"
+    )
+    small = spark.createDataFrame([(0, "a"), (1, "b"), (9, "z")], "k int, dim string")
+    plain = {(r.k, r.payload, r.dim) for r in big.join(small, "k").collect()}
+    salted = {(r.k, r.payload, r.dim) for r in salted_join(big, small, ["k"]).collect()}
+    assert salted == plain and len(plain) == 200
+
+
+def test_salted_join_reserved_column_raises(spark):
+    from db_writer_redshift_spark.operators.skew import salted_join
+
+    df = spark.createDataFrame([(1, 0)], "k int, _salt int")
+    with pytest.raises(ValueError, match="reserved"):
+        salted_join(df, df, ["k"])
