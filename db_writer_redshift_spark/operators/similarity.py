@@ -113,16 +113,20 @@ def ivf_topk(
     """
     from pyspark.sql.window import Window
 
-    # Deterministic centroid sample: every (n/num_centroids)-th vector by id.
+    # Deterministic centroid sample WITHOUT a global sort: hash-stride
+    # filter (xxhash64 of the id — seedless, reproducible) thins the
+    # corpus to ~2×num_centroids candidates map-side, then an
+    # orderBy+limit picks the final K as a distributed TakeOrdered.
+    # (A row_number window here would funnel the whole corpus through
+    # one reducer just to choose 8 vectors.)
     sample = corpus_df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-    w_all = Window.orderBy("cid")
     n = sample.count()
-    stride = max(1, n // num_centroids)
+    stride = max(1, n // (2 * num_centroids))
     centroids = [
         (i, [float(x) for x in r.cvec])
         for i, r in enumerate(
-            sample.withColumn("_rn", F.row_number().over(w_all))
-            .filter((F.col("_rn") - 1) % stride == 0)
+            sample.filter(F.pmod(F.xxhash64("cid"), F.lit(stride)) == 0)
+            .orderBy("cid")
             .limit(num_centroids)
             .collect()
         )

@@ -166,6 +166,32 @@ def agg_variance_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# TPC-H Q6 shape, written once in dialect-portable ANSI SQL: the Spark
+# implementation runs THIS EXACT TEXT through spark.sql over temp views,
+# and the oracle runs it through DuckDB — demonstrating the engine's SQL
+# API surface with zero translation.
+_Q6_SQL = """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * CAST(l_discount AS DECIMAL(18,4))), 4) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND CAST(l_discount AS DECIMAL(18,4)) BETWEEN 0.03 AND 0.09
+  AND l_quantity < 40
+"""
+
+
+@register("q6_revenue_change_sql", oracle=_Q6_SQL)
+def q6_revenue_change_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 via the SQL API: the same ANSI text both engines execute
+    (lineitem registered as a temp view; Catalyst still pushes the three
+    scan predicates and prunes to four columns — identical physical plan
+    to the DataFrame formulation)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_Q6_SQL)
+
+
 @register(
     "agg_percentiles_price",
     oracle="""

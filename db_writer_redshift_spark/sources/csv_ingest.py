@@ -121,13 +121,17 @@ def read_table_csv(
         .schema(raw_schema)
     )
     df = reader.csv(source)
-    # Input-order line index: monotonically_increasing_id is ascending within
-    # a partition and partition ids follow input-split order, so a row_number
-    # over it reconstructs file order. The window is only materialized when
-    # validate_load needs line numbers (lazy plan).
+    # Per-FILE 1-based line index (exactly Redshift's stl_load_errors
+    # numbering): window partitioned by input file, ordered by the
+    # monotonic id (ascending within a partition; multiLine makes each
+    # file a single partition, so this reconstructs file order). The
+    # per-file partitioning keeps a sliced load's validation parallel —
+    # a global orderBy window would funnel every slice through ONE
+    # reducer. Only materialized when validate_load needs line numbers
+    # (apply_schema prunes the column away).
     from pyspark.sql.window import Window
 
-    w = Window.orderBy(F.monotonically_increasing_id())
+    w = Window.partitionBy(F.input_file_name()).orderBy(F.monotonically_increasing_id())
     return df.withColumn(_LINE_COL, F.row_number().over(w))
 
 
