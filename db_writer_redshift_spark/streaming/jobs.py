@@ -48,6 +48,29 @@ def read_events_stream(
     return reader.parquet(path)
 
 
+def read_csv_stream(
+    spark: SparkSession,
+    path: str,
+    schema,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of the batch CSV ingest: the SAME pinned dialect
+    (quote-doubling escape, multiLine, NULL literal) over files landing in
+    ``path`` — CSV drops become micro-batches, so the reference's batch
+    load loop turns into a continuous load with checkpointed progress."""
+    reader = (
+        spark.readStream.schema(schema)
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("multiLine", "true")
+        .option("nullValue", "NULL")
+        .option("header", "true")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.csv(path)
+
+
 def stream_tumbling_counts(
     events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:

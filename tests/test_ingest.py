@@ -165,3 +165,32 @@ def test_manifest_entries_parse(tmp_path):
     m = tmp_path / "m.manifest"
     m.write_text(json.dumps({"entries": [{"url": "file:///tmp/a.csv"}, {"url": "s3a://b/k"}]}))
     assert read_manifest_entries(str(m)) == ["/tmp/a.csv", "s3a://b/k"]
+
+
+def test_jsonl_same_pipeline_as_csv(spark, tmp_path):
+    """JSON-lines source feeds the identical cast/validate path: typed
+    columns, width truncation, and the Column/line error contract."""
+    from db_writer_redshift_spark.sources import read_table_jsonl
+
+    p = tmp_path / "t.jsonl"
+    p.write_text(
+        '{"id": "1", "name": "Ada", "created": "2024-06-22"}\n'
+        '{"id": "2", "name": "Bela", "created": "2024/06/22"}\n'
+        '{"id": "3", "name": "Cilla", "created": "oops"}\n'
+    )
+    t = _table(
+        [
+            ColumnItem("id", "id", "int"),
+            ColumnItem("name", "name", "varchar", "3"),
+            ColumnItem("created", "created", "date"),
+        ]
+    )
+    errs = validate_load(read_table_jsonl(spark, str(p), t), t)
+    assert [e.message() for e in errs] == [
+        "Column 'created', line 3: Invalid Date Format - length must be 10 or more"
+    ]
+    good = apply_schema(
+        read_table_jsonl(spark, str(p), t).filter("id < 3"), t
+    )
+    rows = {r.id: (r.name, str(r.created)) for r in good.collect()}
+    assert rows == {1: ("Ada", "2024-06-22"), 2: ("Bel", "2024-06-22")}

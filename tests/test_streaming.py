@@ -127,3 +127,30 @@ def test_merge_sink_idempotent_upsert(spark, events_dir, tmp_path):
         assert sorted(r.event_id for r in got.collect()) == [1, 2, 3, 4, 5]
     finally:
         catalog.drop_table(spark, "events_merged")
+
+
+def test_csv_stream_same_dialect(spark, tmp_path):
+    """CSV files dropped into a watched dir stream through with the pinned
+    dialect intact (quote-doubling survives)."""
+    from pyspark.sql import types as T
+
+    from db_writer_redshift_spark.streaming import read_csv_stream
+
+    d = tmp_path / "incoming"
+    d.mkdir()
+    (d / "a.csv").write_text('id,txt\n1,"quote "" in"\n2,NULL\n')
+    schema = T.StructType(
+        [T.StructField("id", T.IntegerType()), T.StructField("txt", T.StringType())]
+    )
+    q = (
+        read_csv_stream(spark, str(d), schema)
+        .writeStream.format("memory")
+        .queryName("t_csv_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = {r.id: r.txt for r in spark.table("t_csv_stream").collect()}
+    assert rows == {1: 'quote " in', 2: None}
