@@ -74,6 +74,10 @@ def configure_existing(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.legacy.parquet.nanosAsLong": "true",
+        # a vanilla session defaults to 200 shuffle partitions — far too
+        # many tasks for local runs (AQE coalesces, but task setup still
+        # costs); align with the core count like get_spark does
+        "spark.sql.shuffle.partitions": str(DEFAULT_SHUFFLE_PARTITIONS),
     }.items():
         try:
             spark.conf.set(k, v)
