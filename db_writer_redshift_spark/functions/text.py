@@ -64,3 +64,26 @@ def avg_word_len_expr(text: Column) -> Column:
     """Mean word length = non-space chars / word count."""
     n_chars = F.length(F.regexp_replace(text, " ", ""))
     return F.round(n_chars.cast("double") / F.size(words(text)), 6)
+
+
+# Rolling-hash parameters: base 257, 31-bit modulus (products stay < 2^62,
+# safe under ANSI overflow checking).
+_RH_BASE = 257
+_RH_MOD = (1 << 31) - 1
+
+
+def rolling_hash_expr(text: Column, seed: int = 42) -> Column:
+    """Order-sensitive polynomial rolling hash over the token stream:
+    ``h = Σ h_tok(i)·base^(n-i) mod p`` via a sequential fold — permuting
+    words changes the fingerprint (unlike a bag-of-words hash), which is
+    the property document fingerprinting needs. JVM-side, engine-internal
+    (xxhash64 tokens), so no SQL oracle — unit-tested instead."""
+    tok_hashes = F.transform(
+        words(F.lower(text)),
+        lambda t: F.pmod(F.xxhash64(t, F.lit(seed)), F.lit(_RH_MOD)),
+    )
+    return F.aggregate(
+        tok_hashes,
+        F.lit(0).cast("bigint"),
+        lambda acc, h: (acc * F.lit(_RH_BASE) + h) % F.lit(_RH_MOD),
+    )

@@ -259,6 +259,19 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("text_rolling_fingerprint", oracle=None)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprints (engine-internal
+    xxhash64 tokens — rows-only driver check; order sensitivity and
+    stability are unit-tested in tests/test_text_functions.py)."""
+    from db_writer_redshift_spark.functions.text import rolling_hash_expr
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", rolling_hash_expr(F.col("text")).alias("rolling_fp")
+    )
+
+
 @register(
     "text_token_stats_by_lang",
     oracle="""

@@ -680,6 +680,57 @@ def window_cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_latest_order_per_customer",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn = 1
+""",
+)
+def window_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-record-per-key dedup (the QUALIFY pattern): one row_number
+    window, keep rank 1. The warehouse idiom for change-data snapshots —
+    at scale this is one PK shuffle, no self-join."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
+@register(
+    "agg_listagg_nation_segments",
+    oracle="""
+SELECT c_nationkey,
+       string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+       COUNT(*) AS n_customers
+FROM customer
+GROUP BY c_nationkey
+""",
+)
+def agg_listagg_nation_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: distinct market segments per nation,
+    comma-joined in sorted order (collect_set → array_sort → array_join —
+    the deterministic form of LISTAGG; collect order never leaks into the
+    result)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",").alias("segments"),
+        F.count("*").alias("n_customers"),
+    )
+
+
+@register(
     "set_union_high_value_keys",
     oracle="""
 SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 8000

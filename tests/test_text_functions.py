@@ -1,0 +1,49 @@
+"""Unit tests for text column expressions (shingles, tokens, rolling hash)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_writer_redshift_spark.functions.text import (
+    rolling_hash_expr,
+    shingles,
+    token_count_expr,
+)
+
+
+def _one(spark, text, expr):
+    return spark.createDataFrame([(text,)], "t string").select(expr(F.col("t")).alias("v")).collect()[0].v
+
+
+def test_shingles_window_and_dedup(spark):
+    got = _one(spark, "a b c d a b c", lambda c: shingles(c, 3))
+    assert got == ["a b c", "b c d", "c d a", "d a b"]  # distinct, order kept
+
+
+def test_shingles_short_text_empty(spark):
+    assert _one(spark, "a b", lambda c: shingles(c, 3)) == []
+
+
+def test_token_count_bpe_ish(spark):
+    # letter runs, digit runs, and single marks each count once
+    assert _one(spark, "Hello world42, ok!", token_count_expr) == 6
+    # hello | world | 42 | , | ok | !
+
+
+def test_rolling_hash_order_sensitive(spark):
+    h_ab = _one(spark, "alpha beta", rolling_hash_expr)
+    h_ba = _one(spark, "beta alpha", rolling_hash_expr)
+    assert h_ab != h_ba  # permutation changes the fingerprint
+    assert 0 <= h_ab < (1 << 31)
+
+
+def test_rolling_hash_stable_and_case_insensitive(spark):
+    a = _one(spark, "The Quick Fox", rolling_hash_expr)
+    b = _one(spark, "the quick fox", rolling_hash_expr)
+    assert a == b
+
+
+@pytest.mark.parametrize("text", ["solo", "a b c d e f g h i j"])
+def test_rolling_hash_deterministic(spark, text):
+    assert _one(spark, text, rolling_hash_expr) == _one(spark, text, rolling_hash_expr)
