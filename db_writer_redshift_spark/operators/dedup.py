@@ -59,11 +59,20 @@ def shingle_jaccard_pairs(
     sh = (
         df.select(F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col), n)).alias("sh"))
     )
-    # document frequency cap (computed once, reused for the join and counts)
-    rare = sh.join(
-        sh.groupBy("sh").agg(F.count("*").alias("df_count")).filter(F.col("df_count") <= max_doc_freq),
-        "sh",
-    ).select("doc_id", "sh")
+    # document frequency cap (computed once, reused for the join and counts);
+    # persisted — three consumers (per-doc counts + both sides of the
+    # inverted-index self-join) would otherwise re-run the explode and the
+    # frequency join each
+    rare = (
+        sh.join(
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("df_count"))
+            .filter(F.col("df_count") <= max_doc_freq),
+            "sh",
+        )
+        .select("doc_id", "sh")
+        .persist()
+    )
     counts = rare.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = rare.alias("a")
     b = rare.alias("b")
@@ -160,7 +169,12 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
+    # The signature relation feeds THREE consumers (band explode + two
+    # candidate rejoins); without persistence Spark recomputes the whole
+    # shingle-explode-and-aggregate subtree for each one. Persisting the
+    # (doc_id, signature) table — num_hashes×8B per doc, orders of
+    # magnitude smaller than the text — is the right trade at any scale.
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed).persist()
     # Banded rows carry only (doc_id, band, bucket) — NOT the 64-element
     # signature. The bucket equi-join shuffles 16 narrow rows per doc;
     # signatures rejoin only the (far fewer) surviving candidate pairs.
@@ -255,7 +269,9 @@ def simhash_pairs(
     for the default radius. Never an all-pairs product: buckets key on
     16-bit values (65k spread), probe fan-out is a fixed 68 rows/doc.
     """
-    sh = simhash(df, id_col, text_col, seed)
+    # Two consumers (exact chunks + probe fan-out) — persist so the
+    # 64-bit-sum aggregation over exploded tokens runs once, not twice.
+    sh = simhash(df, id_col, text_col, seed).persist()
 
     def chunk_val(i: int) -> F.Column:
         return F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
