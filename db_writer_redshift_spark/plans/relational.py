@@ -836,6 +836,65 @@ def subquery_correlated_max_per_customer(spark: SparkSession, sf_dir: str) -> Da
 
 
 @register(
+    "subquery_exists_high_priority",
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+  AND c_acctbal > 0
+""",
+)
+def subquery_exists_high_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN/EXISTS subquery via the SQL API (Catalyst rewrites the IN to a
+    left-semi join — same physical plan as the DataFrame left_semi form
+    in join_semi_customers_with_urgent, proving both surfaces)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders
+                            WHERE o_orderpriority = '1-URGENT')
+          AND c_acctbal > 0
+        """
+    )
+
+
+@register(
+    "scalar_array_funcs",
+    oracle="""
+SELECT vec_id,
+       len(embedding) AS dim,
+       ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+       ROUND(list_reduce(list_transform(CAST(embedding[1:8] AS DOUBLE[]), x -> x), (a, b) -> a + b), 6) AS head_sum,
+       ROUND(CAST(list_max(CAST(embedding AS DOUBLE[])) AS DOUBLE), 6) AS max_val,
+       len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0)) AS n_positive
+FROM embeddings
+WHERE vec_id % 25 = 0
+""",
+)
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar-function family over the embedding column: size,
+    element access, slice-fold, array max, filtered count — all JVM
+    higher-order functions (§2.4 array coverage; maps/JSON are covered by
+    events_json_extract)."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 25 == 0)
+    vec = F.col("embedding")
+    as_double = F.transform(vec, lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size(vec).alias("dim"),
+        F.round(F.element_at(vec, 1).cast("double"), 6).alias("first_val"),
+        F.round(
+            F.aggregate(F.slice(as_double, 1, 8), F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("head_sum"),
+        F.round(F.array_max(as_double), 6).alias("max_val"),
+        F.size(F.filter(as_double, lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+@register(
     "scalar_string_funcs",
     oracle="""
 SELECT c_custkey,

@@ -202,3 +202,18 @@ def test_cli_get_tables_info_action(spark, tmp_path, data_path, capsys):
         assert cols == ["id", "name", "glasses"]
     finally:
         catalog.drop_table(spark, "simple_cli")
+
+
+def test_cli_internal_error_exit_2(tmp_path, monkeypatch, capsys):
+    """E-3: non-user failures map to exit 2 (ApplicationException path)."""
+    import db_writer_redshift_spark.app as app_mod
+
+    (tmp_path / "config.json").write_text(
+        json.dumps({"parameters": {"action": "run", "tables": []}})
+    )
+
+    def boom(self):
+        raise app_mod.ApplicationException("engine broke")
+
+    monkeypatch.setattr(app_mod.Application, "run_action", boom)
+    assert main(["--data", str(tmp_path)]) == 2
