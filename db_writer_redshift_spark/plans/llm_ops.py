@@ -259,6 +259,61 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+WITH s AS (
+  SELECT vec_id,
+         CAST(embedding AS DOUBLE[]) AS e,
+         list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> ABS(x))) AS m
+  FROM embeddings WHERE vec_id % 25 = 0
+)
+SELECT vec_id,
+       CASE WHEN m = 0 THEN list_transform(e, x -> 0)
+            ELSE list_transform(e, x -> CAST(FLOOR(x * (127.0 / m) + 0.5) AS INT))
+       END AS q8,
+       len(e) AS dim
+FROM s
+""",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow pandas_udf demonstration: symmetric int8 quantization of the
+    embedding column (the ANN-pipeline compression step). Value-exact vs
+    the DuckDB formulation — floor(x·s+0.5) is reproducible where
+    half-even rounding wouldn't be."""
+    from db_writer_redshift_spark.functions.udfs import quantize_int8
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 25 == 0)
+    return e.select(
+        "vec_id",
+        quantize_int8(F.col("embedding")).alias("q8"),
+        F.size("embedding").alias("dim"),
+    )
+
+
+@register("udtf_split_sentences", oracle=None)
+def udtf_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF demonstration: explode documents into sentence rows
+    (engine-internal lateral shape — rows-only driver check; behavior
+    unit-tested in tests/test_udfs.py)."""
+    from db_writer_redshift_spark.functions.udfs import split_sentences_udtf
+
+    from db_writer_redshift_spark.functions.udfs import register_split_sentences
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    register_split_sentences(spark)
+    d.select("doc_id", "text").createOrReplaceTempView("__udtf_docs")
+    # SQL LEFT OUTER JOIN LATERAL keeps no-sentence docs with null UDTF
+    # columns; DataFrame lateralJoin(how="left") drops them (Spark 4.1).
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sentence_idx, s.sentence, s.n_chars
+        FROM __udtf_docs d
+        LEFT OUTER JOIN LATERAL split_sentences(d.text) s ON true
+        """
+    )
+
+
 @register("text_rolling_fingerprint", oracle=None)
 def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive rolling-hash document fingerprints (engine-internal
