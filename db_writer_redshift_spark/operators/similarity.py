@@ -22,7 +22,17 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from db_writer_redshift_spark.functions.vector import cosine_sim
+from db_writer_redshift_spark.functions.vector import cosine_sim, dot_double, norm_double
+
+
+def _cosine_from_norms(q_vec, c_vec, q_norm, c_norm):
+    """Cosine from precomputed side norms. Same arithmetic as cosine_sim
+    (norm·norm denominator, sequential-fold dot) — but each side's norm is
+    evaluated once per ROW in a projection below the join instead of once
+    per PAIR above it, which removes 2/3 of the higher-order-function work
+    in a k-NN join. Bit-identical results, so oracle hashes are unchanged."""
+    denom = q_norm * c_norm
+    return F.when(denom > 0, dot_double(q_vec, c_vec) / denom)
 
 
 def brute_force_topk(
@@ -40,10 +50,14 @@ def brute_force_topk(
     from pyspark.sql.window import Window
 
     q = queries_df.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm_double(F.col(vec_col)).alias("q_norm"),
     )
     c = corpus_df.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm_double(F.col(vec_col)).alias("c_norm"),
     )
     sims = (
         c.crossJoin(F.broadcast(q))
@@ -51,7 +65,12 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_sim(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+            F.round(
+                _cosine_from_norms(
+                    F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
+                ),
+                6,
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
@@ -71,9 +90,19 @@ def cosine_dup_pairs(
     """Embedding near-duplicate pairs: cosine ≥ threshold, id_a < id_b.
     Exact all-pairs form (oracle-checkable); the LSH tier is the scale path.
     """
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    sim = F.round(cosine_sim(F.col("va"), F.col("vb")), 6)
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        norm_double(F.col(vec_col)).alias("na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        norm_double(F.col(vec_col)).alias("nb"),
+    )
+    sim = F.round(
+        _cosine_from_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 6
+    )
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
@@ -154,11 +183,13 @@ def ivf_topk(
     c_assigned = corpus_df.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
+        norm_double(F.col(vec_col)).alias("c_norm"),
         F.element_at(top_cells(F.col(vec_col), 1), 1)["cell"].alias("cell"),
     )
     q_probed = queries_df.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        norm_double(F.col(vec_col)).alias("q_norm"),
         F.explode(F.transform(top_cells(F.col(vec_col), num_probes), lambda s: s["cell"])).alias(
             "cell"
         ),
@@ -169,7 +200,12 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_sim(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+            F.round(
+                _cosine_from_norms(
+                    F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
+                ),
+                6,
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
@@ -230,7 +266,7 @@ def lsh_topk(
 
     planes = _hyperplanes(dim, num_planes, num_tables, seed)
 
-    def with_buckets(df: DataFrame, idname: str, vecname: str) -> DataFrame:
+    def with_buckets(df: DataFrame, idname: str, vecname: str, normname: str) -> DataFrame:
         buckets = F.array(
             *[
                 F.struct(F.lit(t).alias("t"), _bucket_expr(F.col(vecname), planes[t]).alias("bkt"))
@@ -238,18 +274,28 @@ def lsh_topk(
             ]
         )
         return df.select(
-            F.col(idname), F.col(vecname), F.explode(buckets).alias("tb")
-        ).select(idname, vecname, F.col("tb.t").alias("t"), F.col("tb.bkt").alias("bkt"))
+            F.col(idname), F.col(vecname), F.col(normname), F.explode(buckets).alias("tb")
+        ).select(idname, vecname, normname, F.col("tb.t").alias("t"), F.col("tb.bkt").alias("bkt"))
 
     q = with_buckets(
-        queries_df.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
+        queries_df.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            norm_double(F.col(vec_col)).alias("q_norm"),
+        ),
         "query_id",
         "q_vec",
+        "q_norm",
     )
     c = with_buckets(
-        corpus_df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
+        corpus_df.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            norm_double(F.col(vec_col)).alias("c_norm"),
+        ),
         "neighbor_id",
         "c_vec",
+        "c_norm",
     )
     cand = (
         q.join(c, ["t", "bkt"])
@@ -258,7 +304,12 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_sim(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+            F.round(
+                _cosine_from_norms(
+                    F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
+                ),
+                6,
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
