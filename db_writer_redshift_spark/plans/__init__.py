@@ -17,3 +17,4 @@ from db_writer_redshift_spark.plans import llm_ops  # noqa: F401,E402
 from db_writer_redshift_spark.plans import temporal_queries  # noqa: F401,E402
 from db_writer_redshift_spark.plans import tpch_extra  # noqa: F401,E402
 from db_writer_redshift_spark.plans import tpch_extra2  # noqa: F401,E402
+from db_writer_redshift_spark.plans import sampling_graph  # noqa: F401,E402

@@ -1,0 +1,223 @@
+"""Training-data pipeline operators, batch 2: deterministic sampling,
+vocabulary statistics, and graph-based dedup clustering.
+
+No counterpart in the reference (keboola/db-writer-redshift is a load-only
+control plane — SURVEY.md §2.4); these are the corpus-curation operations a
+100 TB training-data pipeline runs after ingest.
+
+Sampling is HASH-based, not seed-based (`df.sample`/`sampleBy`): a
+multiplicative Knuth hash of the key column decides membership, so the
+sample is (a) reproducible across runs, engines, and restarts, (b)
+independent of partitioning and row order, and (c) pushable — the
+predicate evaluates inside the scan with no shuffle and no driver state.
+Seed-based sampling has none of these properties on a cluster, which is
+why it cannot be oracle-checked and hash sampling can.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from db_writer_redshift_spark.operators import dedup
+from db_writer_redshift_spark.plans.registry import load_table, register
+
+# Knuth multiplicative hash over a 32-bit ring: exact in BIGINT arithmetic
+# on every engine (doc_id * A fits int64 for doc_id < 4.3e9; the driver
+# fixtures stay far below that — at larger key ranges swap in the 64-bit
+# constant and a 2^61 ring).
+_A = 2654435761
+_RING = 4294967296  # 2^32
+
+
+def _hash_bucket(key: str):
+    return (F.col(key) * F.lit(_A)) % F.lit(_RING)
+
+
+@register(
+    "sample_hash_documents",
+    oracle=f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE (doc_id * {_A}) % {_RING} < {int(0.10 * _RING)}
+""",
+)
+def sample_hash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% document sample by multiplicative key hash.
+
+    Scale: the predicate is pure row-local arithmetic — it evaluates in
+    the scan stage (whole-stage codegen, no shuffle, no driver
+    coordination), and the SAME rows are selected regardless of cluster
+    size, partition layout, or retry/restart. This is the
+    training-corpus subsampling primitive; `df.sample(seed=)` guarantees
+    none of that under re-partitioning."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(_hash_bucket("doc_id") < int(0.10 * _RING)).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@register(
+    "sample_stratified_by_lang",
+    oracle=f"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       COUNT(CASE WHEN (doc_id * {_A}) % {_RING} <
+                  CASE WHEN lang = 'en' THEN {int(0.10 * _RING)} ELSE {int(0.40 * _RING)} END
+             THEN 1 END) AS n_sampled
+FROM documents
+GROUP BY lang
+""",
+)
+def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-language keep rates (10% for
+    the dominant 'en' stratum, 40% for the tail languages — the standard
+    rebalancing move for a multilingual training mix), reported as
+    per-stratum totals. The equivalent of `df.sampleBy`, but reproducible
+    and engine-independent.
+
+    Scale: the stratum rate is a row-local CASE over the same scan-stage
+    hash — adding strata costs nothing; the aggregate is a 5-row
+    map-side-combined groupBy."""
+    d = load_table(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", int(0.10 * _RING)).otherwise(
+        int(0.40 * _RING)
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.count(F.when(_hash_bucket("doc_id") < rate, 1)).alias("n_sampled"),
+    )
+
+
+@register(
+    "vocab_topk_terms",
+    oracle="""
+SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents)
+WHERE token <> ''
+GROUP BY token
+ORDER BY tf DESC, token
+LIMIT 50
+""",
+)
+def vocab_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary head: top-50 whitespace tokens by corpus frequency, with
+    document frequency — the first step of tokenizer/vocab induction over
+    a training corpus.
+
+    Scale: explode fans out ~tokens-per-doc × rows, but the partial
+    aggregate collapses it map-side before the single shuffle on token;
+    the (tf DESC, token) total order executes as a 50-row TakeOrdered, no
+    global sort. Skewed head tokens are exactly what the partial
+    aggregate absorbs."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    return (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("tf"), F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.col("tf").desc(), "token")
+        .limit(50)
+    )
+
+
+# The exact near-dup pair relation (word-3-gram Jaccard ≥ 0.05 with a
+# document-frequency cap) — same definition as dedup_shingle_jaccard's
+# oracle in plans/llm_ops.py, reduced to the pair columns.
+_PAIRS_SQL = """
+  WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  grams AS (
+    SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+    FROM docs, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+    WHERE len(w) >= 3
+  ),
+  rare AS (
+    SELECT g.doc_id, g.sh FROM grams g
+    JOIN (SELECT sh, COUNT(*) AS dfc FROM grams GROUP BY sh HAVING COUNT(*) <= 100) f
+    ON g.sh = f.sh
+  ),
+  counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM rare GROUP BY doc_id),
+  p0 AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+  )
+  SELECT doc_a, doc_b
+  FROM p0 JOIN counts ca ON ca.doc_id = doc_a JOIN counts cb ON cb.doc_id = doc_b
+  WHERE CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common) >= 0.05
+"""
+
+
+@register(
+    "dedup_cc_clusters",
+    oracle=f"""
+WITH RECURSIVE pairs AS ({_PAIRS_SQL}),
+e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+)
+SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_root
+FROM reach GROUP BY u
+""",
+)
+def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components clustering of the exact near-dup pair graph:
+    every document in a duplicate cluster labeled with the cluster's
+    minimum doc_id (then keep one representative per root to dedup).
+
+    Spark side runs hash-min label propagation — the BSP superstep
+    pattern GraphX/GraphFrames use — over the bidirected edge list:
+    each round every node takes the min of its own and its neighbors'
+    labels, until a fixpoint. Rounds ≈ graph diameter (near-dup clusters
+    are shallow; the fixture converges in 1-2 rounds). The oracle computes
+    the same roots via transitive closure in a recursive CTE — feasible
+    only at oracle scale; the iterative form is the one that scales.
+
+    Scale: each superstep is one shuffle (edges ⋈ labels on the 2|E|
+    edge list, then min-combine per node); `localCheckpoint` truncates
+    the growing lineage each round so the plan doesn't re-execute prior
+    supersteps; the driver sees only the per-round changed-count."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.shingle_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.05, max_doc_freq=100
+    ).select("doc_a", "doc_b")
+    edges = pairs.union(pairs.select("doc_b", "doc_a")).toDF("u", "v").persist()
+    labels = (
+        edges.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select("u", F.least("u", "mv").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(30):  # diameter bound; fixpoint exits far earlier
+        nbr = (
+            edges.join(
+                labels.select(F.col("u").alias("w"), "label"),
+                F.col("v") == F.col("w"),
+            )
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.withColumnRenamed("label", "old_label")
+            .join(nbr, "u", "left")
+            .select(
+                "u",
+                "old_label",
+                F.least(
+                    "old_label", F.coalesce("nbr_min", F.col("old_label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.filter(F.col("label") < F.col("old_label")).count()
+        labels = new_labels.select("u", "label")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("u").alias("doc_id"), F.col("label").alias("cluster_root")
+    )
