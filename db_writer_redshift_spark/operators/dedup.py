@@ -328,3 +328,58 @@ def simhash_pairs(
     return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def connected_components(
+    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 30
+) -> DataFrame:
+    """Connected components over an undirected pair relation via hash-min
+    label propagation (the BSP superstep pattern GraphX/GraphFrames use).
+    Returns one row per node appearing in any pair: (node, cluster_root)
+    with cluster_root = the component's minimum node id.
+
+    Each superstep: every node takes the min of its own label and its
+    neighbors' labels; fixpoint after ~diameter rounds (near-dup graphs
+    are shallow). Scale: one shuffle per round over the 2|E| bidirected
+    edge list plus a map-side-combined min per node; `localCheckpoint`
+    truncates lineage each round so superstep N doesn't re-execute
+    supersteps 1..N-1; the driver only ever sees the changed-count.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(pairs.select(F.col(dst), F.col(src)))
+        .persist()
+    )
+    labels = (
+        edges.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select("u", F.least("u", "mv").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.select(F.col("u").alias("w"), "label"),
+                F.col("v") == F.col("w"),
+            )
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.withColumnRenamed("label", "old_label")
+            .join(nbr, "u", "left")
+            .select(
+                "u",
+                "old_label",
+                F.least(
+                    "old_label", F.coalesce("nbr_min", F.col("old_label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.filter(F.col("label") < F.col("old_label")).count()
+        labels = new_labels.select("u", "label")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("u").alias("node"), F.col("label").alias("cluster_root"))

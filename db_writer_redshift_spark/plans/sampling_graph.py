@@ -185,39 +185,6 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.shingle_jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=0.05, max_doc_freq=100
     ).select("doc_a", "doc_b")
-    edges = pairs.union(pairs.select("doc_b", "doc_a")).toDF("u", "v").persist()
-    labels = (
-        edges.groupBy("u")
-        .agg(F.min("v").alias("mv"))
-        .select("u", F.least("u", "mv").alias("label"))
-        .localCheckpoint()
-    )
-    for _ in range(30):  # diameter bound; fixpoint exits far earlier
-        nbr = (
-            edges.join(
-                labels.select(F.col("u").alias("w"), "label"),
-                F.col("v") == F.col("w"),
-            )
-            .groupBy("u")
-            .agg(F.min("label").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.withColumnRenamed("label", "old_label")
-            .join(nbr, "u", "left")
-            .select(
-                "u",
-                "old_label",
-                F.least(
-                    "old_label", F.coalesce("nbr_min", F.col("old_label"))
-                ).alias("label"),
-            )
-            .localCheckpoint()
-        )
-        changed = new_labels.filter(F.col("label") < F.col("old_label")).count()
-        labels = new_labels.select("u", "label")
-        if changed == 0:
-            break
-    edges.unpersist()
-    return labels.select(
-        F.col("u").alias("doc_id"), F.col("label").alias("cluster_root")
+    return dedup.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "cluster_root"
     )

@@ -92,3 +92,26 @@ def test_simhash_blocking_never_drops_close_pairs(spark, docs):
     e = {(r.doc_a, r.doc_b, r.hamming) for r in exact.collect()}
     g = {(r.doc_a, r.doc_b, r.hamming) for r in blocked.collect()}
     assert e == g
+
+
+def _cc(spark, pairs):
+    df = spark.createDataFrame(pairs, ["doc_a", "doc_b"])
+    rows = dedup.connected_components(df).collect()
+    return {r.node: r.cluster_root for r in rows}
+
+
+def test_connected_components_chain(spark):
+    # 1-2-3-4-5 chain: min label must propagate the full diameter.
+    got = _cc(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_connected_components_multiple(spark):
+    # Two components + reversed-order edges; roots are per-component minima.
+    got = _cc(spark, [(7, 3), (3, 9), (20, 10), (30, 10)])
+    assert got == {3: 3, 7: 3, 9: 3, 10: 10, 20: 10, 30: 10}
+
+
+def test_connected_components_isolated_pair(spark):
+    got = _cc(spark, [(42, 41)])
+    assert got == {41: 41, 42: 41}
