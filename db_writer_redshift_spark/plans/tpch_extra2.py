@@ -101,6 +101,9 @@ def q2_best_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    # eligible feeds both the per-part MAX and the final join; without the
+    # persist the distinct-pair shuffle over lineitem runs twice (column
+    # pruning differentiates the subplans, so ReuseExchange can't kick in).
     eligible = (
         ps.join(F.broadcast(s), ps.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -111,6 +114,7 @@ def q2_best_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_acctbal",
             "n_name",
         )
+        .persist()
     )
     best = eligible.groupBy(F.col("e_partkey").alias("b_partkey")).agg(
         F.max("s_acctbal").alias("best_bal")
@@ -417,9 +421,19 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
-    lo = l.join(o, l.l_orderkey == o.o_orderkey).withColumn(
-        "is_late",
-        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+    # lo feeds both the per-order stats and the qualifying-line stream;
+    # persisted so the lineitem⋈orders join runs once, not once per consumer.
+    lo = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ).alias("is_late"),
+        )
+        .persist()
     )
     stats = lo.groupBy(F.col("l_orderkey").alias("st_orderkey")).agg(
         F.countDistinct("l_suppkey").alias("nsupp"),
