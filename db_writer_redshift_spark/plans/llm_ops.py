@@ -373,3 +373,33 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("checksum").alias("min_checksum"),
         F.max("width").alias("max_width"),
     )
+
+
+@register(
+    "dedup_normalized_fingerprint",
+    oracle="""
+SELECT fingerprint, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+FROM (SELECT doc_id,
+             md5(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS fingerprint
+      FROM documents)
+GROUP BY fingerprint
+""",
+)
+def dedup_normalized_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-robust exact dedup: lowercase + strip non-letter
+    characters BEFORE fingerprinting, so docs differing only in case,
+    punctuation, or digits collapse to one group (the usual first pass
+    before the fuzzy tiers — catches boilerplate re-encodings that byte-
+    exact md5 misses).
+
+    Scale: identical profile to exact dedup — row-local normalize+hash in
+    the scan stage, one shuffle on the 16-byte fingerprint."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", "")).alias(
+        "fingerprint"
+    )
+    return (
+        d.select(fp, "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_docs"))
+    )

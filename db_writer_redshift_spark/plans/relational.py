@@ -1196,3 +1196,77 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").agg(
         F.sum(k).alias("k_sum"), F.count("*").alias("n_events")
     )
+
+
+@register(
+    "unpivot_status_counts",
+    oracle="""
+WITH wide AS (
+  SELECT o_orderpriority,
+         COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS f,
+         COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS o,
+         COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS p
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, 'F' AS status, f AS cnt FROM wide
+UNION ALL SELECT o_orderpriority, 'O', o FROM wide
+UNION ALL SELECT o_orderpriority, 'P', p FROM wide
+""",
+)
+def unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot → unpivot round trip: wide per-status counts melted back to
+    long form with `DataFrame.unpivot` (SQL UNPIVOT / melt). The oracle
+    uses the portable UNION ALL formulation of the same reshape.
+
+    Scale: unpivot is a row-local generator (each input row emits k
+    rows, no shuffle); the only shuffle is the upstream pivot
+    aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce(F.col("F"), F.lit(0)).alias("F"),
+            F.coalesce(F.col("O"), F.lit(0)).alias("O"),
+            F.coalesce(F.col("P"), F.lit(0)).alias("P"),
+        )
+    )
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["F", "O", "P"],
+        variableColumnName="status",
+        valueColumnName="cnt",
+    )
+
+
+@register(
+    "window_percent_rank_acctbal",
+    oracle="""
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       ROUND(PERCENT_RANK() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal, c_custkey), 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER (PARTITION BY c_mktsegment
+                               ORDER BY c_acctbal, c_custkey), 6) AS cume
+FROM customer
+""",
+)
+def window_percent_rank_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-standing windows: PERCENT_RANK + CUME_DIST of customer
+    balance within market segment ((c_acctbal, c_custkey) ordering makes
+    every rank, hence every output value, deterministic).
+
+    Scale: partitioned by segment — each partition sorts independently
+    after one hash shuffle; no global ordering anywhere."""
+    from pyspark.sql.window import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
