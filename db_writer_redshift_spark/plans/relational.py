@@ -1270,3 +1270,70 @@ def window_percent_rank_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@register(
+    "events_hopping_halfhour",
+    oracle="""
+WITH ev AS (
+  SELECT event_type, value,
+         time_bucket(INTERVAL '30 minutes', ts, TIMESTAMP '1970-01-01 00:00:00') AS b
+  FROM events
+),
+expanded AS (
+  SELECT event_type, value, b AS win_start FROM ev
+  UNION ALL
+  SELECT event_type, value, b - INTERVAL '30 minutes' FROM ev
+)
+SELECT CAST(win_start AS TIMESTAMP) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_value
+FROM expanded
+GROUP BY 1, 2
+""",
+)
+def events_hopping_halfhour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window aggregate: 1-hour windows every 30 minutes —
+    each event lands in exactly 2 overlapping windows. Uses the native
+    `F.window(ts, "1 hour", "30 minutes")` generator, the same operator
+    Structured Streaming uses, so this batch plan IS the streaming plan
+    minus the watermark. The oracle expands the two window memberships
+    with a UNION ALL of aligned 30-minute buckets.
+
+    Scale: window expansion is a row-local generator (2 rows out per
+    event, no shuffle); the aggregate partial-combines per (window,
+    type) before the one shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            _dsum(_dec("value"), "total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register("agg_approx_percentiles", oracle=None)
+def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna sketch percentiles — `approx_percentile` with
+    accuracy 10000 (~0.01% rank error). No SQL oracle: the sketch is
+    engine-specific (driver does the rows-only check); the pytest suite
+    asserts each estimate lands within 1% of the exact percentile. At
+    100 TB this replaces the exact path's full sort-per-group with
+    fixed-size mergeable sketches."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias(
+            "approx_p50_p90_p99"
+        ),
+        F.count("*").alias("n_rows"),
+    )
