@@ -1337,3 +1337,55 @@ def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("n_rows"),
     )
+
+
+@register(
+    "join_salted_orders_by_priority",
+    oracle="""
+SELECT o_orderpriority, p_urgency, COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_price
+FROM orders
+JOIN (SELECT '1-URGENT' AS pr_key, 'rush' AS p_urgency
+      UNION ALL SELECT '2-HIGH', 'rush'
+      UNION ALL SELECT '3-MEDIUM', 'normal'
+      UNION ALL SELECT '4-NOT SPECIFIED', 'normal'
+      UNION ALL SELECT '5-LOW', 'lazy') dim
+  ON o_orderpriority = pr_key
+GROUP BY o_orderpriority, p_urgency
+""",
+)
+def join_salted_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join on a deliberately skewed key (5 priority values over the
+    whole orders table — every key is hot): the big side is salted into 8
+    sub-buckets per key, the 5-row dimension replicated ×8, so each hot
+    key spreads over 8 reducers instead of 1. The oracle is the PLAIN
+    join — salting must be invisible in the result, and this query proves
+    it value-exactly.
+
+    Scale: this is the manual fallback for skew AQE can't split (e.g.
+    when the hot key's rows arrive pre-aggregated into one map output);
+    cost is small-side ×8 replication, which for dimension-sized sides
+    is noise."""
+    from db_writer_redshift_spark.operators.skew import salted_join
+
+    o = load_table(spark, sf_dir, "orders")
+    dim = spark.createDataFrame(
+        [
+            ("1-URGENT", "rush"),
+            ("2-HIGH", "rush"),
+            ("3-MEDIUM", "normal"),
+            ("4-NOT SPECIFIED", "normal"),
+            ("5-LOW", "lazy"),
+        ],
+        ["pr_key", "p_urgency"],
+    )
+    joined = salted_join(
+        o.withColumnRenamed("o_orderpriority", "pr_key"), dim, ["pr_key"]
+    )
+    return (
+        joined.groupBy(F.col("pr_key").alias("o_orderpriority"), "p_urgency")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dsum(_dec("o_totalprice"), "total_price"),
+        )
+    )
