@@ -94,3 +94,74 @@ def test_merge_algebra(spark, target, staging):
     # idempotence: merging the same staging again changes nothing
     again = upsert_dataframes(merged, s, ["id"])
     assert {r.id: r.v for r in again.collect()} == got
+
+
+# ---------------------------------------------------------------------------
+# Hash sampling: partition-layout independence
+# ---------------------------------------------------------------------------
+
+
+def test_hash_sample_invariant_under_repartition(spark):
+    """The multiplicative-hash sample must select the SAME key set no
+    matter how the input is partitioned or ordered — the property that
+    makes it usable (and resumable) on a cluster, where df.sample(seed=)
+    gives no such guarantee."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    pred = (F.col("doc_id") * 2654435761) % 4294967296 < int(0.10 * 4294967296)
+
+    a = {r.doc_id for r in base.filter(pred).collect()}
+    b = {
+        r.doc_id
+        for r in base.repartition(17, "doc_id").filter(pred).collect()
+    }
+    c = {
+        r.doc_id
+        for r in base.orderBy(F.col("doc_id").desc()).coalesce(1).filter(pred).collect()
+    }
+    assert a == b == c
+    # and the rate is in the right ballpark for sequential keys
+    assert 0.05 < len(a) / 5000 < 0.15
+
+
+# ---------------------------------------------------------------------------
+# Connected components vs a union-find reference
+# ---------------------------------------------------------------------------
+
+
+def _uf_components(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # fully compress so every node maps to its component minimum
+    return {x: find(x) for x in parent}
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)).filter(
+            lambda t: t[0] != t[1]
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**_SETTINGS)
+def test_connected_components_matches_union_find(spark, pairs):
+    from db_writer_redshift_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(pairs, ["doc_a", "doc_b"])
+    got = {r.node: r.cluster_root for r in connected_components(df).collect()}
+    want = _uf_components(pairs)
+    assert got == want
