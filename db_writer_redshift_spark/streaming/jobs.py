@@ -93,6 +93,34 @@ def stream_tumbling_counts(
     )
 
 
+def stream_hopping_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Hopping-window event counts (overlapping windows every ``slide``) —
+    the same ``F.window`` generator as the batch ``events_hopping_halfhour``
+    query, plus the watermark that bounds how long each open window's
+    state is retained (window/slide overlapping state is the case where
+    an unbounded stream would otherwise accumulate state forever)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def stream_sessionize(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -17,6 +17,7 @@ from db_writer_redshift_spark.streaming import (
     read_events_stream,
     stream_dedup_events,
     stream_sessionize,
+    stream_hopping_counts,
     stream_tumbling_counts,
     streaming_running_totals,
 )
@@ -82,6 +83,35 @@ def test_stream_tumbling_counts(spark, events_dir, tmp_path):
     assert rows[(10, "click")] == 2
     assert rows[(10, "view")] == 2  # e4 arrives once per batch
     assert rows[(11, "click")] == 2  # e3 @ +90m, e5 @ +95m
+
+
+def test_stream_hopping_counts_overlap(spark, events_dir, tmp_path):
+    src = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    out = _run_to_memory(
+        spark,
+        stream_hopping_counts(src, "1 hour", "30 minutes"),
+        "t_hop",
+        tmp_path,
+        mode="complete",
+    )
+    rows = out.collect()
+    # overlap invariant: every event belongs to exactly window/slide = 2
+    # overlapping windows, so per event_type the hopping totals are exactly
+    # double the tumbling totals; window starts align to the 30-min slide
+    from collections import defaultdict
+
+    per_type = defaultdict(int)
+    for r in rows:
+        per_type[r.event_type] += r.n_events
+    tum = _run_to_memory(
+        spark, stream_tumbling_counts(src, "1 hour"), "t_hop_ref", tmp_path, mode="complete"
+    )
+    per_type_tum = defaultdict(int)
+    for r in tum.collect():
+        per_type_tum[r.event_type] += r.n_events
+    assert per_type == {k: 2 * v for k, v in per_type_tum.items()}
+    # and window starts are 30-minute aligned
+    assert all(r.window_start.minute in (0, 30) for r in rows)
 
 
 def test_stream_sessionize_gap_split(spark, events_dir, tmp_path):
