@@ -1389,3 +1389,41 @@ def join_salted_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFram
             _dsum(_dec("o_totalprice"), "total_price"),
         )
     )
+
+
+@register(
+    "set_except_all_quantities",
+    oracle="""
+SELECT l_quantity FROM lineitem WHERE l_returnflag = 'R'
+EXCEPT ALL
+SELECT l_quantity FROM lineitem WHERE l_returnflag = 'A'
+""",
+)
+def set_except_all_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — multiset difference (each quantity value keeps
+    max(count_R − count_A, 0) copies), vs the set-semantics EXCEPT of
+    `set_except_inactive`.
+
+    Scale: Spark plans multiset ops as a counted aggregate per value +
+    generate — one shuffle on the value, no row-by-row anything."""
+    l = load_table(spark, sf_dir, "lineitem")
+    r = l.filter(F.col("l_returnflag") == "R").select("l_quantity")
+    a = l.filter(F.col("l_returnflag") == "A").select("l_quantity")
+    return r.exceptAll(a)
+
+
+@register(
+    "set_intersect_all_priorities",
+    oracle="""
+SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+INTERSECT ALL
+SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+""",
+)
+def set_intersect_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — multiset intersection (each priority appears
+    min(count_F, count_O) times)."""
+    o = load_table(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    open_ = o.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    return f.intersectAll(open_)
