@@ -174,3 +174,34 @@ def write_jdbc(
         .mode("append")
         .save()
     )
+
+
+def run_statements(
+    statements: list[str],
+    run_sql,
+    reconnect=None,
+    attempts: int = 3,
+    sleep=None,
+) -> None:
+    """Execute statements in order, each under the reference's retry
+    policy (3 tries, sleep(tries²), reconnect between attempts —
+    Redshift.php:237-253). ``run_sql(sql)`` executes one statement;
+    ``reconnect()`` (optional) is invoked before a retry, mirroring the
+    reference's connection re-establishment."""
+    import time as _time
+
+    from db_writer_redshift_spark.operators.retry import run_with_retry
+
+    sleep = sleep or _time.sleep
+    for sql in statements:
+        state = {"first": True}
+
+        def attempt(sql=sql, state=state):
+            if not state["first"] and reconnect is not None:
+                reconnect()
+            state["first"] = False
+            run_sql(sql)
+
+        run_with_retry(
+            attempt, attempts=attempts, sleep=sleep, what=f"statement {sql[:40]!r}"
+        )

@@ -93,3 +93,39 @@ def test_writer_options_mapping():
     assert opts["driver"] == "org.postgresql.Driver"
     assert opts["batchsize"] == "5000"
     assert opts["reWriteBatchedInserts"] == "true"
+
+
+def test_run_statements_retries_and_reconnects():
+    from db_writer_redshift_spark.sinks.jdbc_redshift import run_statements
+
+    calls, reconnects, naps = [], [], []
+    fails = {"INSERT": 2}  # fail first two attempts, succeed third
+
+    def run_sql(sql):
+        calls.append(sql)
+        key = sql.split()[0]
+        if fails.get(key, 0) > 0:
+            fails[key] -= 1
+            raise RuntimeError("transient")
+
+    run_statements(
+        ["CREATE t", "INSERT x"],
+        run_sql,
+        reconnect=lambda: reconnects.append(1),
+        sleep=naps.append,
+    )
+    assert calls == ["CREATE t", "INSERT x", "INSERT x", "INSERT x"]
+    assert len(reconnects) == 2  # reconnect precedes each retry only
+    assert naps == [1, 4]  # quadratic backoff
+
+
+def test_run_statements_gives_up_after_attempts():
+    import pytest as _pytest
+
+    from db_writer_redshift_spark.sinks.jdbc_redshift import run_statements
+
+    def always_fail(sql):
+        raise RuntimeError("down")
+
+    with _pytest.raises(RuntimeError):
+        run_statements(["SELECT 1"], always_fail, sleep=lambda s: None)
