@@ -1427,3 +1427,44 @@ def set_intersect_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
     open_ = o.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
     return f.intersectAll(open_)
+
+
+@register(
+    "window_range_frame_price",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice,
+       COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                      RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS n_near,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                        RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS near_total
+FROM orders
+""",
+)
+def window_range_frame_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE window frame: for each order, the count and sum of
+    the same customer's orders priced within 1000 below it. RANGE frames
+    are tie-safe by construction (peers share a frame), so no tiebreak
+    column is needed for determinism — unlike every ROWS frame in this
+    library.
+
+    Scale: same execution profile as any partitioned window — one hash
+    shuffle on the partition key, per-partition sort, streaming frame
+    evaluation."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.count("*").over(w).alias("n_near"),
+        F.round(F.sum(_dec("o_totalprice")).over(w), 4)
+        .cast("double")
+        .alias("near_total"),
+    )
