@@ -103,3 +103,67 @@ def range_join_purchase_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return range_join_days(
         clicks, windows, "click_ts", "p_start", "p_end", keys=["user_id"]
     ).select("click_event_id", "user_id", "click_ts", "purchase_event_id")
+
+
+@register(
+    "events_funnel_click_purchase",
+    oracle="""
+WITH first_click AS (
+  SELECT user_id, MIN(ts) AS t_click
+  FROM events WHERE event_type = 'click' GROUP BY user_id
+),
+conv AS (
+  SELECT DISTINCT f.user_id
+  FROM first_click f
+  JOIN events e ON e.user_id = f.user_id
+  WHERE e.event_type = 'purchase'
+    AND epoch_us(e.ts) >  epoch_us(f.t_click)
+    AND epoch_us(e.ts) <= epoch_us(f.t_click) + 3600000000
+)
+SELECT CASE WHEN c.user_id IS NOT NULL THEN 'converted' ELSE 'clicked_only' END AS stage,
+       COUNT(*) AS n_users
+FROM first_click f LEFT JOIN conv c ON f.user_id = c.user_id
+GROUP BY 1
+""",
+)
+def events_funnel_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel: of users who clicked, how many purchased within an hour of
+    their FIRST click. Two-stage event-sequence analytics — per-user
+    anchor aggregate, then a time-bounded self-join against the stream.
+    (Boundaries compare in microseconds on both engines — load_table
+    floors the fixture's nanos to micros; the oracle uses epoch_us.)
+
+    Scale: the anchor aggregate collapses events to one row per user
+    BEFORE the self-join, and both sides then shuffle on user_id only —
+    the time predicate evaluates within the join, never as a nested-loop
+    range join. The funnel stages come from one left join + CASE, not a
+    second scan."""
+    e = load_table(spark, sf_dir, "events")
+    first_click = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    conv = (
+        first_click.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("t_click"))
+            & (F.col("p_ts") <= F.col("t_click") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(True))
+    )
+    return (
+        first_click.join(conv, "user_id", "left")
+        .groupBy(
+            F.when(F.col("converted"), "converted")
+            .otherwise("clicked_only")
+            .alias("stage")
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
