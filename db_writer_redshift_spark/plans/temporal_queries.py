@@ -167,3 +167,53 @@ def events_funnel_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_users"))
     )
+
+
+@register(
+    "events_weekly_cohort_retention",
+    oracle="""
+WITH cohorts AS (
+  SELECT user_id,
+         CAST(DATE_TRUNC('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id,
+         CAST(DATE_TRUNC('week', e.ts) AS TIMESTAMP) AS active_week
+  FROM events e
+)
+SELECT c.cohort_week,
+       CAST(FLOOR(DATE_DIFF('day', c.cohort_week, a.active_week) / 7) AS BIGINT) AS week_offset,
+       COUNT(DISTINCT a.user_id) AS n_active
+FROM cohorts c JOIN activity a ON c.user_id = a.user_id
+GROUP BY 1, 2
+""",
+)
+def events_weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen week, counted as
+    active in each subsequent week offset — the standard retention
+    triangle, built from one anchor aggregate + one distinct-activity
+    projection + one join on user_id.
+
+    Scale: cohorts is one row per user, activity one row per (user,
+    week) — both collapse the raw stream before the join, and all three
+    shuffles key on user_id so a co-partitioned layout reuses one
+    exchange. Never joins raw events to raw events."""
+    e = load_table(spark, sf_dir, "events")
+    cohorts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("timestamp_ntz").alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).cast("timestamp_ntz").alias("active_week"),
+    ).distinct()
+    return (
+        cohorts.join(activity, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(
+                F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+            ).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
