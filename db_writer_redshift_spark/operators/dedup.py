@@ -345,11 +345,12 @@ def connected_components(
     truncates lineage each round so superstep N doesn't re-execute
     supersteps 1..N-1; the driver only ever sees the changed-count.
     """
-    edges = (
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(pairs.select(F.col(dst), F.col(src)))
-        .persist()
-    )
+    # Materialize the pair relation BEFORE the bidirecting union: the union
+    # references it twice, and a lazy persist doesn't stop both branches
+    # from racing to compute the (expensive) pair pipeline concurrently —
+    # the eager localCheckpoint runs it exactly once.
+    p = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint()
+    edges = p.union(p.select(F.col("v"), F.col("u"))).persist()
     labels = (
         edges.groupBy("u")
         .agg(F.min("v").alias("mv"))
