@@ -59,10 +59,10 @@ def shingle_jaccard_pairs(
     sh = (
         df.select(F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col), n)).alias("sh"))
     )
-    # document frequency cap (computed once, reused for the join and counts);
-    # persisted — three consumers (per-doc counts + both sides of the
-    # inverted-index self-join) would otherwise re-run the explode and the
-    # frequency join each
+    # document frequency cap, materialized ONCE (eager localCheckpoint):
+    # three consumers read it inside one job (per-doc counts + both sides
+    # of the inverted-index self-join), and a lazy persist lets their
+    # tasks race to compute it concurrently instead of sharing the cache
     rare = (
         sh.join(
             sh.groupBy("sh")
@@ -71,7 +71,7 @@ def shingle_jaccard_pairs(
             "sh",
         )
         .select("doc_id", "sh")
-        .persist()
+        .localCheckpoint()
     )
     counts = rare.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = rare.alias("a")
