@@ -59,10 +59,12 @@ def shingle_jaccard_pairs(
     sh = (
         df.select(F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col), n)).alias("sh"))
     )
-    # document frequency cap, materialized ONCE (eager localCheckpoint):
-    # three consumers read it inside one job (per-doc counts + both sides
-    # of the inverted-index self-join), and a lazy persist lets their
-    # tasks race to compute it concurrently instead of sharing the cache
+    # Document-frequency cap, persisted AND eagerly materialized: three
+    # consumers read it inside one job (per-doc counts + both sides of the
+    # inverted-index self-join), and a lazy persist would let their tasks
+    # race to compute it concurrently; the count() forces one computation
+    # now, while keeping the relation in the CacheManager so a repeated
+    # invocation of the same plan reuses it (localCheckpoint would not).
     rare = (
         sh.join(
             sh.groupBy("sh")
@@ -71,8 +73,9 @@ def shingle_jaccard_pairs(
             "sh",
         )
         .select("doc_id", "sh")
-        .localCheckpoint()
+        .persist()
     )
+    rare.count()
     counts = rare.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = rare.alias("a")
     b = rare.alias("b")
@@ -170,11 +173,14 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     # The signature relation feeds THREE consumers (band explode + two
-    # candidate rejoins); without persistence Spark recomputes the whole
-    # shingle-explode-and-aggregate subtree for each one. Persisting the
-    # (doc_id, signature) table — num_hashes×8B per doc, orders of
-    # magnitude smaller than the text — is the right trade at any scale.
+    # candidate rejoins) inside ONE job; persist + eager count() computes
+    # it exactly once (a lazy persist lets the consumers' tasks race to
+    # compute the whole shingle-explode-and-aggregate subtree
+    # concurrently) while keeping it CacheManager-reusable across
+    # invocations. num_hashes×8B per doc — orders of magnitude smaller
+    # than the text, the right trade at any scale.
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed).persist()
+    sig.count()
     # Banded rows carry only (doc_id, band, bucket) — NOT the 64-element
     # signature. The bucket equi-join shuffles 16 narrow rows per doc;
     # signatures rejoin only the (far fewer) surviving candidate pairs.
@@ -269,9 +275,11 @@ def simhash_pairs(
     for the default radius. Never an all-pairs product: buckets key on
     16-bit values (65k spread), probe fan-out is a fixed 68 rows/doc.
     """
-    # Two consumers (exact chunks + probe fan-out) — persist so the
-    # 64-bit-sum aggregation over exploded tokens runs once, not twice.
+    # Two consumers (exact chunks + probe fan-out) in one job — persist
+    # and materialize eagerly so the 64-bit-sum aggregation over exploded
+    # tokens runs once, not twice (lazy persist would let them race).
     sh = simhash(df, id_col, text_col, seed).persist()
+    sh.count()
 
     def chunk_val(i: int) -> F.Column:
         return F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
@@ -345,12 +353,13 @@ def connected_components(
     truncates lineage each round so superstep N doesn't re-execute
     supersteps 1..N-1; the driver only ever sees the changed-count.
     """
-    # Materialize the pair relation BEFORE the bidirecting union: the union
-    # references it twice, and a lazy persist doesn't stop both branches
-    # from racing to compute the (expensive) pair pipeline concurrently —
-    # the eager localCheckpoint runs it exactly once.
-    p = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint()
-    edges = p.union(p.select(F.col("v"), F.col("u"))).persist()
+    # Materialize the pair relation BEFORE the bidirecting union: the
+    # union references it twice, and a lazy persist doesn't stop both
+    # branches from racing to compute the (expensive) pair pipeline
+    # concurrently — persist + eager count() runs it exactly once.
+    p = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).persist()
+    p.count()
+    edges = p.union(p.select(F.col("v"), F.col("u")))
     labels = (
         edges.groupBy("u")
         .agg(F.min("v").alias("mv"))
@@ -382,5 +391,5 @@ def connected_components(
         labels = new_labels.select("u", "label")
         if changed == 0:
             break
-    edges.unpersist()
+    p.unpersist()
     return labels.select(F.col("u").alias("node"), F.col("label").alias("cluster_root"))
