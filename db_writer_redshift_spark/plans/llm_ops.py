@@ -291,11 +291,36 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("udtf_split_sentences", oracle=None)
+@register(
+    "udtf_split_sentences",
+    oracle=r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(regexp_extract_all(text, '[^.!?]*[.!?]|[^.!?]+$'),
+                          x -> trim(x, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))),
+           x -> len(x) > 0) AS sents
+  FROM documents WHERE doc_id % 50 = 0
+),
+expl AS (
+  SELECT doc_id,
+         unnest(sents) AS sentence,
+         generate_subscripts(sents, 1) - 1 AS sentence_idx
+  FROM base WHERE len(sents) > 0
+)
+SELECT b.doc_id, e.sentence_idx, e.sentence, len(e.sentence) AS n_chars
+FROM base b LEFT JOIN expl e USING (doc_id)
+""",
+)
 def udtf_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Python UDTF demonstration: explode documents into sentence rows
-    (engine-internal lateral shape — rows-only driver check; behavior
-    unit-tested in tests/test_udfs.py)."""
+    """Python UDTF demonstration: explode documents into sentence rows.
+
+    Oracle-exact: the UDTF's split rule (a sentence is any run up to and
+    including one of ``.!?``, plus a terminator-less tail; whitespace-
+    stripped, empties dropped) is replicated in DuckDB with
+    ``regexp_extract_all('[^.!?]*[.!?]|[^.!?]+$')`` + trim + filter, and
+    the LEFT OUTER LATERAL (docs yielding no sentences keep one all-NULL
+    row) via a LEFT JOIN back onto the exploded relation."""
     from db_writer_redshift_spark.functions.udfs import split_sentences_udtf
 
     from db_writer_redshift_spark.functions.udfs import register_split_sentences
@@ -358,12 +383,44 @@ def text_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("multimodal_features", oracle=None)
+@register(
+    "multimodal_features",
+    oracle=r"""
+WITH media AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         octet_length(encode(text)) AS n_bytes,
+         CASE WHEN text IS NULL THEN NULL
+              WHEN len(text) = 0 THEN 0
+              ELSE list_reduce(
+                list_transform(range(1, len(text) + 1),
+                               i -> (ord(text[i]) + i - 1)::BIGINT),
+                (acc, v) -> (acc * 31 + v) % 2147483648)
+         END AS checksum
+  FROM documents
+)
+SELECT media_type,
+       COUNT(*) AS n_items,
+       SUM(n_bytes) AS total_bytes,
+       MIN(checksum) AS min_checksum,
+       MAX(16 + (n_bytes % 64)) AS max_width
+FROM media
+GROUP BY media_type
+""",
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column pipeline: synthesize payloads → mapInPandas stub decode
     → per-media-type feature rollup. The decode is a deterministic stub (no
     codecs in this container — multimodal.py documents the swap point); the
-    Arrow-batched plumbing is the real thing. Rows-only driver check."""
+    Arrow-batched plumbing is the real thing.
+
+    Oracle-exact: the stub checksum ``acc = (acc*31 + byte_i + i) mod 2^31``
+    over UTF-8 payload bytes is replicated in DuckDB as a ``list_reduce``
+    fold over ``ord(text[i]) + i`` (the corpus is ASCII, so code point ==
+    byte; ``list_reduce``'s first-element init equals the zero-init formula
+    for i=0)."""
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.synthesize_media(docs, "doc_id", "text")
     feats = multimodal.extract_features(media)
