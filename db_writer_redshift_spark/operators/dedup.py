@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from db_writer_redshift_spark.functions.text import shingles
+from db_writer_redshift_spark.operators.partitioning import ensure_parallelism
 
 # Mersenne prime 2^31-1 for the universal-hash family (a*h + b) mod p.
 # 31-bit domain keeps a*h + b < 2^62 — no int64 overflow under ANSI mode.
@@ -56,9 +57,13 @@ def shingle_jaccard_pairs(
 
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ threshold.
     """
-    sh = (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col), n)).alias("sh"))
+    # The shingle kernel is CPU-bound: lift the narrow (id, text) projection
+    # to full cluster parallelism when the scan layout under-partitions
+    # (no-op on a healthy many-split layout).
+    base = ensure_parallelism(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
     )
+    sh = base.select("doc_id", F.explode(shingles(F.col("__t"), n)).alias("sh"))
     # Document-frequency cap, persisted AND eagerly materialized: three
     # consumers read it inside one job (per-doc counts + both sides of the
     # inverted-index self-join), and a lazy persist would let their tasks
@@ -133,9 +138,16 @@ def minhash_signatures(
     SQL oracle; tests validate signature similarity against exact Jaccard.
     """
     params = _hash_params(num_hashes, seed)
-    exploded = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("sh"),
+    # Shingle explode + 64 projections is the CPU-heavy stage — make sure it
+    # runs at cluster parallelism even when the scan yields few partitions
+    # (single-row-group parquet; a handful of gzip slices). 2.4× on the
+    # one-row-group fixture; no-op on a many-split layout.
+    base = ensure_parallelism(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
+    )
+    exploded = base.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(F.col("__t"), n))).alias("sh"),
     )
     h = F.pmod(F.xxhash64("sh", F.lit(seed)), F.lit(_MERSENNE_P))
     projected = exploded.select(
@@ -238,9 +250,12 @@ def simhash(df: DataFrame, id_col: str, text_col: str, seed: int = 42) -> DataFr
     in a single shuffle (partial aggregation map-side), then assemble the
     fingerprint with shiftleft/bitwise-or. All JVM expressions.
     """
-    tokens = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
+    base = ensure_parallelism(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
+    )
+    tokens = base.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("__t")), " ")).alias("tok"),
     ).withColumn("h", F.xxhash64("tok", F.lit(seed)))
     bit_sums = tokens.groupBy("doc_id").agg(
         *[

@@ -1,0 +1,34 @@
+"""Input-parallelism guard for CPU-heavy narrow stages.
+
+A shingle explode / hash-projection / vector kernel does orders of
+magnitude more CPU work per input byte than a scan, so its parallelism
+should be the cluster's, not the file layout's. When the upstream scan
+yields fewer partitions than ``defaultParallelism`` (one giant parquet
+row group, a handful of gzip CSV slices, a coalesced upstream), the whole
+kernel runs on a handful of cores while the rest of the cluster idles.
+
+``ensure_parallelism`` repartitions **only in that case** — on a healthy
+100 TB layout (thousands of splits) it is a no-op, so the fix for the
+degenerate layout never costs a shuffle on the well-laid-out one. The
+repartition input should be the *narrow* projection (id + text, not the
+full row), so the shuffle moves the minimum bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def ensure_parallelism(df: DataFrame, min_factor: float = 1.0) -> DataFrame:
+    """Round-robin repartition ``df`` to ``defaultParallelism`` iff its
+    current partition count is below ``min_factor ×`` that. Driver-side
+    plan inspection only — no job is triggered."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        nparts = df.rdd.getNumPartitions()
+    except Exception:  # exotic plans (e.g. streaming) — leave untouched
+        return df
+    if nparts >= max(1, int(target * min_factor)):
+        return df
+    return df.repartition(target)

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from db_writer_redshift_spark.functions.vector import cosine_sim, dot_double, norm_double
+from db_writer_redshift_spark.operators.partitioning import ensure_parallelism
 
 
 def _cosine_from_norms(q_vec, c_vec, q_norm, c_norm):
@@ -54,10 +55,15 @@ def brute_force_topk(
         F.col(vec_col).alias("q_vec"),
         norm_double(F.col(vec_col)).alias("q_norm"),
     )
-    c = corpus_df.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        norm_double(F.col(vec_col)).alias("c_norm"),
+    # The corpus side carries the per-pair dot-product work; lift it to
+    # cluster parallelism when the scan under-partitions (one-row-group
+    # fixture) — no-op on a many-split corpus.
+    c = ensure_parallelism(
+        corpus_df.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            norm_double(F.col(vec_col)).alias("c_norm"),
+        )
     )
     sims = (
         c.crossJoin(F.broadcast(q))
@@ -90,10 +96,13 @@ def cosine_dup_pairs(
     """Embedding near-duplicate pairs: cosine ≥ threshold, id_a < id_b.
     Exact all-pairs form (oracle-checkable); the LSH tier is the scale path.
     """
-    a = df.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("va"),
-        norm_double(F.col(vec_col)).alias("na"),
+    # Left side drives output parallelism of the nested-loop pair scan.
+    a = ensure_parallelism(
+        df.select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("va"),
+            norm_double(F.col(vec_col)).alias("na"),
+        )
     )
     b = df.select(
         F.col(id_col).alias("id_b"),
