@@ -11,18 +11,23 @@ Two tiers:
     cross product; recall is tuned by (H, L) and validated in tests against
     the brute-force baseline.
 
-Hyperplanes are generated from a fixed seed with numpy and shipped as
-literal arrays (they are tiny: L×H×dim floats) — deterministic, no RNG at
-execution time.
+Hyperplanes are generated from a fixed seed with numpy and shipped in the
+bucket UDF's closure (they are tiny: L×H×dim floats) — deterministic, no
+RNG at execution time. Bucket/cell assignment is Arrow-batched numpy
+matmul (one GEMM per batch); candidate joins carry ids only, with vectors
+rejoined for survivors; the exact re-rank stays JVM-side fold arithmetic
+so scores are bit-identical to brute force.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import types as T
 from pyspark.sql import functions as F
 
-from db_writer_redshift_spark.functions.vector import cosine_sim, dot_double, norm_double
+from db_writer_redshift_spark.functions.vector import dot_double, norm_double
 from db_writer_redshift_spark.operators.partitioning import ensure_parallelism
 
 
@@ -170,38 +175,20 @@ def ivf_topk(
         )
     ]
 
-    def cell_scores(vec) -> F.Column:
-        """Array of (cell, cosine-to-centroid) structs, JVM expressions."""
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(ci).alias("cell"),
-                    cosine_sim(vec, F.array(*[F.lit(x) for x in cv])).alias("sim"),
-                )
-                for ci, cv in centroids
-            ]
-        )
+    ranked_cells = _ranked_cells_udf(centroids)
 
-    def top_cells(vec, m: int) -> F.Column:
-        return F.slice(
-            F.reverse(F.array_sort(cell_scores(vec), lambda a, b: F.when(a["sim"] < b["sim"], -1).when(a["sim"] > b["sim"], 1).otherwise(0))),
-            1,
-            m,
+    c_assigned = ensure_parallelism(
+        corpus_df.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            norm_double(F.col(vec_col)).alias("c_norm"),
         )
-
-    c_assigned = corpus_df.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        norm_double(F.col(vec_col)).alias("c_norm"),
-        F.element_at(top_cells(F.col(vec_col), 1), 1)["cell"].alias("cell"),
-    )
+    ).withColumn("cell", F.element_at(ranked_cells(F.col("c_vec")), 1))
     q_probed = queries_df.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         norm_double(F.col(vec_col)).alias("q_norm"),
-        F.explode(F.transform(top_cells(F.col(vec_col), num_probes), lambda s: s["cell"])).alias(
-            "cell"
-        ),
+        F.explode(F.slice(ranked_cells(F.col(vec_col)), 1, num_probes)).alias("cell"),
     )
     cand = (
         q_probed.join(c_assigned, "cell")
@@ -225,27 +212,63 @@ def ivf_topk(
     )
 
 
+def _ranked_cells_udf(centroids):
+    """Cell ids ranked by cosine-to-centroid, descending, as ONE
+    Arrow-batched matmul per batch (same rationale as ``_bucket_udf`` —
+    the per-centroid fold-expression formulation codegens k×dim-term
+    trees per row). Zero-norm vectors rank all cells equal-last; ties
+    break toward the lower cell id (stable argsort) — real-valued
+    cosines make ties measure-zero in practice."""
+    cmat = np.array([cv for _, cv in centroids], dtype=np.float64)  # k × dim
+    cnorm = np.linalg.norm(cmat, axis=1)
+    cnorm[cnorm == 0.0] = np.inf  # zero-norm centroid: sim 0 everywhere
+    cell_ids = np.array([ci for ci, _ in centroids], dtype=np.int32)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def ranked(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.array(v.tolist(), dtype=np.float64)  # batch × dim
+        vnorm = np.linalg.norm(mat, axis=1)
+        vnorm[vnorm == 0.0] = np.inf
+        sims = (mat @ cmat.T) / np.outer(vnorm, cnorm)
+        order = np.argsort(-sims, axis=1, kind="stable")
+        return pd.Series(list(cell_ids[order]))
+
+    return ranked
+
+
 def _hyperplanes(dim: int, num_planes: int, num_tables: int, seed: int) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.normal(size=(num_tables, num_planes, dim)).astype(float)
 
 
-def _bucket_expr(vec_col, planes: np.ndarray):
-    """Sign-bit bucket id for one table: packs sign(v·plane_j) bits into a
-    long via fold — all column expressions, evaluated JVM-side."""
-    bits = []
-    for j, plane in enumerate(planes):
-        lit = F.array(*[F.lit(float(x)) for x in plane])
-        dot = F.aggregate(
-            F.zip_with(vec_col, lit, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(dot >= 0, F.shiftleft(F.lit(1).cast("bigint"), j)).otherwise(F.lit(0).cast("bigint")))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out.bitwiseOR(b)
-    return out
+def _bucket_udf(planes: np.ndarray):
+    """All-tables bucket ids per vector as ONE Arrow-batched matmul.
+
+    sign(V·Pᵀ) for every (table, plane) at once — an (batch × dim) @
+    (dim × tables·planes) numpy matmul — then pack the sign bits into one
+    long per table. The expression-tree formulation of the same thing
+    (num_tables × num_planes fold-dots as nested higher-order functions)
+    generates megabytes of codegen and dominated runtime; a vectorized
+    matmul is the genuinely-faster path, exactly the "built-ins can't
+    express it efficiently" carve-out. Per-row results are independent of
+    batching/partitioning, so bucket assignment stays deterministic."""
+    num_tables, num_planes, dim = planes.shape
+    flat = planes.reshape(num_tables * num_planes, dim).T.copy()  # dim × (t·p)
+    weights = (1 << np.arange(num_planes, dtype=np.int64))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.array(v.tolist(), dtype=np.float64)  # batch × dim
+        signs = (mat @ flat) >= 0.0  # batch × (tables·planes)
+        signs = signs.reshape(len(mat), num_tables, num_planes)
+        ids = (signs * weights).sum(axis=2)  # batch × tables
+        return pd.Series(list(ids))
+
+    return buckets
 
 
 def lsh_topk(
@@ -274,42 +297,41 @@ def lsh_topk(
     from pyspark.sql.window import Window
 
     planes = _hyperplanes(dim, num_planes, num_tables, seed)
+    bucket_of = _bucket_udf(planes)
 
-    def with_buckets(df: DataFrame, idname: str, vecname: str, normname: str) -> DataFrame:
-        buckets = F.array(
-            *[
-                F.struct(F.lit(t).alias("t"), _bucket_expr(F.col(vecname), planes[t]).alias("bkt"))
-                for t in range(num_tables)
-            ]
-        )
+    def with_buckets(df: DataFrame, idname: str, vecname: str) -> DataFrame:
+        """(id, t, bkt) — NARROW: the bucket join must not drag the
+        vectors through the shuffle; they rejoin only for candidates."""
         return df.select(
-            F.col(idname), F.col(vecname), F.col(normname), F.explode(buckets).alias("tb")
-        ).select(idname, vecname, normname, F.col("tb.t").alias("t"), F.col("tb.bkt").alias("bkt"))
+            F.col(idname), F.posexplode(bucket_of(F.col(vecname))).alias("t", "bkt")
+        )
 
-    q = with_buckets(
-        queries_df.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("q_vec"),
-            norm_double(F.col(vec_col)).alias("q_norm"),
-        ),
-        "query_id",
-        "q_vec",
-        "q_norm",
+    q_vecs = queries_df.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm_double(F.col(vec_col)).alias("q_norm"),
     )
-    c = with_buckets(
+    c_vecs = ensure_parallelism(
         corpus_df.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("c_vec"),
             norm_double(F.col(vec_col)).alias("c_norm"),
-        ),
-        "neighbor_id",
-        "c_vec",
-        "c_norm",
+        )
+    )
+    q = with_buckets(queries_df, id_col, vec_col).withColumnRenamed(id_col, "query_id")
+    c = with_buckets(c_vecs.select(F.col("neighbor_id"), F.col("c_vec")), "neighbor_id", "c_vec")
+    # Bucket-collision candidates carry ids only; the (small) query side
+    # broadcasts, so candidate generation never shuffles the corpus.
+    cand_ids = (
+        F.broadcast(q)
+        .join(c, ["t", "bkt"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     cand = (
-        q.join(c, ["t", "bkt"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
+        cand_ids.join(F.broadcast(q_vecs), "query_id")
+        .join(c_vecs, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
