@@ -366,7 +366,7 @@ def connected_components(
     are shallow). Scale: one shuffle per round over the 2|E| bidirected
     edge list plus a map-side-combined min per node; `localCheckpoint`
     truncates lineage each round so superstep N doesn't re-execute
-    supersteps 1..N-1; the driver only ever sees the changed-count.
+    supersteps 1..N-1; the driver only ever sees a converged? boolean.
     """
     # Materialize the pair relation BEFORE the bidirecting union: the
     # union references it twice, and a lazy persist doesn't stop both
@@ -402,9 +402,13 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        changed = new_labels.filter(F.col("label") < F.col("old_label")).count()
+        # Convergence probe on the already-checkpointed relation: isEmpty
+        # is take(1) — it early-exits at the FIRST changed row, where a
+        # count() would scan every label partition every round. Only the
+        # final (converged) round pays a full scan, unavoidably.
+        converged = new_labels.filter(F.col("label") < F.col("old_label")).isEmpty()
         labels = new_labels.select("u", "label")
-        if changed == 0:
+        if converged:
             break
     p.unpersist()
     return labels.select(F.col("u").alias("node"), F.col("label").alias("cluster_root"))
