@@ -21,6 +21,80 @@ from db_writer_redshift_spark.plans.registry import load_table, register
 
 
 @register(
+    "pipeline_curated_corpus",
+    oracle=r"""
+WITH base AS (
+  SELECT doc_id,
+         len(regexp_extract_all(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_tokens,
+         ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')), 6) AS avg_word_len,
+         ROUND(CAST(LENGTH(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / LENGTH(text), 6) AS punct_ratio,
+         ROUND(CAST(len(list_filter(string_split(LOWER(text), ' '), x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+               / len(string_split(text, ' ')), 6) AS stopword_ratio
+  FROM documents
+),
+q AS (
+  SELECT doc_id, n_tokens,
+         ROUND(1.0 - LEAST(1.0, ABS(avg_word_len - 5) / 5) * 0.3
+                   - LEAST(1.0, punct_ratio * 10) * 0.3
+                   - LEAST(1.0, ABS(stopword_ratio - 0.4)) * 0.4, 6) AS quality_score
+  FROM base
+),
+gated AS (
+  SELECT d.doc_id, d.lang, d.text, q.quality_score
+  FROM documents d JOIN q USING (doc_id)
+  WHERE q.quality_score >= 0.83 AND q.n_tokens >= 30
+),
+keep AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM (SELECT doc_id, md5(text) AS fp FROM gated)
+  GROUP BY fp
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       ROUND(SUM(CAST(ROUND(quality_score * 1000000) AS BIGINT)) / 1000000.0 / COUNT(*), 4) AS avg_quality,
+       SUM(LENGTH(text)) AS total_chars
+FROM gated
+WHERE doc_id IN (SELECT doc_id FROM keep)
+GROUP BY lang
+""",
+)
+def pipeline_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline composed from the engine's own
+    operators: quality gate (text.quality_features) → exact-dedup keep
+    list (dedup.exact_dedup, min-id-wins within the gated set) →
+    left-semi join → per-language rollup. One scan feeds the gate; the
+    keep list is aggregate-collapsed (order-of-distinct-contents sized,
+    broadcastable) before the semi join — the shape a 100 TB curation
+    run wants. avg_quality goes through an exact integer sum of the
+    6-decimal scores (×1e6, rounded) so the cross-engine average is
+    order-independent."""
+    d = load_table(spark, sf_dir, "documents")
+    q = text.quality_features(d, "doc_id", "text").select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+    gated = d.select("doc_id", "lang", "text").join(
+        q.filter((F.col("quality_score") >= 0.83) & (F.col("n_tokens") >= 30)).drop(
+            "n_tokens"
+        ),
+        "doc_id",
+    )
+    keep = dedup.exact_dedup(gated, "doc_id", "text").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    curated = gated.join(keep, "doc_id", "left_semi")
+    return curated.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(
+            F.sum(F.round(F.col("quality_score") * 1e6).cast("bigint"))
+            / F.lit(1e6)
+            / F.count("*"),
+            4,
+        ).alias("avg_quality"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
+
+
+@register(
     "dedup_exact_docs",
     oracle="""
 SELECT MD5(text) AS fingerprint, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
