@@ -25,8 +25,9 @@ def words(text: Column) -> Column:
     return F.split(text, " ")
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as an array<string>.
+def ngrams(text: Column, n: int) -> Column:
+    """ALL word n-grams in order (repeats kept) as an array<string>; empty
+    when the document has fewer than n words.
 
     transform over an index sequence — stays JVM-side; no explode until the
     caller chooses to."""
@@ -35,9 +36,14 @@ def shingles(text: Column, n: int = 3) -> Column:
     grams = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.get(w, i + j) for j in range(n)])
     )
-    return F.when(F.size(w) >= n, F.array_distinct(grams)).otherwise(
+    return F.when(F.size(w) >= n, grams).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array<string>."""
+    return F.array_distinct(ngrams(text, n))
 
 
 def token_count_expr(text: Column) -> Column:

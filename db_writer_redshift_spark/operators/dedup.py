@@ -100,6 +100,48 @@ def shingle_jaccard_pairs(
     )
 
 
+def ngram_overlap(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: distinct word-n-gram overlap of every
+    training document against an evaluation corpus (the GPT-3/PaLM-style
+    n-gram collision check).
+
+    Plan shape: explode distinct n-grams on both sides → equi-join on the
+    gram → per-train-doc rollup. The eval side is a benchmark suite —
+    tiny relative to a 100 TB training corpus — so its exploded gram list
+    broadcasts (``broadcast_eval``) and the training side never shuffles:
+    the whole check is a scan-stage broadcast-hash-join plus one rollup
+    aggregation keyed on train_id.
+
+    Output: one row per CONTAMINATED train doc —
+    (train_id, n_shared_grams, n_eval_docs, first_eval_id).
+    """
+    tg = ensure_parallelism(
+        train.select(F.col(id_col).alias("train_id"), F.col(text_col).alias("__t"))
+    ).select("train_id", F.explode(shingles(F.col("__t"), n)).alias("g"))
+    eg = eval_df.select(
+        F.col(id_col).alias("eval_id"),
+        F.explode(shingles(F.col(text_col), n)).alias("g"),
+    )
+    if broadcast_eval:
+        eg = F.broadcast(eg)
+    return (
+        tg.join(eg, "g")
+        .groupBy("train_id")
+        .agg(
+            F.count_distinct("g").alias("n_shared_grams"),
+            F.count_distinct("eval_id").alias("n_eval_docs"),
+            F.min("eval_id").alias("first_eval_id"),
+        )
+    )
+
+
 def _hash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
     """Deterministic (a_i, b_i) universal-hash parameters from the seed via a
     splitmix-style mix — no RNG state, reproducible anywhere."""

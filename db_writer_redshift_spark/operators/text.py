@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from db_writer_redshift_spark.functions.text import (
     STOPWORDS,
     avg_word_len_expr,
+    ngrams,
     punct_ratio_expr,
     stopword_ratio_expr,
     token_count_expr,
@@ -68,6 +69,40 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     cols = [F.col(id_col).alias("doc_id")]
     cols += [scores[lang].alias(f"score_{lang}") for lang in langs]
     cols.append(pred.alias("pred_lang"))
+    return df.select(*cols)
+
+
+def repetition_features(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    flag_2gram: float = 0.10,
+    flag_3gram: float = 0.05,
+) -> DataFrame:
+    """Gopher-style within-document repetition scoring: for n ∈ {1,2,3},
+    the fraction of n-gram occurrences that repeat an earlier occurrence
+    (1 - distinct/total), plus a repetitive flag at the given 2/3-gram
+    thresholds (cf. Rae et al. 2021 §A1.1's duplicate-n-gram filters).
+
+    Pure column expressions over in-row arrays — a narrow map stage, no
+    shuffle, scan-bound at 100 TB like the other quality filters. The
+    fraction is one double divide rounded to 6 places so the oracle can
+    reproduce it bit-for-bit."""
+    t = F.col(text_col)
+    cols = [F.col(id_col).alias("doc_id")]
+    fracs = {}
+    for n in (1, 2, 3):
+        g = ngrams(t, n)
+        total = F.size(g)
+        frac = F.when(
+            total > 0,
+            F.round((total - F.size(F.array_distinct(g))) / total, 6),
+        ).otherwise(F.lit(0.0))
+        fracs[n] = frac
+        cols.append(frac.alias(f"dup_{n}gram_frac"))
+    cols.append(
+        ((fracs[2] > flag_2gram) | (fracs[3] > flag_3gram)).alias("is_repetitive")
+    )
     return df.select(*cols)
 
 

@@ -534,3 +534,76 @@ def dedup_normalized_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fingerprint")
         .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_docs"))
     )
+
+
+@register(
+    "text_repetition_scores",
+    oracle=r"""
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+f AS (
+  SELECT doc_id,
+         len(w) AS t1, len(list_distinct(w)) AS d1,
+         len(w) - 1 AS t2,
+         len(list_distinct(list_transform(generate_series(1, len(w) - 1),
+             i -> w[i] || ' ' || w[i+1]))) AS d2,
+         len(w) - 2 AS t3,
+         len(list_distinct(list_transform(generate_series(1, len(w) - 2),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS d3
+  FROM docs
+),
+r AS (
+  SELECT doc_id,
+         CASE WHEN t1 > 0 THEN ROUND(CAST(t1 - d1 AS DOUBLE) / t1, 6) ELSE 0.0 END AS dup_1gram_frac,
+         CASE WHEN t2 > 0 THEN ROUND(CAST(t2 - d2 AS DOUBLE) / t2, 6) ELSE 0.0 END AS dup_2gram_frac,
+         CASE WHEN t3 > 0 THEN ROUND(CAST(t3 - d3 AS DOUBLE) / t3, 6) ELSE 0.0 END AS dup_3gram_frac
+  FROM f
+)
+SELECT doc_id, dup_1gram_frac, dup_2gram_frac, dup_3gram_frac,
+       CAST(dup_2gram_frac > 0.10 OR dup_3gram_frac > 0.05 AS INT) AS is_repetitive
+FROM r
+""",
+)
+def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition filter (Gopher/MassiveText-style
+    duplicate-n-gram fractions, Rae et al. 2021): per doc, the fraction of
+    n-gram occurrences (n ∈ {1,2,3}) that repeat an earlier occurrence,
+    plus the repetitive flag. Narrow scan-stage projection — no shuffle."""
+    rep = text.repetition_features(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+    return rep.withColumn("is_repetitive", F.col("is_repetitive").cast("int"))
+
+
+@register(
+    "decontam_ngram_overlap",
+    oracle=r"""
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS g
+  FROM docs, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+  WHERE len(w) >= 5
+)
+SELECT tr.doc_id AS train_id,
+       COUNT(DISTINCT tr.g) AS n_shared_grams,
+       COUNT(DISTINCT ev.doc_id) AS n_eval_docs,
+       MIN(ev.doc_id) AS first_eval_id
+FROM (SELECT * FROM grams WHERE doc_id % 20 <> 0) tr
+JOIN (SELECT * FROM grams WHERE doc_id % 20 = 0) ev ON tr.g = ev.g
+GROUP BY tr.doc_id
+""",
+)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix-C-style n-gram collision
+    check): flags training docs sharing any distinct word-5-gram with the
+    held-out eval slice (doc_id % 20 == 0 stands in for the benchmark
+    suite). The eval gram list broadcasts — the training side never
+    shuffles for the join; one rollup keyed on train_id follows."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_overlap(
+        d.filter(F.col("doc_id") % 20 != 0),
+        d.filter(F.col("doc_id") % 20 == 0),
+        "doc_id",
+        "text",
+        n=5,
+    )

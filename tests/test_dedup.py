@@ -115,3 +115,31 @@ def test_connected_components_multiple(spark):
 def test_connected_components_isolated_pair(spark):
     got = _cc(spark, [(42, 41)])
     assert got == {41: 41, 42: 41}
+
+
+def test_ngram_overlap_decontamination(spark):
+    from db_writer_redshift_spark.operators.dedup import ngram_overlap
+
+    train = spark.createDataFrame(
+        [
+            (10, "q r s t u v w"),        # shares 5-grams with eval doc 1
+            (11, "a b c d e f"),          # clean
+            (12, "q r s t u x y"),        # shares exactly one 5-gram
+        ],
+        "id long, t string",
+    )
+    ev = spark.createDataFrame([(1, "q r s t u v w x")], "id long, t string")
+    got = {r.train_id: r for r in ngram_overlap(train, ev, "id", "t", n=5).collect()}
+    assert set(got) == {10, 12}  # doc 11 clean -> absent
+    assert got[10].n_shared_grams == 3  # qrstu rstuv stuvw
+    assert got[12].n_shared_grams == 1
+    assert got[10].n_eval_docs == 1 and got[10].first_eval_id == 1
+
+
+def test_ngram_overlap_broadcasts_eval_side(spark):
+    from db_writer_redshift_spark.operators.dedup import ngram_overlap
+
+    train = spark.createDataFrame([(10, "a b c d e f")], "id long, t string")
+    ev = spark.createDataFrame([(1, "a b c d e")], "id long, t string")
+    plan = ngram_overlap(train, ev, "id", "t", n=5)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

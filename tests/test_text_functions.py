@@ -47,3 +47,35 @@ def test_rolling_hash_stable_and_case_insensitive(spark):
 @pytest.mark.parametrize("text", ["solo", "a b c d e f g h i j"])
 def test_rolling_hash_deterministic(spark, text):
     assert _one(spark, text, rolling_hash_expr) == _one(spark, text, rolling_hash_expr)
+
+
+def test_ngrams_keeps_repeats_in_order(spark):
+    from db_writer_redshift_spark.functions.text import ngrams
+
+    got = _one(spark, "a b a b", lambda c: ngrams(c, 2))
+    assert got == ["a b", "b a", "a b"]
+    assert _one(spark, "a", lambda c: ngrams(c, 2)) == []
+
+
+def test_repetition_features_hand_computed(spark):
+    from db_writer_redshift_spark.operators.text import repetition_features
+
+    # "a a a b": 1-grams 4 total / 2 distinct -> 0.5
+    #            2-grams [a a, a a, a b] 3 total / 2 distinct -> 1/3
+    #            3-grams [a a a, a a b] 2 total / 2 distinct -> 0.0
+    df = spark.createDataFrame([(1, "a a a b"), (2, "x y z w")], "id long, t string")
+    rows = {r.doc_id: r for r in repetition_features(df, "id", "t").collect()}
+    assert rows[1].dup_1gram_frac == 0.5
+    assert rows[1].dup_2gram_frac == round(1 / 3, 6)
+    assert rows[1].dup_3gram_frac == 0.0
+    assert rows[1].is_repetitive  # dup_2gram 0.333 > 0.10
+    assert rows[2].dup_1gram_frac == 0.0 and not rows[2].is_repetitive
+
+
+def test_repetition_short_doc_no_div_by_zero(spark):
+    from db_writer_redshift_spark.operators.text import repetition_features
+
+    df = spark.createDataFrame([(1, "solo")], "id long, t string")
+    r = repetition_features(df, "id", "t").collect()[0]
+    assert (r.dup_1gram_frac, r.dup_2gram_frac, r.dup_3gram_frac) == (0.0, 0.0, 0.0)
+    assert not r.is_repetitive

@@ -19,8 +19,8 @@ Replication scheme (keys offset per copy i by a stride > max key):
   * events keeps its converted micro-precision timestamps (load_table
     passes non-bigint ts through unchanged).
 
-Usage: python tools/scale_probe.py [K] [out_dir]
-  (defaults: K=10, out=/tmp/spark_graft_scale/sf1)
+Usage: python tools/scale_probe.py [K] [out_dir] [--all | query ...]
+  (defaults: K=10, out=/tmp/spark_graft_scale/sf1, headline PROBE list)
 Writes the scaled tables once (skips if present), then prints per-query
 seconds at the scaled SF vs the source SF.
 """
@@ -90,6 +90,7 @@ def build(spark, k: int, out: str) -> None:
 def main() -> int:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_scale/sf1"
+    extra = sys.argv[3:]
 
     from db_writer_redshift_spark.session import get_spark
 
@@ -111,9 +112,16 @@ def main() -> int:
     import __spark_entry__ as entry_mod
 
     queries = entry_mod.queries()
-    print(f"{'query':35s} {'src_s':>7s} {'scaled_s':>9s} {'ratio':>6s}  (data ×{k}, 32-split layout)")
-    for name in PROBE:
+    if extra == ["--all"]:
+        probe = sorted(queries)
+    elif extra:
+        probe = extra
+    else:
+        probe = PROBE
+    print(f"{'query':40s} {'src_s':>7s} {'scaled_s':>9s} {'ratio':>6s}  (data ×{k}, 32-split layout)")
+    for name in probe:
         fn = queries[name]
+        print(f"{name:40s} ", end="", flush=True)
         rows = {}
         for label, sf_dir in [("src", SRC), ("scaled", out)]:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
@@ -124,7 +132,7 @@ def main() -> int:
                 best = min(best, time.perf_counter() - t0)
             rows[label] = best
         ratio = rows["scaled"] / rows["src"] if rows["src"] > 0 else float("nan")
-        print(f"{name:35s} {rows['src']:7.2f} {rows['scaled']:9.2f} {ratio:5.1f}x")
+        print(f"{rows['src']:7.2f} {rows['scaled']:9.2f} {ratio:5.1f}x", flush=True)
     spark.stop()
     return 0
 
