@@ -90,6 +90,47 @@ def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_rebalance_uniform",
+    oracle=f"""
+WITH counts AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+m AS (SELECT MIN(n_docs) AS min_docs FROM counts),
+thr AS (SELECT lang, n_docs, (min_docs * {_RING}) // n_docs AS thr FROM counts, m)
+SELECT t.lang, t.n_docs,
+       COUNT(CASE WHEN (d.doc_id * {_A}) % {_RING} < t.thr THEN 1 END) AS n_sampled
+FROM documents d JOIN thr t ON d.lang = t.lang
+GROUP BY t.lang, t.n_docs
+""",
+)
+def sample_rebalance_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rebalancing with DATA-DERIVED rates: down-sample every
+    stratum to the size of the smallest one (uniform training mix), the
+    per-stratum keep-rate computed from the corpus itself rather than
+    hardcoded. rate_s = min_count / count_s, applied through the same
+    scan-stage Knuth-hash predicate as the other sampling ops.
+
+    Scale: pass 1 is a map-side-combined count per stratum (output =
+    #strata rows, metadata-sized); the rate table broadcasts back onto
+    the corpus scan, so pass 2 is again a row-local predicate — no
+    shuffle of the 100 TB side in either pass. The threshold uses integer
+    `div` so both engines floor identically — no float rate rounding."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    m = counts.agg(F.min("n_docs").alias("min_docs"))
+    rates = counts.crossJoin(F.broadcast(m)).withColumn(
+        "thr", F.expr(f"min_docs * {_RING} div n_docs")
+    )
+    return (
+        d.join(F.broadcast(rates.select("lang", "n_docs", "thr")), "lang")
+        .groupBy("lang", "n_docs")
+        .agg(
+            F.count(F.when(_hash_bucket("doc_id") < F.col("thr"), 1)).alias(
+                "n_sampled"
+            )
+        )
+    )
+
+
+@register(
     "vocab_topk_terms",
     oracle="""
 SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
