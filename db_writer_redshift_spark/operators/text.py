@@ -106,6 +106,50 @@ def repetition_features(
     return df.select(*cols)
 
 
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seq_len: int = 256,
+    n_bins: int = 32,
+) -> DataFrame:
+    """Training-sequence packing: assign documents to fixed-token-budget
+    packs (the pretraining batch-prep step). Documents are sharded into
+    ``n_bins`` deterministic bins (id mod), ordered by id within the bin,
+    and packed by exclusive cumulative token count: pack_id =
+    (cumsum - n_tokens) div seq_len — contiguous best-effort fill where a
+    straddling doc joins the pack its start offset falls in.
+
+    Scale: ONE shuffle (hash on bin) + one in-partition window pass; bins
+    are the unit of parallelism exactly like shard-local packing in a
+    real pipeline, and the assignment is reproducible across cluster
+    sizes because it depends only on (bin, id order). All integer
+    arithmetic — no float accumulation to drift cross-engine.
+
+    Returns one row per (bin, pack_id): n_docs, total_tokens, fill_ratio.
+    """
+    from pyspark.sql import Window
+
+    t = df.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(id_col) % n_bins).alias("bin"),
+        token_count_expr(F.col(text_col)).alias("n_tokens"),
+    )
+    w = Window.partitionBy("bin").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .withColumn("pack_id", F.expr(f"(cum_tokens - n_tokens) div {seq_len}"))
+        .groupBy("bin", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.sum("n_tokens") / F.lit(float(seq_len)), 4).alias("fill_ratio"),
+        )
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Content fingerprints: md5 (exact, engine-portable) + a 64-bit xxhash64
     (engine-internal, used by dedup/simhash paths)."""

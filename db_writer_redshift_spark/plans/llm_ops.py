@@ -607,3 +607,35 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         n=5,
     )
+
+
+@register(
+    "pack_training_sequences",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, doc_id % 32 AS bin,
+         len(regexp_extract_all(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT bin, doc_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY bin ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM t
+)
+SELECT bin, (cum_tokens - n_tokens) // 256 AS pack_id,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens) AS total_tokens,
+       ROUND(CAST(SUM(n_tokens) AS DOUBLE) / 256, 4) AS fill_ratio
+FROM c
+GROUP BY bin, (cum_tokens - n_tokens) // 256
+""",
+)
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining batches: shard docs into 32 bins,
+    pack each bin's id-ordered stream into 256-token budgets by exclusive
+    cumulative count, report per-pack fill. One bin-hash shuffle + one
+    window pass; integer-exact, so reproducible at any cluster size."""
+    return text.pack_sequences(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", seq_len=256, n_bins=32
+    )

@@ -79,3 +79,28 @@ def test_repetition_short_doc_no_div_by_zero(spark):
     r = repetition_features(df, "id", "t").collect()[0]
     assert (r.dup_1gram_frac, r.dup_2gram_frac, r.dup_3gram_frac) == (0.0, 0.0, 0.0)
     assert not r.is_repetitive
+
+
+def test_pack_sequences_hand_computed(spark):
+    from db_writer_redshift_spark.operators.text import pack_sequences
+
+    # One bin (n_bins=1). Token counts: each text is k words of 1 token.
+    # Budget 10: cum_excl 0,4,8,14 -> packs 0,0,0,1 (doc 3 straddles at
+    # offset 8 and still lands in pack 0; doc 4 starts at 14 -> pack 1).
+    docs = [(i, " ".join(["tok"] * k)) for i, k in [(1, 4), (2, 4), (3, 6), (4, 5)]]
+    df = spark.createDataFrame(docs, "id long, t string")
+    rows = {r.pack_id: r for r in pack_sequences(df, "id", "t", seq_len=10, n_bins=1).collect()}
+    assert rows[0].n_docs == 3 and rows[0].total_tokens == 14
+    assert rows[0].fill_ratio == 1.4
+    assert rows[1].n_docs == 1 and rows[1].total_tokens == 5
+
+
+def test_pack_sequences_bin_determinism(spark):
+    from db_writer_redshift_spark.operators.text import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, "w " * (i % 7 + 1)) for i in range(100)], "id long, t string"
+    )
+    a = sorted(map(tuple, pack_sequences(df, "id", "t", 16, 4).collect()))
+    b = sorted(map(tuple, pack_sequences(df.repartition(13), "id", "t", 16, 4).collect()))
+    assert a == b  # partitioning-independent assignment
