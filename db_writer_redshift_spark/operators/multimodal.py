@@ -139,3 +139,52 @@ def resize_stub(media_df: DataFrame, max_dim: int = 224) -> DataFrame:
             yield out
 
     return media_df.mapInPandas(resize, schema=MEDIA_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("frame_ts_ms", LongType(), False),
+        StructField("frame_payload", BinaryType(), True),
+        StructField("frame_bytes", LongType(), True),
+    ]
+)
+
+
+def frame_sample_stub(
+    media_df: DataFrame, n_frames: int = 4, fps_ms: int = 40
+) -> DataFrame:
+    """Video frame sampling plumbing: one-to-many mapInPandas that emits
+    ``n_frames`` evenly-spaced frames per video row (non-video rows are
+    dropped). The decode is stubbed — each "frame" is the payload slice at
+    the frame's byte offset, deterministic in (payload, frame_idx) — but
+    the plumbing is the real thing: a row-exploding Arrow stage whose
+    output height differs from its input height (the shape a real
+    ffmpeg-backed sampler needs), timestamp metadata per frame, and
+    batch-bounded memory (frames for one input batch at a time).
+
+    At scale this is the fan-out stage before per-frame feature
+    extraction; partitioning is inherited from the scan, and the
+    downstream per-frame ops see ~n_frames× rows without any shuffle.
+    """
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vids = pdf[pdf["media_type"] == "video"]
+            rows = {k: [] for k in ("doc_id", "frame_idx", "frame_ts_ms",
+                                    "frame_payload", "frame_bytes")}
+            for doc_id, payload in zip(vids["doc_id"], vids["payload"]):
+                if payload is None:
+                    continue
+                step = max(1, len(payload) // n_frames)
+                for i in range(n_frames):
+                    chunk = bytes(payload[i * step : (i + 1) * step])
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(i)
+                    rows["frame_ts_ms"].append(i * fps_ms)
+                    rows["frame_payload"].append(chunk)
+                    rows["frame_bytes"].append(len(chunk))
+            yield pd.DataFrame(rows)
+
+    return media_df.mapInPandas(sample, schema=FRAME_SCHEMA)

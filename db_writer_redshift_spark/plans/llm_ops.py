@@ -639,3 +639,31 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.pack_sequences(
         load_table(spark, sf_dir, "documents"), "doc_id", "text", seq_len=256, n_bins=32
     )
+
+
+@register(
+    "multimodal_frame_rollup",
+    oracle="""
+SELECT doc_id,
+       CAST(4 AS BIGINT) AS n_frames,
+       4 * (LENGTH(text) // 4) AS total_frame_bytes,
+       CAST(120 AS BIGINT) AS max_ts_ms
+FROM documents WHERE doc_id % 3 = 2
+""",
+)
+def multimodal_frame_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-video frame-sampling rollup: synthesize media columns, run the
+    one-to-many Arrow frame sampler (4 evenly-spaced stub frames per
+    video), roll up per doc. The oracle replicates the stub's byte-slice
+    arithmetic (step = len div 4, four full chunks) in closed form —
+    valid because every fixture doc is ≥4 bytes. Exercises the
+    row-exploding mapInPandas path end-to-end."""
+    media = multimodal.synthesize_media(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+    frames = multimodal.frame_sample_stub(media, n_frames=4, fps_ms=40)
+    return frames.groupBy("doc_id").agg(
+        F.count("*").alias("n_frames"),
+        F.sum("frame_bytes").alias("total_frame_bytes"),
+        F.max("frame_ts_ms").alias("max_ts_ms"),
+    )

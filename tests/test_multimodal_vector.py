@@ -65,3 +65,20 @@ def test_cosine_sim_zero_norm_null(spark):
 
     df = spark.createDataFrame([([0.0, 0.0], [1.0, 1.0])], "va array<double>, vb array<double>")
     assert df.select(cosine_sim(F.col("va"), F.col("vb")).alias("c")).collect()[0].c is None
+
+
+def test_frame_sample_explodes_videos_only(spark, media):
+    frames = multimodal.frame_sample_stub(media, n_frames=4, fps_ms=40)
+    assert _shape(frames.schema) == _shape(multimodal.FRAME_SCHEMA)
+    rows = frames.collect()
+    # only doc 2 (id % 3 == 2) is video -> exactly 4 frames for it
+    assert {r.doc_id for r in rows} == {2}
+    assert [r.frame_idx for r in sorted(rows, key=lambda r: r.frame_idx)] == [0, 1, 2, 3]
+    assert [r.frame_ts_ms for r in sorted(rows, key=lambda r: r.frame_idx)] == [0, 40, 80, 120]
+    # frames partition the payload prefix deterministically
+    payload = b"delta epsilon zeta"
+    step = max(1, len(payload) // 4)
+    got = b"".join(r.frame_payload for r in sorted(rows, key=lambda r: r.frame_idx))
+    assert got == payload[: step * 4]
+    again = multimodal.frame_sample_stub(media, n_frames=4, fps_ms=40).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
