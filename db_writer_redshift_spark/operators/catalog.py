@@ -100,3 +100,54 @@ def get_table_info(spark: SparkSession, name: str) -> dict:
 
 def read_table(spark: SparkSession, name: str) -> DataFrame:
     return spark.table(name)
+
+
+def profile_table(
+    df: DataFrame, columns: list[str] | None = None, exact_ndv: bool = True
+) -> DataFrame:
+    """Column statistics collection (the ANALYZE analog Redshift runs after
+    COPY — reference's loads rely on Redshift auto-analyze; here the stats
+    are a first-class operator a CBO or data-quality gate can consume).
+
+    One aggregation pass over the table computing, per requested column:
+    row count, non-null count, distinct count, min, max (min/max as
+    strings so heterogeneous column types fit one tall result). Returns a
+    TALL frame (column_name, n_rows, n_non_null, n_distinct, min_value,
+    max_value) — stable schema regardless of how many columns are
+    profiled.
+
+    Scale: ``exact_ndv=True`` uses count_distinct — Spark expands the
+    plan per distinct aggregate (one Expand row multiply per column),
+    exact but ~k× shuffle volume for k columns. At 100 TB profile with
+    ``exact_ndv=False`` (HLL approx_count_distinct): single-pass,
+    constant-size sketch state per column, one shuffle total — the same
+    trade the warehouse ANALYZE makes.
+    """
+    from pyspark.sql import functions as F
+
+    cols = columns or df.columns
+    ndv = F.count_distinct if exact_ndv else F.approx_count_distinct
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.count(c).alias(f"{c}__nn"),
+            ndv(c).alias(f"{c}__ndv"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"{c}__rows").alias("n_rows"),
+                F.col(f"{c}__nn").alias("n_non_null"),
+                F.col(f"{c}__ndv").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_value"),
+                F.col(f"{c}__max").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(structs).alias("s")).select("s.*")

@@ -1468,3 +1468,49 @@ def window_range_frame_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("near_total"),
     )
+
+
+@register(
+    "catalog_profile_orders",
+    oracle="""
+SELECT 'o_orderkey' AS column_name, COUNT(*) AS n_rows,
+       COUNT(o_orderkey) AS n_non_null, COUNT(DISTINCT o_orderkey) AS n_distinct,
+       CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+       CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+FROM orders
+UNION ALL
+SELECT 'o_custkey', COUNT(*), COUNT(o_custkey), COUNT(DISTINCT o_custkey),
+       CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus),
+       COUNT(DISTINCT o_orderstatus),
+       MIN(o_orderstatus), MAX(o_orderstatus)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', COUNT(*), COUNT(o_orderpriority),
+       COUNT(DISTINCT o_orderpriority),
+       MIN(o_orderpriority), MAX(o_orderpriority)
+FROM orders
+""",
+)
+def catalog_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (ANALYZE analog): per-column row/non-null/distinct
+    counts and native-order min/max for four orders columns, emitted as one
+    tall stats frame. The reference relies on Redshift auto-ANALYZE after
+    COPY (keboola/db-writer-redshift docs/configuration); here the stats
+    pass is a first-class operator.
+
+    Only integer/varchar columns are profiled in the oracle-checked query —
+    double/timestamp min/max stringify with engine-specific formatting.
+
+    Scale: a single agg pass; exact NDV per column costs one Expand
+    multiply (k× map output for k profiled columns). The operator's
+    exact_ndv=False flag swaps in HLL sketches for a single-shuffle
+    constant-state profile at 100 TB."""
+    from db_writer_redshift_spark.operators.catalog import profile_table
+
+    o = load_table(spark, sf_dir, "orders")
+    return profile_table(
+        o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    )

@@ -155,3 +155,29 @@ def test_bucketed_merge_skips_target_shuffle(spark, data_path):
         for k, v in confs.items():
             spark.conf.set(k, v)
         catalog.drop_table(spark, "bkt_t")
+
+
+def test_profile_table_stats_and_null_handling(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (3, "b")], ["k", "v"]
+    )
+    rows = {r["column_name"]: r for r in catalog.profile_table(df).collect()}
+    assert set(rows) == {"k", "v"}
+    k, v = rows["k"], rows["v"]
+    assert (k["n_rows"], k["n_non_null"], k["n_distinct"]) == (4, 4, 3)
+    assert (k["min_value"], k["max_value"]) == ("1", "3")
+    assert (v["n_rows"], v["n_non_null"], v["n_distinct"]) == (4, 3, 2)
+    assert (v["min_value"], v["max_value"]) == ("a", "b")
+    # approx mode keeps the same schema and exact nulls/rows
+    approx = {
+        r["column_name"]: r
+        for r in catalog.profile_table(df, exact_ndv=False).collect()
+    }
+    assert approx["v"]["n_non_null"] == 3
+    assert approx["k"]["n_distinct"] >= 1
+
+
+def test_profile_table_column_subset(spark):
+    df = spark.createDataFrame([(1, "x", 2.0)], ["a", "b", "c"])
+    out = catalog.profile_table(df, columns=["b"]).collect()
+    assert [r["column_name"] for r in out] == ["b"]
