@@ -642,6 +642,135 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kmeans_assign_stats",
+    oracle="""
+WITH c AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS ce
+           FROM embeddings WHERE vec_id < 8),
+d AS (
+  SELECT e.vec_id, c.centroid_id,
+         list_reduce(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), c.ce),
+                                    p -> (p[1] - p[2]) * (p[1] - p[2])),
+                     (a, b) -> a + b) AS sqdist
+  FROM embeddings e CROSS JOIN c
+),
+a AS (
+  SELECT vec_id, centroid_id, sqdist,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sqdist, centroid_id) AS rn
+  FROM d
+)
+SELECT centroid_id,
+       COUNT(*) AS n_assigned,
+       CAST(SUM(CAST(ROUND(SQRT(sqdist), 6) AS DECIMAL(18,6))) AS DOUBLE) AS dist_sum
+FROM a WHERE rn = 1
+GROUP BY centroid_id
+""",
+)
+def kmeans_assign_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means assignment step over the embedding corpus: the 8
+    vectors with the smallest vec_id act as fixed centroids (the same
+    deterministic seeding ivf_topk uses — this query is the oracle-exact
+    proof of that assignment kernel); every vector goes to its nearest
+    centroid by squared L2, ties to the lowest centroid id.
+
+    Scale: the centroid set is 8 rows — collected once and folded into
+    the plan as an array-of-structs literal, so assignment is a pure
+    map-side fold over each row (no join, no per-vector shuffle). The
+    only shuffle is the final 8-group aggregate, combined map-side.
+    The fold visits centroids in ascending id with a strict `<` compare,
+    which reproduces the oracle's (sqdist, centroid_id) ordering; the
+    per-element (x-y)^2 sequential sum is bit-identical to DuckDB's
+    list_reduce over the same doubles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sorted(
+        emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id,
+    )
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(r.vec_id)).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in r.embedding]).alias("ce"),
+            )
+            for r in cents
+        ]
+    )
+    sqdist = lambda ce: F.aggregate(  # noqa: E731
+        F.zip_with(
+            F.col("embedding"), ce, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    best = F.aggregate(
+        cent_arr,
+        F.struct(
+            F.lit(-1).alias("cid"), F.lit(float("inf")).alias("dist")
+        ),
+        lambda acc, c: F.when(
+            sqdist(c["ce"]) < acc["dist"],
+            F.struct(c["cid"].alias("cid"), sqdist(c["ce"]).alias("dist")),
+        ).otherwise(acc),
+    )
+    assigned = emb.select(best["cid"].alias("centroid_id"), best["dist"].alias("sqdist"))
+    return assigned.groupBy("centroid_id").agg(
+        F.count("*").alias("n_assigned"),
+        F.sum(F.round(F.sqrt("sqdist"), 6).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("dist_sum"),
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+t AS (SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+      FROM tok WHERE token <> '' GROUP BY token),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT token, tf, df,
+       ROUND(tf * (LN((n_docs + 1.0) / (df + 1.0)) + 1.0), 4) AS tfidf
+FROM t, n
+ORDER BY tfidf DESC, token
+LIMIT 50
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF head: smoothed idf = ln((N+1)/(df+1)) + 1 (the
+    sklearn convention), score = tf × idf, top-50 terms. The building
+    block for quality-weighted vocab induction and keyword extraction
+    over a training corpus.
+
+    Scale: explode → one partial-aggregated shuffle on token (same shape
+    as vocab_topk_terms); the corpus size joins in as a broadcast 1-row
+    aggregate, so no second pass over the data; the total order is a
+    50-row TakeOrdered. The score is rounded to 4 decimals before
+    hashing/ordering so the libm ln difference surface is quenched."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    per_term = tok.groupBy("token").agg(
+        F.count("*").alias("tf"), F.countDistinct("doc_id").alias("df")
+    )
+    total = d.agg(F.count("*").alias("n_docs"))
+    return (
+        per_term.join(F.broadcast(total))
+        .select(
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                4,
+            ).alias("tfidf"),
+        )
+        .orderBy(F.col("tfidf").desc(), "token")
+        .limit(50)
+    )
+
+
+@register(
     "multimodal_frame_rollup",
     oracle="""
 SELECT doc_id,
