@@ -771,6 +771,111 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_unigram_logprob",
+    oracle="""
+WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+vocab AS (SELECT token, COUNT(*) AS cnt FROM tok2 GROUP BY token),
+total AS (SELECT COUNT(*) AS n_total FROM tok2),
+scored AS (
+  SELECT t.doc_id,
+         CAST(ROUND(LN(CAST(v.cnt AS DOUBLE) / n_total), 6) AS DECIMAL(18,6)) AS lp
+  FROM tok2 t JOIN vocab v ON t.token = v.token CROSS JOIN total
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 4) AS avg_logprob
+FROM scored
+GROUP BY doc_id
+""",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average unigram log-probability under the corpus's own
+    unigram LM — the CCNet-style perplexity-proxy quality filter: docs of
+    rare/atypical tokens score low and get cut or down-sampled.
+
+    Scale: two passes over the exploded tokens — one shuffle to build the
+    vocab (partial-aggregated on token), then a token-keyed join back and
+    a per-doc rollup. The vocab for a trained tokenizer is bounded
+    (≤ a few M rows), so the join side is broadcastable; head-token skew
+    on the join key is absorbed because the probe side joins against a
+    broadcast hash table, never shuffling the exploded corpus. Each
+    token's log-prob is rounded to 6 and summed as DECIMAL so the per-doc
+    mean is accumulation-order-free."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    vocab = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = tok.agg(F.count("*").alias("n_total"))
+    lp = (
+        F.round(F.log(F.col("cnt").cast("double") / F.col("n_total")), 6)
+        .cast("decimal(18,6)")
+        .alias("lp")
+    )
+    scored = (
+        tok.join(F.broadcast(vocab), "token")
+        .join(F.broadcast(total))
+        .select("doc_id", lp)
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.sum("lp").cast("double") / F.count("*"), 4).alias("avg_logprob"),
+    )
+
+
+@register(
+    "vocab_topk_bigrams",
+    oracle="""
+WITH docs AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] AS bigram
+  FROM docs, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2 AND w[i] <> '' AND w[i+1] <> ''
+)
+SELECT bigram, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+FROM grams
+GROUP BY bigram
+ORDER BY tf DESC, bigram
+LIMIT 50
+""",
+)
+def vocab_topk_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-vocabulary head: top-50 adjacent word pairs by corpus
+    frequency with document frequency — the order-2 companion to
+    vocab_topk_terms (the co-occurrence statistic behind BPE-merge
+    candidates and collocation mining).
+
+    Scale: the bigram list is built per-row inside codegen (transform
+    over an index sequence — no self-join on position), then exploded
+    into the same partial-agg → single token shuffle → 50-row
+    TakeOrdered shape as the unigram query."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = (
+        d.select(
+            "doc_id", F.split(F.lower(F.col("text")), " ").alias("w")
+        )
+        .filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "filter(transform(sequence(0, size(w) - 2),"
+                    " i -> CASE WHEN w[i] <> '' AND w[i+1] <> ''"
+                    " THEN concat(w[i], ' ', w[i+1]) END), x -> x IS NOT NULL)"
+                )
+            ).alias("bigram"),
+        )
+    )
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count("*").alias("tf"), F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.col("tf").desc(), "bigram")
+        .limit(50)
+    )
+
+
+@register(
     "multimodal_frame_rollup",
     oracle="""
 SELECT doc_id,
