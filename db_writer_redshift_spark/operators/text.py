@@ -150,6 +150,55 @@ def pack_sequences(
     )
 
 
+def chunk_overlap(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Overlapping token-window chunking: split each document into
+    fixed-size windows of ``chunk_tokens`` whitespace tokens advancing by
+    ``stride`` (overlap = chunk_tokens - stride) — the retrieval-indexing /
+    long-document training-prep primitive. The last window starts at the
+    first stride multiple that still reaches the end of the document, so
+    every token is covered and no window is a strict suffix of its
+    predecessor; documents at or under one window emit exactly one chunk.
+
+    Scale: the window list is materialized per-row inside codegen
+    (transform over an index sequence, then one explode) — no self-join,
+    no shuffle at all; output fan-out is ~n_tokens/stride per doc. All
+    index arithmetic is positive-integer div, identical in Spark and
+    DuckDB, and the chunk fingerprint is md5 (engine-portable).
+
+    Returns one row per (doc_id, chunk_id): n_chunk_tokens, chunk_md5.
+    """
+    c, s = int(chunk_tokens), int(stride)
+    if c < 1 or s < 1 or s > c:
+        raise ValueError("need 1 <= stride <= chunk_tokens")
+    t = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("w"),
+    ).filter(F.size("w") >= 1)
+    chunks = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, CASE WHEN size(w) <= {c} THEN 0"
+                f" ELSE (size(w) - {c} + {s} - 1) div {s} END),"
+                f" i -> named_struct('chunk_id', CAST(i AS BIGINT),"
+                f" 'chunk', slice(w, i * {s} + 1, {c})))"
+            )
+        ).alias("c"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.size("c.chunk").cast("long").alias("n_chunk_tokens"),
+        F.md5(F.array_join("c.chunk", " ")).alias("chunk_md5"),
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Content fingerprints: md5 (exact, engine-portable) + a 64-bit xxhash64
     (engine-internal, used by dedup/simhash paths)."""

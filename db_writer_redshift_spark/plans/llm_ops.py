@@ -876,6 +876,35 @@ def vocab_topk_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "chunk_documents_overlap",
+    oracle="""
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+p AS (
+  SELECT doc_id, w,
+         CASE WHEN len(w) <= 32 THEN 0 ELSE (len(w) - 32 + 23) // 24 END AS max_i
+  FROM docs WHERE len(w) >= 1
+),
+c AS (
+  SELECT doc_id, i AS chunk_id, list_slice(w, i * 24 + 1, i * 24 + 32) AS chunk
+  FROM p, UNNEST(generate_series(0, max_i)) AS t(i)
+)
+SELECT doc_id, chunk_id,
+       CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(chunk, ' ')) AS chunk_md5
+FROM c
+""",
+)
+def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking of the corpus (32-token windows,
+    stride 24): one row per (doc, chunk) with token count and md5 content
+    fingerprint — see operators/text.chunk_overlap for semantics and the
+    shuffle-free scale story."""
+    return text.chunk_overlap(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", 32, 24
+    )
+
+
+@register(
     "multimodal_frame_rollup",
     oracle="""
 SELECT doc_id,

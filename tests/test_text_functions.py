@@ -104,3 +104,34 @@ def test_pack_sequences_bin_determinism(spark):
     a = sorted(map(tuple, pack_sequences(df, "id", "t", 16, 4).collect()))
     b = sorted(map(tuple, pack_sequences(df.repartition(13), "id", "t", 16, 4).collect()))
     assert a == b  # partitioning-independent assignment
+
+
+def test_chunk_overlap_windows(spark):
+    from db_writer_redshift_spark.operators.text import chunk_overlap
+
+    toks = [f"w{i}" for i in range(10)]
+    df = spark.createDataFrame([(1, " ".join(toks)), (2, "only two")], "doc_id long, text string")
+    rows = {
+        (r.doc_id, r.chunk_id): r
+        for r in chunk_overlap(df, "doc_id", "text", chunk_tokens=4, stride=3).collect()
+    }
+    # doc 1: 10 tokens, windows start at 0,3,6 — last window reaches the end,
+    # no start-9 suffix window
+    assert sorted(k for k in rows if k[0] == 1) == [(1, 0), (1, 1), (1, 2)]
+    assert rows[(1, 0)].n_chunk_tokens == 4
+    assert rows[(1, 2)].n_chunk_tokens == 4  # covers tokens 6..9
+    # doc 2: under one window -> exactly one chunk
+    assert sorted(k for k in rows if k[0] == 2) == [(2, 0)]
+    assert rows[(2, 0)].n_chunk_tokens == 2
+    # fingerprint matches content md5
+    import hashlib
+
+    assert rows[(1, 1)].chunk_md5 == hashlib.md5(" ".join(toks[3:7]).encode()).hexdigest()
+
+
+def test_chunk_overlap_validates_params(spark):
+    from db_writer_redshift_spark.operators.text import chunk_overlap
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_overlap(df, "doc_id", "text", chunk_tokens=4, stride=5)
