@@ -701,15 +701,15 @@ def kmeans_assign_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    best = F.aggregate(
-        cent_arr,
-        F.struct(
-            F.lit(-1).alias("cid"), F.lit(float("inf")).alias("dist")
-        ),
-        lambda acc, c: F.when(
-            sqdist(c["ce"]) < acc["dist"],
-            F.struct(c["cid"].alias("cid"), sqdist(c["ce"]).alias("dist")),
-        ).otherwise(acc),
+    # array_min over (dist, cid) structs: one distance eval per centroid
+    # (higher-order funcs are interpreted, not codegen'd — an aggregate
+    # fold re-evaluating sqdist in both branches of its `when` costs 2×),
+    # and struct ordering gives the (sqdist, centroid_id) tie rule.
+    best = F.array_min(
+        F.transform(
+            cent_arr,
+            lambda c: F.struct(sqdist(c["ce"]).alias("dist"), c["cid"].alias("cid")),
+        )
     )
     assigned = emb.select(best["cid"].alias("centroid_id"), best["dist"].alias("sqdist"))
     return assigned.groupBy("centroid_id").agg(
