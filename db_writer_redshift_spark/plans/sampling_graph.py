@@ -229,3 +229,59 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(pairs).select(
         F.col("node").alias("doc_id"), "cluster_root"
     )
+
+
+_TRAIN_THR = int(0.80 * _RING)
+_VAL_THR = int(0.90 * _RING)
+_SPLIT_CASE = (
+    f"CASE WHEN ({{c}} * {_A}) % {_RING} < {_TRAIN_THR} THEN 'train' "
+    f"WHEN ({{c}} * {_A}) % {_RING} < {_VAL_THR} THEN 'val' "
+    f"ELSE 'test' END"
+)
+
+
+@register(
+    "split_leakage_audit",
+    oracle=f"""
+WITH pairs AS ({_PAIRS_SQL}),
+lab AS (
+  SELECT {_SPLIT_CASE.format(c="doc_a")} AS sa,
+         {_SPLIT_CASE.format(c="doc_b")} AS sb
+  FROM pairs
+)
+SELECT LEAST(sa, sb) AS split_lo, GREATEST(sa, sb) AS split_hi,
+       COUNT(*) AS n_pairs
+FROM lab
+GROUP BY split_lo, split_hi
+""",
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test leakage audit: assign every document to a split by
+    the deterministic Knuth-hash (80/10/10), then count near-dup pairs
+    (word-3-gram Jaccard ≥ 0.05 — the dedup_shingle_jaccard relation) by
+    the split pair they land in. Off-diagonal rows (split_lo ≠ split_hi)
+    are evaluation leakage — near-duplicates of training documents
+    sitting in val/test — the audit run after dedup in any serious
+    pipeline.
+
+    Scale: the split label is pure row-local arithmetic on the pair
+    columns (same scan-stage hash as the sampling ops — NO join against
+    an assignment table), so the audit adds only a 6-group map-side-
+    combined aggregate on top of the pair relation's cost."""
+
+    def split_of(c: str):
+        b = (F.col(c) * F.lit(_A)) % F.lit(_RING)
+        return (
+            F.when(b < _TRAIN_THR, F.lit("train"))
+            .when(b < _VAL_THR, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.shingle_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.05, max_doc_freq=100
+    ).select(split_of("doc_a").alias("sa"), split_of("doc_b").alias("sb"))
+    return pairs.select(
+        F.least("sa", "sb").alias("split_lo"),
+        F.greatest("sa", "sb").alias("split_hi"),
+    ).groupBy("split_lo", "split_hi").agg(F.count("*").alias("n_pairs"))
