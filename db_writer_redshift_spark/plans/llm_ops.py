@@ -905,6 +905,50 @@ def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_chunk_exact",
+    oracle="""
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+p AS (
+  SELECT doc_id, w,
+         CASE WHEN len(w) <= 32 THEN 0 ELSE (len(w) - 32 + 23) // 24 END AS max_i
+  FROM docs WHERE len(w) >= 1
+),
+c AS (
+  SELECT doc_id, md5(array_to_string(list_slice(w, i * 24 + 1, i * 24 + 32), ' ')) AS chunk_md5
+  FROM p, UNNEST(generate_series(0, max_i)) AS t(i)
+),
+g AS (SELECT chunk_md5, COUNT(*) AS n_copies, COUNT(DISTINCT doc_id) AS n_docs FROM c GROUP BY chunk_md5)
+SELECT n_copies,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(n_docs) AS BIGINT) AS docs_touched
+FROM g
+GROUP BY n_copies
+""",
+)
+def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granularity exact-duplication profile: md5-collapse the
+    overlapping 32/24 token windows and histogram chunks by copy count —
+    sub-document dedup (the practical approximation of suffix-array
+    substring dedup) finds boilerplate shared across otherwise-distinct
+    documents that whole-doc fingerprints miss.
+
+    Scale: chunker is shuffle-free fan-out; then two map-side-combined
+    aggregates (16-byte md5 keys, then tiny copy-count groups). The md5
+    key shuffle carries hashes, never chunk text."""
+    chunks = text.chunk_overlap(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", 32, 24
+    )
+    g = chunks.groupBy("chunk_md5").agg(
+        F.count("*").alias("n_copies"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    return g.groupBy("n_copies").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("n_docs").cast("long").alias("docs_touched"),
+    )
+
+
+@register(
     "multimodal_frame_rollup",
     oracle="""
 SELECT doc_id,
