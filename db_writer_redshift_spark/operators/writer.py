@@ -26,7 +26,34 @@ from db_writer_redshift_spark.operators import catalog
 from db_writer_redshift_spark.operators.merge import upsert_dataframes
 
 
-def _write(df: DataFrame, name: str, table: TableConfig, buckets: int | None) -> None:
+def _write(
+    df: DataFrame,
+    name: str,
+    table: TableConfig,
+    buckets: int | None,
+    zorder_by: list[str] | None = None,
+    zorder_files: int | None = None,
+) -> None:
+    if buckets and zorder_by:
+        raise ValueError("buckets and zorder_by are mutually exclusive layouts")
+    if zorder_by:
+        # Morton-curve clustering (operators/zorder.py): range-partition +
+        # sort on the interleaved code so parquet footer stats prune on
+        # ANY clustered column. Same single shuffle as a sorted write.
+        # The partition count must be EXPLICIT — an unnumbered
+        # repartitionByRange is AQE-coalescible, which would collapse the
+        # layout into one file and erase the pruning benefit.
+        from db_writer_redshift_spark.operators.zorder import with_zorder
+
+        n = zorder_files or int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        df = (
+            with_zorder(df, zorder_by)
+            .repartitionByRange(n, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
     w = df.write.mode("overwrite")
     if buckets and table.primary_key:
         # Hash-bucket + sort on the PK (the Spark analog of a Redshift
@@ -38,11 +65,16 @@ def _write(df: DataFrame, name: str, table: TableConfig, buckets: int | None) ->
 
 
 def load_full(
-    spark: SparkSession, table: TableConfig, df: DataFrame, buckets: int | None = None
+    spark: SparkSession,
+    table: TableConfig,
+    df: DataFrame,
+    buckets: int | None = None,
+    zorder_by: list[str] | None = None,
+    zorder_files: int | None = None,
 ) -> None:
     """L-11: drop → create → write (overwrite semantics in one shot)."""
     catalog.drop_table(spark, table.db_name)
-    _write(df, table.db_name, table, buckets)
+    _write(df, table.db_name, table, buckets, zorder_by, zorder_files)
 
 
 def load_incremental(

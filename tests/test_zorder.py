@@ -90,3 +90,44 @@ def test_zorder_still_prunes_primary_column(spark, tmp_path):
     assert stats
     hit = sum(1 for lo, hi in stats if lo <= 5 <= hi)
     assert hit <= 8  # primary column keeps (weaker) pruning too
+
+
+def test_load_full_zorder_layout(spark):
+    import os
+
+    from db_writer_redshift_spark.config.schema import ColumnItem, TableConfig
+    from db_writer_redshift_spark.operators.writer import load_full
+
+    cfg = TableConfig(
+        table_id="grid",
+        db_name="grid_z",
+        items=(
+            ColumnItem("a", "a", "bigint"),
+            ColumnItem("b", "b", "bigint"),
+            ColumnItem("payload", "payload", "bigint"),
+        ),
+    )
+    load_full(spark, cfg, _grid_df(spark), zorder_by=["a", "b"], zorder_files=16)
+    files = spark.table("grid_z").inputFiles()
+    assert len(files) > 1
+    path = os.path.dirname(files[0].replace("file:", ""))
+    stats = file_minmax(path, "b")
+    assert stats
+    hit = sum(1 for lo, hi in stats if lo <= 17 <= hi)
+    assert hit < len(stats)  # secondary column prunes inside the managed table
+    assert spark.table("grid_z").count() == 64 * 64
+    spark.sql("DROP TABLE grid_z")
+
+
+def test_zorder_and_buckets_mutually_exclusive(spark):
+    from db_writer_redshift_spark.config.schema import ColumnItem, TableConfig
+    from db_writer_redshift_spark.operators.writer import load_full
+
+    cfg = TableConfig(
+        table_id="grid",
+        db_name="grid_zb",
+        items=(ColumnItem("a", "a", "bigint"),),
+        primary_key=("a",),
+    )
+    with pytest.raises(ValueError):
+        load_full(spark, cfg, _grid_df(spark), buckets=4, zorder_by=["a", "b"])
