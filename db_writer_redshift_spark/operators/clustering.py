@@ -1,0 +1,147 @@
+"""Distributed k-means (Lloyd's algorithm) over an embedding column.
+
+No counterpart in the reference (keboola/db-writer-redshift has no
+compute operators at all — SURVEY.md §2.4); this is the corpus-curation
+clustering step a training-data pipeline runs for topic bucketing,
+diversity sampling, and IVF index training (operators/similarity.ivf_topk
+consumes exactly this kind of centroid set).
+
+Spark shape per Lloyd iteration:
+  1. assignment — centroids fold into the plan as an array-of-structs
+     literal (k is small by definition), so it is pure map-side
+     arithmetic on each row: transform + array_min, no join, no shuffle
+     (the same kernel plans/llm_ops.kmeans_assign_stats proves
+     oracle-exact against DuckDB);
+  2. update — per-centroid mean vector via ONE aggregate with dim flat
+     SUM columns (the same flat-projection trick minhash_signatures
+     uses): partials combine map-side, so the shuffle carries
+     ~(#map partitions × k) rows of dim doubles regardless of corpus
+     size; the k-row result collects to the driver for the division.
+The driver holds only k × dim floats per round. Iterations stop on
+max_iters or when no vector changes assignment (exact integer
+convergence test — one extra count per round, map-side combined).
+
+Determinism: seeding is the k lowest-id vectors (no RNG), ties in
+assignment break to the lowest centroid id, and the convergence test is
+exact — the same inputs give the same clustering on any cluster size or
+partitioning.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class KMeansResult:
+    assignments: DataFrame  # (id, centroid_id, sqdist)
+    centroids: list[list[float]]  # k × dim, final
+    iterations: int
+    converged: bool
+
+
+def _assign(df: DataFrame, id_col: str, vec_col: str, cents: list[list[float]]) -> DataFrame:
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in c]).alias("ce"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+    sqdist = lambda ce: F.aggregate(  # noqa: E731
+        F.zip_with(
+            F.col(vec_col), ce, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    best = F.array_min(
+        F.transform(
+            cent_arr,
+            lambda c: F.struct(sqdist(c["ce"]).alias("dist"), c["cid"].alias("cid")),
+        )
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        best["cid"].alias("centroid_id"),
+        best["dist"].alias("sqdist"),
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    max_iters: int = 10,
+) -> KMeansResult:
+    """Lloyd's k-means with deterministic lowest-id seeding.
+
+    Scale: per iteration, assignment is scan-stage arithmetic (no
+    shuffle) and the centroid update is one k-group aggregate whose
+    partial vector-sums combine map-side — the shuffle carries
+    ~(#map partitions × k) rows of dim doubles, independent of corpus
+    size. The convergence probe compares assignments to the previous
+    round with an exact count, combined map-side too.
+    """
+    dim_row = df.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None:
+        raise ValueError("kmeans_fit on an empty DataFrame")
+    dim = dim_row.d
+    seeds = (
+        df.orderBy(id_col)
+        .limit(k)
+        .select(vec_col)
+        .collect()
+    )
+    cents = [[float(x) for x in r[0]] for r in seeds]
+    if len(cents) < k:
+        raise ValueError(f"need at least k={k} rows, got {len(cents)}")
+
+    prev: DataFrame | None = None
+    converged = False
+    iterations = 0
+    assigned = _assign(df, id_col, vec_col, cents)
+    for it in range(1, max_iters + 1):
+        iterations = it
+        assigned = assigned.persist()
+        # update step: dim flat SUM columns + count per centroid (all
+        # map-side combined — never collect_list the member vectors),
+        # mean computed at the driver on k rows
+        stats = assigned.groupBy("centroid_id").agg(
+            F.count("*").alias("n"),
+            *[F.sum(F.col("vec")[i].cast("double")).alias(f"s{i}") for i in range(dim)],
+        ).collect()
+        new_cents = list(cents)  # empty clusters keep their centroid
+        for r in stats:
+            new_cents[r.centroid_id] = [r[f"s{i}"] / r.n for i in range(dim)]
+        new_assigned = _assign(df, id_col, vec_col, new_cents)
+        moved = (
+            new_assigned.select("id", F.col("centroid_id").alias("new_cid"))
+            .join(assigned.select("id", "centroid_id"), "id")
+            .filter(F.col("new_cid") != F.col("centroid_id"))
+            .limit(1)
+            .count()
+        )
+        cents = new_cents
+        if prev is not None:
+            prev.unpersist()
+        prev = assigned
+        assigned = new_assigned
+        if moved == 0:
+            converged = True
+            break
+    if prev is not None:
+        prev.unpersist()
+    return KMeansResult(
+        assignments=assigned.select("id", "centroid_id", "sqdist"),
+        centroids=cents,
+        iterations=iterations,
+        converged=converged,
+    )

@@ -720,6 +720,27 @@ def kmeans_assign_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("kmeans_fit_clusters", oracle=None)
+def kmeans_fit_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Lloyd's k-means fit (k=8, ≤5 iterations, deterministic
+    lowest-id seeding) over the embedding corpus, rolled up to
+    per-cluster size + inertia. Iterative — no SQL oracle (rows-only
+    driver check, like the connected-components iterative side);
+    convergence/recovery/determinism are asserted in
+    tests/test_clustering.py. kmeans_assign_stats is the oracle-exact
+    proof of the per-iteration assignment kernel."""
+    from db_writer_redshift_spark.operators.clustering import kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = kmeans_fit(emb, "vec_id", "embedding", k=8, max_iters=5)
+    return res.assignments.groupBy("centroid_id").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum(F.round(F.sqrt("sqdist"), 6).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("inertia"),
+    )
+
+
 @register(
     "tfidf_top_terms",
     oracle="""
