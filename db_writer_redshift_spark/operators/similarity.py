@@ -133,13 +133,17 @@ def ivf_topk(
     k: int = 5,
     num_centroids: int = 8,
     num_probes: int = 4,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """ANN top-k via an IVF (inverted-file) index: partition the corpus by
     nearest centroid, probe only the ``num_probes`` closest cells per query.
 
-    Centroid selection is deterministic: an id-ordered stride sample of the
-    corpus itself (no iterative k-means — at 100 TB you'd train centroids
-    offline on a sample anyway; the cell-probe plan shape is identical).
+    Default centroid selection is deterministic: an id-ordered stride
+    sample of the corpus itself (at 100 TB you'd train centroids offline
+    on a sample anyway; the cell-probe plan shape is identical). Pass
+    ``centroids`` to use a trained set instead — e.g.
+    ``operators.clustering.kmeans_fit(...).centroids`` — which tightens
+    cells in proportion to the corpus's cluster structure.
 
     Plan shape: centroids are a tiny broadcast list → cell assignment is a
     shuffle-free projection on both sides → the candidate join is an
@@ -162,20 +166,26 @@ def ivf_topk(
     # orderBy+limit picks the final K as a distributed TakeOrdered.
     # (A row_number window here would funnel the whole corpus through
     # one reducer just to choose 8 vectors.)
-    sample = corpus_df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-    n = sample.count()
-    stride = max(1, n // (2 * num_centroids))
-    centroids = [
-        (i, [float(x) for x in r.cvec])
-        for i, r in enumerate(
-            sample.filter(F.pmod(F.xxhash64("cid"), F.lit(stride)) == 0)
-            .orderBy("cid")
-            .limit(num_centroids)
-            .collect()
+    if centroids is not None:
+        cent_list = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+        num_probes = min(num_probes, len(cent_list))
+    else:
+        sample = corpus_df.select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
         )
-    ]
+        n = sample.count()
+        stride = max(1, n // (2 * num_centroids))
+        cent_list = [
+            (i, [float(x) for x in r.cvec])
+            for i, r in enumerate(
+                sample.filter(F.pmod(F.xxhash64("cid"), F.lit(stride)) == 0)
+                .orderBy("cid")
+                .limit(num_centroids)
+                .collect()
+            )
+        ]
 
-    ranked_cells = _ranked_cells_udf(centroids)
+    ranked_cells = _ranked_cells_udf(cent_list)
 
     c_assigned = ensure_parallelism(
         corpus_df.select(

@@ -81,3 +81,22 @@ def test_ivf_topk_recall_floor(spark, emb):
     a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.6, f"IVF recall@5 = {recall:.2f}"
+
+
+def test_ivf_topk_with_trained_centroids(spark, emb):
+    """IVF probing k-means-trained cells matches or beats the stride-sample
+    baseline's recall floor — the index-training integration path."""
+    from pyspark.sql import functions as F
+
+    from db_writer_redshift_spark.operators.clustering import kmeans_fit
+
+    trained = kmeans_fit(emb, "vec_id", "embedding", k=8, max_iters=3).centroids
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = similarity.brute_force_topk(queries, emb, "vec_id", "embedding", k=5)
+    approx = similarity.ivf_topk(
+        queries, emb, "vec_id", "embedding", k=5, centroids=trained
+    )
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, f"trained-IVF recall@5 = {recall:.2f}"
