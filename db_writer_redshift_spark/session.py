@@ -49,6 +49,10 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # runtime bloom-filter pushdown: a selective dim-side filter
+        # builds a bloom filter that prunes the fact scan before the
+        # shuffle — a large-join lever at 100 TB, negligible locally
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         # naive parquet timestamps stay naive (match DuckDB semantics)
@@ -72,6 +76,7 @@ def configure_existing(spark: SparkSession) -> SparkSession:
     for k, v in {
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.adaptive.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.legacy.parquet.nanosAsLong": "true",
         # a vanilla session defaults to 200 shuffle partitions — far too
