@@ -285,3 +285,42 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least("sa", "sb").alias("split_lo"),
         F.greatest("sa", "sb").alias("split_hi"),
     ).groupBy("split_lo", "split_hi").agg(F.count("*").alias("n_pairs"))
+
+
+@register(
+    "sample_weighted_priority",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         ROUND(LN(CAST((doc_id * {_A}) % {_RING} + 1 AS DOUBLE) / {_RING + 1})
+               / n_chars, 9) AS priority_key
+  FROM documents
+)
+SELECT doc_id, lang, n_chars, priority_key
+FROM keyed
+ORDER BY priority_key DESC, doc_id
+LIMIT 50
+""",
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-ES): each doc gets priority u^(1/w) for a
+    hash-derived uniform u and weight w (here n_chars — longer docs more
+    likely kept); the global top-k by priority IS a weighted sample
+    without replacement. Computed in the log domain (ln(u)/w — the same
+    monotone order, no underflow for huge weights), rounded to 9 so the
+    libm ln difference surface can't flip ranks across engines.
+
+    Scale: the priority key is scan-stage row-local arithmetic (same
+    Knuth-hash uniform as the other sampling ops — reproducible across
+    partitionings/restarts); the top-k executes as a distributed
+    TakeOrdered (per-partition heads, driver merges k rows) — no global
+    sort, no shuffle of the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    u = ((F.col("doc_id") * _A) % _RING + 1).cast("double") / F.lit(float(_RING + 1))
+    key = F.round(F.log(u) / F.col("n_chars"), 9)
+    return (
+        d.select("doc_id", "lang", "n_chars", key.alias("priority_key"))
+        .orderBy(F.col("priority_key").desc(), "doc_id")
+        .limit(50)
+    )

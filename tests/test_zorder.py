@@ -131,3 +131,25 @@ def test_zorder_and_buckets_mutually_exclusive(spark):
     )
     with pytest.raises(ValueError):
         load_full(spark, cfg, _grid_df(spark), buckets=4, zorder_by=["a", "b"])
+
+
+def test_morton_full_grid_bijection(spark):
+    # every (x,y) in the 6-bit grid gets a distinct code equal to the
+    # reference Python interleave
+    df = _grid_df(spark).select("a", "b")
+    got = {
+        (r.a, r.b): r.z
+        for r in df.select(
+            "a", "b", morton_interleave([F.col("a"), F.col("b")], 6).alias("z")
+        ).collect()
+    }
+
+    def ref(x, y):
+        z = 0
+        for bit in range(6):
+            z |= ((x >> bit) & 1) << (2 * bit)
+            z |= ((y >> bit) & 1) << (2 * bit + 1)
+        return z
+
+    assert len(set(got.values())) == 64 * 64
+    assert all(z == ref(x, y) for (x, y), z in got.items())
