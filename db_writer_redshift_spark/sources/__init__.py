@@ -8,5 +8,6 @@ from db_writer_redshift_spark.sources.csv_ingest import (  # noqa: F401
     read_manifest_entries,
     read_table_csv,
     read_table_jsonl,
+    read_table_orc,
     validate_load,
 )

@@ -317,3 +317,26 @@ def ingest_table(
     if errors:
         raise load_errors_to_exception(errors)
     return apply_schema(raw, table)
+
+
+def read_table_orc(
+    spark: SparkSession,
+    source: str | list[str],
+    table: TableConfig,
+) -> DataFrame:
+    """ORC twin of :func:`read_table_csv`: the file's native types are
+    read by the vectorized ORC reader, coerced to string, and fed through
+    the SAME cast/validate/error pipeline — one ingest contract across
+    wire formats (CSV / JSONL / ORC). Line numbers are per-file, like the
+    CSV path.
+
+    (The reference supports only CSV; §7 extension track.)
+    """
+    names = [i.name for i in table.items]
+    df = spark.read.orc(source).select(
+        *[F.col(n).cast("string").alias(n) for n in names]
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(F.input_file_name()).orderBy(F.monotonically_increasing_id())
+    return df.withColumn(_LINE_COL, F.row_number().over(w))

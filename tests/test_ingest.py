@@ -194,3 +194,27 @@ def test_jsonl_same_pipeline_as_csv(spark, tmp_path):
     )
     rows = {r.id: (r.name, str(r.created)) for r in good.collect()}
     assert rows == {1: ("Ada", "2024-06-22"), 2: ("Bel", "2024-06-22")}
+
+
+def test_orc_same_pipeline_as_csv(spark, tmp_path):
+    """ORC source feeds the same cast/validate contract as CSV/JSONL."""
+    from db_writer_redshift_spark.config.schema import ColumnItem, TableConfig
+    from db_writer_redshift_spark.sources import apply_schema, read_table_orc, validate_load
+
+    t = TableConfig(
+        table_id="t_orc",
+        db_name="t_orc",
+        items=(
+            ColumnItem("id", "id", "int"),
+            ColumnItem("name", "name", "nvarchar", "3"),
+        ),
+    )
+    p = str(tmp_path / "t_orc")
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "be"), (None, "ce")], "id int, name string"
+    ).write.orc(p)
+    df = read_table_orc(spark, p, t)
+    assert validate_load(df, t) == []
+    rows = {r.id: r.name for r in apply_schema(df, t).collect()}
+    # width truncation (L-4) applies identically to the ORC path
+    assert rows == {1: "alp", 2: "be", None: "ce"}
