@@ -1514,3 +1514,73 @@ def catalog_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(
         o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
     )
+
+
+@register(
+    "dq_constraint_report",
+    oracle="""
+SELECT 'orders_pk_duplicates' AS check_name,
+       COUNT(*) - COUNT(DISTINCT o_orderkey) AS n_violations
+FROM orders
+UNION ALL
+SELECT 'orders_custkey_null', COUNT(*) FILTER (WHERE o_custkey IS NULL) FROM orders
+UNION ALL
+SELECT 'lineitem_orphan_orderkey', COUNT(*)
+FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'orders_orphan_custkey', COUNT(*)
+FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'lineitem_nonpositive_qty', COUNT(*) FILTER (WHERE l_quantity <= 0) FROM lineitem
+""",
+)
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint validation (the dbt-test / Deequ shape):
+    PK uniqueness, NOT NULL, referential integrity (two FK chains), and
+    a domain check, emitted as one tall (check_name, n_violations)
+    report. The reference delegates all constraint behavior to Redshift
+    (which doesn't even enforce FKs); here validation is a first-class
+    queryable operator.
+
+    Scale: each FK check is a LEFT ANTI join that Catalyst plans with a
+    broadcast parent side when the parent is dimension-sized; the scalar
+    checks are single-pass map-side aggregates. The five branches scan
+    each table at most twice and union 1-row results — report size is
+    constant regardless of corpus size."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+
+    def scalar(name: str, df):
+        return df.select(
+            F.lit(name).alias("check_name"),
+            F.coalesce(F.first("v"), F.lit(0)).cast("long").alias("n_violations"),
+        )
+
+    pk_dups = scalar(
+        "orders_pk_duplicates",
+        o.agg((F.count("*") - F.countDistinct("o_orderkey")).alias("v")),
+    )
+    null_ck = scalar(
+        "orders_custkey_null",
+        o.agg(F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("v")),
+    )
+    orphan_li = scalar(
+        "lineitem_orphan_orderkey",
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti").agg(
+            F.count("*").alias("v")
+        ),
+    )
+    orphan_o = scalar(
+        "orders_orphan_custkey",
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti").agg(
+            F.count("*").alias("v")
+        ),
+    )
+    bad_qty = scalar(
+        "lineitem_nonpositive_qty",
+        li.agg(F.count(F.when(F.col("l_quantity") <= 0, 1)).alias("v")),
+    )
+    return pk_dups.unionByName(null_ck).unionByName(orphan_li).unionByName(
+        orphan_o
+    ).unionByName(bad_qty)
