@@ -40,3 +40,15 @@ def duck():
 def test_query_matches_oracle(spark, duck, name):
     r = compare_query(spark, name, SF_DIR, duck)
     assert r["status"] in ("ok", "rows_only"), r["detail"]
+
+
+def test_bad_sf_dir_raises_cleanly(spark):
+    """A wrong data directory must fail fast with Spark's path error
+    (AnalysisException), not hang or return an empty frame."""
+    from pyspark.errors import AnalysisException
+
+    import __spark_entry__ as entry_mod
+
+    q = entry_mod.queries()["q1_pricing_summary"]
+    with pytest.raises(AnalysisException):
+        q(spark, "/root/testdata/sf_does_not_exist").collect()
