@@ -995,3 +995,79 @@ def multimodal_frame_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("frame_bytes").alias("total_frame_bytes"),
         F.max("frame_ts_ms").alias("max_ts_ms"),
     )
+
+
+@register(
+    "pipeline_chunked_training_mix",
+    oracle=f"""
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+p AS (
+  SELECT doc_id, w,
+         CASE WHEN len(w) <= 32 THEN 0 ELSE (len(w) - 32 + 23) // 24 END AS max_i
+  FROM docs WHERE len(w) >= 1
+),
+c AS (
+  SELECT doc_id, i AS chunk_id,
+         md5(array_to_string(list_slice(w, i * 24 + 1, i * 24 + 32), ' ')) AS chunk_md5
+  FROM p, UNNEST(generate_series(0, max_i)) AS t(i)
+),
+keep AS (
+  SELECT chunk_md5, MIN(doc_id * 1000000 + chunk_id) AS keeper
+  FROM c GROUP BY chunk_md5
+),
+per_doc AS (
+  SELECT c.doc_id,
+         COUNT(*) AS n_chunks,
+         COUNT(CASE WHEN c.doc_id * 1000000 + c.chunk_id = k.keeper THEN 1 END) AS n_kept
+  FROM c JOIN keep k ON c.chunk_md5 = k.chunk_md5
+  GROUP BY c.doc_id
+)
+SELECT doc_id, n_chunks, n_kept,
+       ROUND(LN(CAST((doc_id * 2654435761) % 4294967296 + 1 AS DOUBLE) / 4294967297)
+             / n_kept, 9) AS priority_key
+FROM per_doc
+WHERE n_kept > 0
+ORDER BY priority_key DESC, doc_id
+LIMIT 100
+""",
+)
+def pipeline_chunked_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-mix build composing this session's operators:
+    overlapping chunking → chunk-level exact dedup (first-owner keep
+    list: min (doc,chunk) per md5) → per-doc survival stats → weighted
+    priority sampling (Efraimidis-Spirakis, weight = surviving unique
+    chunks, so boilerplate-heavy docs sink) → top-100 mix. Every kernel
+    is the oracle-proven one from chunk_documents_overlap /
+    dedup_chunk_exact / sample_weighted_priority.
+
+    Scale: chunker is shuffle-free fan-out; the keep list is one
+    map-side-combined min per md5 (16-byte keys); the rejoin is an
+    equi-join on the same key; the final top-100 is a TakeOrdered. The
+    100 TB cost profile is the chunk-key shuffle — hashes only, never
+    chunk text."""
+    chunks = text.chunk_overlap(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", 32, 24
+    ).withColumn("slot", F.col("doc_id") * 1000000 + F.col("chunk_id"))
+    keep = chunks.groupBy("chunk_md5").agg(F.min("slot").alias("keeper"))
+    per_doc = (
+        chunks.join(keep, "chunk_md5")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.count(F.when(F.col("slot") == F.col("keeper"), 1)).alias("n_kept"),
+        )
+        .filter(F.col("n_kept") > 0)
+    )
+    u = ((F.col("doc_id") * 2654435761) % 4294967296 + 1).cast("double") / F.lit(
+        4294967297.0
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            "n_chunks",
+            "n_kept",
+            F.round(F.log(u) / F.col("n_kept"), 9).alias("priority_key"),
+        )
+        .orderBy(F.col("priority_key").desc(), "doc_id")
+        .limit(100)
+    )
