@@ -217,3 +217,67 @@ def events_weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+@register(
+    "events_zscore_anomaly",
+    oracle="""
+WITH m AS (
+  SELECT event_type, CAST(ROUND(value * 1000) AS BIGINT) AS v FROM events
+),
+s AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(v) AS DOUBLE) AS sv,
+         CAST(SUM(v * v) AS DOUBLE) AS svv
+  FROM m GROUP BY event_type
+),
+st AS (
+  SELECT event_type, n, sv / n AS mean,
+         SQRT((svv - sv * sv / n) / (n - 1)) AS std
+  FROM s
+)
+SELECT m.event_type,
+       MAX(st.n) AS n_events,
+       COUNT(CASE WHEN ABS(m.v - st.mean) > 3 * st.std THEN 1 END) AS n_outliers,
+       ROUND(MAX(st.mean), 6) AS mean_millis,
+       ROUND(MAX(st.std), 6) AS std_millis
+FROM m JOIN st USING (event_type)
+GROUP BY m.event_type
+""",
+)
+def events_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type 3-sigma anomaly detection: two-pass z-score over the
+    value stream (the observability-pipeline outlier counter). Values are
+    scaled to exact integer milli-units so the sums and sums-of-squares
+    are exact; mean/std then derive through single IEEE ops on identical
+    operands in both engines, making the |v-mean| > 3σ comparison itself
+    engine-portable — no epsilon needed.
+
+    Scale: pass 1 is a map-side-combined moment aggregate (one row per
+    type); the tiny stats relation broadcasts back onto the scan for
+    pass 2, so the event stream never shuffles — the same
+    aggregate-then-broadcast shape as sample_rebalance_uniform."""
+    e = load_table(spark, sf_dir, "events")
+    m = e.select(
+        "event_type", F.round(F.col("value") * 1000).cast("bigint").alias("v")
+    )
+    n = F.count("*")
+    sv = F.sum("v").cast("double")
+    svv = F.sum(F.col("v") * F.col("v")).cast("double")
+    st = m.groupBy("event_type").agg(
+        n.alias("n"),
+        (sv / n).alias("mean"),
+        F.sqrt((svv - sv * sv / n) / (n - F.lit(1))).alias("std"),
+    )
+    return (
+        m.join(F.broadcast(st), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_events"),
+            F.count(
+                F.when(F.abs(F.col("v") - F.col("mean")) > 3 * F.col("std"), 1)
+            ).alias("n_outliers"),
+            F.round(F.max("mean"), 6).alias("mean_millis"),
+            F.round(F.max("std"), 6).alias("std_millis"),
+        )
+    )
