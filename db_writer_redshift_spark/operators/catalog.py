@@ -151,3 +151,42 @@ def profile_table(
         ]
     )
     return wide.select(F.explode(structs).alias("s")).select("s.*")
+
+
+def analyze_table(
+    spark: SparkSession, name: str, columns: list[str] | None = None
+) -> dict:
+    """ANALYZE the managed table so the cost-based optimizer has real
+    cardinalities: table-level row count/size always; per-column NDV,
+    null count and min/max when ``columns`` is given. The Redshift the
+    reference wrote into auto-ANALYZEs after COPY — here it is an
+    explicit catalog operator the loader can invoke post-write.
+
+    At scale this is what turns join reordering and broadcast decisions
+    from byte-size heuristics into cardinality-based choices
+    (spark.sql.cbo.* — enabled in the session factory; stats persist in
+    the catalog, so one ANALYZE serves every later session).
+
+    Returns {row_count, size_bytes} read back from the catalog as proof
+    the stats landed.
+    """
+    q = quote_ident(name)
+    if columns:
+        cols = ", ".join(quote_ident(c) for c in columns)
+        spark.sql(f"ANALYZE TABLE {q} COMPUTE STATISTICS FOR COLUMNS {cols}")
+    else:
+        spark.sql(f"ANALYZE TABLE {q} COMPUTE STATISTICS")
+    detail = {
+        r.col_name: r.data_type
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {q}").collect()
+    }
+    stats = detail.get("Statistics", "")
+    out: dict = {"raw": stats}
+    parts = stats.split(",")
+    for p in parts:
+        p = p.strip()
+        if p.endswith("bytes"):
+            out["size_bytes"] = int(p.split()[0])
+        elif p.endswith("rows"):
+            out["row_count"] = int(p.split()[0])
+    return out

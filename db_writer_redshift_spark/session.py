@@ -53,6 +53,10 @@ def get_spark(
         # builds a bloom filter that prunes the fact scan before the
         # shuffle — a large-join lever at 100 TB, negligible locally
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # cost-based optimizer: consume ANALYZE statistics
+        # (catalog.analyze_table) for cardinality-based join ordering
+        .config("spark.sql.cbo.enabled", "true")
+        .config("spark.sql.cbo.joinReorder.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         # naive parquet timestamps stay naive (match DuckDB semantics)

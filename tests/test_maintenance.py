@@ -40,3 +40,21 @@ def test_compact_noop_when_already_compact(spark):
     assert report["compacted"] is False
     assert report["files_after"] == report["files_before"]
     spark.sql("DROP TABLE t_compact2")
+
+
+def test_analyze_table_persists_stats(spark):
+    from db_writer_redshift_spark.operators.catalog import analyze_table
+
+    spark.sql("DROP TABLE IF EXISTS t_stats")
+    spark.range(0, 1234).withColumn("v", F.col("id") % 5).write.saveAsTable("t_stats")
+    report = analyze_table(spark, "t_stats", columns=["id", "v"])
+    assert report.get("row_count") == 1234
+    assert report.get("size_bytes", 0) > 0
+    # column-level stats visible to the optimizer
+    desc = {
+        r.info_name: r.info_value
+        for r in spark.sql("DESCRIBE TABLE EXTENDED t_stats v").collect()
+    }
+    assert desc.get("distinct_count") == "5"
+    assert desc.get("num_nulls") == "0"
+    spark.sql("DROP TABLE t_stats")
