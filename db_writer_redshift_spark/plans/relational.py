@@ -1584,3 +1584,53 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pk_dups.unionByName(null_ck).unionByName(orphan_li).unionByName(
         orphan_o
     ).unionByName(bad_qty)
+
+
+@register(
+    "hist_equiwidth_order_totals",
+    oracle="""
+WITH b AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders),
+h AS (
+  SELECT LEAST(CAST(FLOOR((o_totalprice - lo) / (hi - lo) * 20) AS BIGINT), 19) AS bucket,
+         o_totalprice, lo, hi
+  FROM orders, b
+)
+SELECT bucket,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS bucket_total,
+       ROUND(MIN(lo), 4) AS range_lo,
+       ROUND(MAX(hi), 4) AS range_hi
+FROM h
+GROUP BY bucket
+""",
+)
+def hist_equiwidth_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bucket histogram of order totals with data-derived
+    bounds (the width_bucket reporting shape). Bucketing arithmetic is
+    pure IEEE ops on identical operands in both engines — the min/max
+    come from one broadcast scalar aggregate, so bucket assignment is
+    scan-stage row-local and the histogram is a 20-group map-side-
+    combined aggregate; totals sum as exact decimals."""
+    o = load_table(spark, sf_dir, "orders")
+    b = o.agg(F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"))
+    h = o.join(F.broadcast(b)).select(
+        F.least(
+            F.floor(
+                (F.col("o_totalprice") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * 20
+            ).cast("bigint"),
+            F.lit(19),
+        ).alias("bucket"),
+        "o_totalprice",
+        "lo",
+        "hi",
+    )
+    return h.groupBy("bucket").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("bucket_total"),
+        F.round(F.min("lo"), 4).alias("range_lo"),
+        F.round(F.max("hi"), 4).alias("range_hi"),
+    )
