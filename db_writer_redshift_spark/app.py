@@ -135,6 +135,13 @@ class Application:
             lambda: writer_ops.load_table(self.spark, table, df),
             what=f'write table "{table.table_id}"',
         )
+        # Redshift auto-ANALYZEs after COPY; mirror it with the cheap
+        # metadata-only pass (size stats for the CBO, no data scan) —
+        # best-effort: a stats failure must never fail a successful load
+        try:
+            catalog.analyze_table(self.spark, table.db_name, noscan=True)
+        except Exception:  # noqa: BLE001
+            logger.warning('ANALYZE skipped for "%s"', table.db_name)
         logger.info('Table "%s" written to "%s"', table.table_id, table.db_name)
         return True
 

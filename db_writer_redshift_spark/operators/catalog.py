@@ -154,7 +154,10 @@ def profile_table(
 
 
 def analyze_table(
-    spark: SparkSession, name: str, columns: list[str] | None = None
+    spark: SparkSession,
+    name: str,
+    columns: list[str] | None = None,
+    noscan: bool = False,
 ) -> dict:
     """ANALYZE the managed table so the cost-based optimizer has real
     cardinalities: table-level row count/size always; per-column NDV,
@@ -174,6 +177,11 @@ def analyze_table(
     if columns:
         cols = ", ".join(quote_ident(c) for c in columns)
         spark.sql(f"ANALYZE TABLE {q} COMPUTE STATISTICS FOR COLUMNS {cols}")
+    elif noscan:
+        # file-size-only stats: metadata pass, no data scan — the right
+        # default after every load (the CLI wires this in); full/column
+        # stats are an explicit deeper pass
+        spark.sql(f"ANALYZE TABLE {q} COMPUTE STATISTICS NOSCAN")
     else:
         spark.sql(f"ANALYZE TABLE {q} COMPUTE STATISTICS")
     detail = {

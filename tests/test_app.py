@@ -217,3 +217,19 @@ def test_cli_internal_error_exit_2(tmp_path, monkeypatch, capsys):
 
     monkeypatch.setattr(app_mod.Application, "run_action", boom)
     assert main(["--data", str(tmp_path)]) == 2
+
+
+def test_cli_load_leaves_table_statistics(spark, tmp_path, data_path, capsys):
+    """The run action ANALYZEs each loaded table (NOSCAN — size stats)."""
+    d = _write_data_dir(tmp_path, data_path)
+    try:
+        rc = main(["--data", str(d)])
+        capsys.readouterr()
+        assert rc == 0
+        detail = {
+            r.col_name: r.data_type
+            for r in spark.sql("DESCRIBE TABLE EXTENDED simple_cli").collect()
+        }
+        assert "bytes" in detail.get("Statistics", "")
+    finally:
+        catalog.drop_table(spark, "simple_cli")
