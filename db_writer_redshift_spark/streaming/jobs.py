@@ -207,3 +207,40 @@ def merge_sink(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )
+
+
+def stream_anomaly_filter(
+    events: DataFrame,
+    stats: DataFrame,
+    sigmas: float = 3.0,
+) -> DataFrame:
+    """Streaming outlier feed: flag events whose value deviates more than
+    ``sigmas`` standard deviations from per-type reference statistics.
+
+    ``stats`` is the BATCH-computed (event_type, mean, std) relation —
+    e.g. the moments behind plans/temporal_queries.events_zscore_anomaly,
+    refreshed on whatever cadence the pipeline retrains. A
+    stream-static join is exactly Spark's model for this: the static
+    side broadcasts into every micro-batch, the stream side stays
+    stateless (no watermark, no state store), so the filter adds zero
+    streaming state and re-reads refreshed stats each batch.
+    """
+    from pyspark.sql import functions as F
+
+    s = stats.select(
+        "event_type",
+        F.col("mean").cast("double").alias("__mean"),
+        F.col("std").cast("double").alias("__std"),
+    )
+    return (
+        events.join(F.broadcast(s), "event_type")
+        .withColumn(
+            "zscore",
+            F.when(
+                F.col("__std") > 0,
+                (F.col("value") - F.col("__mean")) / F.col("__std"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .filter(F.abs(F.col("zscore")) > sigmas)
+        .drop("__mean", "__std")
+    )

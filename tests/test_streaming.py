@@ -184,3 +184,20 @@ def test_csv_stream_same_dialect(spark, tmp_path):
     q.awaitTermination(60)
     rows = {r.id: r.txt for r in spark.table("t_csv_stream").collect()}
     assert rows == {1: 'quote " in', 2: None}
+
+
+def test_stream_anomaly_filter_static_join(spark, events_dir, tmp_path):
+    """Stream-static join flags only the >3-sigma values, statelessly."""
+    from db_writer_redshift_spark.streaming import stream_anomaly_filter
+
+    stats = spark.createDataFrame(
+        [("click", 1.0, 0.5), ("view", 2.5, 1.0)],
+        "event_type string, mean double, std double",
+    )
+    src = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    out = _run_to_memory(
+        spark, stream_anomaly_filter(src, stats, sigmas=3.0), "t_anom", tmp_path
+    )
+    rows = {(r.event_id, round(r.zscore, 2)) for r in out.collect()}
+    # click values are 1.0 except event 5 (4.0 → z=6); views sit at mean
+    assert rows == {(5, 6.0)}
