@@ -1071,3 +1071,51 @@ def pipeline_chunked_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy(F.col("priority_key").desc(), "doc_id")
         .limit(100)
     )
+
+
+@register(
+    "text_token_diversity",
+    oracle="""
+WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+cnt AS (SELECT doc_id, token, COUNT(*) AS c FROM tok2 GROUP BY doc_id, token),
+agg AS (
+  SELECT doc_id, SUM(c) AS n, SUM(c * c) AS sum_c2, COUNT(*) AS n_distinct_tokens
+  FROM cnt GROUP BY doc_id
+)
+SELECT doc_id, n_distinct_tokens,
+       ROUND(CAST(n * n - sum_c2 AS DOUBLE) / (n * n), 6) AS gini_simpson
+FROM agg
+""",
+)
+def text_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token diversity via the Gini-Simpson index
+    1 - sum(p_i^2): near 0 means one token repeated (spam/boilerplate),
+    near 1 means diverse vocabulary — the distributional quality signal
+    complementing text_repetition_scores' positional one. Chosen over
+    Shannon entropy deliberately: the index is a ratio of exact integer
+    sums (n^2 - sum(c^2)) / n^2, so cross-engine equality is exact by
+    construction — no transcendental whose last-ulp libm differences
+    can flip a rounding boundary (observed with -p*ln(p) terms).
+
+    Scale: two partial-aggregated shuffles keyed on (doc, token) then
+    doc — both combine map-side; all state is three int64 sums."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    cnt = tok.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_c2"),
+        F.count("*").alias("n_distinct_tokens"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_distinct_tokens",
+        F.round(
+            (F.col("n") * F.col("n") - F.col("sum_c2")).cast("double")
+            / (F.col("n") * F.col("n")),
+            6,
+        ).alias("gini_simpson"),
+    )
