@@ -12,6 +12,12 @@ order-insensitive value-hash comparison against DuckDB deterministic):
   space (bit-identical given identical operands), then rounded.
 * No functions whose float behavior differs across libm implementations
   (exp/log/trig) feed hashed output unless rounded aggressively.
+* Even rounded, a transcendental PER-GROUP-MEMBER term summed per group
+  eventually lands on a round boundary at scale (one -p*ln(p) term in
+  ~27k flipped text-entropy's 6th decimal). When an integer-exact
+  formulation of the same signal exists (Gini-Simpson for entropy,
+  integer moments for variance), prefer it — exactness by construction
+  beats probabilistic rounding.
 """
 
 from __future__ import annotations
