@@ -324,3 +324,45 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("priority_key").desc(), "doc_id")
         .limit(50)
     )
+
+
+@register(
+    "sample_weighted_per_lang",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         ROUND(LN(CAST((doc_id * {_A}) % {_RING} + 1 AS DOUBLE) / {_RING + 1})
+               / n_chars, 9) AS priority_key
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, lang, n_chars, priority_key,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY priority_key DESC, doc_id) AS rk
+  FROM keyed
+)
+SELECT doc_id, lang, n_chars, priority_key, rk
+FROM ranked WHERE rk <= 10
+""",
+)
+def sample_weighted_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified weighted sampling: the Efraimidis-Spirakis priority key
+    of sample_weighted_priority, but ranked WITHIN each language stratum
+    (top-10 per lang) — the balanced multilingual-mix builder where
+    within-stratum selection is still length-weighted.
+
+    Scale: same scan-stage row-local key; the per-stratum top-k runs as
+    a rank window with WindowGroupLimit pushdown (per-partition top-10
+    before the lang shuffle), so the shuffle carries ≤10 rows per lang
+    per map partition — never the corpus."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    u = ((F.col("doc_id") * _A) % _RING + 1).cast("double") / F.lit(float(_RING + 1))
+    keyed = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.round(F.log(u) / F.col("n_chars"), 9).alias("priority_key"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("priority_key").desc(), "doc_id")
+    return keyed.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 10)
