@@ -137,9 +137,9 @@ WITH bp AS (
 SELECT l_returnflag,
        COUNT(*) AS n,
        SUM(d_bp) AS disc_sum_bp,
-       ROUND((CAST(SUM(d_bp * d_bp) AS DOUBLE)
-              - CAST(SUM(d_bp) AS DOUBLE) * CAST(SUM(d_bp) AS DOUBLE) / COUNT(*))
-             / (COUNT(*) - 1), 6) AS disc_var_bp
+       CAST(COUNT(*) AS BIGINT) * CAST(SUM(d_bp * d_bp) AS BIGINT)
+         - CAST(SUM(d_bp) AS BIGINT) * CAST(SUM(d_bp) AS BIGINT) AS disc_var_num,
+       COUNT(*) * (COUNT(*) - 1) AS disc_var_den
 FROM bp
 GROUP BY l_returnflag
 """,
@@ -149,20 +149,25 @@ def agg_variance_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side partials) instead of the built-in var_samp, whose double
     accumulation order differs across engines and partitionings.
 
-    The measure is discount in basis points (exact int64: values ≤ 10^3, so
-    sums and sums-of-squares stay far below 2^53 even at sf≫1) — every
-    arithmetic step after the exact sums is a single IEEE op on identical
-    operands in both engines."""
+    The hashed output is the variance as an EXACT integer fraction:
+    ``disc_var_num / disc_var_den == var_samp`` with
+    ``num = n·Σd² − (Σd)²`` and ``den = n·(n−1)``. The measure is discount
+    in basis points (int64 ≤ 10^3 per row), so the numerator stays below
+    2^63 through sf≈1 per group (n ≈ 1.5e6, Σd ≈ 7.5e8, (Σd)² ≈ 5.6e17);
+    beyond that, widen to DECIMAL(38,0). No double ever feeds the hash —
+    round 1 showed ROUND(double, 6) flaps in the driver's canonicalizer
+    even when both engines agree to 1e-12."""
     l = load_table(spark, sf_dir, "lineitem")
     d_bp = F.round(F.col("l_discount") * 10000).cast("bigint")
     bp = l.select("l_returnflag", d_bp.alias("d_bp"))
     n = F.count("*")
-    sum_d = F.sum("d_bp").cast("double")
-    sumsq_d = F.sum(F.col("d_bp") * F.col("d_bp")).cast("double")
+    sum_d = F.sum("d_bp")
+    sumsq_d = F.sum(F.col("d_bp") * F.col("d_bp"))
     return bp.groupBy("l_returnflag").agg(
         n.alias("n"),
-        F.sum("d_bp").alias("disc_sum_bp"),
-        F.round((sumsq_d - sum_d * sum_d / n) / (n - F.lit(1)), 6).alias("disc_var_bp"),
+        sum_d.alias("disc_sum_bp"),
+        (n * sumsq_d - sum_d * sum_d).alias("disc_var_num"),
+        (n * (n - F.lit(1))).alias("disc_var_den"),
     )
 
 
@@ -1094,7 +1099,7 @@ WITH flagged AS (
   FROM flagged
 )
 SELECT user_id, session_id, COUNT(*) AS n_events,
-       MIN(ts) AS session_start, MAX(ts) AS session_end
+       epoch_us(MIN(ts)) AS session_start_us, epoch_us(MAX(ts)) AS session_end_us
 FROM sessions
 GROUP BY user_id, session_id
 """,
@@ -1102,7 +1107,11 @@ GROUP BY user_id, session_id
 def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity): LAG → new-session flag →
     running SUM as session id → per-session rollup. One shuffle on user_id
-    shared by both window ops and the final aggregate."""
+    shared by both window ops and the final aggregate.
+
+    Session boundaries are hashed as BIGINT epoch-micros (unix_micros /
+    epoch_us): round 1 showed naive-timestamp columns flap in the driver's
+    pandas canonicalizer even when both engines hold identical values."""
     from pyspark.sql.window import Window
 
     e = load_table(spark, sf_dir, "events")
@@ -1125,8 +1134,8 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sessions.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
+        F.unix_micros(F.min("ts").cast("timestamp_ltz")).alias("session_start_us"),
+        F.unix_micros(F.max("ts").cast("timestamp_ltz")).alias("session_end_us"),
     )
 
 
@@ -1331,10 +1340,14 @@ def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB this replaces the exact path's full sort-per-group with
     fixed-size mergeable sketches."""
     l = load_table(spark, sf_dir, "lineitem")
+    # One sketch per percentile, scalar output columns: the driver's pandas
+    # canonicalizer cannot hash array cells (numpy.ndarray is unhashable in
+    # sort_values — CORRECTNESS_r01 harness error), so the graded shape is
+    # flat. The three calls share the scan and aggregate in one pass.
     return l.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias(
-            "approx_p50_p90_p99"
-        ),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_p50"),
+        F.percentile_approx("l_extendedprice", 0.9, 10000).alias("approx_p90"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("approx_p99"),
         F.count("*").alias("n_rows"),
     )
 
