@@ -27,15 +27,28 @@ def quantize_int8(emb: pd.Series) -> pd.Series:
     s = 127 / max|x|; zero vectors map to zeros. Arrow-batched — each call
     sees a columnar batch, numpy does the math."""
 
+    if len(emb) == 0:
+        return pd.Series([], dtype=object)
+    nulls = emb.isna()
+    # Fixed-dim batches stack into ONE 2-D array — a single numpy pass for
+    # the whole Arrow batch (scale by row max, floor, cast); the per-vector
+    # fallback below only runs for ragged batches.
+    lens = {len(v) for v in emb[~nulls]}
+    if len(lens) == 1 and not nulls.any():
+        a = np.stack(emb.to_numpy())  # batch × dim
+        m = np.abs(a).max(axis=1, keepdims=True)
+        scale = np.divide(127.0, m, out=np.zeros_like(m), where=m != 0.0)
+        q = np.floor(a * scale + 0.5).astype(np.int64)
+        return pd.Series(list(q))
+
     def one(v):
         if v is None:
             return None
         a = np.asarray(v, dtype=np.float64)
         m = np.max(np.abs(a)) if a.size else 0.0
         if m == 0.0:
-            return [0] * len(a)
-        s = 127.0 / m
-        return [int(x) for x in np.floor(a * s + 0.5).astype(np.int64)]
+            return np.zeros(len(a), dtype=np.int64)
+        return np.floor(a * (127.0 / m) + 0.5).astype(np.int64)
 
     return emb.map(one)
 

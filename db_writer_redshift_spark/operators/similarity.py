@@ -125,6 +125,79 @@ def cosine_dup_pairs(
     )
 
 
+def lsh_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    dim: int = 64,
+    num_planes: int = 4,
+    num_tables: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-duplicate pairs via LSH blocking — the scale path for
+    ``cosine_dup_pairs`` (which stays the exact all-pairs oracle baseline).
+
+    Candidates are pairs sharing ≥1 (table, bucket) under seeded
+    random-hyperplane LSH; survivors get the EXACT cosine (same fold
+    arithmetic as the all-pairs form, so any pair the blocking recalls has
+    a bit-identical score) and the ≥ threshold filter. Output schema equals
+    cosine_dup_pairs: (id_a, id_b, cosine_sim).
+
+    Plan shape at 100 TB: bucket assignment is one Arrow-batched GEMM per
+    batch (no shuffle); the self-join keys on (table, bucket) and carries
+    ids only — ~N·L narrow rows through the shuffle instead of N² pairs;
+    vectors rejoin for the candidate set only. Recall is the hyperplane
+    collision bound 1−(1−p^b)^L with p = 1−θ/π, tuned by (num_planes,
+    num_tables) and measured against the exact baseline in
+    tests/test_similarity.py."""
+    planes = _hyperplanes(dim, num_planes, num_tables, seed)
+    bucket_of = _bucket_udf(planes)
+
+    vecs = ensure_parallelism(
+        df.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("vec"),
+            norm_double(F.col(vec_col)).alias("vnorm"),
+        )
+    )
+    # Narrow (id, table, bucket) rows — the only thing the blocking shuffles.
+    buckets = vecs.select(
+        "vid", F.posexplode(bucket_of(F.col("vec"))).alias("t", "bkt")
+    )
+    a = buckets.withColumnRenamed("vid", "id_a")
+    b = buckets.withColumnRenamed("vid", "id_b")
+    cand_ids = (
+        a.join(b, ["t", "bkt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sim = F.round(
+        _cosine_from_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 6
+    )
+    return (
+        cand_ids.join(
+            vecs.select(
+                F.col("vid").alias("id_a"),
+                F.col("vec").alias("va"),
+                F.col("vnorm").alias("na"),
+            ),
+            "id_a",
+        )
+        .join(
+            vecs.select(
+                F.col("vid").alias("id_b"),
+                F.col("vec").alias("vb"),
+                F.col("vnorm").alias("nb"),
+            ),
+            "id_b",
+        )
+        .select("id_a", "id_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def ivf_topk(
     queries_df: DataFrame,
     corpus_df: DataFrame,

@@ -37,8 +37,8 @@ WITH p AS (
 l AS (
   SELECT event_id, user_id, ts, event_type FROM events WHERE event_type <> 'purchase'
 )
-SELECT l.event_id, l.user_id, l.ts, l.event_type,
-       p.purchase_event_id, p.ts AS purchase_ts
+SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, l.event_type,
+       p.purchase_event_id, epoch_us(p.ts) AS purchase_ts_us
 FROM l ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts >= p.ts
 """,
 )
@@ -48,7 +48,9 @@ def asof_join_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFram
 
     Implementation is the union+window composition (operators/temporal.py)
     — one shuffle on user_id, no inequality join. Oracle: DuckDB's native
-    ASOF LEFT JOIN."""
+    ASOF LEFT JOIN. Timestamps are hashed as BIGINT epoch-micros (the
+    events_sessionization rule: naive-timestamp columns flap in the
+    driver's canonicalizer)."""
     e = load_table(spark, sf_dir, "events")
     left = e.filter(F.col("event_type") != "purchase").select(
         "event_id", "user_id", "ts", "event_type"
@@ -56,12 +58,20 @@ def asof_join_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFram
     right = _purchases(spark, sf_dir).select(
         "user_id", "ts", "purchase_event_id", F.col("ts").alias("purchase_ts")
     )
-    return asof_join(
+    joined = asof_join(
         left,
         right,
         on="ts",
         by=["user_id"],
         right_cols=["purchase_event_id", "purchase_ts"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("ts_us"),
+        "event_type",
+        "purchase_event_id",
+        F.unix_micros(F.col("purchase_ts").cast("timestamp_ltz")).alias("purchase_ts_us"),
     )
 
 
@@ -72,7 +82,7 @@ WITH p AS (
   SELECT user_id, ts, MAX(event_id) AS purchase_event_id
   FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
 )
-SELECT c.event_id AS click_event_id, c.user_id, c.ts AS click_ts,
+SELECT c.event_id AS click_event_id, c.user_id, epoch_us(c.ts) AS click_ts_us,
        p.purchase_event_id
 FROM events c JOIN p
   ON c.user_id = p.user_id
@@ -102,7 +112,12 @@ def range_join_purchase_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return range_join_days(
         clicks, windows, "click_ts", "p_start", "p_end", keys=["user_id"]
-    ).select("click_event_id", "user_id", "click_ts", "purchase_event_id")
+    ).select(
+        "click_event_id",
+        "user_id",
+        F.unix_micros(F.col("click_ts").cast("timestamp_ltz")).alias("click_ts_us"),
+        "purchase_event_id",
+    )
 
 
 @register(
@@ -182,7 +197,7 @@ activity AS (
          CAST(DATE_TRUNC('week', e.ts) AS TIMESTAMP) AS active_week
   FROM events e
 )
-SELECT c.cohort_week,
+SELECT epoch_us(c.cohort_week) AS cohort_week_us,
        CAST(FLOOR(DATE_DIFF('day', c.cohort_week, a.active_week) / 7) AS BIGINT) AS week_offset,
        COUNT(DISTINCT a.user_id) AS n_active
 FROM cohorts c JOIN activity a ON c.user_id = a.user_id
@@ -210,7 +225,9 @@ def events_weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFram
     return (
         cohorts.join(activity, "user_id")
         .groupBy(
-            "cohort_week",
+            F.unix_micros(F.col("cohort_week").cast("timestamp_ltz")).alias(
+                "cohort_week_us"
+            ),
             F.floor(
                 F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
             ).alias("week_offset"),
@@ -227,8 +244,8 @@ WITH m AS (
 ),
 s AS (
   SELECT event_type, COUNT(*) AS n,
-         CAST(SUM(v) AS DOUBLE) AS sv,
-         CAST(SUM(v * v) AS DOUBLE) AS svv
+         SUM(v) AS sv,
+         SUM(v * v) AS svv
   FROM m GROUP BY event_type
 ),
 st AS (
@@ -238,10 +255,16 @@ st AS (
 )
 SELECT m.event_type,
        MAX(st.n) AS n_events,
-       COUNT(CASE WHEN ABS(m.v - st.mean) > 3 * st.std THEN 1 END) AS n_outliers,
-       ROUND(MAX(st.mean), 6) AS mean_millis,
-       ROUND(MAX(st.std), 6) AS std_millis
-FROM m JOIN st USING (event_type)
+       COUNT(CASE WHEN st.n > 1 AND ABS(m.v - st.mean) > 3 * st.std THEN 1 END) AS n_outliers,
+       CAST(MAX(st.sv) AS BIGINT) AS sum_millis,
+       CAST(MAX(st.n) * MAX(st.svv) - MAX(st.sv) * MAX(st.sv) AS DOUBLE) AS var_num,
+       CAST(MAX(st.n) AS BIGINT) * (CAST(MAX(st.n) AS BIGINT) - 1) AS var_den
+FROM m JOIN (
+  SELECT event_type, n, sv, svv,
+         CAST(sv AS DOUBLE) / n AS mean,
+         SQRT((CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n) / (n - 1)) AS std
+  FROM s
+) st USING (event_type)
 GROUP BY m.event_type
 """,
 )
@@ -253,6 +276,17 @@ def events_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     operands in both engines, making the |v-mean| > 3σ comparison itself
     engine-portable — no epsilon needed.
 
+    The HASHED columns are integer-exact (counts, Σv, and the variance
+    fraction n·Σv²−(Σv)² over n·(n−1) — the agg_variance_manual rule: no
+    ROUND(double) feeds the hash). The numerator exceeds int64 ((Σv)² ≈
+    2.3e19 at sf0.1), so it is computed in DECIMAL(38,0) (Spark) /
+    HUGEINT (DuckDB) and cast once to DOUBLE — the same exact integer
+    rounds to the same double in both engines. mean/std exist only inside
+    the outlier predicate. Singleton groups (n=1) are guarded to zero
+    outliers explicitly: unguarded, Spark's (n-1)=0 division NULLs while
+    DuckDB's IEEE path NaNs — both count 0 outliers, but the guard makes
+    the contract visible rather than coincidental.
+
     Scale: pass 1 is a map-side-combined moment aggregate (one row per
     type); the tiny stats relation broadcasts back onto the scan for
     pass 2, so the event stream never shuffles — the same
@@ -262,12 +296,17 @@ def events_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.round(F.col("value") * 1000).cast("bigint").alias("v")
     )
     n = F.count("*")
-    sv = F.sum("v").cast("double")
-    svv = F.sum(F.col("v") * F.col("v")).cast("double")
+    sv = F.sum("v")
+    svv = F.sum(F.col("v") * F.col("v"))
     st = m.groupBy("event_type").agg(
         n.alias("n"),
-        (sv / n).alias("mean"),
-        F.sqrt((svv - sv * sv / n) / (n - F.lit(1))).alias("std"),
+        sv.alias("sv"),
+        svv.alias("svv"),
+        (sv.cast("double") / n).alias("mean"),
+        F.sqrt(
+            (svv.cast("double") - sv.cast("double") * sv.cast("double") / n)
+            / (n - F.lit(1))
+        ).alias("std"),
     )
     return (
         m.join(F.broadcast(st), "event_type")
@@ -275,9 +314,19 @@ def events_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("n").alias("n_events"),
             F.count(
-                F.when(F.abs(F.col("v") - F.col("mean")) > 3 * F.col("std"), 1)
+                F.when(
+                    (F.col("n") > 1)
+                    & (F.abs(F.col("v") - F.col("mean")) > 3 * F.col("std")),
+                    1,
+                )
             ).alias("n_outliers"),
-            F.round(F.max("mean"), 6).alias("mean_millis"),
-            F.round(F.max("std"), 6).alias("std_millis"),
+            F.max("sv").alias("sum_millis"),
+            (
+                F.max("n").cast("decimal(38,0)") * F.max("svv").cast("decimal(38,0)")
+                - F.max("sv").cast("decimal(38,0)") * F.max("sv").cast("decimal(38,0)")
+            )
+            .cast("double")
+            .alias("var_num"),
+            (F.max("n") * (F.max("n") - F.lit(1))).alias("var_den"),
         )
     )

@@ -100,3 +100,21 @@ def test_ivf_topk_with_trained_centroids(spark, emb):
     a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.6, f"trained-IVF recall@5 = {recall:.2f}"
+
+
+def test_lsh_dup_pairs_recall_and_exact_scores(spark, emb):
+    """The LSH-blocked dup-pair path (graded scale tier) vs the exact
+    all-pairs baseline: every pair it emits must exist in the exact output
+    with a bit-identical score (the refine step IS the exact cosine), and
+    recall of the exact pair set must clear a floor."""
+    sample = emb.filter(F.col("vec_id") % 10 == 0)
+    exact = similarity.cosine_dup_pairs(sample, "vec_id", "embedding", threshold=0.2)
+    approx = similarity.lsh_dup_pairs(sample, "vec_id", "embedding", threshold=0.2)
+    e = {(r.id_a, r.id_b): r.cosine_sim for r in exact.collect()}
+    a = {(r.id_a, r.id_b): r.cosine_sim for r in approx.collect()}
+    assert e, "fixture produced no exact dup pairs - threshold too high"
+    # no false positives, scores bit-identical
+    for pair, sim in a.items():
+        assert pair in e and e[pair] == sim, pair
+    recall = len(a) / len(e)
+    assert recall >= 0.6, f"LSH dup-pair recall = {recall:.2f}"
