@@ -1,0 +1,82 @@
+"""The driver's CORRECTNESS grading window, curated.
+
+The external harness grades exactly the FIRST 50 entries of
+``__spark_entry__.queries()`` in registration order. Round 1 registered
+the 51 relational queries first, so all LLM-pipeline, temporal,
+sampling/graph, and extra-TPC-H queries fell outside the window and got
+no correctness row (VERDICT.md round 1, finding #1).
+
+``GRADED_FIRST`` pins the window to one representative per operator
+family — every LLM-pipeline op family, the temporal joins, the
+sampling/graph track, and the relational families — and
+``plans/__init__.py`` reorders the registry so these names come first.
+``tests/test_graded_window.py`` locks the ordering against regressions:
+new registrations land AFTER the window unless this list changes too.
+
+Ordering within the list groups by family; only membership and the
+50-item prefix matter to the driver.
+"""
+
+from __future__ import annotations
+
+GRADED_FIRST: list[str] = [
+    # Relational core (scan/filter/agg/join/window/set/subquery/...)
+    "q1_pricing_summary",
+    "q6_revenue_change_sql",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "merge_upsert_orders",
+    "join_full_outer_nation_presence",
+    "join_anti_customers_no_orders",
+    "join_salted_orders_by_priority",
+    "agg_variance_manual",
+    "agg_approx_percentiles",
+    "agg_listagg_nation_segments",
+    "grouping_sets_mixed",
+    "pivot_status_by_priority",
+    "unpivot_status_counts",
+    "window_rank_orders_per_customer",
+    "window_range_frame_price",
+    "topk_expensive_orders",
+    "set_except_all_quantities",
+    "subquery_correlated_max_per_customer",
+    "scalar_array_funcs",
+    "events_sessionization",
+    "events_json_extract",
+    # LLM-data-pipeline track
+    "dedup_exact_docs",
+    "dedup_shingle_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_embedding_lsh",
+    "dedup_cc_clusters",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "kmeans_assign_stats",
+    "text_quality_scores",
+    "text_lang_id",
+    "tfidf_top_terms",
+    "chunk_documents_overlap",
+    "decontam_ngram_overlap",
+    "pipeline_curated_corpus",
+    "pipeline_chunked_training_mix",
+    "embedding_quantize_int8",
+    "udtf_split_sentences",
+    "multimodal_features",
+    # Temporal joins / event analytics
+    "asof_join_purchase_attribution",
+    "range_join_purchase_window",
+    "events_funnel_click_purchase",
+    "events_weekly_cohort_retention",
+    "events_zscore_anomaly",
+    # Sampling / graph
+    "sample_stratified_by_lang",
+    "sample_weighted_per_lang",
+    "split_leakage_audit",
+    # Extra TPC-H shapes
+    "q2_best_supplier_per_part",
+    "q18_large_volume_orders",
+]
+
+WINDOW = 50
+assert len(GRADED_FIRST) == WINDOW, len(GRADED_FIRST)
+assert len(set(GRADED_FIRST)) == WINDOW, "duplicate name in GRADED_FIRST"

@@ -95,6 +95,43 @@ def configure_existing(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def configure_s3(spark: SparkSession, s3info: dict) -> dict[str, str]:
+    """Wire a table's S3 block onto Hadoop's s3a connector (L-1 parity).
+
+    The reference's COPY carries temporary STS credentials inline
+    (Redshift.php:93-106 — access_key_id / secret_access_key /
+    session_token — and region; downloadManifest builds its S3Client from
+    the same block, Redshift.php:326-343). The Spark analog is the
+    ``fs.s3a.*`` Hadoop configuration consulted when a FileSystem for the
+    bucket is first created.
+
+    Credentials are scoped PER BUCKET (``fs.s3a.bucket.<name>.*``) so two
+    tables loading from different buckets with different STS grants never
+    clobber each other — matching the reference, where each COPY statement
+    carries its own credentials clause. Returns the conf dict it applied
+    (used by tests; values land in the live hadoopConfiguration too).
+    """
+    creds = s3info.get("credentials", {})
+    bucket = s3info.get("bucket")
+    prefix = f"fs.s3a.bucket.{bucket}" if bucket else "fs.s3a"
+    mapping = {
+        f"{prefix}.access.key": creds.get("access_key_id"),
+        f"{prefix}.secret.key": creds.get("secret_access_key"),
+        f"{prefix}.session.token": creds.get("session_token"),
+        f"{prefix}.endpoint.region": s3info.get("region"),
+    }
+    applied = {k: v for k, v in mapping.items() if v}
+    if applied.get(f"{prefix}.session.token"):
+        # session tokens require the temporary-credentials provider
+        applied[f"{prefix}.aws.credentials.provider"] = (
+            "org.apache.hadoop.fs.s3a.TemporaryAWSCredentialsProvider"
+        )
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for k, v in applied.items():
+        hconf.set(k, v)
+    return applied
+
+
 def test_connection(spark: SparkSession) -> None:
     """Smoke probe — reference ``testConnection`` runs ``select current_date``
     (Redshift.php:321-324)."""

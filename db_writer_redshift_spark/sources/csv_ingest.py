@@ -94,8 +94,14 @@ def read_manifest_entries(manifest_path: str) -> list[str]:
         parsed = urlparse(url)
         if parsed.scheme in ("", "file"):
             paths.append(parsed.path or url)
+        elif parsed.scheme == "s3":
+            # Keboola manifests carry s3:// URLs (Redshift.php:326-343);
+            # Hadoop's modern connector serves the s3a:// scheme (the bare
+            # s3:// FS was removed in Hadoop 3). Credentials for the bucket
+            # come from session.configure_s3.
+            paths.append("s3a://" + url[len("s3://") :])
         else:
-            paths.append(url)  # s3a:// etc — handed to Hadoop FS as-is
+            paths.append(url)  # s3a://, abfss://, gs://… — handed to Hadoop FS as-is
     return paths
 
 
@@ -295,13 +301,23 @@ def ingest_table(
     table: TableConfig,
     csv_path: str | None = None,
     manifest_path: str | None = None,
+    s3info: dict | None = None,
 ) -> DataFrame | None:
     """Full COPY analog: resolve source (single file w/ header, or sliced
     manifest), read, validate, cast. Returns None for an empty sliced
     manifest (zero-row success short-circuit, Redshift.php:83-90).
 
+    ``s3info`` is the reference's per-table S3 block (bucket / region /
+    temporary credentials — Redshift.php:93-106); when present its STS
+    credentials are wired onto the s3a connector for the bucket before
+    any read (session.configure_s3).
+
     Raises UserException with the E-2 message contract on bad cells.
     """
+    if s3info:
+        from db_writer_redshift_spark.session import configure_s3
+
+        configure_s3(spark, s3info)
     if manifest_path is not None:
         paths = read_manifest_entries(manifest_path)
         if not paths:

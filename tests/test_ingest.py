@@ -218,3 +218,72 @@ def test_orc_same_pipeline_as_csv(spark, tmp_path):
     rows = {r.id: r.name for r in apply_schema(df, t).collect()}
     # width truncation (L-4) applies identically to the ORC path
     assert rows == {1: "alp", 2: "be", None: "ce"}
+
+
+def test_manifest_s3_scheme_rewritten_to_s3a(tmp_path):
+    """s3:// manifest URLs must reach Hadoop as s3a:// — the bare s3 FS
+    was removed in Hadoop 3 (L-1; manifest shape Redshift.php:326-343)."""
+    m = tmp_path / "t.csv.manifest"
+    m.write_text(
+        json.dumps(
+            {
+                "entries": [
+                    {"url": "s3://my-bucket/slices/part.0001.gz"},
+                    {"url": "s3a://other-bucket/x.gz"},
+                    {"url": str(tmp_path / "local.csv")},
+                ]
+            }
+        )
+    )
+    paths = read_manifest_entries(str(m))
+    assert paths == [
+        "s3a://my-bucket/slices/part.0001.gz",
+        "s3a://other-bucket/x.gz",
+        str(tmp_path / "local.csv"),
+    ]
+
+
+def test_configure_s3_sets_per_bucket_sts_confs(spark):
+    """The reference COPY's credentials clause (Redshift.php:93-106) maps to
+    per-bucket fs.s3a confs, including the temporary-credentials provider
+    when a session token is present."""
+    from db_writer_redshift_spark.session import configure_s3
+
+    s3info = {
+        "bucket": "kbc-bucket",
+        "region": "eu-central-1",
+        "credentials": {
+            "access_key_id": "AKIATEST",
+            "secret_access_key": "sekret",
+            "session_token": "sts-token",
+        },
+    }
+    applied = configure_s3(spark, s3info)
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = "fs.s3a.bucket.kbc-bucket"
+    assert hconf.get(f"{p}.access.key") == "AKIATEST"
+    assert hconf.get(f"{p}.secret.key") == "sekret"
+    assert hconf.get(f"{p}.session.token") == "sts-token"
+    assert hconf.get(f"{p}.endpoint.region") == "eu-central-1"
+    assert "TemporaryAWSCredentialsProvider" in hconf.get(
+        f"{p}.aws.credentials.provider"
+    )
+    assert applied[f"{p}.access.key"] == "AKIATEST"
+
+
+def test_configure_s3_without_token_skips_provider(spark):
+    from db_writer_redshift_spark.session import configure_s3
+
+    applied = configure_s3(
+        spark,
+        {
+            "bucket": "plain-bucket",
+            "region": "us-east-1",
+            "credentials": {
+                "access_key_id": "AK2",
+                "secret_access_key": "s2",
+            },
+        },
+    )
+    assert "fs.s3a.bucket.plain-bucket.aws.credentials.provider" not in applied
+    assert applied["fs.s3a.bucket.plain-bucket.secret.key"] == "s2"
