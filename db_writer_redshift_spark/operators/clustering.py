@@ -94,6 +94,33 @@ def kmeans_fit(
     if dim_row is None:
         raise ValueError("kmeans_fit on an empty DataFrame")
     dim = dim_row.d
+    # Ragged or NULL-holed vectors would surface mid-fit as an opaque
+    # TypeError (a NULL SUM reaching the centroid division) — validate up
+    # front with one map-side-combined aggregate and name the offender.
+    bad = df.select(
+        F.sum(
+            F.when(
+                F.col(vec_col).isNull()
+                | (F.size(vec_col) != dim)
+                | F.exists(vec_col, lambda x: x.isNull()),
+                1,
+            ).otherwise(0)
+        ).alias("n_bad"),
+        F.min(
+            F.when(
+                F.col(vec_col).isNull()
+                | (F.size(vec_col) != dim)
+                | F.exists(vec_col, lambda x: x.isNull()),
+                F.col(id_col),
+            )
+        ).alias("first_bad"),
+    ).first()
+    if bad.n_bad:
+        raise ValueError(
+            f"kmeans_fit: {bad.n_bad} row(s) with NULL or ragged {vec_col} "
+            f"(expected {dim} non-null elements; first bad {id_col}="
+            f"{bad.first_bad})"
+        )
     seeds = (
         df.orderBy(id_col)
         .limit(k)

@@ -38,7 +38,13 @@ def _quantize(c: Column, cmin: Column, cmax: Column, bits: int) -> Column:
         (c.cast("double") - cmin.cast("double")) / span * F.lit(top)
     )
     bounded = F.least(F.greatest(scaled, F.lit(0)), F.lit(top))
-    return F.when(c.isNull() | (span <= 0), F.lit(0)).otherwise(bounded).cast("long")
+    # span.isNull covers the all-NULL column (min/max both NULL): the code
+    # degrades to bucket 0 instead of poisoning __z with NULL.
+    return (
+        F.when(c.isNull() | span.isNull() | (span <= 0), F.lit(0))
+        .otherwise(bounded)
+        .cast("long")
+    )
 
 
 def morton_interleave(quantized: list[Column], bits: int) -> Column:
@@ -63,16 +69,50 @@ def with_zorder(df: DataFrame, cols: list[str], bits: int = 16) -> DataFrame:
     The per-column min/max come from ONE 1-row aggregate broadcast back
     onto the scan (BroadcastNestedLoopJoin over a scalar row — no
     shuffle of the data side), so the whole computation is scan-stage
-    arithmetic."""
+    arithmetic.
+
+    Clustering columns must be numeric (or date/timestamp, which cast to
+    a numeric epoch): a string column would cast('double') to NULL in
+    _quantize, silently collapsing the whole Morton code — and the
+    layout — to a single value; fail loudly instead."""
+    numeric = {"byte", "short", "int", "bigint", "float", "double", "date"}
+    dtypes = dict(df.dtypes)
+    bad = [
+        c
+        for c in cols
+        if not (
+            dtypes.get(c, "").startswith("decimal")
+            or dtypes.get(c, "").startswith("timestamp")
+            or dtypes.get(c) in numeric
+        )
+    ]
+    if bad:
+        raise ValueError(
+            f"z-order clustering columns must be numeric/temporal; got "
+            f"{[(c, dtypes.get(c, '<missing>')) for c in bad]}"
+        )
+    def as_numeric(col: Column, dtype: str) -> Column:
+        # DATE/TIMESTAMP have no double cast in Spark 4 — go through the
+        # day number / epoch micros.
+        if dtype == "date":
+            return F.unix_date(col)
+        if dtype.startswith("timestamp"):
+            return F.unix_micros(col.cast("timestamp_ltz"))
+        return col
+
     aggs = []
     for c in cols:
-        aggs.append(F.min(c).alias(f"__min_{c}"))
-        aggs.append(F.max(c).alias(f"__max_{c}"))
+        nc = as_numeric(F.col(c), dtypes[c])
+        aggs.append(F.min(nc).alias(f"__min_{c}"))
+        aggs.append(F.max(nc).alias(f"__max_{c}"))
     stats = df.agg(*aggs)
     joined = df.join(F.broadcast(stats))
     quantized = [
         _quantize(
-            F.col(c), F.col(f"__min_{c}"), F.col(f"__max_{c}"), bits
+            as_numeric(F.col(c), dtypes[c]),
+            F.col(f"__min_{c}"),
+            F.col(f"__max_{c}"),
+            bits,
         )
         for c in cols
     ]

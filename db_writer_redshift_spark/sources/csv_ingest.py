@@ -346,6 +346,14 @@ def read_table_orc(
     wire formats (CSV / JSONL / ORC). Line numbers are per-file, like the
     CSV path.
 
+    Caveat (shared with the CSV/JSONL paths): the per-file ordering key is
+    monotonically_increasing_id within input_file_name, which reconstructs
+    file order only while each file reads as ONE split. A multi-split ORC
+    file packs splits by size, so reported error line numbers can then be
+    off; ingest-side validation files are expected to stay below one split
+    (load slices, not lake files). A split-stable key would need the block
+    start offset, which the DataFrame reader does not expose.
+
     (The reference supports only CSV; §7 extension track.)
     """
     names = [i.name for i in table.items]

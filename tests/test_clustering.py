@@ -61,3 +61,14 @@ def test_kmeans_on_fixture_embeddings(spark):
     }
     assert sum(sizes.values()) == emb.count()
     assert res.iterations <= 3
+
+
+def test_kmeans_fit_rejects_ragged_and_null_vectors(spark):
+    from db_writer_redshift_spark.operators.clustering import kmeans_fit
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0, 4.0]), (2, [5.0]), (3, [6.0, None])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="ragged"):
+        kmeans_fit(df, "vec_id", "embedding", k=2, max_iters=2)

@@ -153,3 +153,34 @@ def test_morton_full_grid_bijection(spark):
 
     assert len(set(got.values())) == 64 * 64
     assert all(z == ref(x, y) for (x, y), z in got.items())
+
+
+def test_with_zorder_rejects_non_numeric_column(spark):
+    """A string clustering column would quantize to all-NULL and silently
+    collapse the layout (ADVICE round 1) — it must fail loudly instead."""
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "a long, s string")
+    with pytest.raises(ValueError, match="numeric/temporal"):
+        with_zorder(df, ["a", "s"], bits=4)
+
+
+def test_with_zorder_date_and_timestamp_columns(spark):
+    """DATE goes through unix_date (no double cast in Spark 4); TIMESTAMP
+    casts to epoch seconds — both quantize without error."""
+    df = spark.createDataFrame(
+        [(1, "2024-01-01", "2024-01-01 00:00:00"),
+         (2, "2024-06-01", "2024-06-01 12:00:00"),
+         (3, "2024-12-31", "2024-12-31 23:59:59")],
+        "a long, d string, ts string",
+    ).select(
+        "a", F.col("d").cast("date"), F.col("ts").cast("timestamp").alias("ts")
+    )
+    rows = with_zorder(df, ["d", "ts"], bits=4).collect()
+    zs = {r.a: r["__z"] for r in rows}
+    assert len(set(zs.values())) == 3  # distinct dates land in distinct buckets
+    assert all(z is not None and z >= 0 for z in zs.values())
+
+
+def test_with_zorder_all_null_column_degrades_to_zero_bucket(spark):
+    df = spark.createDataFrame([(1, None), (2, None)], "a long, b double")
+    rows = with_zorder(df, ["a", "b"], bits=4).collect()
+    assert all(r["__z"] is not None for r in rows)
