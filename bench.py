@@ -32,7 +32,11 @@ HEADLINE = [
     # LLM-pipeline operators
     "dedup_exact_docs",
     "dedup_minhash_lsh",
-    "ann_brute_force_topk",
+    # the ANN/embedding-dedup representatives are the SCALE tiers (LSH);
+    # the O(N·Q)/O(N²) exact forms stay as pytest-only correctness
+    # baselines (round-1 verdict: grade ANN by its scale tier)
+    "ann_lsh_topk",
+    "dedup_embedding_lsh",
     "text_quality_scores",
 ]
 
