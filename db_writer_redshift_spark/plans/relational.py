@@ -303,7 +303,7 @@ def grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_orderkey,
        CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS revenue,
-       o_orderdate, o_orderpriority
+       epoch_us(o_orderdate) AS o_orderdate_us, o_orderpriority
 FROM customer JOIN orders ON c_custkey = o_custkey
               JOIN lineitem ON l_orderkey = o_orderkey
 WHERE c_mktsegment = 'BUILDING'
@@ -333,7 +333,14 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(_dsum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")), "revenue"))
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp_ltz")).alias(
+                "o_orderdate_us"
+            ),
+            "o_orderpriority",
+        )
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
     )
@@ -541,7 +548,7 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "topk_expensive_orders",
     oracle="""
-SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+SELECT o_orderkey, o_custkey, o_totalprice, epoch_us(o_orderdate) AS o_orderdate_us
 FROM orders
 ORDER BY o_totalprice DESC, o_orderkey
 LIMIT 20
@@ -553,7 +560,14 @@ def topk_expensive_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     Tie-broken on the key for a deterministic result set."""
     o = load_table(spark, sf_dir, "orders")
     return (
-        o.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp_ltz")).alias(
+                "o_orderdate_us"
+            ),
+        )
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(20)
     )
