@@ -15,6 +15,11 @@ new registrations land AFTER the window unless this list changes too.
 
 Ordering within the list groups by family; only membership and the
 50-item prefix matter to the driver.
+
+Rotation plan: CORRECTNESS files accumulate per round. Once this window
+is certified (CORRECTNESS_r02), a later round can rotate the prefix to
+the remaining registered queries so every query eventually carries a
+driver-graded row; the union of rounds covers the full registry.
 """
 
 from __future__ import annotations

@@ -637,6 +637,105 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_decontaminated_mix",
+    oracle=r"""
+WITH train AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 20 <> 0),
+base AS (
+  SELECT doc_id,
+         len(regexp_extract_all(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_tokens,
+         ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')), 6) AS avg_word_len,
+         ROUND(CAST(LENGTH(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / LENGTH(text), 6) AS punct_ratio,
+         ROUND(CAST(len(list_filter(string_split(LOWER(text), ' '), x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+               / len(string_split(text, ' ')), 6) AS stopword_ratio
+  FROM train
+),
+q AS (
+  SELECT doc_id, n_tokens,
+         ROUND(1.0 - LEAST(1.0, ABS(avg_word_len - 5) / 5) * 0.3
+                   - LEAST(1.0, punct_ratio * 10) * 0.3
+                   - LEAST(1.0, ABS(stopword_ratio - 0.4)) * 0.4, 6) AS quality_score
+  FROM base
+),
+gated AS (
+  SELECT t.doc_id, t.lang, t.text, q.n_tokens
+  FROM train t JOIN q USING (doc_id)
+  WHERE q.quality_score >= 0.83 AND q.n_tokens >= 30
+),
+keep AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM (SELECT doc_id, md5(text) AS fp FROM gated)
+  GROUP BY fp
+),
+deduped AS (
+  SELECT * FROM gated WHERE doc_id IN (SELECT doc_id FROM keep)
+),
+docs_w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS g
+  FROM docs_w, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+  WHERE len(w) >= 5
+),
+contam AS (
+  SELECT DISTINCT tr.doc_id
+  FROM (SELECT * FROM grams WHERE doc_id % 20 <> 0) tr
+  JOIN (SELECT * FROM grams WHERE doc_id % 20 = 0) ev ON tr.g = ev.g
+)
+SELECT d.lang,
+       COUNT(*) AS n_candidates,
+       SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated,
+       SUM(CASE WHEN c.doc_id IS NULL THEN 1 ELSE 0 END) AS n_kept,
+       SUM(CASE WHEN c.doc_id IS NULL THEN d.n_tokens ELSE 0 END) AS tokens_kept
+FROM deduped d LEFT JOIN contam c USING (doc_id)
+GROUP BY d.lang
+""",
+)
+def pipeline_decontaminated_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pre-training data path in one plan: quality gate
+    (text.quality_features) → exact-dedup keep list (min-id-wins) →
+    benchmark decontamination (5-gram collision vs the held-out eval
+    slice, removed rather than just reported) → per-language token
+    budget. Composes three operator families the engine already proves
+    individually (pipeline_curated_corpus, dedup_exact_docs,
+    decontam_ngram_overlap).
+
+    Scale shape: one scan feeds the quality gate; the keep list and the
+    eval-side gram set are aggregate-collapsed and broadcastable; the
+    contamination check runs on the ALREADY gated+deduped survivors (a
+    strict subset), so the most expensive stage sees the least data —
+    tier ordering exactly as a 100 TB curation run wants it."""
+    d = load_table(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 20 != 0)
+    q = text.quality_features(train, "doc_id", "text").select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+    gated = train.select("doc_id", "lang", "text").join(
+        q.filter((F.col("quality_score") >= 0.83) & (F.col("n_tokens") >= 30)).select(
+            "doc_id", "n_tokens"
+        ),
+        "doc_id",
+    )
+    keep = dedup.exact_dedup(gated, "doc_id", "text").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    deduped = gated.join(keep, "doc_id", "left_semi")
+    contam_ids = dedup.ngram_overlap(
+        deduped, d.filter(F.col("doc_id") % 20 == 0), "doc_id", "text", n=5
+    ).select(F.col("train_id").alias("doc_id"), F.lit(1).alias("is_contam"))
+    flagged = deduped.join(contam_ids, "doc_id", "left")
+    return flagged.groupBy("lang").agg(
+        F.count("*").alias("n_candidates"),
+        F.sum(F.when(F.col("is_contam").isNotNull(), 1).otherwise(0)).alias(
+            "n_contaminated"
+        ),
+        F.sum(F.when(F.col("is_contam").isNull(), 1).otherwise(0)).alias("n_kept"),
+        F.sum(
+            F.when(F.col("is_contam").isNull(), F.col("n_tokens")).otherwise(0)
+        ).alias("tokens_kept"),
+    )
+
+
+@register(
     "pack_training_sequences",
     oracle=r"""
 WITH t AS (
