@@ -154,6 +154,17 @@ def _hash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
     return params
 
 
+def _portable_base_hash(col: Column) -> Column:
+    """32-bit base hash both engines can compute bit-identically: integer
+    value of the first 8 hex chars of md5, mod the Mersenne prime.
+    (DuckDB twin: list_reduce over strpos('0123456789abcdef', c) digits —
+    see the dedup_minhash_portable oracle.)"""
+    return F.pmod(
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint"),
+        F.lit(_MERSENNE_P),
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -161,6 +172,7 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 64,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """(doc_id, signature: array<bigint>[num_hashes]) per document.
 
@@ -178,6 +190,10 @@ def minhash_signatures(
 
     Shingle hashing uses xxhash64 (JVM, seeded) — engine-internal, hence no
     SQL oracle; tests validate signature similarity against exact Jaccard.
+    With ``portable=True`` the base hash is the md5-derived 32-bit value
+    (_portable_base_hash) instead — ~2× the hashing cost, but every signature
+    value is reproducible in ANSI/DuckDB SQL, making the whole LSH tier
+    oracle-checkable (query ``dedup_minhash_portable``).
     """
     params = _hash_params(num_hashes, seed)
     # Shingle explode + 64 projections is the CPU-heavy stage — make sure it
@@ -191,7 +207,10 @@ def minhash_signatures(
         "doc_id",
         F.explode(F.array_distinct(shingles(F.col("__t"), n))).alias("sh"),
     )
-    h = F.pmod(F.xxhash64("sh", F.lit(seed)), F.lit(_MERSENNE_P))
+    if portable:
+        h = _portable_base_hash(F.col("sh"))
+    else:
+        h = F.pmod(F.xxhash64("sh", F.lit(seed)), F.lit(_MERSENNE_P))
     projected = exploded.select(
         "doc_id",
         *[
@@ -216,6 +235,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs with estimated Jaccard.
 
@@ -223,6 +243,12 @@ def minhash_lsh_pairs(
     sharing ≥1 band bucket (equi-join on (band, band_hash) — shuffle keyed on
     the bucket, never all-pairs). Estimated Jaccard = fraction of agreeing
     signature positions; pairs below ``threshold`` are dropped.
+
+    ``portable=True`` switches the base hash to the md5-derived family and
+    keys band buckets on the plain concatenated signature slice (a string
+    DuckDB reproduces verbatim) instead of xxhash64 of it — the fully
+    oracle-checkable tier. Wider shuffle keys (~40 chars vs 8 bytes), same
+    plan shape.
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
@@ -233,28 +259,28 @@ def minhash_lsh_pairs(
     # concurrently) while keeping it CacheManager-reusable across
     # invocations. num_hashes×8B per doc — orders of magnitude smaller
     # than the text, the right trade at any scale.
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed).persist()
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed, portable).persist()
     sig.count()
+
     # Banded rows carry only (doc_id, band, bucket) — NOT the 64-element
     # signature. The bucket equi-join shuffles 16 narrow rows per doc;
     # signatures rejoin only the (far fewer) surviving candidate pairs.
+    def bucket_key(bi):
+        joined = F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(F.col("signature"), bi * rows_per_band + 1, rows_per_band),
+                lambda v: v.cast("string"),
+            ),
+        )
+        return joined if portable else F.xxhash64(joined)
+
     banded = sig.select(
         "doc_id",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bi: F.struct(
-                    bi.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("signature"), bi * rows_per_band + 1, rows_per_band),
-                                lambda v: v.cast("string"),
-                            ),
-                        )
-                    ).alias("bucket"),
-                ),
+                lambda bi: F.struct(bi.alias("band"), bucket_key(bi).alias("bucket")),
             )
         ).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))

@@ -25,7 +25,10 @@ driver-graded row; the union of rounds covers the full registry.
 from __future__ import annotations
 
 GRADED_FIRST: list[str] = [
-    # Relational core (scan/filter/agg/join/window/set/subquery/...)
+    # Relational core (scan/filter/agg/join/window/set/subquery/...).
+    # unpivot_status_counts rotated out (r1-green; pivot + grouping sets
+    # keep the family covered) to make room for dedup_minhash_portable —
+    # the hash-verified MinHash tier.
     "q1_pricing_summary",
     "q6_revenue_change_sql",
     "q3_shipping_priority",
@@ -39,7 +42,6 @@ GRADED_FIRST: list[str] = [
     "agg_listagg_nation_segments",
     "grouping_sets_mixed",
     "pivot_status_by_priority",
-    "unpivot_status_counts",
     "window_rank_orders_per_customer",
     "window_range_frame_price",
     "topk_expensive_orders",
@@ -52,6 +54,7 @@ GRADED_FIRST: list[str] = [
     "dedup_exact_docs",
     "dedup_shingle_jaccard",
     "dedup_minhash_lsh",
+    "dedup_minhash_portable",
     "dedup_embedding_lsh",
     "dedup_cc_clusters",
     "ann_lsh_topk",

@@ -158,6 +158,84 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_portable_oracle(num_hashes: int = 64, bands: int = 16, seed: int = 42) -> str:
+    """Generate the DuckDB twin of the portable MinHash-LSH tier: the same
+    affine family ((a_i·h+b_i) mod p) over the same md5-derived 32-bit base
+    hash, 16 plain-string band keys, agreement-fraction estimate. Every
+    value is exact integer arithmetic — bit-identical across engines."""
+    from db_writer_redshift_spark.operators.dedup import _MERSENNE_P, _hash_params
+
+    params = _hash_params(num_hashes, seed)
+    rows = num_hashes // bands
+    mins = ",\n         ".join(
+        f"MIN(({a} * h0 + {b}) % {_MERSENNE_P}) AS s{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_selects = "\n  UNION ALL\n  ".join(
+        "SELECT doc_id, {b} AS band, {key} AS bucket FROM sig".format(
+            b=b,
+            key=" || ',' || ".join(
+                f"CAST(s{b * rows + j} AS VARCHAR)" for j in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    eq_terms = " + ".join(
+        f"CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
+    )
+    return f"""
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+  FROM docs, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3
+),
+hx AS (
+  SELECT doc_id,
+         list_reduce(list_transform(string_split_regex(substr(md5(sh), 1, 8), ''),
+                                    c -> CAST(strpos('0123456789abcdef', c) AS BIGINT) - 1),
+                     (a, b) -> a * 16 + b) % {_MERSENNE_P} AS h0
+  FROM grams
+),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM hx GROUP BY doc_id
+),
+bands AS (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(({eq_terms}) / 64.0, 4) AS est_jaccard
+FROM cand
+JOIN sig sa ON sa.doc_id = doc_a
+JOIN sig sb ON sb.doc_id = doc_b
+WHERE ({eq_terms}) / 64.0 >= 0.3
+"""
+
+
+@register("dedup_minhash_portable", oracle=_minhash_portable_oracle())
+def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + 16-band LSH with the engine-portable md5-affine hash
+    family: the SAME banded plan as dedup_minhash_lsh, but every signature
+    value, band key, and estimate is reproducible in ANSI SQL — so this
+    tier carries a full value-hash CORRECTNESS row, not a rows-only check.
+    The xxhash64 tier stays registered as the cheaper engine-internal
+    default; this one is the cross-engine proof of the algorithm."""
+    return dedup.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        threshold=0.3,
+        portable=True,
+    )
+
+
 @register("dedup_simhash_pairs", oracle=None)
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs (hamming ≤ 12) with pigeonhole 16-bit chunk

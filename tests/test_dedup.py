@@ -143,3 +143,24 @@ def test_ngram_overlap_broadcasts_eval_side(spark):
     ev = spark.createDataFrame([(1, "a b c d e")], "id long, t string")
     plan = ngram_overlap(train, ev, "id", "t", n=5)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_minhash_portable_same_fidelity_contract(spark, docs):
+    """The md5-affine portable tier obeys the same Chernoff fidelity bound
+    as the xxhash64 tier: every exact-Jaccard >=0.5 pair surfaced (<=10%
+    misses) with estimate within +-0.25."""
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.shingle_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    est = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.3, portable=True
+        ).collect()
+    }
+    missed = [p for p in exact if p not in est]
+    assert len(missed) <= max(1, len(exact) // 10), f"portable LSH missed {missed}"
+    for p, j in exact.items():
+        if p in est:
+            assert abs(est[p] - j) <= 0.25, (p, est[p], j)
