@@ -295,6 +295,100 @@ def ivf_topk(
     )
 
 
+def ivf_topk_portable(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_centroids: int = 8,
+    num_probes: int = 4,
+) -> DataFrame:
+    """IVF cell-probe ANN, fully oracle-checkable: the ``num_centroids``
+    lowest-id corpus vectors act as fixed centroids (the kmeans_assign_stats
+    seeding), cell ranking is cosine via SEQUENTIAL-fold arithmetic — the
+    bit-identical twin of DuckDB's list_reduce — instead of the numpy GEMM
+    the engine-internal ``ivf_topk`` uses. Same candidate plan: centroids
+    fold into the row expression (no join), candidates equi-join on cell,
+    exact cosine re-rank.
+
+    The cost of portability: per-row centroid ranking is an interpreted
+    higher-order-function tree (k cosine folds), ~2-3× the GEMM tier's
+    bucketing cost. Registered as the correctness proof of the cell-probe
+    algorithm; ``ivf_topk`` stays the fast default.
+    """
+    from pyspark.sql.window import Window
+
+    cents = sorted(
+        (
+            (int(r[0]), [float(x) for x in r[1]])
+            for r in corpus_df.filter(F.col(id_col) < num_centroids)
+            .select(id_col, vec_col)
+            .collect()
+        ),
+        key=lambda t: t[0],
+    )
+    num_probes = min(num_probes, len(cents))
+
+    def ranked_cells(vec: Column, vnorm: Column) -> Column:
+        """Array of cell ids ordered by (cosine desc, cid asc) — an
+        array_sort over (−cos, cid) structs; ties and values match the
+        oracle's ROW_NUMBER() OVER (ORDER BY cos DESC, cid). Plain
+        division like the brute-force oracle (fixture has no zero-norm
+        vectors); centroid norms are folds over literal arrays, which
+        Catalyst constant-folds at plan time."""
+        entries = []
+        for cid, cv in cents:
+            ce = F.array(*[F.lit(x) for x in cv])
+            cos = dot_double(vec, ce) / (vnorm * norm_double(ce))
+            entries.append(
+                F.struct((-cos).alias("negcos"), F.lit(cid).alias("cid"))
+            )
+        return F.transform(F.array_sort(F.array(*entries)), lambda s: s["cid"])
+
+    c_assigned = ensure_parallelism(
+        corpus_df.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            norm_double(F.col(vec_col)).alias("c_norm"),
+        )
+    ).withColumn(
+        "cell", F.element_at(ranked_cells(F.col("c_vec"), F.col("c_norm")), 1)
+    )
+    q_probed = queries_df.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm_double(F.col(vec_col)).alias("q_norm"),
+    ).select(
+        "query_id",
+        "q_vec",
+        "q_norm",
+        F.explode(
+            F.slice(ranked_cells(F.col("q_vec"), F.col("q_norm")), 1, num_probes)
+        ).alias("cell"),
+    )
+    cand = (
+        q_probed.join(c_assigned, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _cosine_from_norms(
+                    F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
+                ),
+                6,
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "nn_rank")
+    )
+
+
 def _ranked_cells_udf(centroids):
     """Cell ids ranked by cosine-to-centroid, descending, as ONE
     Arrow-batched matmul per batch (same rationale as ``_bucket_udf`` —

@@ -26,15 +26,15 @@ from __future__ import annotations
 
 GRADED_FIRST: list[str] = [
     # Relational core (scan/filter/agg/join/window/set/subquery/...).
-    # unpivot_status_counts rotated out (r1-green; pivot + grouping sets
-    # keep the family covered) to make room for dedup_minhash_portable —
-    # the hash-verified MinHash tier.
+    # unpivot_status_counts and join_full_outer_nation_presence rotated
+    # out (both r1-green; their families keep other reps) to make room
+    # for the hash-verified dedup_minhash_portable / ann_ivf_portable
+    # tiers.
     "q1_pricing_summary",
     "q6_revenue_change_sql",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "merge_upsert_orders",
-    "join_full_outer_nation_presence",
     "join_anti_customers_no_orders",
     "join_salted_orders_by_priority",
     "agg_variance_manual",
@@ -59,6 +59,7 @@ GRADED_FIRST: list[str] = [
     "dedup_cc_clusters",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_ivf_portable",
     "kmeans_assign_stats",
     "text_quality_scores",
     "text_lang_id",

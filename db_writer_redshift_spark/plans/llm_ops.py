@@ -332,6 +332,61 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_portable",
+    oracle="""
+WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+           FROM embeddings WHERE vec_id < 8),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+vc AS (
+  SELECT v.vec_id, c.cid,
+         list_reduce(list_transform(list_zip(v.e, c.ce), p -> p[1] * p[2]), (a, b) -> a + b)
+         / (SQRT(list_reduce(list_transform(v.e, x -> x*x), (a, b) -> a + b))
+            * SQRT(list_reduce(list_transform(c.ce, x -> x*x), (a, b) -> a + b))) AS cos
+  FROM v CROSS JOIN c
+),
+ranked AS (
+  SELECT vec_id, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rnk
+  FROM vc
+),
+corpus_cell AS (SELECT vec_id AS neighbor_id, cid AS cell FROM ranked WHERE rnk = 1),
+query_probe AS (SELECT vec_id AS query_id, cid AS cell FROM ranked
+                WHERE rnk <= 4 AND vec_id % 50 = 0),
+cand AS (
+  SELECT query_id, neighbor_id
+  FROM query_probe JOIN corpus_cell USING (cell)
+  WHERE query_id <> neighbor_id
+),
+sims AS (
+  SELECT query_id, neighbor_id,
+         ROUND(list_reduce(list_transform(list_zip(q.e, n.e), p -> p[1] * p[2]), (a, b) -> a + b)
+               / (SQRT(list_reduce(list_transform(q.e, x -> x*x), (a, b) -> a + b))
+                  * SQRT(list_reduce(list_transform(n.e, x -> x*x), (a, b) -> a + b))), 6) AS cosine_sim
+  FROM cand JOIN v q ON q.vec_id = query_id
+            JOIN v n ON n.vec_id = neighbor_id
+),
+topk AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, neighbor_id) AS nn_rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, cosine_sim, nn_rank FROM topk WHERE nn_rank <= 5
+""",
+)
+def ann_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-probe ANN with a FULL value-hash oracle: fixed lowest-id
+    centroids (the kmeans_assign_stats seeding), sequential-fold cosine
+    cell ranking (bit-identical to DuckDB's list_reduce), exact re-rank
+    within probed cells. The correctness proof of the cell-probe
+    algorithm — ann_ivf_topk (numpy-GEMM bucketing) stays the fast
+    engine-internal tier; both share candidate-plan shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return similarity.ivf_topk_portable(queries, emb, "vec_id", "embedding", k=5)
+
+
+@register(
     "embedding_norm_stats",
     oracle="""
 SELECT label,

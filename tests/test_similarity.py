@@ -118,3 +118,19 @@ def test_lsh_dup_pairs_recall_and_exact_scores(spark, emb):
         assert pair in e and e[pair] == sim, pair
     recall = len(a) / len(e)
     assert recall >= 0.6, f"LSH dup-pair recall = {recall:.2f}"
+
+
+def test_ivf_portable_matches_gemm_tier_recall(spark, emb):
+    """The portable (fold-ranked) IVF must be at least as good an
+    approximation as the GEMM tier's floor, and every emitted score must
+    be the exact cosine (same re-rank arithmetic as brute force)."""
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = similarity.brute_force_topk(queries, emb, "vec_id", "embedding", k=5)
+    approx = similarity.ivf_topk_portable(queries, emb, "vec_id", "embedding", k=5)
+    e = {(r.query_id, r.neighbor_id): r.cosine_sim for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id): r.cosine_sim for r in approx.collect()}
+    recall = len(set(e) & set(a)) / len(e)
+    assert recall >= 0.6, f"portable-IVF recall@5 = {recall:.2f}"
+    for pair, sim in a.items():
+        if pair in e:
+            assert e[pair] == sim, pair
