@@ -295,6 +295,115 @@ def ivf_topk(
     )
 
 
+def quantized_planes(
+    dim: int = 64,
+    num_planes: int = 4,
+    num_tables: int = 16,
+    seed: int = 42,
+    scale: int = 1000,
+) -> list[list[list[int]]]:
+    """The LSH hyperplanes quantized to exact integers (×scale, rounded):
+    sign(Σ eᵢ·pᵢ) over INTEGER terms is accumulation-order-independent, so
+    the bucket assignment reproduces bit-identically in any engine — the
+    portability trick behind lsh_dup_pairs_portable. Quantizing a random
+    projection just yields a slightly different (equally random) plane."""
+    planes = _hyperplanes(dim, num_planes, num_tables, seed)
+    q = np.round(planes * scale).astype(np.int64)
+    return [[[int(v) for v in p] for p in tbl] for tbl in q]
+
+
+def lsh_dup_pairs_portable(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    dim: int = 64,
+    num_planes: int = 4,
+    num_tables: int = 16,
+    seed: int = 42,
+    scale: int = 1000,
+) -> DataFrame:
+    """lsh_dup_pairs with EXACT-integer bucketing instead of the numpy
+    GEMM: embeddings and hyperplanes quantize to ×scale integers, plane
+    dots become order-independent integer folds, and the bucket id is the
+    packed sign-bit sum — every candidate and every refined cosine is
+    reproducible in DuckDB SQL (query dedup_embedding_lsh_portable).
+
+    Cost of portability: the num_tables×num_planes fold-dot expression
+    tree is interpreted per row (~the codegen-explosion caveat on
+    _bucket_udf) — fine for the correctness-proof tier over the graded
+    sample; lsh_dup_pairs stays the fast GEMM default at scale.
+    """
+    planes_int = quantized_planes(dim, num_planes, num_tables, seed, scale)
+
+    e_int = F.transform(
+        F.col("vec"), lambda x: F.round(x.cast("double") * scale).cast("bigint")
+    )
+
+    def bucket_for_table(tbl: list[list[int]]):
+        bits = []
+        for j, plane in enumerate(tbl):
+            p_lit = F.array(*[F.lit(v) for v in plane])
+            dot = F.aggregate(
+                F.zip_with(F.col("e_int"), p_lit, lambda a, b: a * b),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out.cast("bigint")
+
+    vecs = ensure_parallelism(
+        df.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("vec"),
+            norm_double(F.col(vec_col)).alias("vnorm"),
+        )
+    )
+    buckets = (
+        vecs.withColumn("e_int", e_int)
+        .select(
+            "vid",
+            F.posexplode(
+                F.array(*[bucket_for_table(tbl) for tbl in planes_int])
+            ).alias("t", "bkt"),
+        )
+    )
+    a = buckets.withColumnRenamed("vid", "id_a")
+    b = buckets.withColumnRenamed("vid", "id_b")
+    cand_ids = (
+        a.join(b, ["t", "bkt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sim = F.round(
+        _cosine_from_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 6
+    )
+    return (
+        cand_ids.join(
+            vecs.select(
+                F.col("vid").alias("id_a"),
+                F.col("vec").alias("va"),
+                F.col("vnorm").alias("na"),
+            ),
+            "id_a",
+        )
+        .join(
+            vecs.select(
+                F.col("vid").alias("id_b"),
+                F.col("vec").alias("vb"),
+                F.col("vnorm").alias("nb"),
+            ),
+            "id_b",
+        )
+        .select("id_a", "id_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def ivf_topk_portable(
     queries_df: DataFrame,
     corpus_df: DataFrame,

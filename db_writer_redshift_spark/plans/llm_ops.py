@@ -264,6 +264,60 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_dup_pairs(emb, "vec_id", "embedding", threshold=0.2)
 
 
+def _embedding_lsh_portable_oracle(threshold: float = 0.2, scale: int = 1000) -> str:
+    """DuckDB twin of the integer-quantized hyperplane LSH dedup: same
+    ×scale integer embeddings and plane literals, same packed sign-bit
+    buckets, same exact-cosine refine as the all-pairs oracle."""
+    from db_writer_redshift_spark.operators.similarity import quantized_planes
+
+    tables = quantized_planes(scale=scale)
+    bucket_exprs = []
+    for t, tbl in enumerate(tables):
+        bits = " + ".join(
+            "(CASE WHEN list_reduce(list_transform(list_zip(e_int, "
+            f"{[int(v) for v in plane]}"
+            f"), p -> p[1] * p[2]), (a, b) -> a + b) >= 0 THEN {1 << j} ELSE 0 END)"
+            for j, plane in enumerate(tbl)
+        )
+        bucket_exprs.append(f"SELECT vec_id, {t} AS t, {bits} AS bkt FROM vq")
+    bands = "\n  UNION ALL\n  ".join(bucket_exprs)
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id % 10 = 0),
+vq AS (
+  SELECT vec_id,
+         list_transform(e, x -> CAST(ROUND(x * {scale}) AS BIGINT)) AS e_int
+  FROM v
+),
+bands AS (
+  {bands}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a JOIN bands b ON a.t = b.t AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+),
+sims AS (
+  SELECT id_a, id_b,
+         ROUND(list_reduce(list_transform(list_zip(x.e, y.e), p -> p[1] * p[2]), (a, b) -> a + b)
+               / (SQRT(list_reduce(list_transform(x.e, q -> q*q), (a, b) -> a + b))
+                  * SQRT(list_reduce(list_transform(y.e, q -> q*q), (a, b) -> a + b))), 6) AS cosine_sim
+  FROM cand JOIN v x ON x.vec_id = id_a JOIN v y ON y.vec_id = id_b
+)
+SELECT id_a, id_b, cosine_sim FROM sims WHERE cosine_sim >= {threshold}
+"""
+
+
+@register("dedup_embedding_lsh_portable", oracle=_embedding_lsh_portable_oracle())
+def dedup_embedding_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-blocked embedding near-dup pairs with a FULL value-hash oracle:
+    integer-quantized hyperplane buckets (order-independent integer dots —
+    bit-identical cross-engine) → ids-only candidate self-join → exact
+    cosine ≥ threshold refine. The correctness proof of the LSH-blocking
+    algorithm; dedup_embedding_lsh (numpy-GEMM buckets) stays the fast
+    engine-internal tier."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    return similarity.lsh_dup_pairs_portable(emb, "vec_id", "embedding", threshold=0.2)
+
+
 @register("dedup_embedding_lsh", oracle=None)
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs, LSH-blocked (the scale path): seeded

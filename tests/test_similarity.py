@@ -134,3 +134,26 @@ def test_ivf_portable_matches_gemm_tier_recall(spark, emb):
     for pair, sim in a.items():
         if pair in e:
             assert e[pair] == sim, pair
+
+
+def test_lsh_dup_pairs_portable_same_contract(spark, emb):
+    """The integer-quantized portable tier obeys the same contract as the
+    GEMM tier: no false positives vs the exact baseline, bit-identical
+    refined scores, recall floor."""
+    sample = emb.filter(F.col("vec_id") % 10 == 0)
+    exact = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in similarity.cosine_dup_pairs(
+            sample, "vec_id", "embedding", threshold=0.2
+        ).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in similarity.lsh_dup_pairs_portable(
+            sample, "vec_id", "embedding", threshold=0.2
+        ).collect()
+    }
+    for pair, sim in approx.items():
+        assert pair in exact and exact[pair] == sim, pair
+    recall = len(approx) / len(exact)
+    assert recall >= 0.6, f"portable LSH dup-pair recall = {recall:.2f}"
