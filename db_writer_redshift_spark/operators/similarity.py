@@ -312,6 +312,111 @@ def quantized_planes(
     return [[[int(v) for v in p] for p in tbl] for tbl in q]
 
 
+def _int_bucket_bands(df: DataFrame, id_out: str, vec_col: str, planes_int, scale: int):
+    """(id, t, bkt) band rows via exact-integer plane dots (see
+    quantized_planes). Shared by the portable dup-pair and top-k tiers."""
+    e_int = F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * scale).cast("bigint")
+    )
+
+    def bucket_for_table(tbl):
+        bits = []
+        for j, plane in enumerate(tbl):
+            p_lit = F.array(*[F.lit(v) for v in plane])
+            dot = F.aggregate(
+                F.zip_with(F.col("__e_int"), p_lit, lambda a, b: a * b),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out.cast("bigint")
+
+    return (
+        df.withColumn("__e_int", e_int)
+        .select(
+            id_out,
+            F.posexplode(
+                F.array(*[bucket_for_table(tbl) for tbl in planes_int])
+            ).alias("t", "bkt"),
+        )
+    )
+
+
+def lsh_topk_portable(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    num_planes: int = 4,
+    num_tables: int = 16,
+    seed: int = 42,
+    scale: int = 1000,
+) -> DataFrame:
+    """lsh_topk with exact-integer bucketing — the fully oracle-checkable
+    ANN-LSH tier (query ann_lsh_portable): quantized-plane sign buckets are
+    bit-identical cross-engine, candidates re-rank through the exact fold
+    cosine. Same output schema and candidate-plan shape as lsh_topk; the
+    GEMM tier stays the fast default."""
+    from pyspark.sql.window import Window
+
+    planes_int = quantized_planes(dim, num_planes, num_tables, seed, scale)
+
+    q_vecs = queries_df.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm_double(F.col(vec_col)).alias("q_norm"),
+    )
+    c_vecs = ensure_parallelism(
+        corpus_df.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            norm_double(F.col(vec_col)).alias("c_norm"),
+        )
+    )
+    q = _int_bucket_bands(
+        queries_df.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
+        "query_id",
+        vec_col,
+        planes_int,
+        scale,
+    )
+    c = _int_bucket_bands(
+        c_vecs.select("neighbor_id", F.col("c_vec")), "neighbor_id", "c_vec", planes_int, scale
+    )
+    cand_ids = (
+        F.broadcast(q)
+        .join(c, ["t", "bkt"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    cand = (
+        cand_ids.join(F.broadcast(q_vecs), "query_id")
+        .join(c_vecs, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _cosine_from_norms(
+                    F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
+                ),
+                6,
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "nn_rank")
+    )
+
+
 def lsh_dup_pairs_portable(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -336,25 +441,6 @@ def lsh_dup_pairs_portable(
     """
     planes_int = quantized_planes(dim, num_planes, num_tables, seed, scale)
 
-    e_int = F.transform(
-        F.col("vec"), lambda x: F.round(x.cast("double") * scale).cast("bigint")
-    )
-
-    def bucket_for_table(tbl: list[list[int]]):
-        bits = []
-        for j, plane in enumerate(tbl):
-            p_lit = F.array(*[F.lit(v) for v in plane])
-            dot = F.aggregate(
-                F.zip_with(F.col("e_int"), p_lit, lambda a, b: a * b),
-                F.lit(0).cast("bigint"),
-                lambda acc, x: acc + x,
-            )
-            bits.append(F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
-        out = bits[0]
-        for b in bits[1:]:
-            out = out + b
-        return out.cast("bigint")
-
     vecs = ensure_parallelism(
         df.select(
             F.col(id_col).alias("vid"),
@@ -362,14 +448,8 @@ def lsh_dup_pairs_portable(
             norm_double(F.col(vec_col)).alias("vnorm"),
         )
     )
-    buckets = (
-        vecs.withColumn("e_int", e_int)
-        .select(
-            "vid",
-            F.posexplode(
-                F.array(*[bucket_for_table(tbl) for tbl in planes_int])
-            ).alias("t", "bkt"),
-        )
+    buckets = _int_bucket_bands(
+        vecs.select("vid", "vec"), "vid", "vec", planes_int, scale
     )
     a = buckets.withColumnRenamed("vid", "id_a")
     b = buckets.withColumnRenamed("vid", "id_b")

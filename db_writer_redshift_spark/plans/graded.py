@@ -29,8 +29,9 @@ GRADED_FIRST: list[str] = [
     # unpivot_status_counts and join_full_outer_nation_presence rotated
     # out (both r1-green; their families keep other reps) to make room
     # for the hash-verified dedup_minhash_portable / ann_ivf_portable
-    # tiers; dedup_embedding_lsh_portable (full oracle) stands in for
-    # the rows-only GEMM tier it mirrors.
+    # tiers; the _portable variants (full oracle) stand in for the
+    # rows-only GEMM tiers they mirror (dedup_embedding_lsh,
+    # ann_ivf_topk — still registered and recall-tested in pytest).
     "q1_pricing_summary",
     "q6_revenue_change_sql",
     "q3_shipping_priority",
@@ -59,7 +60,7 @@ GRADED_FIRST: list[str] = [
     "dedup_embedding_lsh_portable",
     "dedup_cc_clusters",
     "ann_lsh_topk",
-    "ann_ivf_topk",
+    "ann_lsh_portable",
     "ann_ivf_portable",
     "kmeans_assign_stats",
     "text_quality_scores",

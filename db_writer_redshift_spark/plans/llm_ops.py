@@ -385,6 +385,68 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(queries, emb, "vec_id", "embedding", k=5)
 
 
+def _ann_lsh_portable_oracle(scale: int = 1000) -> str:
+    """DuckDB twin of the integer-quantized ANN-LSH top-k: same band
+    buckets as the embedding-dedup oracle, brute-force-style exact
+    re-rank restricted to bucket-collided candidates."""
+    from db_writer_redshift_spark.operators.similarity import quantized_planes
+
+    tables = quantized_planes(scale=scale)
+    bucket_exprs = []
+    for t, tbl in enumerate(tables):
+        bits = " + ".join(
+            "(CASE WHEN list_reduce(list_transform(list_zip(e_int, "
+            f"{[int(v) for v in plane]}"
+            f"), p -> p[1] * p[2]), (a, b) -> a + b) >= 0 THEN {1 << j} ELSE 0 END)"
+            for j, plane in enumerate(tbl)
+        )
+        bucket_exprs.append(f"SELECT vec_id, {t} AS t, {bits} AS bkt FROM vq")
+    bands = "\n  UNION ALL\n  ".join(bucket_exprs)
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+vq AS (
+  SELECT vec_id,
+         list_transform(e, x -> CAST(ROUND(x * {scale}) AS BIGINT)) AS e_int
+  FROM v
+),
+bands AS (
+  {bands}
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM (SELECT * FROM bands WHERE vec_id % 50 = 0) q
+  JOIN bands c ON q.t = c.t AND q.bkt = c.bkt AND q.vec_id <> c.vec_id
+),
+sims AS (
+  SELECT query_id, neighbor_id,
+         ROUND(list_reduce(list_transform(list_zip(x.e, y.e), p -> p[1] * p[2]), (a, b) -> a + b)
+               / (SQRT(list_reduce(list_transform(x.e, q -> q*q), (a, b) -> a + b))
+                  * SQRT(list_reduce(list_transform(y.e, q -> q*q), (a, b) -> a + b))), 6) AS cosine_sim
+  FROM cand JOIN v x ON x.vec_id = query_id JOIN v y ON y.vec_id = neighbor_id
+),
+topk AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, neighbor_id) AS nn_rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, cosine_sim, nn_rank FROM topk WHERE nn_rank <= 5
+"""
+
+
+@register("ann_lsh_portable", oracle=_ann_lsh_portable_oracle())
+def ann_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN with a FULL value-hash oracle: the
+    integer-quantized bucket trick (dedup_embedding_lsh_portable) applied
+    to top-k search — candidates from exact-integer sign buckets, exact
+    fold-cosine re-rank. ann_lsh_topk (numpy-GEMM buckets) stays the fast
+    engine-internal tier; with this, every ANN/LSH algorithm in the
+    engine carries a cross-engine value proof."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return similarity.lsh_topk_portable(queries, emb, "vec_id", "embedding", k=5)
+
+
 @register(
     "ann_ivf_portable",
     oracle="""

@@ -157,3 +157,16 @@ def test_lsh_dup_pairs_portable_same_contract(spark, emb):
         assert pair in exact and exact[pair] == sim, pair
     recall = len(approx) / len(exact)
     assert recall >= 0.6, f"portable LSH dup-pair recall = {recall:.2f}"
+
+
+def test_lsh_topk_portable_recall_and_exact_scores(spark, emb):
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = similarity.brute_force_topk(queries, emb, "vec_id", "embedding", k=5)
+    approx = similarity.lsh_topk_portable(queries, emb, "vec_id", "embedding", k=5)
+    e = {(r.query_id, r.neighbor_id): r.cosine_sim for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id): r.cosine_sim for r in approx.collect()}
+    recall = len(set(e) & set(a)) / len(e)
+    assert recall >= 0.6, f"portable ANN-LSH recall@5 = {recall:.2f}"
+    for pair, sim in a.items():
+        if pair in e:
+            assert e[pair] == sim, pair
