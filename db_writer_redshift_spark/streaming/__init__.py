@@ -12,6 +12,7 @@ from db_writer_redshift_spark.streaming.jobs import (  # noqa: F401
     read_csv_stream,
     read_events_stream,
     stream_anomaly_filter,
+    stream_click_purchase_join,
     stream_dedup_events,
     stream_hopping_counts,
     stream_sessionize,

@@ -209,6 +209,62 @@ def merge_sink(
     )
 
 
+def stream_click_purchase_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    within: str = "1 hour",
+    click_watermark: str = "2 hours",
+    purchase_watermark: str = "3 hours",
+) -> DataFrame:
+    """Stream-STREAM inner interval join: purchases attributed to a click
+    by the same user within ``within`` after the click — the streaming
+    twin of the batch funnel (plans/temporal_queries.
+    events_funnel_click_purchase) and the last temporal-join shape the
+    engine needed (batch as-of/range joins cover the rest).
+
+    Both sides are watermarked and the join condition bounds purchase_ts
+    to [click_ts, click_ts + within], so Spark can expire join state:
+    clicks older than the purchase watermark plus the interval drop out
+    of the state store instead of accumulating forever — the documented
+    requirement for unbounded stream-stream joins. Output rows carry
+    both event ids, the user, and the click→purchase latency.
+    """
+    c = (
+        clicks.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", click_watermark)
+    )
+    p = (
+        purchases.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", purchase_watermark)
+    )
+    joined = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}")),
+    )
+    return joined.select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        "click_ts",
+        "purchase_ts",
+        (
+            F.unix_micros(F.col("purchase_ts")) - F.unix_micros(F.col("click_ts"))
+        ).alias("latency_us"),
+    )
+
+
 def stream_anomaly_filter(
     events: DataFrame,
     stats: DataFrame,

@@ -201,3 +201,39 @@ def test_stream_anomaly_filter_static_join(spark, events_dir, tmp_path):
     rows = {(r.event_id, round(r.zscore, 2)) for r in out.collect()}
     # click values are 1.0 except event 5 (4.0 → z=6); views sit at mean
     assert rows == {(5, 6.0)}
+
+
+def test_stream_stream_click_purchase_interval_join(spark, tmp_path):
+    """Stream-stream inner interval join: purchases land on the click
+    within the window; out-of-window purchases drop; both sides
+    watermarked so join state is bounded."""
+    from db_writer_redshift_spark.streaming import stream_click_purchase_join
+
+    rows = [
+        _mk(1, 0, 100, "click"),
+        _mk(2, 30, 100, "purchase", 9.0),   # within 1h of click 1 -> match
+        _mk(3, 0, 200, "click"),
+        _mk(4, 120, 200, "purchase", 5.0),  # 2h after click 3 -> no match
+        _mk(5, 10, 300, "purchase", 1.0),   # purchase with no click
+    ]
+    src = tmp_path / "src"
+    from db_writer_redshift_spark.streaming import EVENTS_SCHEMA as ES
+
+    spark.createDataFrame(rows, ES).coalesce(1).write.parquet(str(src))
+    stream = (
+        spark.readStream.schema(ES).parquet(str(src))
+    )
+    out = stream_click_purchase_join(stream, stream, within="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cp_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.click_id, r.purchase_id, r.latency_us)
+        for r in spark.sql("SELECT * FROM cp_join").collect()
+    }
+    assert got == {(1, 2, 30 * 60 * 1_000_000)}
