@@ -78,6 +78,27 @@ _RH_BASE = 257
 _RH_MOD = (1 << 31) - 1
 
 
+def rolling_hash_portable_expr(text: Column) -> Column:
+    """rolling_hash_expr with the engine-portable token hash (integer of
+    the first 8 md5 hex chars, mod p) — every fingerprint reproduces in
+    DuckDB SQL. Fold-seed nuance: Spark's aggregate seeds 0 and DuckDB's
+    list_reduce seeds with the first element, but (0·base + h₀) = h₀, so
+    the sequences coincide; the empty-token case is guarded to 0 on both
+    sides."""
+    tok_hashes = F.transform(
+        words(F.lower(text)),
+        lambda t: F.pmod(
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint"),
+            F.lit(_RH_MOD),
+        ),
+    )
+    return F.aggregate(
+        tok_hashes,
+        F.lit(0).cast("bigint"),
+        lambda acc, h: (acc * F.lit(_RH_BASE) + h) % F.lit(_RH_MOD),
+    )
+
+
 def rolling_hash_expr(text: Column, seed: int = 42) -> Column:
     """Order-sensitive polynomial rolling hash over the token stream:
     ``h = Σ h_tok(i)·base^(n-i) mod p`` via a sequential fold — permuting

@@ -703,6 +703,33 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_rolling_fingerprint_portable",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN len(string_split(LOWER(text), ' ')) = 0 THEN 0
+            ELSE list_reduce(
+                   list_transform(string_split(LOWER(text), ' '),
+                     t -> list_reduce(list_transform(string_split_regex(substr(md5(t), 1, 8), ''),
+                                                     c -> CAST(strpos('0123456789abcdef', c) AS BIGINT) - 1),
+                                      (a, b) -> a * 16 + b) % 2147483647),
+                   (acc, h) -> (acc * 257 + h) % 2147483647)
+       END AS rolling_fp
+FROM documents
+""",
+)
+def text_rolling_fingerprint_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive polynomial rolling fingerprint with the portable
+    md5 token hash — bit-identical in DuckDB (full value-hash row); the
+    xxhash64 flavor (text_rolling_fingerprint) stays the cheaper default."""
+    from db_writer_redshift_spark.functions.text import rolling_hash_portable_expr
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", rolling_hash_portable_expr(F.col("text")).alias("rolling_fp")
+    )
+
+
+@register(
     "text_token_stats_by_lang",
     oracle="""
 SELECT lang,

@@ -135,3 +135,19 @@ def test_chunk_overlap_validates_params(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
         chunk_overlap(df, "doc_id", "text", chunk_tokens=4, stride=5)
+
+
+def test_rolling_hash_portable_order_sensitive_and_stable(spark):
+    from db_writer_redshift_spark.functions.text import rolling_hash_portable_expr
+
+    h_ab = _one(spark, "alpha beta", rolling_hash_portable_expr)
+    h_ba = _one(spark, "beta alpha", rolling_hash_portable_expr)
+    assert h_ab != h_ba
+    assert h_ab == _one(spark, "alpha beta", rolling_hash_portable_expr)
+    # known-value pin: (h(alpha)*257 + h(beta)) mod p with md5-prefix hashes
+    import hashlib
+
+    p = (1 << 31) - 1
+    ha = int(hashlib.md5(b"alpha").hexdigest()[:8], 16) % p
+    hb = int(hashlib.md5(b"beta").hexdigest()[:8], 16) % p
+    assert h_ab == (ha * 257 + hb) % p
