@@ -421,6 +421,110 @@ def simhash_pairs(
     )
 
 
+_SIMHASH_PORTABLE_BITS = 60  # 15 md5 hex chars — signed-BIGINT-safe in both engines
+_SIMHASH_PORTABLE_CHUNK = 15  # 4 chunks × 15 bits; 4×2 > 6 keeps pigeonhole complete
+
+
+def simhash_portable(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """60-bit SimHash with the engine-portable token hash (integer of the
+    first 15 md5 hex chars): every bit-sum and fingerprint reproduces in
+    DuckDB SQL. Same plan shape as simhash (explode → one 60-bit-sum
+    aggregate → shift/or assembly); 60 bits instead of 64 so the value
+    stays inside signed BIGINT range in both engines."""
+    base = ensure_parallelism(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
+    )
+    tokens = base.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("__t")), " ")).alias("tok"),
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint")
+    )
+    bit_sums = tokens.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(_SIMHASH_PORTABLE_BITS)
+        ]
+    )
+    fp = F.lit(0).cast("bigint")
+    for j in range(_SIMHASH_PORTABLE_BITS):
+        fp = fp.bitwiseOR(
+            F.when(F.col(f"b{j}") > 0, F.shiftleft(F.lit(1).cast("bigint"), j)).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        )
+    return bit_sums.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_pairs_portable(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 6
+) -> DataFrame:
+    """simhash_pairs over the portable 60-bit fingerprint: 4 × 15-bit
+    Manku chunk blocking (exact + 15 one-bit probes per chunk — complete
+    for hamming ≤ 6 by pigeonhole), hamming via bit_count(xor). Fully
+    oracle-checkable (query dedup_simhash_portable)."""
+    chunk_bits = _SIMHASH_PORTABLE_CHUNK
+    mask = (1 << chunk_bits) - 1
+    sh = simhash_portable(df, id_col, text_col).persist()
+    sh.count()
+
+    def chunk_val(i: int) -> F.Column:
+        return F.shiftrightunsigned(F.col("simhash"), chunk_bits * i).bitwiseAND(F.lit(mask))
+
+    exact = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[F.struct(F.lit(i).alias("ci"), chunk_val(i).alias("cv")) for i in range(4)])
+        ).alias("c"),
+    ).select("doc_id", "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    probes = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.flatten(
+                F.array(
+                    *[
+                        F.array(
+                            F.struct(F.lit(i).alias("ci"), chunk_val(i).alias("cv")),
+                            *[
+                                F.struct(
+                                    F.lit(i).alias("ci"),
+                                    chunk_val(i).bitwiseXOR(F.lit(1 << j)).alias("cv"),
+                                )
+                                for j in range(chunk_bits)
+                            ],
+                        )
+                        for i in range(4)
+                    ]
+                )
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    a, b = exact.alias("a"), probes.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("h_a"),
+            F.col("b.simhash").alias("h_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
 def connected_components(
     pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 30
 ) -> DataFrame:

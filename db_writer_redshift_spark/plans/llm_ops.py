@@ -236,6 +236,68 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_portable_oracle(max_hamming: int = 6) -> str:
+    """DuckDB twin of the portable 60-bit SimHash near-dup pairs: same
+    md5-derived token hashes, bit-sums, chunk blocking, and hamming
+    filter — all exact integer arithmetic."""
+    bits, chunk = 60, 15
+    mask = (1 << chunk) - 1
+    bit_sums = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN (1::BIGINT << {j}) ELSE 0 END)" for j in range(bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(LOWER(text), ' ')) AS tok FROM documents
+),
+h AS (
+  SELECT doc_id,
+         list_reduce(list_transform(string_split_regex(substr(md5(tok), 1, 15), ''),
+                                    c -> CAST(strpos('0123456789abcdef', c) AS BIGINT) - 1),
+                     (a, b) -> a * 16 + b) AS h
+  FROM toks
+),
+bs AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM h GROUP BY doc_id
+),
+sh AS (SELECT doc_id, {fp} AS fp FROM bs),
+chunks AS (
+  SELECT doc_id, fp, ci, (fp >> ({chunk} * ci)) & {mask} AS cv
+  FROM sh, UNNEST(generate_series(0, 3)) AS t(ci)
+),
+probes AS (
+  SELECT doc_id, fp, ci,
+         CASE WHEN j = {chunk} THEN cv ELSE xor(cv, (1::BIGINT << j)) END AS cv
+  FROM chunks, UNNEST(generate_series(0, {chunk})) AS u(j)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.fp AS h_a, b.fp AS h_b
+  FROM chunks a
+  JOIN probes b ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(h_a, h_b)) AS hamming
+FROM cand
+WHERE bit_count(xor(h_a, h_b)) <= {max_hamming}
+"""
+
+
+@register("dedup_simhash_portable", oracle=_simhash_portable_oracle())
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 6) over the portable 60-bit
+    fingerprint — every bit-sum, chunk bucket, and hamming distance
+    reproduces in DuckDB SQL (full value-hash row). The xxhash64 64-bit
+    flavor (dedup_simhash_pairs) stays the cheaper engine-internal
+    default."""
+    return dedup.simhash_pairs_portable(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
 @register("dedup_simhash_pairs", oracle=None)
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs (hamming ≤ 12) with pigeonhole 16-bit chunk

@@ -164,3 +164,17 @@ def test_minhash_portable_same_fidelity_contract(spark, docs):
     for p, j in exact.items():
         if p in est:
             assert abs(est[p] - j) <= 0.25, (p, est[p], j)
+
+
+def test_simhash_portable_same_contract(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    df = spark.createDataFrame(
+        [(1, base), (2, base + "tail"), (3, "completely different words entirely unrelated corpus")],
+        "doc_id int, text string",
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup.simhash_pairs_portable(df, "doc_id", "text").collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 6
+    assert (1, 3) not in pairs and (2, 3) not in pairs
