@@ -1583,3 +1583,146 @@ def text_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini_simpson"),
     )
+
+
+@register(
+    "embedding_dim_stats",
+    oracle="""
+WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (
+  SELECT t.i - 1 AS dim_idx, CAST(ROUND(e[t.i] * 1000) AS BIGINT) AS qv
+  FROM v, UNNEST(generate_series(1, len(e))) AS t(i)
+)
+SELECT dim_idx,
+       COUNT(*) AS n_vals,
+       CAST(SUM(qv) AS BIGINT) AS sum_q,
+       CAST(COUNT(*) * SUM(qv * qv) - SUM(qv) * SUM(qv) AS BIGINT) AS var_num,
+       CAST(COUNT(*) * (COUNT(*) - 1) AS BIGINT) AS var_den,
+       MIN(qv) AS min_q,
+       MAX(qv) AS max_q
+FROM q
+GROUP BY dim_idx
+""",
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension feature-scaling stats (the whitening/normalization
+    profile an embedding pipeline computes before PCA or quantization):
+    count, sum, variance moments, min/max per coordinate.
+
+    Determinism contract: coordinates are quantized to integers
+    (round(x*1000)) BEFORE aggregation, and the variance ships as exact
+    integer numerator/denominator (n*sum(q^2) - sum(q)^2 over n*(n-1)) —
+    float sums are partition-order-dependent, integer sums are not
+    (plans/registry.py contract; same trick as agg_variance_manual).
+    Overflow headroom: |q| <= ~5e3 so n*sum(q^2) stays under 2^63 up to
+    ~3e10 coordinates (~5e8 vectors at d=64).
+
+    Scale: posexplode is shuffle-free fan-out; one map-side-combined
+    aggregate keyed on the 64 dims. DuckDB's SUM(BIGINT) returns HUGEINT,
+    so the oracle casts once at the end (exact; see verify recipe)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.posexplode("embedding").alias("dim_idx", "v")
+    ).select(
+        "dim_idx",
+        F.round(F.col("v").cast("double") * 1000, 0).cast("long").alias("qv"),
+    )
+    n = F.count("*")
+    return q.groupBy("dim_idx").agg(
+        n.alias("n_vals"),
+        F.sum("qv").alias("sum_q"),
+        (n * F.sum(F.col("qv") * F.col("qv")) - F.sum("qv") * F.sum("qv")).alias(
+            "var_num"
+        ),
+        (n * (n - F.lit(1))).alias("var_den"),
+        F.min("qv").alias("min_q"),
+        F.max("qv").alias("max_q"),
+    )
+
+
+@register("embedding_pca_eigvals", oracle=None)
+def embedding_pca_eigvals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-8 principal-component eigenvalues of the embedding corpus via
+    the distributed exact-integer Gram summary (operators/linalg.py): one
+    mapInPandas GEMM pass -> d^2-integer shuffle -> driver eigh. The only
+    driver-side data is the 64x64 summary; the corpus never leaves the
+    executors.
+
+    No SQL oracle (eigendecomposition is not SQL-expressible; driver does
+    a rows-only check). Exactness evidence lives in
+    tests/test_linalg.py, which rebuilds the covariance from the raw
+    vectors in numpy and asserts the eigenvalues match to 1e-9 and are
+    invariant under repartitioning (the integer-Gram determinism claim).
+
+    Output is deterministic: the aggregated Gram matrix is bit-identical
+    regardless of partitioning, and eigh on an identical matrix returns
+    identical eigenvalues on a fixed BLAS."""
+    from db_writer_redshift_spark.operators.linalg import pca_eigvals
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vals, _vecs, n = pca_eigvals(emb, "embedding", dim=64)
+    rows = [
+        (int(i), float(round(v, 6)), int(n)) for i, v in enumerate(vals[:8])
+    ]
+    return spark.createDataFrame(rows, "component int, eigval double, n_vecs int")
+
+
+@register(
+    "mix_source_reweighting",
+    oracle="""
+WITH per_src AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents
+  GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         COUNT(*) AS n_sources
+  FROM per_src
+)
+SELECT source, n_docs, n_tokens,
+       ROUND(CAST(n_tokens AS DOUBLE) / total_tokens, 6) AS token_share,
+       ROUND(CAST(total_tokens AS DOUBLE) / (n_sources * n_tokens), 6) AS mix_weight
+FROM per_src, tot
+""",
+)
+def mix_source_reweighting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static training-mix reweighting: per-source token counts and the
+    importance weight that equalizes token share across sources
+    (weight = target_share / actual_share with a uniform target) — the
+    precomputation behind mixture-balancing samplers (DoReMi-style static
+    baseline). Feed the weights to sample_weighted_priority to materialize
+    the rebalanced corpus.
+
+    Determinism: shares/weights are single IEEE divisions of exact BIGINT
+    token counts (< 2^53), bit-identical across engines, rounded once.
+
+    Scale: one map-side-combined aggregate on source (20 groups), then a
+    broadcast of the 1-row total onto the 20-row dimension side — no
+    second scan of documents, no windowed global aggregate (which would
+    funnel to a single partition)."""
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("n_tokens"),
+    )
+    tot = per_src.agg(
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.count("*").alias("n_sources"),
+    )
+    j = per_src.crossJoin(F.broadcast(tot))
+    return j.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / F.col("total_tokens"), 6).alias(
+            "token_share"
+        ),
+        F.round(
+            F.col("total_tokens").cast("double")
+            / (F.col("n_sources") * F.col("n_tokens")),
+            6,
+        ).alias("mix_weight"),
+    )

@@ -1661,3 +1661,64 @@ def hist_equiwidth_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("lo"), 4).alias("range_lo"),
         F.round(F.max("hi"), 4).alias("range_hi"),
     )
+
+
+@register(
+    "skew_key_profile",
+    oracle="""
+WITH freq AS (
+  SELECT o_orderpriority AS key, COUNT(*) AS cnt
+  FROM orders GROUP BY o_orderpriority
+),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total, COUNT(*) AS n_keys, MAX(cnt) AS max_cnt FROM freq),
+ranked AS (
+  SELECT key, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS key_rank
+  FROM freq
+)
+SELECT key_rank, key, cnt,
+       ROUND(CAST(cnt AS DOUBLE) / total, 6) AS share,
+       ROUND(CAST(cnt AS DOUBLE) * n_keys / total, 6) AS skew_factor
+FROM ranked, tot
+WHERE key_rank <= 10
+""",
+)
+def skew_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/shuffle-key skew diagnostic: top-10 heaviest key frequencies
+    with share-of-total and skew factor (observed / uniform share). A
+    skew_factor far above 1 on a planned join key is the signal to reach
+    for operators/skew.salted_join or AQE's skew-join split — this is the
+    profiling pass that decision runs on (here over the deliberately
+    low-cardinality o_orderpriority, the key join_salted_orders_by_priority
+    salts).
+
+    Scale: one map-side-combined frequency aggregate (the shuffle carries
+    one row per DISTINCT key, not per row), a broadcast 1-row total, and a
+    rank over the key-frequency table — at 100 TB the ranked table is
+    |keys| rows, so the unpartitioned window is safe only because the
+    frequency table is already collapsed; for high-cardinality keys swap
+    the exact rank for a top-k heap (topk_expensive_orders pattern)."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    freq = o.groupBy(F.col("o_orderpriority").alias("key")).agg(
+        F.count("*").alias("cnt")
+    )
+    tot = freq.agg(
+        F.sum("cnt").cast("long").alias("total"),
+        F.count("*").alias("n_keys"),
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("key"))
+    ranked = freq.withColumn("key_rank", F.row_number().over(w))
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .filter(F.col("key_rank") <= 10)
+        .select(
+            "key_rank",
+            "key",
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("total"), 6).alias("share"),
+            F.round(
+                F.col("cnt").cast("double") * F.col("n_keys") / F.col("total"), 6
+            ).alias("skew_factor"),
+        )
+    )

@@ -1,0 +1,90 @@
+"""Distributed Gram/PCA operator (operators/linalg.py).
+
+Ground truth is numpy on the collected vectors, quantized the same way —
+the distributed path must match it exactly (integer Gram) and to 1e-9
+(eigenvalues), and must be invariant under repartitioning.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from db_writer_redshift_spark.operators import linalg
+
+SF_DIR = "/root/testdata/sf0.001"
+DIM = 64
+SCALE = 1000
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def mat(emb):
+    rows = emb.select("embedding").collect()
+    return np.array([r.embedding for r in rows], dtype=np.float64)
+
+
+def _numpy_summary(mat):
+    q = np.rint(mat * SCALE)
+    return q.T @ q, q.sum(axis=0), len(mat)
+
+
+def test_gram_summary_matches_numpy_exactly(emb, mat):
+    rows = linalg.gram_summary(emb, "embedding", DIM, SCALE).collect()
+    gram = np.zeros((DIM, DIM))
+    sums = np.zeros(DIM)
+    n = 0
+    for r in rows:
+        if r.i == linalg.COUNT_ROW:
+            n = r.s
+        elif r.j == linalg.SUM_COL:
+            sums[r.i] = r.s
+        else:
+            gram[r.i, r.j] = r.s
+    g_ref, s_ref, n_ref = _numpy_summary(mat)
+    assert n == n_ref
+    assert np.array_equal(sums, s_ref)
+    assert np.array_equal(gram, g_ref)
+
+
+def test_pca_eigvals_match_numpy_cov(emb, mat):
+    vals, vecs, n = linalg.pca_eigvals(emb, "embedding", DIM, SCALE)
+    q = np.rint(mat * SCALE) / SCALE
+    ref = np.linalg.eigvalsh(np.cov(q, rowvar=False))[::-1]
+    assert n == len(mat)
+    assert np.allclose(vals, ref, atol=1e-9)
+    # vecs: orthonormal, one per dim, ordered with vals
+    assert vecs.shape == (DIM, DIM)
+    assert np.allclose(vecs.T @ vecs, np.eye(DIM), atol=1e-9)
+    assert np.all(np.diff(vals) <= 1e-12)
+
+
+def test_gram_summary_invariant_under_repartitioning(emb):
+    a = {
+        (r.i, r.j): r.s
+        for r in linalg.gram_summary(
+            emb.repartition(1), "embedding", DIM, SCALE
+        ).collect()
+    }
+    b = {
+        (r.i, r.j): r.s
+        for r in linalg.gram_summary(
+            emb.repartition(13), "embedding", DIM, SCALE
+        ).collect()
+    }
+    assert a == b
+
+
+def test_gram_summary_rejects_wrong_dim(emb):
+    with pytest.raises(Exception, match="expected 32-dim"):
+        linalg.gram_summary(emb, "embedding", 32, SCALE).collect()
+
+
+def test_pca_needs_two_vectors(emb):
+    one = emb.limit(1)
+    with pytest.raises(ValueError, match="2 vectors"):
+        linalg.pca_eigvals(one, "embedding", DIM, SCALE)
