@@ -1722,3 +1722,128 @@ def skew_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("skew_factor"),
         )
     )
+
+
+@register(
+    "scd2_customer_history",
+    oracle="""
+WITH snap0 AS (SELECT c_custkey, c_mktsegment FROM customer),
+snap1 AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 7 = 0 THEN 'AUTOMOBILE' ELSE c_mktsegment END AS c_mktsegment
+  FROM customer WHERE c_custkey % 97 <> 0
+  UNION ALL
+  SELECT c_custkey + 1000000 AS c_custkey, 'FURNITURE' AS c_mktsegment
+  FROM customer WHERE c_custkey % 131 = 0
+)
+SELECT s0.c_custkey, s0.c_mktsegment,
+       CAST(100 AS BIGINT) AS valid_from,
+       CASE WHEN s1.c_custkey IS NULL OR s1.c_mktsegment <> s0.c_mktsegment
+            THEN CAST(200 AS BIGINT) END AS valid_to,
+       CASE WHEN s1.c_custkey IS NULL OR s1.c_mktsegment <> s0.c_mktsegment
+            THEN 0 ELSE 1 END AS is_current
+FROM snap0 s0 LEFT JOIN snap1 s1 USING (c_custkey)
+UNION ALL
+SELECT s1.c_custkey, s1.c_mktsegment,
+       CAST(200 AS BIGINT) AS valid_from,
+       CAST(NULL AS BIGINT) AS valid_to,
+       1 AS is_current
+FROM snap1 s1 LEFT JOIN snap0 s0 USING (c_custkey)
+WHERE s0.c_custkey IS NULL OR s0.c_mktsegment <> s1.c_mktsegment
+""",
+)
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history-preserving merge (operators/scd.py) driven end-to-end:
+    bootstrap a customer-segment history at t=100, then apply a second
+    snapshot at t=200 containing changes (every 7th key moves to
+    AUTOMOBILE), deletes (every 97th key disappears), and inserts (a new
+    key per 131st customer) — the four SCD2 transition cases exercised in
+    one deterministic scenario. Output is the full history with integer
+    validity bounds (timestamps would flap the driver hash).
+
+    The oracle reconstructs the expected history with two outer joins —
+    independent logic, same result, proving the operator's full-outer
+    classification (unchanged / changed / deleted / inserted) row-exactly.
+
+    Scale: one key equi-join per apply (open slice x snapshot, both
+    hash-partitioned on the key; small snapshots broadcast); closed
+    history never joins — unions back filter-pruned."""
+    from db_writer_redshift_spark.operators import scd
+
+    c = load_table(spark, sf_dir, "customer")
+    snap0 = c.select("c_custkey", "c_mktsegment")
+    snap1 = (
+        snap0.filter(F.col("c_custkey") % 97 != 0)
+        .select(
+            "c_custkey",
+            F.when(F.col("c_custkey") % 7 == 0, F.lit("AUTOMOBILE"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("c_mktsegment"),
+        )
+        .unionByName(
+            snap0.filter(F.col("c_custkey") % 131 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.lit("FURNITURE").alias("c_mktsegment"),
+            )
+        )
+    )
+    hist = scd.scd2_apply(
+        scd.scd2_init(snap0, ts=100),
+        snap1,
+        keys=["c_custkey"],
+        tracked=["c_mktsegment"],
+        ts=200,
+    )
+    return hist.select(
+        "c_custkey",
+        "c_mktsegment",
+        "valid_from",
+        "valid_to",
+        F.col("is_current").cast("int").alias("is_current"),
+    )
+
+
+@register(
+    "window_navigation_funcs",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       FIRST_VALUE(o_totalprice) OVER w AS first_total,
+       LAST_VALUE(o_totalprice) OVER w AS last_total,
+       NTH_VALUE(o_totalprice, 2) OVER w AS second_total,
+       NTILE(4) OVER (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice DESC, o_orderkey) AS pri_quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def window_navigation_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window navigation family: first_value / last_value / nth_value over
+    an explicit unbounded frame plus ntile quartiles — the remaining
+    window shapes (rank/lag/frames/percent_rank are covered elsewhere).
+    The order key includes o_orderkey so every window ordering is total —
+    nondeterministic ties would flap both engines independently. Values
+    are raw column selections (no arithmetic), so doubles hash exactly.
+
+    Scale: both windows hash-partition on real keys (customer, priority) —
+    no global single-partition window; one sort-based window exchange
+    each."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wq = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(w).alias("first_total"),
+        F.last("o_totalprice").over(w).alias("last_total"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_total"),
+        F.ntile(4).over(wq).alias("pri_quartile"),
+    )
