@@ -63,3 +63,57 @@ def upsert_dataframes(
     stage = dedupe_staging(staging, primary_key) if dedupe else staging
     keep = target.join(stage.select(*primary_key), on=primary_key, how="left_anti")
     return keep.unionByName(stage.select(*target.columns))
+
+
+def evolve_schema(
+    target: DataFrame, staging: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Align two relations for a schema-evolving merge.
+
+    Columns present on one side only are added to the other as typed NULL
+    literals (staging-new columns evolve the target — the ALTER TABLE ADD
+    COLUMN a warehouse writer performs; target-only columns let older
+    extractors keep writing after the table grew). Column order follows
+    the target, with genuinely-new staging columns appended.
+
+    Incompatible redeclarations fail loudly: a column present on both
+    sides with different Spark types raises instead of silently casting —
+    type *widening* is a policy decision the caller makes explicitly.
+
+    Pure projection on both sides — no data movement; the subsequent
+    merge join is unaffected.
+    """
+    t_types = dict(target.dtypes)
+    s_types = dict(staging.dtypes)
+    clash = {
+        c: (t_types[c], s_types[c])
+        for c in t_types
+        if c in s_types and t_types[c] != s_types[c]
+    }
+    if clash:
+        detail = ", ".join(f"{c}: target {a} vs staging {b}" for c, (a, b) in sorted(clash.items()))
+        raise ValueError(f"incompatible column types: {detail}")
+    ordered = list(target.columns) + [c for c in staging.columns if c not in t_types]
+
+    def align(df: DataFrame, have: dict[str, str], other: dict[str, str]) -> DataFrame:
+        cols = [
+            F.col(c) if c in have else F.lit(None).cast(other[c]).alias(c)
+            for c in ordered
+        ]
+        return df.select(*cols)
+
+    return align(target, t_types, s_types), align(staging, s_types, t_types)
+
+
+def upsert_evolving(
+    target: DataFrame,
+    staging: DataFrame,
+    primary_key: list[str] | None,
+    dedupe: bool = True,
+) -> DataFrame:
+    """Schema-evolving upsert: align schemas (evolve_schema), then merge.
+    New staging columns appear on pre-existing target rows as NULLs —
+    exactly what ALTER TABLE ADD COLUMN + the reference's statement triple
+    would produce, computed functionally in one pass."""
+    t, s = evolve_schema(target, staging)
+    return upsert_dataframes(t, s, primary_key, dedupe=dedupe)

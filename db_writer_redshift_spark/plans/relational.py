@@ -1847,3 +1847,45 @@ def window_navigation_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("o_totalprice", 2).over(w).alias("second_total"),
         F.ntile(4).over(wq).alias("pri_quartile"),
     )
+
+
+@register(
+    "retention_sweep_orders",
+    oracle="""
+WITH expired AS (
+  SELECT o_orderkey FROM orders WHERE o_orderdate < DATE '1993-01-01'
+)
+SELECT 'fact' AS rel,
+       (SELECT COUNT(*) FROM orders) AS rows_before,
+       (SELECT COUNT(*) FROM expired) AS rows_deleted,
+       (SELECT COUNT(*) FROM orders) - (SELECT COUNT(*) FROM expired) AS rows_kept
+UNION ALL
+SELECT 'child_0' AS rel,
+       (SELECT COUNT(*) FROM lineitem) AS rows_before,
+       (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM expired)) AS rows_deleted,
+       (SELECT COUNT(*) FROM lineitem) - (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM expired)) AS rows_kept
+""",
+)
+def retention_sweep_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention sweep (operators/retention.py) end-to-end: expire orders
+    placed before 1993 and cascade the deletion to their lineitems via an
+    anti-join on the expired key set; output the per-relation audit
+    (before/deleted/kept). The cascade never scans lineitem twice per
+    count — audit counts come from one semi-join aggregate.
+
+    Scale: the expired key set is the only relation that crosses the
+    join; when the expiry slice is small it broadcasts and neither big
+    table shuffles. The swept relations (returned by the operator for the
+    overwrite write) are filter/anti-join projections — no wide
+    transforms."""
+    from db_writer_redshift_spark.operators.retention import retention_sweep
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    _kept, _children, audit = retention_sweep(
+        o,
+        F.col("o_orderdate") < F.lit("1993-01-01").cast("date"),
+        "o_orderkey",
+        children=[(li, "l_orderkey")],
+    )
+    return audit

@@ -181,3 +181,34 @@ def test_profile_table_column_subset(spark):
     df = spark.createDataFrame([(1, "x", 2.0)], ["a", "b", "c"])
     out = catalog.profile_table(df, columns=["b"]).collect()
     assert [r["column_name"] for r in out] == ["b"]
+
+
+def test_upsert_evolving_adds_staging_column(spark):
+    from db_writer_redshift_spark.operators.merge import upsert_evolving
+
+    t = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    s = spark.createDataFrame([(2, "b2", 9.5), (3, "c", 1.0)], "id int, v string, score double")
+    out = upsert_evolving(t, s, ["id"])
+    assert out.columns == ["id", "v", "score"]
+    got = {r.id: (r.v, r.score) for r in out.collect()}
+    assert got == {1: ("a", None), 2: ("b2", 9.5), 3: ("c", 1.0)}
+
+
+def test_upsert_evolving_fills_missing_staging_column(spark):
+    from db_writer_redshift_spark.operators.merge import upsert_evolving
+
+    t = spark.createDataFrame([(1, "a", 5)], "id int, v string, extra int")
+    s = spark.createDataFrame([(2, "b")], "id int, v string")
+    got = {r.id: (r.v, r.extra) for r in upsert_evolving(t, s, ["id"]).collect()}
+    assert got == {1: ("a", 5), 2: ("b", None)}
+
+
+def test_upsert_evolving_rejects_type_clash(spark):
+    import pytest as _pytest
+
+    from db_writer_redshift_spark.operators.merge import upsert_evolving
+
+    t = spark.createDataFrame([(1, "a")], "id int, v string")
+    s = spark.createDataFrame([(2, 3)], "id int, v int")
+    with _pytest.raises(ValueError, match="incompatible column types"):
+        upsert_evolving(t, s, ["id"])
