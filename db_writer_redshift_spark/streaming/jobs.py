@@ -300,3 +300,60 @@ def stream_anomaly_filter(
         .filter(F.abs(F.col("zscore")) > sigmas)
         .drop("__mean", "__std")
     )
+
+
+def scd2_sink(
+    stream_df: DataFrame,
+    table_name: str,
+    keys: list[str],
+    tracked: list[str],
+    checkpoint_dir: str,
+):
+    """Write a stream of dimension snapshots into an SCD2 history table:
+    each micro-batch is one snapshot-delta applied history-preservingly
+    (operators/scd.py), versioned by the batch id — changed keys close
+    their current row and open a new one, so the managed table accumulates
+    the full attribute timeline while the stream runs.
+
+    Batch semantics: rows in the batch are upserts keyed on ``keys``
+    (duplicates within a batch collapse to the last occurrence — the
+    merge dedupe rule); keys absent from a batch are LEFT OPEN, not
+    deleted, because a delta stream never re-states the full dimension.
+    The swap-write pattern matches merge_sink.
+    """
+    from db_writer_redshift_spark.operators.merge import dedupe_staging
+    from db_writer_redshift_spark.operators.scd import scd2_apply, scd2_init
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = dedupe_staging(batch_df, keys)
+        if not spark.catalog.tableExists(table_name):
+            scd2_init(batch, ts=int(batch_id)).write.mode("overwrite").saveAsTable(
+                table_name
+            )
+            return
+        history = spark.table(table_name)
+        attr_cols = [
+            c
+            for c in history.columns
+            if c not in ("valid_from", "valid_to", "is_current")
+        ]
+        # Delta stream: the "snapshot" is open rows overridden by the batch
+        # (batch rows win; unmentioned keys persist unchanged).
+        snapshot = (
+            history.filter(F.col("is_current"))
+            .select(*attr_cols)
+            .join(batch.select(*keys), on=keys, how="left_anti")
+            .unionByName(batch.select(*attr_cols))
+        )
+        merged = scd2_apply(history, snapshot, keys, tracked, ts=int(batch_id))
+        tmp = table_name + "_scd2_tmp"
+        merged.write.mode("overwrite").saveAsTable(tmp)
+        spark.table(tmp).write.mode("overwrite").saveAsTable(table_name)
+        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )

@@ -237,3 +237,49 @@ def test_stream_stream_click_purchase_interval_join(spark, tmp_path):
         for r in spark.sql("SELECT * FROM cp_join").collect()
     }
     assert got == {(1, 2, 30 * 60 * 1_000_000)}
+
+
+def test_scd2_sink_accumulates_history(spark, tmp_path):
+    from db_writer_redshift_spark.operators import catalog
+    from db_writer_redshift_spark.streaming.jobs import scd2_sink
+
+    d = tmp_path / "dim_stream"
+    d.mkdir()
+    spark.createDataFrame([(1, "A"), (2, "B")], "k int, seg string").coalesce(
+        1
+    ).write.parquet(str(d / "s0"))
+    spark.createDataFrame([(1, "A2"), (3, "C")], "k int, seg string").coalesce(
+        1
+    ).write.parquet(str(d / "s1"))
+    import glob
+    import shutil
+
+    flat = tmp_path / "dim_flat"
+    flat.mkdir()
+    for i, f in enumerate(sorted(glob.glob(str(d / "s*" / "*.parquet")))):
+        shutil.copy(f, flat / f"arrival_{i}.parquet")
+
+    src = (
+        spark.readStream.schema("k int, seg string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(flat))
+    )
+    try:
+        q = (
+            scd2_sink(src, "dim_scd2", ["k"], ["seg"], str(tmp_path / "ck_scd2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.k, r.valid_from): (r.seg, r.valid_to, r.is_current)
+            for r in spark.table("dim_scd2").collect()
+        }
+        assert got == {
+            (1, 0): ("A", 1, False),
+            (1, 1): ("A2", None, True),
+            (2, 0): ("B", None, True),  # unmentioned in batch 1: stays open
+            (3, 1): ("C", None, True),
+        }
+    finally:
+        catalog.drop_table(spark, "dim_scd2")
