@@ -1889,3 +1889,129 @@ def retention_sweep_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         children=[(li, "l_orderkey")],
     )
     return audit
+
+
+@register(
+    "scd2_point_in_time_orders",
+    oracle="""
+WITH snap0 AS (SELECT c_custkey, c_mktsegment FROM customer),
+snap1 AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 7 = 0 THEN 'AUTOMOBILE' ELSE c_mktsegment END AS c_mktsegment
+  FROM customer WHERE c_custkey % 97 <> 0
+  UNION ALL
+  SELECT c_custkey + 1000000 AS c_custkey, 'FURNITURE' AS c_mktsegment
+  FROM customer WHERE c_custkey % 131 = 0
+),
+hist AS (
+  SELECT s0.c_custkey, s0.c_mktsegment,
+         CAST(100 AS BIGINT) AS valid_from,
+         CASE WHEN s1.c_custkey IS NULL OR s1.c_mktsegment <> s0.c_mktsegment
+              THEN CAST(200 AS BIGINT) END AS valid_to
+  FROM snap0 s0 LEFT JOIN snap1 s1 USING (c_custkey)
+  UNION ALL
+  SELECT s1.c_custkey, s1.c_mktsegment, CAST(200 AS BIGINT), CAST(NULL AS BIGINT)
+  FROM snap1 s1 LEFT JOIN snap0 s0 USING (c_custkey)
+  WHERE s0.c_custkey IS NULL OR s0.c_mktsegment <> s1.c_mktsegment
+),
+o AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 2 = 0 THEN 150 ELSE 250 END AS query_ts
+  FROM orders
+)
+SELECT o.query_ts, h.c_mktsegment AS segment_at_time,
+       COUNT(*) AS n_orders, COUNT(DISTINCT o.o_custkey) AS n_customers
+FROM o JOIN hist h
+  ON h.c_custkey = o.o_custkey
+ AND h.valid_from <= o.query_ts
+ AND (h.valid_to IS NULL OR h.valid_to > o.query_ts)
+GROUP BY o.query_ts, h.c_mktsegment
+""",
+)
+def scd2_point_in_time_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension join: each order resolves its customer's
+    market segment AS OF the order's query timestamp against the SCD2
+    history (operators/scd.py scenario from scd2_customer_history) — the
+    canonical bitemporal warehouse query ("which version of the dimension
+    was live when the fact happened"). Orders alternate between t=150
+    (before the second snapshot) and t=250 (after), so both history
+    versions are exercised.
+
+    Scale: the join is an EQUI-join on the customer key with the validity
+    interval as a residual filter — Catalyst keeps the hash-join shape
+    (no theta-join blowup); history has ~1 row per key per version, so
+    fan-out is bounded by version count. Rollup is map-side combined."""
+    from db_writer_redshift_spark.operators import scd
+
+    c = load_table(spark, sf_dir, "customer")
+    snap0 = c.select("c_custkey", "c_mktsegment")
+    snap1 = (
+        snap0.filter(F.col("c_custkey") % 97 != 0)
+        .select(
+            "c_custkey",
+            F.when(F.col("c_custkey") % 7 == 0, F.lit("AUTOMOBILE"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("c_mktsegment"),
+        )
+        .unionByName(
+            snap0.filter(F.col("c_custkey") % 131 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.lit("FURNITURE").alias("c_mktsegment"),
+            )
+        )
+    )
+    hist = scd.scd2_apply(
+        scd.scd2_init(snap0, ts=100),
+        snap1,
+        keys=["c_custkey"],
+        tracked=["c_mktsegment"],
+        ts=200,
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit(150))
+        .otherwise(F.lit(250))
+        .alias("query_ts"),
+    )
+    j = o.join(
+        hist,
+        (hist["c_custkey"] == o["o_custkey"])
+        & (hist["valid_from"] <= o["query_ts"])
+        & (hist["valid_to"].isNull() | (hist["valid_to"] > o["query_ts"])),
+    )
+    return j.groupBy("query_ts", F.col("c_mktsegment").alias("segment_at_time")).agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+@register(
+    "agg_distinct_two_stage",
+    oracle="""
+SELECT EXTRACT(YEAR FROM o_orderdate) AS order_year,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY EXTRACT(YEAR FROM o_orderdate)
+""",
+)
+def agg_distinct_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) via explicit two-stage aggregation: collapse
+    to (year, custkey) partial counts first, then count keys per year —
+    the formulation that scales when the distinct key set per group is
+    too large for single-stage distinct-aggregate buffers (each stage is
+    a plain map-side-combined hash aggregate; the widest shuffle carries
+    one row per DISTINCT pair, not per order). Same result as
+    COUNT(DISTINCT) — the oracle uses the direct form to prove it.
+
+    The n_orders recount rides the first stage for free (SUM of partial
+    counts), showing the pattern composes with additive aggregates."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("order_year"), "o_custkey"
+    )
+    stage1 = o.groupBy("order_year", "o_custkey").agg(F.count("*").alias("c"))
+    return stage1.groupBy("order_year").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("c").cast("long").alias("n_orders"),
+    )
