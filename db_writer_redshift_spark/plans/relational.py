@@ -2015,3 +2015,62 @@ def agg_distinct_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_customers"),
         F.sum("c").cast("long").alias("n_orders"),
     )
+
+
+@register(
+    "incremental_agg_orders",
+    oracle="""
+SELECT EXTRACT(YEAR FROM o_orderdate) AS order_year,
+       o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS total_price,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price
+FROM orders
+GROUP BY EXTRACT(YEAR FROM o_orderdate), o_orderpriority
+""",
+)
+def incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view refresh (operators/incremental.py) end-to-end:
+    the (year, priority) order summary is bootstrapped from pre-1995
+    history, then the 1995+ delta merges in via combinable-state
+    aggregation — and the result must equal the from-scratch aggregate,
+    which is exactly what the oracle computes. Sums carry exact DECIMAL
+    state so the two-step and one-step paths are bit-equal (double sums
+    would differ by accumulation order).
+
+    Scale: the refresh cost is |delta| + |summary| — the history
+    partition is never re-scanned on subsequent refreshes; every stage is
+    a map-side-combined hash aggregate."""
+    from db_writer_redshift_spark.operators.incremental import (
+        agg_state,
+        incremental_update,
+    )
+
+    state = {
+        "n_orders": ("*", "count"),
+        "total_dec": ("price_dec", "sum"),
+        "min_price": ("o_totalprice", "min"),
+        "max_price": ("o_totalprice", "max"),
+    }
+    o = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("order_year"),
+        "o_orderpriority",
+        "o_totalprice",
+        F.col("o_totalprice").cast("decimal(18,4)").alias("price_dec"),
+        "o_orderdate",
+    )
+    cutoff = F.lit("1995-01-01").cast("date")
+    keys = ["order_year", "o_orderpriority"]
+    summary = agg_state(o.filter(F.col("o_orderdate") < cutoff), keys, state)
+    refreshed = incremental_update(
+        summary, o.filter(F.col("o_orderdate") >= cutoff), keys, state
+    )
+    return refreshed.select(
+        "order_year",
+        "o_orderpriority",
+        "n_orders",
+        F.round(F.col("total_dec").cast("double"), 4).alias("total_price"),
+        "min_price",
+        "max_price",
+    )
