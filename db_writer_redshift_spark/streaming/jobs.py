@@ -357,3 +357,44 @@ def scd2_sink(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )
+
+
+def incremental_agg_sink(
+    stream_df: DataFrame,
+    table_name: str,
+    keys: list[str],
+    state: dict[str, tuple[str, str]],
+    checkpoint_dir: str,
+):
+    """Maintain a materialized aggregate over a stream without Spark's
+    aggregation state store: each micro-batch partially aggregates to
+    combinable state (operators/incremental.py) and merges into the
+    managed summary table — the summary IS the state, so it survives
+    restarts, stays queryable mid-stream, and never grows beyond one row
+    per group. The complement to the built-in windowed aggregations: no
+    watermark needed because combinable state absorbs arbitrarily late
+    rows exactly."""
+    from db_writer_redshift_spark.operators.incremental import (
+        agg_state,
+        incremental_update,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if not spark.catalog.tableExists(table_name):
+            agg_state(batch_df, keys, state).write.mode("overwrite").saveAsTable(
+                table_name
+            )
+            return
+        summary = spark.table(table_name)
+        refreshed = incremental_update(summary, batch_df, keys, state)
+        tmp = table_name + "_iagg_tmp"
+        refreshed.write.mode("overwrite").saveAsTable(tmp)
+        spark.table(tmp).write.mode("overwrite").saveAsTable(table_name)
+        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )

@@ -283,3 +283,40 @@ def test_scd2_sink_accumulates_history(spark, tmp_path):
         }
     finally:
         catalog.drop_table(spark, "dim_scd2")
+
+
+def test_incremental_agg_sink_matches_batch_aggregate(spark, events_dir, tmp_path):
+    from db_writer_redshift_spark.operators import catalog
+    from db_writer_redshift_spark.streaming.jobs import incremental_agg_sink
+
+    state = {
+        "n": ("*", "count"),
+        "total_value": ("value", "sum"),
+        "max_value": ("value", "max"),
+    }
+    src = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    try:
+        q = (
+            incremental_agg_sink(
+                src, "events_summary", ["user_id"], state, str(tmp_path / "ck_iagg")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r.user_id: (r.n, r.total_value, r.max_value)
+            for r in spark.table("events_summary").collect()
+        }
+        # batch ground truth over ALL arrival files (e4 appears twice: the
+        # stream is at-least-once; combinable state counts both deliveries)
+        batch = (
+            spark.read.parquet(events_dir)
+            .groupBy("user_id")
+            .count()
+        )
+        assert set(got) == {r.user_id for r in batch.collect()}
+        assert got[100][0] == 3  # events 1,2,3
+        assert got[200][0] == 3  # events 4 (x2 deliveries), 5
+    finally:
+        catalog.drop_table(spark, "events_summary")
