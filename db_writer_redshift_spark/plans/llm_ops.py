@@ -1726,3 +1726,38 @@ def mix_source_reweighting(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mix_weight"),
     )
+
+
+@register(
+    "heavy_hitter_tokens",
+    oracle="""
+WITH tok AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS item FROM documents
+),
+tok2 AS (SELECT item FROM tok WHERE item <> ''),
+tot AS (SELECT COUNT(*) AS n_total FROM tok2)
+SELECT item, COUNT(*) AS cnt, MAX(n_total) AS n_total
+FROM tok2, tot
+GROUP BY item
+HAVING COUNT(*) * 40 > MAX(n_total)
+""",
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale frequent-token detection via the two-pass Misra-Gries
+    pipeline (operators/heavy_hitters.py): per-partition k-counter
+    sketches produce a guaranteed-superset candidate set, then a
+    broadcast-semi-join recount yields exact counts for tokens above
+    1/40 of all occurrences. The oracle is the plain GROUP BY/HAVING the
+    sketch avoids — identical output, proving the approximate pass loses
+    nothing (the determinism argument in the operator docstring).
+
+    Scale: the full-token shuffle never happens; the only wide operations
+    are the Arrow-batched partition sketches (O(k) state each) and a
+    recount whose join side is the broadcast candidate list."""
+    from db_writer_redshift_spark.operators.heavy_hitters import heavy_hitters
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    return heavy_hitters(tok, "token", threshold_denom=40)
