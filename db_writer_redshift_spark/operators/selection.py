@@ -1,0 +1,84 @@
+"""Exact distributed selection: k-th smallest / discrete quantiles
+without a global sort.
+
+``percentile_approx`` trades exactness for one pass; a global sort is
+exact but shuffles the entire column. The classic middle road is
+iterative histogram selection (distributed quickselect): each round
+partitions the current candidate range into B equi-width buckets with one
+map-side-combined aggregate, locates the bucket containing the k-th
+value, and recurses into it. For 64-bit integers the range shrinks ≥B×
+per round, so ≤ log_B(range) rounds — each a single scan-and-agg whose
+shuffle is B rows. No data is ever sorted or collected.
+
+Determinism: inputs are integers (callers quantize decimals/doubles
+first — the house rule for cross-engine exactness), counts are exact,
+and the k-th smallest of a multiset is unique — so the result matches
+DuckDB's ``quantile_disc`` bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 256
+
+
+def kth_smallest(df: DataFrame, col: str, k: int) -> int:
+    """Exact k-th smallest (1-based) of an integer column.
+
+    Each round runs one aggregate job over the rows still in range; the
+    driver keeps only the B-row histogram. Rows ≤ current lo are counted
+    out exactly, so k shrinks as the range narrows.
+    """
+    n = df.filter(F.col(col).isNotNull())
+    total = n.count()
+    if not (1 <= k <= total):
+        raise ValueError(f"k={k} out of range for {total} non-null rows")
+    bounds = n.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).collect()[0]
+    lo, hi = int(bounds.lo), int(bounds.hi)
+    while lo < hi:
+        span = hi - lo + 1
+        width = max(1, -(-span // _BUCKETS))  # ceil div
+        hist = (
+            n.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+            .groupBy(((F.col(col) - lo) / width).cast("long").alias("b"))
+            .agg(F.count("*").alias("c"))
+            .collect()
+        )
+        counts = {int(r.b): int(r.c) for r in hist}
+        running = 0
+        for b in sorted(counts):
+            if running + counts[b] >= k:
+                k -= running
+                lo, hi = lo + b * width, min(hi, lo + (b + 1) * width - 1)
+                break
+            running += counts[b]
+        else:  # pragma: no cover — k validated above
+            raise AssertionError("histogram lost the target rank")
+        if hi - lo + 1 <= _BUCKETS:
+            # final round: exact counts per value
+            vals = (
+                n.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+                .groupBy(F.col(col).alias("v"))
+                .agg(F.count("*").alias("c"))
+                .collect()
+            )
+            running = 0
+            for r in sorted(vals, key=lambda r: int(r.v)):
+                running += int(r.c)
+                if running >= k:
+                    return int(r.v)
+    return lo
+
+
+def quantile_disc(df: DataFrame, col: str, q: float) -> int:
+    """Discrete quantile: smallest value whose cumulative frequency
+    reaches ``q`` (DuckDB ``quantile_disc`` semantics — k = ceil(q·n))."""
+    if not (0.0 < q <= 1.0):
+        raise ValueError(f"q must be in (0, 1], got {q}")
+    import math
+
+    total = df.filter(F.col(col).isNotNull()).count()
+    k = max(1, math.ceil(q * total - 1e-9))
+    return kth_smallest(df, col, k)

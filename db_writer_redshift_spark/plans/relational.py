@@ -2074,3 +2074,48 @@ def incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_price",
         "max_price",
     )
+
+
+@register(
+    "exact_quantiles_order_price",
+    oracle="""
+WITH q AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+SELECT COUNT(*) AS n_orders,
+       quantile_disc(cents, 0.5) AS median_cents,
+       quantile_disc(cents, 0.9) AS p90_cents,
+       quantile_disc(cents, 0.99) AS p99_cents
+FROM q
+""",
+)
+def exact_quantiles_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distributed quantiles without a global sort: iterative
+    histogram selection (operators/selection.py — distributed
+    quickselect) over integer-quantized order totals. Each round is one
+    map-side-combined 256-bucket aggregate over the shrinking candidate
+    range; ~2-3 rounds pin the k-th smallest exactly, so unlike
+    percentile_approx the result is bit-identical to DuckDB's
+    quantile_disc — an iterative, driver-coordinated operator that STILL
+    carries a full value-hash oracle because its output is a
+    deterministic integer.
+
+    Scale: no sort, no wide shuffle — per round the cluster exchanges a
+    256-row histogram; candidate-range filters push to the scan."""
+    from db_writer_redshift_spark.operators.selection import quantile_disc
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    o = o.persist()
+    try:
+        n = o.count()
+        row = (
+            n,
+            quantile_disc(o, "cents", 0.5),
+            quantile_disc(o, "cents", 0.9),
+            quantile_disc(o, "cents", 0.99),
+        )
+    finally:
+        o.unpersist()
+    return spark.createDataFrame(
+        [row], "n_orders long, median_cents long, p90_cents long, p99_cents long"
+    )
