@@ -1,0 +1,77 @@
+"""Integer-exact PageRank: BSP iterations with deterministic arithmetic.
+
+Standard distributed PageRank sums floating contributions per node —
+partition-order-dependent at the last ulp, so two runs (or two engines)
+can disagree. This variant keeps every rank in integer micro-units and
+every update in integer arithmetic (floor division for the out-degree
+split, fixed-point damping), making each iteration a pure function of
+the previous one: bit-identical under any partitioning AND reproducible
+in plain SQL — the registered query unrolls the same iterations as
+chained CTEs for a full value-hash oracle.
+
+Update rule (micro-units, damping d=0.85):
+    contrib(v)   = rank(v) // out_degree(v)           (floor)
+    rank'(u)     = 150000 + (85 * Σ contrib(v→u)) // 100
+Dangling mass is dropped (documented simplification — ranks are relative
+ordering scores here, not a strict probability distribution).
+
+Scale: one shuffle per iteration (groupBy destination, map-side
+combined); the ranks relation is |nodes| rows; lineage is truncated per
+round via localCheckpoint like dedup's connected components.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+INIT_RANK = 1_000_000  # micro-units
+BASE = 150_000  # (1 - d) * 1e6 with d = 0.85
+
+
+def pagerank_int(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    iterations: int = 3,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Integer PageRank over a directed edge list.
+
+    Returns (node, rank_micro) for every node appearing as source or
+    destination. Nodes with no in-edges settle at BASE; dangling nodes
+    contribute nothing (mass dropped).
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    nodes = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))
+    ).distinct()
+    outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    ranks = nodes.withColumn("rank_micro", F.lit(INIT_RANK).cast("long"))
+    for i in range(iterations):
+        contrib = (
+            e.join(ranks, e.src == ranks.node)
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_micro div deg").alias("c"),
+            )
+        )
+        incoming = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(incoming, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(BASE)
+                    + F.expr("85 * coalesce(s, 0L) div 100")
+                ).cast("long").alias("rank_micro"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

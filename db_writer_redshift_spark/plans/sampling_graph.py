@@ -366,3 +366,81 @@ def sample_weighted_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("lang").orderBy(F.col("priority_key").desc(), "doc_id")
     return keyed.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 10)
+
+
+def _pagerank_oracle(iterations: int = 3) -> str:
+    """Unrolled-CTE DuckDB twin of the integer PageRank iterations:
+    identical floor-division update per round, so every rank value is
+    bit-identical to the operator's (operators/pagerank.py)."""
+    parts = [
+        """
+WITH e AS (
+  SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem
+  UNION ALL
+  SELECT l_suppkey * 2 + 1 AS src, l_partkey * 2 AS dst FROM lineitem
+),
+nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e),
+deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_micro FROM nodes)"""
+    ]
+    for i in range(iterations):
+        parts.append(
+            f""",
+inc{i} AS (
+  SELECT e.dst AS node, SUM(r{i}.rank_micro // deg.deg) AS s
+  FROM e JOIN r{i} ON r{i}.node = e.src JOIN deg ON deg.src = e.src
+  GROUP BY e.dst
+),
+r{i + 1} AS (
+  SELECT n.node,
+         CAST(150000 + (85 * COALESCE(inc{i}.s, 0)) // 100 AS BIGINT) AS rank_micro
+  FROM nodes n LEFT JOIN inc{i} ON inc{i}.node = n.node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node, rank_micro,
+       ROW_NUMBER() OVER (ORDER BY rank_micro DESC, node) AS rank_pos
+FROM r{iterations}
+QUALIFY rank_pos <= 100
+"""
+    )
+    return "".join(parts)
+
+
+@register("pagerank_part_supplier", oracle=_pagerank_oracle())
+def pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (operators/pagerank.py) over the symmetric
+    part<->supplier co-occurrence graph from lineitem, top-100 nodes.
+    Floating PageRank is partition-order-dependent at the last ulp;
+    keeping ranks in integer micro-units with floor-division updates
+    makes every iteration bit-reproducible — which is what lets an
+    ITERATIVE graph algorithm carry a full value-hash oracle (the same
+    three update rounds unrolled as chained CTEs).
+
+    Scale: one map-side-combined shuffle per iteration keyed on the
+    destination node; ranks relation is |nodes| rows; lineage truncated
+    by localCheckpoint every 2 rounds (the dedup_cc_clusters discipline).
+    The top-100 window runs on the collapsed |nodes| relation."""
+    from pyspark.sql.window import Window
+
+    from db_writer_redshift_spark.operators.pagerank import pagerank_int
+
+    li = load_table(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    edges = fwd.unionByName(
+        li.select(
+            (F.col("l_suppkey") * 2 + 1).alias("src"),
+            (F.col("l_partkey") * 2).alias("dst"),
+        )
+    )
+    ranks = pagerank_int(edges, "src", "dst", iterations=3)
+    w = Window.orderBy(F.col("rank_micro").desc(), F.col("node"))
+    return (
+        ranks.withColumn("rank_pos", F.row_number().over(w))
+        .filter(F.col("rank_pos") <= 100)
+        .select("node", "rank_micro", "rank_pos")
+    )

@@ -330,3 +330,52 @@ def events_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("n") * (F.max("n") - F.lit(1))).alias("var_den"),
         )
     )
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+pairs AS (SELECT event_type, next_type FROM seq WHERE next_type IS NOT NULL),
+tot AS (SELECT event_type, COUNT(*) AS n_from FROM pairs GROUP BY event_type)
+SELECT p.event_type AS from_type, p.next_type AS to_type,
+       COUNT(*) AS n_transitions,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(t.n_from), 6) AS p_transition
+FROM pairs p JOIN tot t USING (event_type)
+GROUP BY p.event_type, p.next_type
+""",
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey Markov transition matrix: per-user event sequences
+    (total order: ts then event_id) yield (from, to) adjacent pairs;
+    counts normalize into first-order transition probabilities — the
+    funnel-discovery/path-analysis primitive. The probability is one IEEE
+    division of two exact counts, rounded once (deterministic cross-
+    engine per the registry contract).
+
+    Scale: the lead() window hash-partitions on user_id (no global
+    window); pair and total aggregates combine map-side; the per-from
+    totals relation is |event types| rows and broadcasts back."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    pairs = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count("*").alias("n_transitions"))
+    tot = pairs.groupBy("from_type").agg(F.sum("n_transitions").alias("n_from"))
+    return pairs.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(F.col("n_transitions").cast("double") / F.col("n_from"), 6).alias(
+            "p_transition"
+        ),
+    )
