@@ -1761,3 +1761,72 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
     ).filter(F.col("token") != "")
     return heavy_hitters(tok, "token", threshold_denom=40)
+
+
+@register(
+    "chargram_neighbor_pairs",
+    oracle="""
+WITH g AS (
+  SELECT DISTINCT unnest(list_transform(range(1, LENGTH(lower(text)) - 3),
+                         i -> substr(lower(text), i, 5))) AS t
+  FROM documents
+),
+variants AS (
+  SELECT t,
+         unnest(list_append(
+           list_transform(range(1, 6), i -> substr(t, 1, i - 1) || substr(t, i + 1)),
+           t)) AS v
+  FROM g
+),
+cand AS (
+  SELECT DISTINCT a.t AS gram_a, b.t AS gram_b
+  FROM variants a JOIN variants b ON a.v = b.v AND a.t < b.t
+)
+SELECT gram_a, gram_b
+FROM cand
+WHERE levenshtein(gram_a, gram_b) = 1
+""",
+)
+def chargram_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 string-similarity JOIN via SymSpell-style deletion-
+    neighborhood blocking, over the corpus's character-5-gram vocabulary:
+    two strings within edit distance 1 MUST share a single-deletion
+    variant, so candidates come from an EQUI-join on the variant — never
+    an all-pairs distance matrix — and an exact levenshtein()==1 refine
+    keeps precision. The primitive behind fuzzy vocab cleanup / OCR-noise
+    clustering in tokenizer prep.
+
+    Scale: variants multiply the DISTINCT-gram vocabulary (bounded by
+    content diversity, saturating as the corpus grows — 2k grams here),
+    not the corpus; the join is equi-shaped on short strings with exact
+    refine on candidates — the block-then-refine discipline of the
+    MinHash/SimHash tiers applied to edit distance."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = (
+        d.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(length(lower(text)) - 4, 0)), "
+                    "i -> substr(lower(text), i, 5))"
+                )
+            ).alias("t")
+        )
+        .distinct()
+    )
+    variants = grams.select(
+        "t",
+        F.explode(
+            F.expr(
+                "array_append(transform(sequence(1, 5), "
+                "i -> concat(substr(t, 1, i - 1), substr(t, i + 1))), t)"
+            )
+        ).alias("v"),
+    )
+    a = variants.alias("a")
+    b = variants.alias("b")
+    cand = (
+        a.join(b, (F.col("a.v") == F.col("b.v")) & (F.col("a.t") < F.col("b.t")))
+        .select(F.col("a.t").alias("gram_a"), F.col("b.t").alias("gram_b"))
+        .distinct()
+    )
+    return cand.filter(F.levenshtein("gram_a", "gram_b") == 1)
