@@ -169,3 +169,37 @@ def file_minmax(path: str, column: str) -> list[tuple]:
             hi = st.max if hi is None else max(hi, st.max)
         out.append((lo, hi))
     return out
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    num_files: int,
+) -> None:
+    """Totally-ordered parquet layout: range-partition on ``cols`` into
+    ``num_files`` slices and sort within each — the single-column
+    complement to the Morton layout (for one dominant filter/merge-join
+    key, a plain total order prunes strictly better than z-order, whose
+    value is multi-column trade-off). One range shuffle; downstream
+    engines get disjoint per-file min/max footer ranges, so a point or
+    range predicate touches the minimal file set, and merge-joins on the
+    sort key can stream without re-sorting."""
+    (
+        df.repartitionByRange(num_files, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def files_overlap(ranges: list[tuple]) -> int:
+    """Count pairwise overlaps among per-file (min, max) ranges — 0 means
+    a perfect total order (every file prunable independently)."""
+    n = 0
+    for i in range(len(ranges)):
+        for j in range(i + 1, len(ranges)):
+            (alo, ahi), (blo, bhi) = ranges[i], ranges[j]
+            if not (ahi < blo or bhi < alo):
+                n += 1
+    return n

@@ -184,3 +184,23 @@ def test_with_zorder_all_null_column_degrades_to_zero_bucket(spark):
     df = spark.createDataFrame([(1, None), (2, None)], "a long, b double")
     rows = with_zorder(df, ["a", "b"], bits=4).collect()
     assert all(r["__z"] is not None for r in rows)
+
+
+def test_write_sorted_gives_disjoint_file_ranges(spark, tmp_path):
+    from db_writer_redshift_spark.operators.zorder import (
+        file_minmax,
+        files_overlap,
+        write_sorted,
+    )
+
+    df = spark.range(0, 20000).selectExpr(
+        "cast(id * 2654435761 % 100000 as long) as k", "id as payload"
+    )
+    out = str(tmp_path / "sorted_lake")
+    write_sorted(df, out, ["k"], num_files=8)
+    ranges = file_minmax(out, "k")
+    assert len(ranges) == 8
+    assert files_overlap(ranges) == 0  # total order: zero overlapping files
+    # a point predicate could prune to exactly one file
+    got = spark.read.parquet(out).count()
+    assert got == 20000
