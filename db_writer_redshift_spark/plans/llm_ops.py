@@ -1801,7 +1801,9 @@ def chargram_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     not the corpus; the join is equi-shaped on short strings with exact
     refine on candidates — the block-then-refine discipline of the
     MinHash/SimHash tiers applied to edit distance."""
-    d = load_table(spark, sf_dir, "documents")
+    from db_writer_redshift_spark.operators.partitioning import ensure_parallelism
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     grams = (
         d.select(
             F.explode(
