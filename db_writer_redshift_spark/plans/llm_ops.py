@@ -1832,3 +1832,91 @@ def chargram_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return cand.filter(F.levenshtein("gram_a", "gram_b") == 1)
+
+
+@register(
+    "drift_chisq_sources",
+    oracle="""
+WITH pool AS (
+  SELECT CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 'A' ELSE 'B' END AS grp,
+         n_chars
+  FROM documents
+),
+bounds AS (SELECT MIN(n_chars) AS lo, MAX(n_chars) AS hi FROM pool),
+b AS (
+  SELECT grp,
+         LEAST(CAST(FLOOR((n_chars - lo) * 20.0 / (hi - lo + 1)) AS BIGINT), 19) AS bucket
+  FROM pool, bounds
+),
+cnt AS (
+  SELECT bucket,
+         COUNT(CASE WHEN grp = 'A' THEN 1 END) AS n_a,
+         COUNT(CASE WHEN grp = 'B' THEN 1 END) AS n_b
+  FROM b GROUP BY bucket
+),
+tot AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM cnt)
+SELECT bucket, n_a, n_b,
+       ROUND(CASE WHEN n_a + n_b > 0
+                  THEN POWER(CAST(n_a AS DOUBLE) / ta - CAST(n_b AS DOUBLE) / tb, 2)
+                       / (CAST(n_a + n_b AS DOUBLE) / (ta + tb))
+                  ELSE 0.0 END, 6) AS chisq_contrib
+FROM cnt, tot
+""",
+)
+def drift_chisq_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift detector: compare the document-length
+    distribution of two source pools over 20 equi-width buckets and emit
+    each bucket's chi-square-style contribution — the data-quality gate
+    that catches a scraper or upstream filter silently changing the
+    corpus shape between ingests. Contributions are PER-ROW outputs
+    (each a few IEEE ops on exact integer counts, rounded once) — never a
+    summed-then-rounded per-member term, per the registry's determinism
+    contract; callers sum client-side or threshold per bucket.
+
+    Scale: one broadcast bounds aggregate, scan-stage bucket assignment,
+    one 20-group map-side-combined count — the event-histogram shape
+    (hist_equiwidth_order_totals) applied to drift."""
+    d = load_table(spark, sf_dir, "documents")
+    pool = d.select(
+        F.when(
+            F.col("source").isin("src0", "src1", "src2", "src3", "src4"), "A"
+        )
+        .otherwise("B")
+        .alias("grp"),
+        "n_chars",
+    )
+    bounds = pool.agg(F.min("n_chars").alias("lo"), F.max("n_chars").alias("hi"))
+    b = pool.join(F.broadcast(bounds)).select(
+        "grp",
+        F.least(
+            F.floor(
+                (F.col("n_chars") - F.col("lo"))
+                * 20.0
+                / (F.col("hi") - F.col("lo") + 1)
+            ).cast("long"),
+            F.lit(19),
+        ).alias("bucket"),
+    )
+    cnt = b.groupBy("bucket").agg(
+        F.count(F.when(F.col("grp") == "A", 1)).alias("n_a"),
+        F.count(F.when(F.col("grp") == "B", 1)).alias("n_b"),
+    )
+    tot = cnt.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
+    j = cnt.crossJoin(F.broadcast(tot))
+    pa = F.col("n_a").cast("double") / F.col("ta")
+    pb = F.col("n_b").cast("double") / F.col("tb")
+    expected = (F.col("n_a") + F.col("n_b")).cast("double") / (
+        F.col("ta") + F.col("tb")
+    )
+    return j.select(
+        "bucket",
+        "n_a",
+        "n_b",
+        F.round(
+            F.when(
+                F.col("n_a") + F.col("n_b") > 0,
+                F.pow(pa - pb, F.lit(2)) / expected,
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("chisq_contrib"),
+    )
