@@ -1920,3 +1920,65 @@ def drift_chisq_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chisq_contrib"),
     )
+
+
+@register(
+    "bpe_pair_merge_stats",
+    oracle="""
+WITH tok AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+),
+vocab AS (SELECT w, COUNT(*) AS freq FROM tok WHERE LENGTH(w) >= 2 GROUP BY w),
+pairs AS (
+  SELECT substr(w, i, 2) AS pair, freq
+  FROM vocab, UNNEST(generate_series(1, LENGTH(w) - 1)) AS t(i)
+),
+agg AS (
+  SELECT pair, CAST(SUM(freq) AS BIGINT) AS n_occurrences,
+         COUNT(*) AS n_vocab_words
+  FROM pairs GROUP BY pair
+)
+SELECT pair, n_occurrences, n_vocab_words,
+       ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, pair) AS merge_rank
+FROM agg
+QUALIFY merge_rank <= 30
+""",
+)
+def bpe_pair_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training iteration's pair statistics: corpus-weighted
+    adjacent-symbol-pair counts over the word vocabulary, ranked — the
+    top pair is the next merge a byte-pair-encoding tokenizer would
+    learn. Counting runs on the VOCABULARY (distinct words × their
+    corpus frequency), the standard trick that makes BPE training
+    corpus-size-independent per iteration: the corpus is scanned once for
+    frequencies; every subsequent merge iteration touches only |vocab|
+    rows.
+
+    Scale: word-frequency aggregate (map-side combined), pair fan-out on
+    the collapsed vocab, pair aggregate, rank window on the (tiny)
+    distinct-pair relation. All integer counts."""
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    pairs = vocab.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")
+        ).alias("pair"),
+        "freq",
+    )
+    agg = pairs.groupBy("pair").agg(
+        F.sum("freq").cast("long").alias("n_occurrences"),
+        F.count("*").alias("n_vocab_words"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("pair"))
+    return (
+        agg.withColumn("merge_rank", F.row_number().over(w))
+        .filter(F.col("merge_rank") <= 30)
+        .select("pair", "n_occurrences", "n_vocab_words", "merge_rank")
+    )
