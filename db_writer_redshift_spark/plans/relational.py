@@ -2119,3 +2119,70 @@ def exact_quantiles_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [row], "n_orders long, median_cents long, p90_cents long, p99_cents long"
     )
+
+
+@register(
+    "topk_per_group_agg",
+    oracle="""
+WITH ranked AS (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey) AS balance_rank
+  FROM customer
+)
+SELECT c_nationkey, c_custkey, c_acctbal, balance_rank
+FROM ranked WHERE balance_rank <= 3
+""",
+)
+def topk_per_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by balance per nation WITHOUT a global sort
+    window: two-level salted top-k. Level 1 computes a local top-3 per
+    (nation, salt) subgroup — 32 salts from a key hash — so the shuffle
+    after it carries AT MOST 3 rows per subgroup (96 per nation) no
+    matter how many customers a nation has; level 2 reduces those ~96
+    candidates to the true top-3. The formulation that replaces a
+    rank-window at 100 TB: the full rowset never flows into a per-group
+    sort, and a hot group cannot skew one reducer (the salt splits it).
+    The oracle uses the window formulation; results agree row-exactly
+    because the tie-break (acctbal desc, custkey) is total.
+
+    Level-1 state is a per-subgroup list bounded by subgroup residency in
+    each map partition — the accepted trade for eliminating the wide
+    shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+
+    def local_topk(df, group_cols):
+        agg = df.groupBy(*group_cols).agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("c_acctbal")).alias("neg_bal"),
+                            F.col("c_custkey").alias("ck"),
+                            F.col("c_acctbal").alias("bal"),
+                        )
+                    )
+                ),
+                1,
+                3,
+            ).alias("top")
+        )
+        return agg.select(
+            *group_cols, F.explode("top").alias("t")
+        ).select(
+            *group_cols,
+            F.col("t.ck").alias("c_custkey"),
+            F.col("t.bal").alias("c_acctbal"),
+        )
+
+    salted = c.withColumn("salt", F.pmod(F.xxhash64("c_custkey"), F.lit(32)))
+    level1 = local_topk(salted, ["c_nationkey", "salt"]).drop("salt")
+    level2 = local_topk(level1, ["c_nationkey"])
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return level2.withColumn("balance_rank", F.row_number().over(w)).select(
+        "c_nationkey", "c_custkey", "c_acctbal", "balance_rank"
+    )
