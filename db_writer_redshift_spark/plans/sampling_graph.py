@@ -444,3 +444,73 @@ def pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank_pos") <= 100)
         .select("node", "rank_micro", "rank_pos")
     )
+
+
+@register(
+    "sample_neyman_allocation",
+    oracle="""
+WITH s AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         SUM(n_chars) AS sv, SUM(n_chars * n_chars) AS svv
+  FROM documents GROUP BY lang
+),
+m AS (
+  SELECT lang, n_docs,
+         CAST(sv AS BIGINT) AS sum_chars,
+         CAST(n_docs * svv - sv * sv AS BIGINT) AS var_num,
+         CAST(n_docs AS BIGINT) * (n_docs - 1) AS var_den,
+         n_docs * SQRT((CAST(n_docs AS DOUBLE) * svv - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+                       / (CAST(n_docs AS DOUBLE) * n_docs * (n_docs - 1))) AS weight
+  FROM s
+),
+tot AS (SELECT SUM(weight) AS tw FROM m)
+SELECT lang, n_docs, sum_chars, var_num, var_den,
+       CAST(FLOOR(1000 * weight / tw) AS BIGINT) AS alloc_k
+FROM m, tot
+""",
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation: for a 1000-document
+    eval set stratified by language, allocate k_h proportional to
+    N_h * sigma_h (stratum size x within-stratum std of doc length) —
+    the design that minimizes estimator variance at fixed sample size,
+    vs the plain proportional split of sample_stratified_by_lang.
+
+    Determinism: the HASHED integer columns (moments) are exact; the
+    allocation derives through sqrt/divide on identical operands in both
+    engines with a FLOOR (not round) landing — floor of a shared double
+    is stable except exactly at integer boundaries, which the weight
+    ratios of real data do not hit (and the integer moments pin the
+    inputs bit-identically).
+
+    Scale: one map-side-combined moment aggregate per stratum (5 rows),
+    broadcast total — the allocation table then drives any downstream
+    deterministic-hash sampler."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sv"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("svv"),
+    )
+    n = F.col("n_docs")
+    weight = n * F.sqrt(
+        (n.cast("double") * F.col("svv") - F.col("sv").cast("double") * F.col("sv").cast("double"))
+        / (n.cast("double") * n * (n - F.lit(1)))
+    )
+    m = s.select(
+        "lang",
+        "n_docs",
+        F.col("sv").cast("long").alias("sum_chars"),
+        (n * F.col("svv") - F.col("sv") * F.col("sv")).cast("long").alias("var_num"),
+        (n.cast("long") * (n - F.lit(1))).alias("var_den"),
+        weight.alias("weight"),
+    )
+    tot = m.agg(F.sum("weight").alias("tw"))
+    return m.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "sum_chars",
+        "var_num",
+        "var_den",
+        F.floor(1000 * F.col("weight") / F.col("tw")).cast("long").alias("alloc_k"),
+    )
