@@ -172,3 +172,89 @@ def kmeans_fit(
         iterations=iterations,
         converged=converged,
     )
+
+
+def kmeans_fit_portable(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 2,
+    scale: int = 1000,
+) -> DataFrame:
+    """Lloyd's k-means in EXACT INTEGER arithmetic — the oracle-checkable
+    twin of kmeans_fit (same deterministic lowest-id seeding and
+    lowest-cid tie-break), built so an ITERATIVE ML fit can carry a full
+    cross-engine value proof (the pagerank_int discipline applied to
+    clustering):
+
+    * coordinates quantize to round(x·scale) BIGINTs before anything
+      else — distances are exact integer sums of squared diffs;
+    * centroid updates are floor(sum / count) with |sum/count| and count
+      far below 2⁵², where IEEE division + floor is exact and identical
+      in Spark, DuckDB, and Python — no accumulation-order dependence
+      anywhere;
+    * empty clusters keep their previous centroid.
+
+    Returns the final assignment (id, centroid_id, sqdist_int). Per
+    iteration: scan-stage assignment against centroid literals (no
+    join/shuffle) + one (k×dim)-group integer aggregate; driver state is
+    k×dim ints."""
+    q = df.select(
+        F.col(id_col).alias("id"),
+        F.expr(
+            f"transform({vec_col}, x -> cast(round(cast(x as double) * {scale}) as bigint))"
+        ).alias("qv"),
+    )
+    seeds = q.orderBy("id").limit(k).select("qv").collect()
+    cents = [[int(x) for x in r.qv] for r in seeds]
+    if len(cents) < k:
+        raise ValueError(f"need at least k={k} rows, got {len(cents)}")
+    dim = len(cents[0])
+
+    def assign(cur: list[list[int]]) -> DataFrame:
+        cent_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("cid"),
+                    F.array(*[F.lit(int(x)).cast("long") for x in c]).alias("ce"),
+                )
+                for i, c in enumerate(cur)
+            ]
+        )
+        sqdist = lambda ce: F.aggregate(  # noqa: E731
+            F.zip_with(F.col("qv"), ce, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        best = F.array_min(
+            F.transform(
+                cent_arr,
+                lambda c: F.struct(sqdist(c["ce"]).alias("dist"), c["cid"].alias("cid")),
+            )
+        )
+        return q.select(
+            "id",
+            "qv",
+            best["cid"].alias("centroid_id"),
+            best["dist"].alias("sqdist_int"),
+        )
+
+    for _ in range(iters):
+        assigned = assign(cents)
+        stats = (
+            assigned.select("centroid_id", F.posexplode("qv").alias("d", "v"))
+            .groupBy("centroid_id", "d")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        sums: dict[int, list[int]] = {}
+        counts: dict[int, int] = {}
+        for r in stats:
+            sums.setdefault(r.centroid_id, [0] * dim)[r.d] = int(r.s)
+            counts[r.centroid_id] = int(r.n)
+        cents = [
+            [sums[c][i] // counts[c] for i in range(dim)] if c in counts else cents[c]
+            for c in range(k)
+        ]
+    return assign(cents)

@@ -1982,3 +1982,91 @@ def bpe_pair_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("merge_rank") <= 30)
         .select("pair", "n_occurrences", "n_vocab_words", "merge_rank")
     )
+
+
+def _kmeans_portable_oracle(k: int = 8, iters: int = 2, dim: int = 64, scale: int = 1000) -> str:
+    """Unrolled-CTE DuckDB twin of the integer Lloyd's fit
+    (operators/clustering.kmeans_fit_portable): same quantization,
+    distance, lowest-cid tie-break, and floor(sum/count) centroid update
+    per round — every assignment and centroid value is bit-identical."""
+    dist = (
+        "list_reduce(list_transform(list_zip(a.qv, c{n}.qv), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y)"
+    )
+    parts = [
+        f"""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(ROUND(x * {scale}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, qv
+  FROM v ORDER BY vec_id LIMIT {k}
+)"""
+    ]
+    for it in range(iters):
+        d = dist.format(n=it)
+        parts.append(
+            f""",
+a{it} AS (
+  SELECT a.vec_id, a.qv, c{it}.cid, {d} AS dist,
+         ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY {d}, c{it}.cid) AS rnk
+  FROM v a CROSS JOIN c{it}
+),
+s{it} AS (
+  SELECT w.cid, t.i, SUM(w.qv[t.i]) AS s, COUNT(*) AS n
+  FROM (SELECT * FROM a{it} WHERE rnk = 1) w,
+       UNNEST(generate_series(1, {dim})) AS t(i)
+  GROUP BY w.cid, t.i
+),
+c{it + 1} AS (
+  SELECT c{it}.cid,
+         CASE WHEN MAX(s{it}.s) IS NULL THEN c{it}.qv
+              ELSE list(CAST(FLOOR(CAST(s{it}.s AS DOUBLE) / s{it}.n) AS BIGINT)
+                        ORDER BY s{it}.i)
+         END AS qv
+  FROM c{it} LEFT JOIN s{it} ON s{it}.cid = c{it}.cid
+  GROUP BY c{it}.cid, c{it}.qv
+)"""
+        )
+    d = dist.format(n=iters)
+    parts.append(
+        f""",
+afinal AS (
+  SELECT a.vec_id, c{iters}.cid, {d} AS dist,
+         ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY {d}, c{iters}.cid) AS rnk
+  FROM v a CROSS JOIN c{iters}
+)
+SELECT cid AS centroid_id, COUNT(*) AS n_members,
+       CAST(SUM(dist) AS BIGINT) AS inertia
+FROM afinal WHERE rnk = 1
+GROUP BY cid
+"""
+    )
+    return "".join(parts)
+
+
+@register("kmeans_fit_portable_stats", oracle=_kmeans_portable_oracle())
+def kmeans_fit_portable_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two full Lloyd's iterations in exact integer arithmetic
+    (operators/clustering.kmeans_fit_portable), rolled up to per-cluster
+    membership and integer inertia — an ITERATIVE ML fit whose every
+    centroid update and assignment is bit-identical cross-engine, so the
+    driver's value-hash gate covers the whole optimization trajectory,
+    not just one assignment kernel (kmeans_assign_stats) — the
+    pagerank_int discipline applied to clustering. kmeans_fit (float
+    tier) stays the fast engine-internal default.
+
+    Scale: assignment is scan-stage arithmetic against centroid
+    literals; the update is one (k×dim)-group integer aggregate; driver
+    state k×dim ints per round."""
+    from db_writer_redshift_spark.operators.clustering import kmeans_fit_portable
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_fit_portable(emb, "vec_id", "embedding", k=8, iters=2)
+    return assigned.groupBy(F.col("centroid_id").cast("long").alias("centroid_id")).agg(
+        F.count("*").alias("n_members"),
+        F.sum("sqdist_int").cast("long").alias("inertia"),
+    )

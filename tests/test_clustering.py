@@ -72,3 +72,37 @@ def test_kmeans_fit_rejects_ragged_and_null_vectors(spark):
     )
     with pytest.raises(ValueError, match="ragged"):
         kmeans_fit(df, "vec_id", "embedding", k=2, max_iters=2)
+
+
+def test_kmeans_fit_portable_matches_python_reference(spark):
+    from db_writer_redshift_spark.operators.clustering import kmeans_fit_portable
+
+    # two obvious clusters in 2-D; k=2, seeds = ids 0,1 (one per cluster)
+    pts = [(0, [0.0, 0.1]), (1, [5.0, 5.1]), (2, [0.2, 0.0]), (3, [5.2, 5.0]), (4, [0.1, 0.2])]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    out = kmeans_fit_portable(df, "vec_id", "embedding", k=2, iters=2)
+    got = {r.id: r.centroid_id for r in out.collect()}
+    assert got == {0: 0, 2: 0, 4: 0, 1: 1, 3: 1}
+
+    # python replica of the integer updates for centroid 0
+    q = {i: [round(x * 1000) for x in v] for i, v in pts}
+    members0 = [q[0], q[2], q[4]]
+    c0 = [sum(m[d] for m in members0) // 3 for d in range(2)]
+    d0 = sum((q[0][d] - c0[d]) ** 2 for d in range(2))
+    r0 = {r.id: r.sqdist_int for r in out.collect()}
+    assert r0[0] == d0
+
+
+def test_kmeans_fit_portable_partition_invariant(spark):
+    from db_writer_redshift_spark.operators.clustering import kmeans_fit_portable
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = {
+        (r.id, r.centroid_id, r.sqdist_int)
+        for r in kmeans_fit_portable(emb.repartition(1), "vec_id", "embedding").collect()
+    }
+    b = {
+        (r.id, r.centroid_id, r.sqdist_int)
+        for r in kmeans_fit_portable(emb.repartition(11), "vec_id", "embedding").collect()
+    }
+    assert a == b
