@@ -379,3 +379,78 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_transition"
         ),
     )
+
+
+@register(
+    "events_hourly_locf",
+    oracle="""
+WITH m AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h, value FROM events),
+hourly AS (
+  SELECT event_type, h, COUNT(*) AS n_events,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+  FROM m GROUP BY event_type, h
+),
+bounds AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM m),
+spine AS (
+  SELECT t.event_type, g.h
+  FROM (SELECT DISTINCT event_type FROM m) t,
+       bounds,
+       LATERAL (SELECT UNNEST(generate_series(bounds.lo, bounds.hi)) AS h) g
+)
+SELECT s.event_type, s.h AS hour_h,
+       COALESCE(hourly.n_events, 0) AS n_events,
+       CASE WHEN hourly.h IS NULL THEN 1 ELSE 0 END AS was_filled,
+       last_value(hourly.sum_value IGNORE NULLS)
+         OVER (PARTITION BY s.event_type ORDER BY s.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_value_locf
+FROM spine s LEFT JOIN hourly ON hourly.event_type = s.event_type AND hourly.h = s.h
+""",
+)
+def events_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series with last-observation-carried-forward:
+    build the dense (event_type x hour) spine, left-join the observed
+    hourly rollup, and forward-fill missing hours with the last known
+    value (last() IGNORE NULLS over an explicit running frame) — the
+    time-series densification every monitoring/feature pipeline needs
+    before windowed models. Hours are epoch-hour BIGINTs (timestamps
+    would flap the canonicalizer); the filled value is a COPY of an
+    already-rounded hourly aggregate, so forward-filling adds no new
+    float arithmetic.
+
+    Scale: the spine is |types| x |hours| (metadata-sized relative to
+    events); the rollup combines map-side; the fill window partitions by
+    type — no global window."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    m = e.select(
+        "event_type",
+        # session tz is UTC, so ntz->ltz is identity and unix_micros here
+        # equals DuckDB's epoch_us on the same timestamps
+        F.expr("unix_micros(cast(ts as timestamp_ltz)) div 3600000000").alias("h"),
+        "value",
+    )
+    hourly = m.groupBy("event_type", "h").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias(
+            "sum_value"
+        ),
+    )
+    bounds = m.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    types = m.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type", F.explode(F.sequence("lo", "hi")).alias("h")
+    )
+    j = spine.join(hourly, ["event_type", "h"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "event_type",
+        F.col("h").alias("hour_h"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.when(F.col("n_events").isNull(), 1).otherwise(0).alias("was_filled"),
+        F.last("sum_value", ignorenulls=True).over(w).alias("sum_value_locf"),
+    )
