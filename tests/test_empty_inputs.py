@@ -1,0 +1,71 @@
+"""Degenerate-input behavior of the round-2 operators: empty relations
+must produce empty (or well-defined) results, never crash mid-plan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _empty(spark, schema):
+    return spark.createDataFrame([], schema)
+
+
+def test_heavy_hitters_empty_corpus(spark):
+    from db_writer_redshift_spark.operators.heavy_hitters import heavy_hitters
+
+    out = heavy_hitters(_empty(spark, "item string"), "item", 10)
+    assert out.count() == 0
+
+
+def test_scd2_apply_empty_snapshot_closes_nothing_by_delta_rule(spark):
+    from db_writer_redshift_spark.operators import scd
+
+    h = scd.scd2_init(spark.createDataFrame([(1, "A")], "k int, seg string"), ts=1)
+    out = scd.scd2_apply(h, _empty(spark, "k int, seg string"), ["k"], ["seg"], ts=2)
+    # full-snapshot semantics: absent key = deleted -> closed
+    got = {(r.k, r.valid_from): r.is_current for r in out.collect()}
+    assert got == {(1, 1): False}
+
+
+def test_scd2_init_empty(spark):
+    from db_writer_redshift_spark.operators import scd
+
+    assert scd.scd2_init(_empty(spark, "k int, seg string"), ts=1).count() == 0
+
+
+def test_retention_sweep_empty_fact(spark):
+    from db_writer_redshift_spark.operators.retention import retention_sweep
+
+    kept, _, audit = retention_sweep(
+        _empty(spark, "k int, age int"), F.col("age") > 0, "k"
+    )
+    assert kept.count() == 0
+    (row,) = audit.collect()
+    assert (row.rows_before, row.rows_deleted, row.rows_kept) == (0, 0, 0)
+
+
+def test_incremental_update_empty_delta_is_identity(spark):
+    from db_writer_redshift_spark.operators.incremental import agg_state, incremental_update
+
+    state = {"n": ("*", "count"), "s": ("v", "sum")}
+    summary = agg_state(
+        spark.createDataFrame([("a", 1), ("a", 2)], "g string, v int"), ["g"], state
+    )
+    out = incremental_update(summary, _empty(spark, "g string, v int"), ["g"], state)
+    assert {(r.g, r.n, r.s) for r in out.collect()} == {("a", 2, 3)}
+
+
+def test_pagerank_empty_edges(spark):
+    from db_writer_redshift_spark.operators.pagerank import pagerank_int
+
+    out = pagerank_int(_empty(spark, "s long, d long"), "s", "d", 2)
+    assert out.count() == 0
+
+
+def test_gram_summary_empty_embeddings(spark):
+    from db_writer_redshift_spark.operators import linalg
+
+    out = linalg.gram_summary(
+        _empty(spark, "embedding array<float>"), "embedding", 4
+    )
+    assert out.count() == 0
