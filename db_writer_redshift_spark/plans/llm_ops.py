@@ -2070,3 +2070,82 @@ def kmeans_fit_portable_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_members"),
         F.sum("sqdist_int").cast("long").alias("inertia"),
     )
+
+
+@register(
+    "dedup_keep_best_quality",
+    oracle="""
+WITH base AS (
+  SELECT doc_id,
+         md5(array_to_string(string_split(lower(text), ' ')[1:20], ' ')) AS fp,
+         ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')), 6) AS a6,
+         ROUND(CAST(LENGTH(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / LENGTH(text), 6) AS p6,
+         ROUND(CAST(len(list_filter(string_split(LOWER(text), ' '), x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+               / len(string_split(text, ' ')), 6) AS s6
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, fp,
+         CAST(ROUND((1.0 - LEAST(1.0, ABS(a6 - 5) / 5) * 0.3
+                         - LEAST(1.0, p6 * 10) * 0.3
+                         - LEAST(1.0, ABS(s6 - 0.4)) * 0.4) * 1000000) AS BIGINT) AS q_e6
+  FROM base
+),
+ranked AS (
+  SELECT doc_id, fp, q_e6,
+         ROW_NUMBER() OVER (PARTITION BY fp ORDER BY q_e6 DESC, doc_id) AS rnk,
+         COUNT(*) OVER (PARTITION BY fp) AS group_size
+  FROM scored
+)
+SELECT doc_id AS kept_doc_id, group_size, q_e6 AS kept_quality_e6
+FROM ranked WHERE rnk = 1 AND group_size > 1
+""",
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection by QUALITY instead of min-id: within
+    each duplicate family (md5 of the 20-word opening prefix — the
+    boilerplate-family key; prefix collisions are how template spam
+    groups in practice), keep the copy with the
+    highest quality score (integer-scaled; doc_id tiebreak) — the dedup
+    policy real curation uses when duplicates differ in surrounding
+    boilerplate quality. Groups of one are excluded (nothing to choose).
+
+    The argmax is min(struct(-q, id)) inside a plain aggregate — no sort
+    window over the corpus; the md5-key aggregate combines map-side.
+    Quality rescales the same rounded double both engines compute
+    identically (single IEEE ops per row), so q_e6 is deterministic."""
+    from db_writer_redshift_spark.functions.text import (
+        avg_word_len_expr,
+        punct_ratio_expr,
+        stopword_ratio_expr,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    a6 = F.round(avg_word_len_expr(t), 6)
+    p6 = F.round(punct_ratio_expr(t), 6)
+    s6 = F.round(stopword_ratio_expr(t), 6)
+    q = (
+        F.lit(1.0)
+        - F.least(F.lit(1.0), F.abs(a6 - 5) / 5) * 0.3
+        - F.least(F.lit(1.0), p6 * 10) * 0.3
+        - F.least(F.lit(1.0), F.abs(s6 - 0.4)) * 0.4
+    )
+    base = d.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.slice(F.split(F.lower(F.col("text")), " "), 1, 20))
+        ).alias("fp"),
+        F.round(q * 1000000).cast("long").alias("q_e6"),
+    )
+    agg = base.groupBy("fp").agg(
+        F.count("*").alias("group_size"),
+        F.min(F.struct((-F.col("q_e6")).alias("nq"), F.col("doc_id").alias("id"))).alias(
+            "best"
+        ),
+    )
+    return agg.filter(F.col("group_size") > 1).select(
+        F.col("best.id").alias("kept_doc_id"),
+        "group_size",
+        (-F.col("best.nq")).alias("kept_quality_e6"),
+    )
