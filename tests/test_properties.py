@@ -165,3 +165,42 @@ def test_connected_components_matches_union_find(spark, pairs):
     got = {r.node: r.cluster_root for r in connected_components(df).collect()}
     want = _uf_components(pairs)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# SCD2 model check: random snapshot sequences vs a plain-python reference
+# ---------------------------------------------------------------------------
+
+_scd_snapshot = st.lists(
+    st.tuples(st.integers(min_value=1, max_value=6), st.sampled_from("ABC")),
+    max_size=6,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(snaps=st.lists(_scd_snapshot, min_size=1, max_size=4))
+def test_scd2_apply_matches_python_model(spark, snaps):
+    from db_writer_redshift_spark.operators import scd
+
+    def df_of(snap):
+        return spark.createDataFrame(snap, "k int, seg string")
+
+    hist = scd.scd2_init(df_of(snaps[0]), ts=0)
+    # python model: history as list of [k, seg, from, to, current]
+    model = [[k, seg, 0, None, True] for k, seg in snaps[0]]
+    for ts, snap in enumerate(snaps[1:], start=1):
+        hist = scd.scd2_apply(hist, df_of(snap), ["k"], ["seg"], ts=ts)
+        cur = {r[0]: r for r in model if r[4]}
+        incoming = dict(snap)
+        for k, row in cur.items():
+            if k not in incoming or incoming[k] != row[1]:
+                row[3], row[4] = ts, False
+        for k, seg in incoming.items():
+            if k not in cur or cur[k][1] != seg:
+                model.append([k, seg, ts, None, True])
+    got = sorted(
+        (r.k, r.seg, r.valid_from, r.valid_to, r.is_current) for r in hist.collect()
+    )
+    want = sorted((k, s, f, t, c) for k, s, f, t, c in model)
+    assert got == want
