@@ -2186,3 +2186,63 @@ def topk_per_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return level2.withColumn("balance_rank", F.row_number().over(w)).select(
         "c_nationkey", "c_custkey", "c_acctbal", "balance_rank"
     )
+
+
+@register(
+    "rollup_reuse_daily_monthly",
+    oracle="""
+SELECT EXTRACT(YEAR FROM o_orderdate) AS y,
+       EXTRACT(MONTH FROM o_orderdate) AS m,
+       COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS total_price,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price
+FROM orders
+GROUP BY EXTRACT(YEAR FROM o_orderdate), EXTRACT(MONTH FROM o_orderdate)
+""",
+)
+def rollup_reuse_daily_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granularity-cascade rollup: the MONTHLY summary derives from the
+    DAILY summary by merging combinable state (operators/incremental.py)
+    — the fact table is scanned exactly once, and every coarser
+    granularity (week, month, quarter, year) reuses the day-level
+    partials instead of rescanning 100 TB per granularity. The oracle
+    aggregates monthly directly from the facts — equality proves the
+    cascade is lossless (exact DECIMAL sums make the two paths
+    bit-equal).
+
+    Scale: one scan + one day-group aggregate, then a month-group
+    aggregate over ~2.5k daily rows — the second stage is
+    metadata-sized."""
+    from db_writer_redshift_spark.operators.incremental import agg_state, merge_agg_state
+
+    state = {
+        "n_orders": ("*", "count"),
+        "total_dec": ("price_dec", "sum"),
+        "min_price": ("o_totalprice", "min"),
+        "max_price": ("o_totalprice", "max"),
+    }
+    o = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        "o_totalprice",
+        F.col("o_totalprice").cast("decimal(18,4)").alias("price_dec"),
+    )
+    daily = agg_state(o, ["y", "m", "d"], state)
+    # monthly = merge of daily states grouped at the coarser key: drop the
+    # day column and re-aggregate the partials with each column's combiner
+    monthly = merge_agg_state(
+        daily.drop("d"),
+        daily.drop("d").limit(0),
+        ["y", "m"],
+        state,
+    )
+    return monthly.select(
+        "y",
+        "m",
+        "n_orders",
+        F.round(F.col("total_dec").cast("double"), 4).alias("total_price"),
+        "min_price",
+        "max_price",
+    )
