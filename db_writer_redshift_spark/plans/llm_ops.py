@@ -2149,3 +2149,78 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "group_size",
         (-F.col("best.nq")).alias("kept_quality_e6"),
     )
+
+
+@register(
+    "source_overlap_matrix",
+    oracle="""
+WITH f AS (
+  SELECT DISTINCT source,
+         md5(array_to_string(string_split(lower(text), ' ')[1:20], ' ')) AS fp
+  FROM documents
+),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+  FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
+  GROUP BY a.source, b.source
+),
+sizes AS (SELECT source, COUNT(*) AS n_fams FROM f GROUP BY source)
+SELECT p.source_a, p.source_b, p.n_shared,
+       sa.n_fams AS n_fams_a, sb.n_fams AS n_fams_b,
+       ROUND(CAST(p.n_shared AS DOUBLE) / LEAST(sa.n_fams, sb.n_fams), 6) AS overlap_coef
+FROM pairs p
+JOIN sizes sa ON sa.source = p.source_a
+JOIN sizes sb ON sb.source = p.source_b
+""",
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, how many
+    boilerplate families (20-word-prefix fingerprints) they share, with
+    the overlap coefficient (shared / smaller side) — the diagnostic that
+    catches two scrapes of the same site entering the mix as "different"
+    sources and silently double-weighting their content. The same
+    family key as dedup_keep_best_quality, lifted from doc-level to
+    source-level accounting.
+
+    Scale: the self-join runs on the DISTINCT (source, family) relation
+    — already collapsed far below corpus size — keyed on the fingerprint
+    (never all-pairs of sources x docs); per-source sizes broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    f = d.select(
+        "source",
+        F.md5(
+            F.concat_ws(" ", F.slice(F.split(F.lower(F.col("text")), " "), 1, 20))
+        ).alias("fp"),
+    ).distinct()
+    a = f.alias("a")
+    b = f.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sizes = f.groupBy("source").agg(F.count("*").alias("n_fams"))
+    return (
+        pairs.join(
+            F.broadcast(sizes.withColumnRenamed("source", "source_a").withColumnRenamed("n_fams", "n_fams_a")),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnRenamed("source", "source_b").withColumnRenamed("n_fams", "n_fams_b")),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_fams_a",
+            "n_fams_b",
+            F.round(
+                F.col("n_shared").cast("double")
+                / F.least("n_fams_a", "n_fams_b"),
+                6,
+            ).alias("overlap_coef"),
+        )
+    )
