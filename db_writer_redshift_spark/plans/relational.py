@@ -2246,3 +2246,60 @@ def rollup_reuse_daily_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_price",
         "max_price",
     )
+
+
+@register(
+    "robust_stats_order_price",
+    oracle="""
+WITH q AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+med AS (SELECT quantile_disc(cents, 0.5) AS m FROM q),
+mad AS (SELECT quantile_disc(ABS(cents - med.m), 0.5) AS d FROM q, med),
+clip AS (
+  SELECT quantile_disc(cents, 0.05) AS lo, quantile_disc(cents, 0.95) AS hi FROM q
+)
+SELECT med.m AS median_cents,
+       mad.d AS mad_cents,
+       CAST(SUM(GREATEST(clip.lo, LEAST(clip.hi, q.cents))) AS BIGINT) AS winsorized_sum_cents,
+       COUNT(*) AS n_orders
+FROM q, med, mad, clip
+GROUP BY med.m, mad.d
+""",
+)
+def robust_stats_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion statistics via the exact-selection operator
+    (operators/selection.py): median, median-absolute-deviation (a
+    second quickselect over |x - median|), and the 5%-winsorized sum
+    (clip at exact p05/p95, then an exact integer sum) — the
+    outlier-resistant profile a pipeline uses where mean/std are
+    poisoned by heavy tails. Four quickselects total, each ~2-3
+    histogram rounds with 256-row shuffles; no global sort anywhere;
+    every output is an exact BIGINT so the iterative operator chain
+    carries a full value-hash oracle.
+
+    Scale: each selection pass is a map-side-combined histogram
+    aggregate over the (persisted) integer column; the winsorized sum is
+    one more scan-stage clip + exact sum."""
+    from db_writer_redshift_spark.operators.selection import quantile_disc
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    o = o.persist()
+    try:
+        med = quantile_disc(o, "cents", 0.5)
+        dev = o.select((F.abs(F.col("cents") - med)).alias("cents"))
+        mad = quantile_disc(dev, "cents", 0.5)
+        lo = quantile_disc(o, "cents", 0.05)
+        hi = quantile_disc(o, "cents", 0.95)
+        agg = o.agg(
+            F.sum(
+                F.greatest(F.lit(lo), F.least(F.lit(hi), F.col("cents")))
+            ).cast("long").alias("winsorized_sum_cents"),
+            F.count("*").alias("n_orders"),
+        ).collect()[0]
+    finally:
+        o.unpersist()
+    return spark.createDataFrame(
+        [(med, mad, agg.winsorized_sum_cents, agg.n_orders)],
+        "median_cents long, mad_cents long, winsorized_sum_cents long, n_orders long",
+    )
