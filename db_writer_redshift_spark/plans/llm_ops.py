@@ -2224,3 +2224,213 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_coef"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction / distribution shift / mergeable sketches (round 2 additions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_pii_redaction",
+    oracle=r"""
+WITH t AS (
+  SELECT c_custkey,
+         c_name || ' <cust' || CAST(c_custkey AS VARCHAR) || '@example.com> phone '
+                || lpad(CAST(c_custkey * 7 % 100 AS VARCHAR), 2, '0') || '-'
+                || lpad(CAST(c_custkey * 13 % 1000 AS VARCHAR), 3, '0') || '-'
+                || lpad(CAST(c_custkey * 17 % 1000 AS VARCHAR), 3, '0') || '-'
+                || lpad(CAST(c_custkey * 19 % 10000 AS VARCHAR), 4, '0')
+                || ' segment ' || c_mktsegment AS txt
+  FROM customer
+),
+r AS (
+  SELECT c_custkey, txt,
+         CAST(len(regexp_extract_all(txt, '[a-z0-9.]+@[a-z0-9.]+[a-z]')) AS INT) AS n_emails,
+         CAST(len(regexp_extract_all(txt, '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones,
+         regexp_replace(
+           regexp_replace(txt, '[a-z0-9.]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g'),
+           '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS red
+  FROM t
+)
+SELECT c_custkey, n_emails, n_phones, md5(red) AS redacted_md5,
+       CAST(LENGTH(red) AS INT) AS n_chars_redacted
+FROM r
+""",
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over a support-ticket-shaped text derived from
+    `customer` (name + synthetic email + a phone string derived
+    deterministically from c_custkey arithmetic — the fixture documents
+    contain no PII, so the ticket text is constructed from table columns
+    to keep the redaction non-vacuous; every row carries exactly the PII
+    spans the arithmetic implies, and the counts prove the regexes fired).
+    Email and phone spans are replaced by typed placeholder tags and
+    counted per category; the redacted text is hashed (md5 agrees
+    byte-for-byte across engines) so the oracle proves the exact redacted
+    bytes, not just the counts.
+
+    Scale: one pass of codegen'd regexp expressions per row — no shuffle,
+    no UDF; at 100 TB this is a map-only stage bounded by scan
+    throughput, the same shape production PII scrubbers
+    (email/phone/ssn/credit-card chains) take. Patterns are restricted to
+    the Java-regex/RE2 common subset so Spark and the oracle match the
+    same spans."""
+    email_pat = "[a-z0-9.]+@[a-z0-9.]+[a-z]"
+    phone_pat = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    txt = F.concat(
+        F.col("c_name"),
+        F.lit(" <cust"),
+        k.cast("string"),
+        F.lit("@example.com> phone "),
+        F.lpad((k * 7 % 100).cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad((k * 13 % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((k * 17 % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((k * 19 % 10000).cast("string"), 4, "0"),
+        F.lit(" segment "),
+        F.col("c_mktsegment"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(txt, email_pat, "<EMAIL>"), phone_pat, "<PHONE>"
+    )
+    return c.select(
+        "c_custkey",
+        F.size(F.regexp_extract_all(txt, F.lit(email_pat), F.lit(0)))
+        .cast("int")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(txt, F.lit(phone_pat), F.lit(0)))
+        .cast("int")
+        .alias("n_phones"),
+        F.md5(red.cast("binary")).alias("redacted_md5"),
+        F.length(red).cast("int").alias("n_chars_redacted"),
+    )
+
+
+@register(
+    "token_shift_pools",
+    oracle=r"""
+WITH tok AS (
+  SELECT CASE WHEN LENGTH(source) = 4 THEN 'a' ELSE 'b' END AS pool,
+         unnest(string_split(LOWER(text), ' ')) AS token
+  FROM documents
+),
+tok2 AS (SELECT pool, token FROM tok WHERE token <> ''),
+c AS (
+  SELECT token,
+         CAST(SUM(CASE WHEN pool = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+         CAST(SUM(CASE WHEN pool = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+  FROM tok2 GROUP BY token
+),
+t AS (SELECT CAST(SUM(c_a) AS BIGINT) AS t_a, CAST(SUM(c_b) AS BIGINT) AS t_b FROM c),
+f AS (
+  SELECT token, c_a, c_b,
+         (c_a * 1000000) // t_a AS fa_ppm,
+         (c_b * 1000000) // t_b AS fb_ppm
+  FROM c, t
+  WHERE c_a + c_b >= 5
+)
+SELECT token, c_a, c_b, fa_ppm, fb_ppm,
+       ((fa_ppm + 1) * 1000) // (fb_ppm + 1) AS shift_milli
+FROM f
+ORDER BY shift_milli DESC, token
+LIMIT 25
+""",
+)
+def token_shift_pools(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution shift between two source pools (the
+    distribution-drift detector a training-mix pipeline runs when a new
+    crawl lands): per-token frequency in each pool, expressed in exact
+    integer parts-per-million, ranked by the add-one-smoothed frequency
+    ratio in integer milli-units. Log-ratio / KL formulations sum
+    doubles (partition-order-dependent); integer ppm + floor-division
+    ratio is bit-identical across engines AND partitionings, so an
+    order statistic over the whole vocabulary carries a full value-hash
+    oracle.
+
+    Scale: one explode -> map-side-combined token aggregation (the
+    vocab_topk_terms shuffle shape); pool totals join back as a
+    broadcast 1-row aggregate; the final order is a 25-row TakeOrdered.
+    ppm fits int64 up to ~9e12 tokens per pool (caveat: beyond that,
+    compute ppm in DECIMAL)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        F.when(F.length("source") == 4, F.lit("a")).otherwise(F.lit("b")).alias(
+            "pool"
+        ),
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    c = tok.groupBy("token").agg(
+        F.sum(F.when(F.col("pool") == "a", 1).otherwise(0)).cast("long").alias("c_a"),
+        F.sum(F.when(F.col("pool") == "b", 1).otherwise(0)).cast("long").alias("c_b"),
+    )
+    totals = c.agg(
+        F.sum("c_a").cast("long").alias("t_a"), F.sum("c_b").cast("long").alias("t_b")
+    )
+    f = (
+        c.join(F.broadcast(totals))
+        .filter((F.col("c_a") + F.col("c_b")) >= 5)
+        .select(
+            "token",
+            "c_a",
+            "c_b",
+            F.expr("(c_a * 1000000) div t_a").alias("fa_ppm"),
+            F.expr("(c_b * 1000000) div t_b").alias("fb_ppm"),
+        )
+    )
+    return (
+        f.select(
+            "token",
+            "c_a",
+            "c_b",
+            "fa_ppm",
+            "fb_ppm",
+            F.expr("((fa_ppm + 1) * 1000) div (fb_ppm + 1)").alias("shift_milli"),
+        )
+        .orderBy(F.col("shift_milli").desc(), "token")
+        .limit(25)
+    )
+
+
+@register("hll_partial_union_rollup", oracle=None)
+def hll_partial_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: one Datasketches HLL sketch of distinct
+    o_custkey per order priority, then the GLOBAL distinct estimate by
+    merging the five per-priority sketches — the facts are scanned once;
+    the rollup level re-aggregates k-byte sketch states, never rows.
+    This is the incremental-OLAP pattern (store sketches per partition/
+    day, union on demand) that exact distinct cannot support because
+    COUNT(DISTINCT) partials are not mergeable.
+
+    Rows-only driver check (the sketch estimate is engine-specific);
+    tests/test_approx.py asserts every estimate lands within 5% of the
+    exact distinct and that the merged global equals sketching the raw
+    column directly.
+
+    Scale: map-side partial sketches -> 5-group shuffle of k-byte
+    states; the union level shuffles 5 sketch blobs. No row ever moves
+    for the rollup."""
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.count("*").alias("n_orders"),
+    )
+    per_level = per.select(
+        "o_orderpriority",
+        "n_orders",
+        F.hll_sketch_estimate("sk").cast("long").alias("est_distinct_custs"),
+        F.lit("priority").alias("level"),
+    )
+    merged = per.agg(
+        F.hll_union_agg("sk").alias("sk"), F.sum("n_orders").alias("n_orders")
+    ).select(
+        F.lit("ALL").alias("o_orderpriority"),
+        F.col("n_orders").cast("long"),
+        F.hll_sketch_estimate("sk").cast("long").alias("est_distinct_custs"),
+        F.lit("merged").alias("level"),
+    )
+    return per_level.unionByName(merged)

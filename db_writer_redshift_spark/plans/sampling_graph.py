@@ -421,7 +421,10 @@ def pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one map-side-combined shuffle per iteration keyed on the
     destination node; ranks relation is |nodes| rows; lineage truncated
     by localCheckpoint every 2 rounds (the dedup_cc_clusters discipline).
-    The top-100 window runs on the collapsed |nodes| relation."""
+    The global top-100 is a distributed sort-limit (TakeOrderedAndProject
+    — per-partition top-100 merged on the driver, no single-partition
+    window over |nodes| rows); row_number then runs on the 100-row
+    survivor set only."""
     from pyspark.sql.window import Window
 
     from db_writer_redshift_spark.operators.pagerank import pagerank_int
@@ -438,10 +441,10 @@ def pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ranks = pagerank_int(edges, "src", "dst", iterations=3)
+    top = ranks.orderBy(F.col("rank_micro").desc(), F.col("node")).limit(100)
     w = Window.orderBy(F.col("rank_micro").desc(), F.col("node"))
     return (
-        ranks.withColumn("rank_pos", F.row_number().over(w))
-        .filter(F.col("rank_pos") <= 100)
+        top.withColumn("rank_pos", F.row_number().over(w))
         .select("node", "rank_micro", "rank_pos")
     )
 
