@@ -517,3 +517,99 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "var_den",
         F.floor(1000 * F.col("weight") / F.col("tw")).cast("long").alias("alloc_k"),
     )
+
+
+@register(
+    "dedup_cc_keep_best",
+    oracle=f"""
+WITH RECURSIVE pairs AS ({_PAIRS_SQL}),
+e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+),
+roots AS (
+  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_root
+  FROM reach GROUP BY u
+),
+base AS (
+  SELECT doc_id,
+         ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')), 6) AS a6,
+         ROUND(CAST(LENGTH(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / LENGTH(text), 6) AS p6,
+         ROUND(CAST(len(list_filter(string_split(LOWER(text), ' '), x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+               / len(string_split(text, ' ')), 6) AS s6
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         CAST(ROUND((1.0 - LEAST(1.0, ABS(a6 - 5) / 5) * 0.3
+                         - LEAST(1.0, p6 * 10) * 0.3
+                         - LEAST(1.0, ABS(s6 - 0.4)) * 0.4) * 1000000) AS BIGINT) AS q_e6
+  FROM base
+),
+ranked AS (
+  SELECT r.cluster_root, s.doc_id, s.q_e6,
+         ROW_NUMBER() OVER (PARTITION BY r.cluster_root ORDER BY s.q_e6 DESC, s.doc_id) AS rnk,
+         COUNT(*) OVER (PARTITION BY r.cluster_root) AS cluster_size
+  FROM roots r JOIN scored s USING (doc_id)
+)
+SELECT cluster_root, cluster_size, doc_id AS kept_doc_id, q_e6 AS kept_quality_e6
+FROM ranked WHERE rnk = 1
+""",
+)
+def dedup_cc_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical selection over TRANSITIVE duplicate clusters: connected
+    components of the near-dup pair graph (dedup_cc_clusters' BSP
+    hash-min labels), then keep the highest-quality member per cluster
+    (dedup_keep_best_quality's integer-scaled score, doc_id tiebreak).
+    This is the production composition — pairwise near-dup edges chain
+    (A~B, B~C but not A~C), so the keep-one-per-cluster decision must be
+    made on the transitive closure, not on raw pairs, or a chained family
+    survives twice.
+
+    Scale: the CC rounds dominate (one shuffle per superstep over the
+    edge list); quality scores join in by doc_id (one equi-join on the
+    |graph nodes| relation — singleton docs never enter); the per-cluster
+    argmax is min(struct(-q, id)) in a map-side-combinable aggregate, no
+    corpus-wide sort window."""
+    from db_writer_redshift_spark.functions.text import (
+        avg_word_len_expr,
+        punct_ratio_expr,
+        stopword_ratio_expr,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.shingle_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.05, max_doc_freq=100
+    ).select("doc_a", "doc_b")
+    roots = dedup.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "cluster_root"
+    )
+    t = F.col("text")
+    a6 = F.round(avg_word_len_expr(t), 6)
+    p6 = F.round(punct_ratio_expr(t), 6)
+    s6 = F.round(stopword_ratio_expr(t), 6)
+    q = (
+        F.lit(1.0)
+        - F.least(F.lit(1.0), F.abs(a6 - 5) / 5) * 0.3
+        - F.least(F.lit(1.0), p6 * 10) * 0.3
+        - F.least(F.lit(1.0), F.abs(s6 - 0.4)) * 0.4
+    )
+    scored = docs.select(
+        "doc_id", F.round(q * 1000000).cast("long").alias("q_e6")
+    )
+    member = roots.join(scored, "doc_id")
+    agg = member.groupBy("cluster_root").agg(
+        F.count("*").alias("cluster_size"),
+        F.min(
+            F.struct((-F.col("q_e6")).alias("nq"), F.col("doc_id").alias("id"))
+        ).alias("best"),
+    )
+    return agg.select(
+        "cluster_root",
+        "cluster_size",
+        F.col("best.id").alias("kept_doc_id"),
+        (-F.col("best.nq")).alias("kept_quality_e6"),
+    )

@@ -9,6 +9,7 @@ exactly-once-per-batch merge sink that reuses the batch merge operator.
 from db_writer_redshift_spark.streaming.jobs import (  # noqa: F401
     EVENTS_SCHEMA,
     merge_sink,
+    near_dup_filter_sink,
     read_csv_stream,
     read_events_stream,
     stream_anomaly_filter,

@@ -320,3 +320,81 @@ def test_incremental_agg_sink_matches_batch_aggregate(spark, events_dir, tmp_pat
         assert got[200][0] == 3  # events 4 (x2 deliveries), 5
     finally:
         catalog.drop_table(spark, "events_summary")
+
+
+def test_near_dup_filter_sink_first_seen_wins(spark, tmp_path):
+    """Streaming MinHash-LSH curation: batch-2 near-copy of a batch-1 doc
+    is dropped (store collision), intra-batch near-copies keep the min id,
+    distinct docs pass; a full replay (fresh checkpoint, same source)
+    leaves the corpus unchanged (batch_id-partitioned dynamic overwrite)."""
+    from pyspark.sql import types as T
+
+    from db_writer_redshift_spark.streaming import near_dup_filter_sink
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest to hide from the loud hunters"
+    )
+    other = (
+        "completely different content about spark query engines and "
+        "distributed hash joins over very large partitioned tables"
+    )
+    third = (
+        "yet another unrelated document discussing streaming watermarks "
+        "state stores and exactly once processing semantics in pipelines"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    src_dir = tmp_path / "docs_src"
+    src_dir.mkdir()
+    b1 = [(1, base), (2, other)]
+    # 3 = near-copy of 1 (crosses batches); 5 = near-copy of 4 (intra-batch)
+    b2 = [(3, base + " extra"), (4, third), (5, third + " tail")]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(tmp_path / "w1"))
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(str(tmp_path / "w2"))
+    import glob
+    import shutil
+
+    for i, f in enumerate(
+        sorted(glob.glob(str(tmp_path / "w1" / "*.parquet")))
+        + sorted(glob.glob(str(tmp_path / "w2" / "*.parquet")))
+    ):
+        shutil.copy(f, src_dir / f"arrival_{i}.parquet")
+
+    corpus = str(tmp_path / "corpus")
+    bands = str(tmp_path / "bands")
+
+    def run(ck: str) -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src_dir))
+        )
+        q = (
+            near_dup_filter_sink(stream, corpus, bands, str(tmp_path / ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run("ck1")
+    kept = sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus).select("doc_id").collect()
+    )
+    assert kept == [1, 2, 4], kept
+
+    run("ck2")  # replay everything from scratch
+    kept2 = sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus).select("doc_id").collect()
+    )
+    assert kept2 == [1, 2, 4], kept2
+    # the store holds bucket rows only for admitted docs
+    store_docs = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(bands).select("doc_id").distinct().collect()
+    )
+    assert store_docs == [1, 2, 4], store_docs
