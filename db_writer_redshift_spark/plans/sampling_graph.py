@@ -613,3 +613,95 @@ def dedup_cc_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("best.id").alias("kept_doc_id"),
         (-F.col("best.nq")).alias("kept_quality_e6"),
     )
+
+
+@register(
+    "split_by_cluster_root",
+    oracle=f"""
+WITH RECURSIVE pairs AS ({_PAIRS_SQL}),
+e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+),
+roots AS (
+  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_root
+  FROM reach GROUP BY u
+),
+lab AS (
+  SELECT d.doc_id, COALESCE(r.cluster_root, d.doc_id) AS root
+  FROM documents d LEFT JOIN roots r ON r.doc_id = d.doc_id
+),
+split AS (
+  SELECT doc_id, root, {_SPLIT_CASE.format(c="root")} AS split
+  FROM lab
+),
+leaks AS (
+  SELECT sa.split, COUNT(*) AS n_cross
+  FROM pairs p
+  JOIN split sa ON sa.doc_id = p.doc_a
+  JOIN split sb ON sb.doc_id = p.doc_b
+  WHERE sa.split <> sb.split
+  GROUP BY sa.split
+)
+SELECT s.split,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT s.root) AS n_families,
+       COALESCE(MAX(l.n_cross), 0) AS n_cross_split_pairs
+FROM split s LEFT JOIN leaks l ON l.split = s.split
+GROUP BY s.split
+""",
+)
+def split_by_cluster_root(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-FREE train/val/test assignment: hash the duplicate-cluster
+    ROOT, not the doc_id, so every member of a transitive near-dup family
+    lands in the same split — the fix for the cross-split contamination
+    that split_leakage_audit measures on naive per-doc hashing. Docs
+    outside any cluster are their own root (same hash family, same
+    80/10/10 rates). The n_cross_split_pairs column re-counts near-dup
+    pairs whose ends landed in different splits — computed from the pair
+    relation, and zero BY CONSTRUCTION (both ends share a root), which is
+    the property this operator exists to guarantee.
+
+    Scale: CC rounds as in dedup_cc_clusters; the root label joins back
+    to the corpus by doc_id (graph nodes only — singletons take the
+    coalesce path with no join fan-in); split assignment is the same
+    scan-stage Knuth-hash CASE as the sampling ops."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.shingle_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.05, max_doc_freq=100
+    ).select("doc_a", "doc_b")
+    roots = dedup.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "cluster_root"
+    )
+    lab = docs.select("doc_id").join(roots, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_root", "doc_id").alias("root")
+    )
+    split = lab.select(
+        "doc_id", "root", F.expr(_SPLIT_CASE.format(c="root")).alias("split")
+    )
+    sa = split.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+    sb = split.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+    leaks = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("sa") != F.col("sb"))
+        .groupBy(F.col("sa").alias("split"))
+        .agg(F.count("*").alias("n_cross"))
+    )
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("root").alias("n_families"),
+        )
+        .join(leaks, "split", "left")
+        .select(
+            "split",
+            "n_docs",
+            "n_families",
+            F.coalesce("n_cross", F.lit(0)).alias("n_cross_split_pairs"),
+        )
+    )

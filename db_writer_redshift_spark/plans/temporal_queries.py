@@ -454,3 +454,68 @@ def events_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n_events").isNull(), 1).otherwise(0).alias("was_filled"),
         F.last("sum_value", ignorenulls=True).over(w).alias("sum_value_locf"),
     )
+
+
+@register(
+    "rolling_active_users_7d",
+    oracle="""
+WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS d, user_id FROM events),
+spine AS (SELECT DISTINCT d FROM du),
+fan AS (
+  SELECT du.d + g.i AS anchor_d, du.user_id
+  FROM du, LATERAL (SELECT UNNEST(generate_series(0, 6)) AS i) g
+),
+w AS (
+  SELECT anchor_d, COUNT(DISTINCT user_id) AS n_active_7d
+  FROM fan WHERE anchor_d IN (SELECT d FROM spine)
+  GROUP BY anchor_d
+),
+dd AS (SELECT d, COUNT(DISTINCT user_id) AS n_active_1d FROM du GROUP BY d)
+SELECT dd.d AS day_d, n_active_1d, n_active_7d,
+       (n_active_1d * 1000) // n_active_7d AS stickiness_milli
+FROM dd JOIN w ON w.anchor_d = dd.d
+""",
+)
+def rolling_active_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU per day (the engagement "stickiness"
+    metric): exact rolling-window DISTINCT counts. A windowed
+    COUNT(DISTINCT) does not exist (distinct is not frame-combinable);
+    the scalable exact form FANS each (day, user) membership out to the
+    ≤7 anchor days it contributes to, then runs plain distinct
+    aggregates — equi-joins and hash aggs only, no range join, no
+    per-day re-scan of raw events. Stickiness is an exact integer
+    milli-ratio (the agg_variance_manual hash rule).
+
+    Scale: the fan-out is 7× the DEDUPED (day, user) relation — already
+    collapsed from raw events by the first distinct, so the multiplier
+    applies to the small side; anchors outside the observed spine are
+    semi-join-pruned. Window length w costs w×, independent of corpus
+    size. Day keys are epoch-day BIGINTs (unix_micros div 86400000000 /
+    epoch_us //) — identical integers in both engines."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.expr("unix_micros(cast(ts as timestamp_ltz)) div 86400000000")
+    du = e.select(day.alias("d"), "user_id").distinct()
+    spine = du.select("d").distinct()
+    fan = du.select(
+        F.explode(F.sequence(F.col("d"), F.col("d") + 6)).alias("anchor_d"),
+        "user_id",
+    )
+    w = (
+        fan.join(
+            spine.withColumnRenamed("d", "anchor_d"), "anchor_d", "left_semi"
+        )
+        .groupBy("anchor_d")
+        .agg(F.countDistinct("user_id").alias("n_active_7d"))
+    )
+    dd = du.groupBy("d").agg(F.countDistinct("user_id").alias("n_active_1d"))
+    return (
+        dd.join(w, dd.d == w.anchor_d)
+        .select(
+            F.col("d").alias("day_d"),
+            "n_active_1d",
+            "n_active_7d",
+            F.expr("(n_active_1d * 1000) div n_active_7d").alias(
+                "stickiness_milli"
+            ),
+        )
+    )

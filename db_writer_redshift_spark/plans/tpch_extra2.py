@@ -452,3 +452,57 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(50)
     )
+
+
+@register(
+    "copurchase_part_pairs",
+    oracle="""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT part_a, part_b, COUNT(*) AS n_orders
+FROM p
+GROUP BY part_a, part_b
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 25
+""",
+)
+def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top part pairs that appear in the
+    same order (the itemset-mining primitive behind recommendations and
+    assortment analysis). The oracle states it as a within-order
+    self-join; the Spark plan instead collapses each order to its sorted
+    distinct part array and generates the C(n,2) pairs ROW-LOCALLY with
+    nested array transforms — one shuffle to group, zero self-join, and
+    the quadratic term is bounded by items-per-order (a dozen), never by
+    the table.
+
+    Scale: pair fan-out is sum over orders of C(n_items, 2) — with
+    bounded basket sizes that is a constant factor on the row count; the
+    pair aggregate combines map-side (hot pairs collapse early), and the
+    total order is a 25-row TakeOrdered."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    arr = op.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pairs = arr.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) -> "
+                "transform(slice(ps, i + 2, size(ps)), "
+                "y -> struct(x AS part_a, y AS part_b))))"
+            )
+        ).alias("pr")
+    )
+    return (
+        pairs.groupBy(
+            F.col("pr.part_a").alias("part_a"), F.col("pr.part_b").alias("part_b")
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(25)
+    )

@@ -178,3 +178,48 @@ def test_simhash_portable_same_contract(spark):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] <= 6
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Property: BSP hash-min labels equal a plain-python union-find on
+    deterministic pseudo-random graphs (varied density incl. long chains
+    that force multi-round propagation)."""
+
+    def union_find_roots(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        # min node id per component, matching connected_components' labels
+        comp = {}
+        for n in list(parent):
+            comp.setdefault(find(n), []).append(n)
+        return {n: root for root, ns in comp.items() for n in ns}
+
+    seed = 0x5EED
+    for n_nodes, n_edges in [(30, 12), (40, 45), (60, 30)]:
+        edges = []
+        s = seed
+        for _ in range(n_edges):
+            s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            u = s % n_nodes
+            s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            v = s % n_nodes
+            if u != v:
+                edges.append((int(u), int(v)))
+        edges.append((0, 1))  # guarantee non-empty
+        # plus a 12-node chain on fresh ids to force >2 BSP rounds
+        chain = [(100 + i, 100 + i + 1) for i in range(12)]
+        all_edges = edges + chain
+        got = _cc(spark, all_edges)
+        assert got == union_find_roots(all_edges), (n_nodes, n_edges)
+        seed += 1
