@@ -46,6 +46,14 @@ GRADED_FIRST: list[str] = [
     # oracles: pagerank_part_supplier, heavy_hitter_tokens,
     # kmeans_fit_portable_stats — all pure-integer/string outputs, the
     # canonicalizer-safest class.
+    # Fourth rotation: pivot_status_by_priority (r1-green; grouping
+    # family keeps grouping_sets_mixed) -> exact_quantiles_order_price
+    # (the incremental-agg/selection family's first graded rep —
+    # distributed quickselect, all-BIGINT output); pipeline_chunked_training_mix
+    # (pipeline family keeps pipeline_curated_corpus) ->
+    # text_pii_redaction (the compliance family: typed-placeholder
+    # scrub, md5-of-redacted-bytes proven). Both incoming are
+    # hash-verified locally at sf0.01 AND sf0.1.
     "q1_pricing_summary",
     "q3_shipping_priority",
     "merge_upsert_orders",
@@ -55,7 +63,7 @@ GRADED_FIRST: list[str] = [
     "agg_approx_percentiles",
     "agg_listagg_nation_segments",
     "grouping_sets_mixed",
-    "pivot_status_by_priority",
+    "exact_quantiles_order_price",
     "window_rank_orders_per_customer",
     "set_union_high_value_keys",
     "subquery_correlated_max_per_customer",
@@ -77,7 +85,7 @@ GRADED_FIRST: list[str] = [
     "chunk_documents_overlap",
     "decontam_ngram_overlap",
     "pipeline_curated_corpus",
-    "pipeline_chunked_training_mix",
+    "text_pii_redaction",
     "embedding_quantize_int8",
     "udtf_split_sentences",
     "multimodal_features",
