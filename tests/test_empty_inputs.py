@@ -69,3 +69,49 @@ def test_gram_summary_empty_embeddings(spark):
         _empty(spark, "embedding array<float>"), "embedding", 4
     )
     assert out.count() == 0
+
+
+def test_connected_components_empty_edges(spark):
+    from db_writer_redshift_spark.operators.dedup import connected_components
+
+    out = connected_components(_empty(spark, "doc_a bigint, doc_b bigint"))
+    assert out.count() == 0
+
+
+def test_rolling_active_users_empty_events(spark):
+    """The fan-out/semi-join rolling-distinct shape on zero events yields
+    an empty result, not a crash (sequence/explode over no rows)."""
+    from pyspark.sql import functions as F
+
+    du = _empty(spark, "d bigint, user_id bigint")
+    spine = du.select("d").distinct()
+    fan = du.select(
+        F.explode(F.sequence(F.col("d"), F.col("d") + 6)).alias("anchor_d"),
+        "user_id",
+    )
+    w = fan.join(spine.withColumnRenamed("d", "anchor_d"), "anchor_d", "left_semi")
+    assert w.groupBy("anchor_d").count().count() == 0
+
+
+def test_copurchase_pairs_single_item_orders(spark):
+    """Orders with one distinct part generate zero pairs (slice past the
+    array end must return empty, not raise — ANSI mode)."""
+    from pyspark.sql import functions as F
+
+    op = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30), (3, 31)], "l_orderkey bigint, l_partkey bigint"
+    )
+    arr = op.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pairs = arr.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) -> "
+                "transform(slice(ps, i + 2, size(ps)), "
+                "y -> struct(x AS part_a, y AS part_b))))"
+            )
+        ).alias("pr")
+    )
+    got = {(r["pr"]["part_a"], r["pr"]["part_b"]) for r in pairs.collect()}
+    assert got == {(30, 31)}
