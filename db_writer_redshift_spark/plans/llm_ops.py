@@ -2434,3 +2434,77 @@ def hll_partial_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("merged").alias("level"),
     )
     return per_level.unionByName(merged)
+
+
+_NGRAM_PROFILES = [
+    ("query", ["sca", "tab", "key", "row"]),
+    ("exec", ["has", "mer", "bat", "agg"]),
+    ("perf", ["fas", "slo", "sor", "lin"]),
+]
+
+
+def _ngram_lang_oracle() -> str:
+    score_cols = []
+    for pname, grams in _NGRAM_PROFILES:
+        terms = " + ".join(
+            f"(LENGTH(text) - LENGTH(REPLACE(text, '{g}', ''))) // 3" for g in grams
+        )
+        score_cols.append(f"CAST({terms} AS BIGINT) AS s_{pname}")
+    first = _NGRAM_PROFILES[0][0]
+    case = f"'{first}'"
+    # declaration-order argmax: later profile wins only on STRICT majority
+    for pname, _ in reversed(_NGRAM_PROFILES[1:]):
+        others = [f"s_{o}" for o, _ in _NGRAM_PROFILES if o != pname]
+        cond = " AND ".join(f"s_{pname} > {o}" for o in others)
+        case = f"CASE WHEN {cond} THEN '{pname}' ELSE {case} END"
+    cols = ", ".join(f"s_{p}" for p, _ in _NGRAM_PROFILES)
+    return f"""
+WITH scored AS (
+  SELECT doc_id, {", ".join(score_cols)}
+  FROM documents
+)
+SELECT doc_id, {cols}, {case} AS ngram_lang
+FROM scored
+"""
+
+
+@register("text_lang_id_ngram", oracle=_ngram_lang_oracle())
+def text_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-n-gram language/domain ID (the classic n-gram-profile
+    heuristic — Cavnar-Trenkle-style, reduced to fixed trigram profiles):
+    per profile, the total occurrence count of its signature trigrams,
+    argmax with declaration-order tiebreak. Occurrences count via pure
+    length arithmetic ((len - len(replace)) div |gram|) — exact integers,
+    no regex engine in the loop, identical in both engines. Profiles are
+    drawn from the fixture vocabulary so the classifier is non-degenerate
+    on the synthetic corpus; swap profiles for real character statistics
+    per language in production.
+
+    Scale: map-only codegen'd projection, |profiles|x|grams| replace
+    passes per row — bounded constant work, no shuffle, scan-throughput
+    bound like the other text scorers."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    scores = {}
+    for pname, grams in _NGRAM_PROFILES:
+        s = None
+        for g in grams:
+            term = F.expr(
+                f"cast((length(text) - length(replace(text, '{g}', ''))) div 3 as bigint)"
+            )
+            s = term if s is None else s + term
+        scores[pname] = s.alias(f"s_{pname}")
+    pred = F.lit(_NGRAM_PROFILES[0][0])
+    for pname, _ in _NGRAM_PROFILES[1:]:
+        others = [o for o, _ in _NGRAM_PROFILES if o != pname]
+        cond = None
+        for o in others:
+            c = F.col(f"s_{pname}") > F.col(f"s_{o}")
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, F.lit(pname)).otherwise(pred)
+    scored = d.select("doc_id", *scores.values())
+    return scored.select(
+        "doc_id",
+        *[F.col(f"s_{p}") for p, _ in _NGRAM_PROFILES],
+        pred.alias("ngram_lang"),
+    )
