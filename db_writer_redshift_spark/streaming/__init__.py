@@ -17,6 +17,7 @@ from db_writer_redshift_spark.streaming.jobs import (  # noqa: F401
     stream_dedup_events,
     stream_hopping_counts,
     stream_sessionize,
+    stream_token_budget_gate,
     stream_tumbling_counts,
     streaming_running_totals,
 )

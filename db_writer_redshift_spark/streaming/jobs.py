@@ -510,3 +510,93 @@ def near_dup_filter_sink(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )
+
+
+def stream_token_budget_gate(
+    docs_stream: DataFrame,
+    budget_tokens: int,
+    source_col: str = "source",
+):
+    """Per-source token-budget admission over a document stream — the
+    streaming counterpart of the batch curation pipelines' token-budget
+    gate: each source admits documents (in deterministic doc_id order
+    within a batch) until its LIFETIME admitted-token total would exceed
+    ``budget_tokens``; later batches resume from the persisted total.
+
+    Built on Spark 4's ``transformWithStateInPandas`` (the
+    arbitrary-state successor of applyInPandasWithState): one ValueState
+    cell per source holds the running total — O(#sources) state, Arrow
+    batches in and out, RocksDB-backed (the required provider; set
+    ``spark.sql.streaming.stateStore.providerClass`` to
+    ``RocksDBStateStoreProvider``).
+
+    Input rows need (doc_id, text, source, n_tokens); emits the admitted
+    rows plus the source's running total after each batch.
+
+    Container caveat: the transformWithState Python<->JVM state protocol
+    rides on google.protobuf, which this build environment does not ship
+    — the pytest exercising this job skips when protobuf is absent (the
+    operator itself is plain public PySpark API and runs anywhere
+    protobuf + RocksDB are available)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("source", T.StringType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("used_after", T.LongType()),
+        ]
+    )
+
+    return docs_stream.groupBy(source_col).transformWithStateInPandas(
+        BudgetGateProcessor(budget_tokens),
+        outputStructType=out_schema,
+        outputMode="Append",
+        timeMode="None",
+    )
+
+
+def _budget_gate_base():
+    """StatefulProcessor when the streaming-state API is importable, plain
+    object otherwise — keeps module import (and the admission-logic unit
+    test) working in environments without protobuf."""
+    try:
+        from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+        return StatefulProcessor
+    except ImportError:  # pragma: no cover
+        return object
+
+
+class BudgetGateProcessor(_budget_gate_base()):
+    """Per-key lifetime token-budget admission (see
+    stream_token_budget_gate). Kept module-level so the admission logic is
+    unit-testable against a fake ValueState without the streaming
+    runtime."""
+
+    def __init__(self, budget_tokens: int):
+        self._budget = budget_tokens
+
+    def init(self, handle) -> None:
+        self._used = handle.getValueState("used", "used bigint")
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        used = self._used.get()[0] if self._used.exists() else 0
+        batch = pd.concat(list(rows), ignore_index=True)
+        batch = batch.sort_values("doc_id")  # deterministic admission
+        kept = []
+        for _, r in batch.iterrows():
+            n = int(r["n_tokens"])
+            if used + n > self._budget:
+                continue  # skip; a smaller later doc may still fit
+            used += n
+            kept.append((key[0], int(r["doc_id"]), n, used))
+        self._used.update((used,))
+        if kept:
+            yield pd.DataFrame(
+                kept, columns=["source", "doc_id", "n_tokens", "used_after"]
+            )
+
+    def close(self) -> None:
+        pass

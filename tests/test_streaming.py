@@ -22,6 +22,13 @@ from db_writer_redshift_spark.streaming import (
     streaming_running_totals,
 )
 
+try:  # transformWithStateInPandas' state protocol needs protobuf
+    from google.protobuf import descriptor  # noqa: F401
+
+    _HAS_PROTOBUF = True
+except ImportError:
+    _HAS_PROTOBUF = False
+
 T0 = dt.datetime(2025, 3, 1, 10, 0, 0)
 
 
@@ -398,3 +405,129 @@ def test_near_dup_filter_sink_first_seen_wins(spark, tmp_path):
         for r in spark.read.parquet(bands).select("doc_id").distinct().collect()
     )
     assert store_docs == [1, 2, 4], store_docs
+
+
+@pytest.mark.skipif(
+    not _HAS_PROTOBUF,
+    reason="transformWithStateInPandas needs google.protobuf (absent here)",
+)
+def test_stream_token_budget_gate_lifetime_budget(spark, tmp_path):
+    """transformWithStateInPandas gate: admission stops when a source's
+    LIFETIME token total would exceed the budget, and the persisted total
+    carries across micro-batches (doc 5 in batch 2 is rejected because
+    batch 1 already consumed most of src-a's budget; src-b is unaffected)."""
+    from pyspark.sql import types as T
+
+    from db_writer_redshift_spark.streaming import stream_token_budget_gate
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_tokens", T.LongType()),
+        ]
+    )
+    b1 = [(1, "a", 40), (2, "a", 50), (3, "b", 10)]
+    # a: used=90 of 100 -> doc 4 (20) rejected, doc 5 (10) admitted (90+10<=100)
+    b2 = [(4, "a", 20), (5, "a", 10), (6, "b", 95)]
+    src_dir = tmp_path / "docs"
+    src_dir.mkdir()
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(tmp_path / "w1"))
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(str(tmp_path / "w2"))
+    import glob
+    import shutil
+
+    for i, f in enumerate(
+        sorted(glob.glob(str(tmp_path / "w1" / "*.parquet")))
+        + sorted(glob.glob(str(tmp_path / "w2" / "*.parquet")))
+    ):
+        shutil.copy(f, src_dir / f"arrival_{i}.parquet")
+
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src_dir))
+        )
+        gated = stream_token_budget_gate(stream, budget_tokens=100)
+        q = (
+            gated.writeStream.format("memory")
+            .queryName("budget_gate")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        rows = {
+            r["doc_id"]: (r["source"], r["n_tokens"], r["used_after"])
+            for r in spark.sql("SELECT * FROM budget_gate").collect()
+        }
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+    assert set(rows) == {1, 2, 3, 5, 6}, rows  # 4 rejected (would blow budget)
+    assert rows[2] == ("a", 50, 90)
+    assert rows[5] == ("a", 10, 100)  # lifetime total resumed across batches
+    assert rows[6] == ("b", 95, 105 - 10 + 10) or rows[6][2] == 105  # b: 10+95
+
+
+def test_budget_gate_processor_logic_with_fake_state():
+    """Unit-level admission contract of BudgetGateProcessor (no streaming
+    runtime needed): deterministic doc_id order, skip-too-big-keep-smaller,
+    lifetime total persisted across calls via the (fake) ValueState."""
+    import pandas as pd
+
+    from db_writer_redshift_spark.streaming.jobs import BudgetGateProcessor
+
+    class FakeState:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = v
+
+    class FakeHandle:
+        def __init__(self):
+            self.state = FakeState()
+
+        def getValueState(self, name, schema):
+            return self.state
+
+    p = BudgetGateProcessor(100)
+    h = FakeHandle()
+    p.init(h)
+
+    def run(rows):
+        out = list(
+            p.handleInputRows(
+                ("a",),
+                iter([pd.DataFrame(rows, columns=["doc_id", "n_tokens"])]),
+                None,
+            )
+        )
+        return [tuple(r) for r in out[0].itertuples(index=False)] if out else []
+
+    # batch 1: 40 + 50 admitted (out-of-order input is sorted by doc_id)
+    got1 = run([(2, 50), (1, 40)])
+    assert got1 == [("a", 1, 40, 40), ("a", 2, 50, 90)]
+    # batch 2: 20 would blow the budget -> skipped; 10 still fits (=100)
+    got2 = run([(4, 20), (5, 10)])
+    assert got2 == [("a", 5, 10, 100)]
+    assert h.state.get() == (100,)
+    # batch 3: budget exhausted -> nothing emitted, state unchanged
+    assert run([(6, 1)]) == []
+    assert h.state.get() == (100,)
