@@ -41,12 +41,62 @@ def generate_tmp_name(table_name: str) -> str:
     return f"{table_name}_temp_{uniq}"
 
 
+def _managed_location(spark: SparkSession, name: str) -> str:
+    """The warehouse path a managed table of this name lives at (catalog
+    lowercases table names; directories follow)."""
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    return wh.rstrip("/") + "/" + name.lower()
+
+
+def _fs_and_path(spark: SparkSession, location: str):
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(location)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, path
+
+
+def adopt_orphan_table(spark: SparkSession, name: str) -> bool:
+    """Cross-process continuity for the in-memory catalog: a previous CLI
+    invocation's managed table survives as parquet under the warehouse
+    dir, but its catalog entry died with that session (the reference
+    never faced this — its catalog WAS Redshift). If the location holds
+    data, register it as a table over that location so ``spark.table``
+    and the merge path see it. Returns True iff the table is usable
+    after the call. Declared-schema niceties (NOT NULL, bucketing
+    metadata) are not recoverable from bare parquet — merges stay
+    correct, bucketed merge-shuffle elision resumes at the next write.
+    """
+    if spark.catalog.tableExists(name):
+        return True
+    loc = _managed_location(spark, name)
+    fs, path = _fs_and_path(spark, loc)
+    if not fs.exists(path):
+        return False
+    has_data = any(
+        f.getPath().getName().endswith(".parquet")
+        for f in fs.listStatus(path)
+    )
+    if not has_data:
+        return False  # created-but-never-written orphan; drop_table cleans it
+    spark.sql(
+        f"CREATE TABLE {quote_ident(name)} USING parquet LOCATION '{loc}'"
+    )
+    return True
+
+
 def table_exists(spark: SparkSession, name: str) -> bool:
-    return spark.catalog.tableExists(name)
+    return adopt_orphan_table(spark, name)
 
 
 def drop_table(spark: SparkSession, name: str) -> None:
+    """DROP TABLE IF EXISTS + clean the managed location: an adopted
+    (location-based) table's DROP keeps its files, and an orphan dir from
+    a dead session has no catalog entry at all — either would make the
+    next CREATE fail with LOCATION_ALREADY_EXISTS."""
     spark.sql(f"DROP TABLE IF EXISTS {quote_ident(name)}")
+    fs, path = _fs_and_path(spark, _managed_location(spark, name))
+    if fs.exists(path):
+        fs.delete(path, True)
 
 
 def create_table(

@@ -54,6 +54,11 @@ def _write(
             .sortWithinPartitions("__z")
             .drop("__z")
         )
+    # Clear both the catalog entry AND the managed location first: the
+    # target may be an adopted location-based table (whose drop keeps
+    # files) or a bare orphan dir from a previous process — either makes
+    # saveAsTable fail with LOCATION_ALREADY_EXISTS.
+    catalog.drop_table(df.sparkSession, name)
     w = df.write.mode("overwrite")
     if buckets and table.primary_key:
         # Hash-bucket + sort on the PK (the Spark analog of a Redshift

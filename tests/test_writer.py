@@ -212,3 +212,65 @@ def test_upsert_evolving_rejects_type_clash(spark):
     s = spark.createDataFrame([(2, 3)], "id int, v int")
     with _pytest.raises(ValueError, match="incompatible column types"):
         upsert_evolving(t, s, ["id"])
+
+
+def test_orphan_warehouse_table_adopted_across_catalog_loss(spark):
+    """Cross-process continuity (the CLI runs each action in a fresh
+    session whose in-memory catalog is empty): parquet left at the
+    managed warehouse location with NO catalog entry must be (a) seen by
+    table_exists, (b) readable for an incremental merge, (c) cleanly
+    replaced — the LOCATION_ALREADY_EXISTS regression."""
+    import os
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from db_writer_redshift_spark.config.schema import TableConfig
+    from db_writer_redshift_spark.operators import catalog, writer
+
+    name = "orphan_people"
+    loc = catalog._managed_location(spark, name).replace("file:", "")
+    # simulate the dead session: files exist, catalog has never heard of it
+    assert not spark.catalog.tableExists(name)
+    spark.createDataFrame(
+        [(1, "old"), (2, "old")], "id int, v string"
+    ).write.parquet(loc)
+    try:
+        assert catalog.table_exists(spark, name)  # adopted
+        tc = TableConfig(
+            table_id=name,
+            db_name=name,
+            export=True,
+            incremental=True,
+            primary_key=["id"],
+            items=[],
+        )
+        staging = spark.createDataFrame([(2, "new"), (3, "new")], "id int, v string")
+        writer.load_incremental(spark, tc, staging)
+        got = {(r.id, r.v) for r in spark.table(name).collect()}
+        assert got == {(1, "old"), (2, "new"), (3, "new")}
+    finally:
+        catalog.drop_table(spark, name)
+    assert not os.path.exists(loc)  # drop cleans the managed location
+
+
+def test_empty_orphan_dir_does_not_block_write(spark):
+    """A created-but-never-written orphan directory (no parquet inside)
+    is not a table, and a fresh write over that name succeeds."""
+    import os
+
+    from db_writer_redshift_spark.config.schema import TableConfig
+    from db_writer_redshift_spark.operators import catalog, writer
+
+    name = "orphan_empty"
+    loc = catalog._managed_location(spark, name).replace("file:", "")
+    os.makedirs(loc, exist_ok=True)
+    assert not catalog.table_exists(spark, name)
+    tc = TableConfig(
+        table_id=name, db_name=name, export=True, incremental=False,
+        primary_key=[], items=[],
+    )
+    writer.load_full(spark, tc, spark.createDataFrame([(1,)], "id int"))
+    try:
+        assert spark.table(name).count() == 1
+    finally:
+        catalog.drop_table(spark, name)
