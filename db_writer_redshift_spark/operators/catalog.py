@@ -129,8 +129,32 @@ def create_table(
     )
 
 
+def adopt_all_orphans(spark: SparkSession) -> list[str]:
+    """Adopt every orphaned managed location under the warehouse dir (see
+    adopt_orphan_table) — makes listing actions see tables written by
+    previous processes. Returns the adopted names."""
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    fs, root = _fs_and_path(spark, wh)
+    if not fs.exists(root):
+        return []
+    adopted = []
+    for st in fs.listStatus(root):
+        if not st.isDirectory():
+            continue
+        name = st.getPath().getName()
+        if not _IDENT_OK.match(name) or spark.catalog.tableExists(name):
+            continue
+        if adopt_orphan_table(spark, name):
+            adopted.append(name)
+    return adopted
+
+
 def show_tables(spark: SparkSession) -> list[str]:
-    """A-5 done properly (reference stub throws 'Method not implemented')."""
+    """A-5 done properly (reference stub throws 'Method not implemented').
+    Includes tables from previous processes via orphan adoption — the
+    reference's catalog (Redshift information_schema) was persistent;
+    this keeps the listing contract equivalent."""
+    adopt_all_orphans(spark)
     return [t.name for t in spark.catalog.listTables()]
 
 

@@ -274,3 +274,22 @@ def test_empty_orphan_dir_does_not_block_write(spark):
         assert spark.table(name).count() == 1
     finally:
         catalog.drop_table(spark, name)
+
+
+def test_show_tables_adopts_all_orphans(spark):
+    """getTablesInfo-style listing sees tables written by previous
+    processes (persistent-catalog contract of the reference)."""
+    import os
+
+    from db_writer_redshift_spark.operators import catalog
+
+    name = "orphan_listed"
+    loc = catalog._managed_location(spark, name).replace("file:", "")
+    spark.createDataFrame([(1,)], "id int").write.parquet(loc)
+    try:
+        assert name in catalog.show_tables(spark)
+        info = catalog.get_table_info(spark, name)
+        assert info["columns"][0]["name"] == "id"
+    finally:
+        catalog.drop_table(spark, name)
+    assert not os.path.exists(loc)
