@@ -129,6 +129,20 @@ def create_table(
     )
 
 
+def overwrite_table(df: DataFrame, name: str) -> None:
+    """saveAsTable(overwrite) that survives adopted/orphan targets: an
+    adopted (location-based) table's implicit drop keeps its files, and a
+    bare orphan dir has no catalog entry — either makes a plain
+    ``saveAsTable`` fail with LOCATION_ALREADY_EXISTS. Every overwrite of
+    a possibly-preexisting table must go through here (writer._write,
+    compact_table, the streaming table sinks)."""
+    drop_table(df.sparkSession, name)
+    df.write.mode("overwrite").saveAsTable(name)
+
+
+_TMP_NAME = re.compile(r"_temp_[0-9a-f]+\Z")
+
+
 def adopt_all_orphans(spark: SparkSession) -> list[str]:
     """Adopt every orphaned managed location under the warehouse dir (see
     adopt_orphan_table) — makes listing actions see tables written by
@@ -143,6 +157,10 @@ def adopt_all_orphans(spark: SparkSession) -> list[str]:
             continue
         name = st.getPath().getName()
         if not _IDENT_OK.match(name) or spark.catalog.tableExists(name):
+            continue
+        if _TMP_NAME.search(name):
+            # crashed-run staging leftover (generate_tmp_name scheme) —
+            # internal, never a user table; don't surface it in listings
             continue
         if adopt_orphan_table(spark, name):
             adopted.append(name)

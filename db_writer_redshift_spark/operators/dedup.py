@@ -226,6 +226,40 @@ def minhash_signatures(
     )
 
 
+def band_rows(
+    sig: DataFrame, num_hashes: int, bands: int, portable: bool = False
+) -> DataFrame:
+    """(doc_id, band, bucket) LSH band rows from a (doc_id, signature)
+    relation — the ONE banding definition, shared by the batch candidate
+    join (minhash_lsh_pairs) and the streaming bucket store
+    (streaming.near_dup_filter_sink), so stored streaming buckets
+    interoperate with the batch tier. Band rows carry only (doc_id,
+    band, bucket) — never the signature — so the bucket equi-join
+    shuffles ``bands`` narrow rows per doc."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+
+    def bucket_key(bi):
+        joined = F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(F.col("signature"), bi * rows_per_band + 1, rows_per_band),
+                lambda v: v.cast("string"),
+            ),
+        )
+        return joined if portable else F.xxhash64(joined)
+
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.struct(bi.alias("band"), bucket_key(bi).alias("bucket")),
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -262,28 +296,7 @@ def minhash_lsh_pairs(
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed, portable).persist()
     sig.count()
 
-    # Banded rows carry only (doc_id, band, bucket) — NOT the 64-element
-    # signature. The bucket equi-join shuffles 16 narrow rows per doc;
-    # signatures rejoin only the (far fewer) surviving candidate pairs.
-    def bucket_key(bi):
-        joined = F.concat_ws(
-            ",",
-            F.transform(
-                F.slice(F.col("signature"), bi * rows_per_band + 1, rows_per_band),
-                lambda v: v.cast("string"),
-            ),
-        )
-        return joined if portable else F.xxhash64(joined)
-
-    banded = sig.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bi: F.struct(bi.alias("band"), bucket_key(bi).alias("bucket")),
-            )
-        ).alias("bb"),
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = band_rows(sig, num_hashes, bands, portable)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (

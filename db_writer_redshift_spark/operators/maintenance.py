@@ -66,7 +66,9 @@ def compact_table(
     tmp = catalog.generate_tmp_name(name)
     spark.table(name).coalesce(target_n).write.mode("overwrite").saveAsTable(tmp)
     try:
-        spark.table(tmp).coalesce(target_n).write.mode("overwrite").saveAsTable(name)
+        # overwrite_table, not bare saveAsTable: the target may be an
+        # adopted (location-based) cross-process table
+        catalog.overwrite_table(spark.table(tmp).coalesce(target_n), name)
     finally:
         catalog.drop_table(spark, tmp)
     n_after, _ = table_file_stats(spark, name)

@@ -96,11 +96,18 @@ def read_table(
     return spark.read.parquet(os.path.join(_version_dir(base_dir, v), f"{name}.parquet"))
 
 
-def vacuum_versions(base_dir: str, keep: int = 1) -> list[int]:
+def vacuum_versions(
+    base_dir: str, keep: int = 1, include_dangling: bool = False
+) -> list[int]:
     """Remove version directories older than the newest ``keep`` committed
-    ones, plus any dangling directory NEWER than the pointer (a crashed
-    publish). Never touches the committed version. Returns removed
-    versions."""
+    ones. Never touches the committed version. Returns removed versions.
+
+    ``include_dangling=True`` additionally removes directories NEWER than
+    the pointer (crashed publishes) — enable it ONLY when no publisher
+    can be running: a directory above the pointer is indistinguishable
+    from a publish currently materializing its tables, and deleting it
+    mid-write would commit a version missing the tables written before
+    the sweep. Default sweeps are always safe to run concurrently."""
     import shutil
 
     committed = current_version(base_dir)
@@ -111,7 +118,7 @@ def vacuum_versions(base_dir: str, keep: int = 1) -> list[int]:
         if not (name.startswith("v=") and name[2:].isdigit()):
             continue
         v = int(name[2:])
-        dangling = v > committed
+        dangling = v > committed and include_dangling
         expired = v <= committed - keep
         if dangling or expired:
             shutil.rmtree(os.path.join(base_dir, name))

@@ -77,8 +77,8 @@ def load_full(
     zorder_by: list[str] | None = None,
     zorder_files: int | None = None,
 ) -> None:
-    """L-11: drop → create → write (overwrite semantics in one shot)."""
-    catalog.drop_table(spark, table.db_name)
+    """L-11: drop → create → write (overwrite semantics in one shot; the
+    drop happens inside _write, which also clears orphan locations)."""
     _write(df, table.db_name, table, buckets, zorder_by, zorder_files)
 
 

@@ -192,15 +192,17 @@ def merge_sink(
     from db_writer_redshift_spark.operators.merge import upsert_dataframes
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        from db_writer_redshift_spark.operators import catalog
+
         spark = batch_df.sparkSession
-        if not spark.catalog.tableExists(table_name):
-            batch_df.write.mode("overwrite").saveAsTable(table_name)
+        if not catalog.table_exists(spark, table_name):
+            catalog.overwrite_table(batch_df, table_name)
             return
         target = spark.table(table_name)
         merged = upsert_dataframes(target, batch_df.select(*target.columns), primary_key)
         tmp = table_name + "_stream_tmp"
         merged.write.mode("overwrite").saveAsTable(tmp)
-        spark.table(tmp).write.mode("overwrite").saveAsTable(table_name)
+        catalog.overwrite_table(spark.table(tmp), table_name)
         spark.sql(f"DROP TABLE IF EXISTS {tmp}")
 
     return (
@@ -326,12 +328,12 @@ def scd2_sink(
     from db_writer_redshift_spark.operators.scd import scd2_apply, scd2_init
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        from db_writer_redshift_spark.operators import catalog
+
         spark = batch_df.sparkSession
         batch = dedupe_staging(batch_df, keys)
-        if not spark.catalog.tableExists(table_name):
-            scd2_init(batch, ts=int(batch_id)).write.mode("overwrite").saveAsTable(
-                table_name
-            )
+        if not catalog.table_exists(spark, table_name):
+            catalog.overwrite_table(scd2_init(batch, ts=int(batch_id)), table_name)
             return
         history = spark.table(table_name)
         attr_cols = [
@@ -350,7 +352,7 @@ def scd2_sink(
         merged = scd2_apply(history, snapshot, keys, tracked, ts=int(batch_id))
         tmp = table_name + "_scd2_tmp"
         merged.write.mode("overwrite").saveAsTable(tmp)
-        spark.table(tmp).write.mode("overwrite").saveAsTable(table_name)
+        catalog.overwrite_table(spark.table(tmp), table_name)
         spark.sql(f"DROP TABLE IF EXISTS {tmp}")
 
     return (
@@ -381,17 +383,17 @@ def incremental_agg_sink(
     )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        from db_writer_redshift_spark.operators import catalog
+
         spark = batch_df.sparkSession
-        if not spark.catalog.tableExists(table_name):
-            agg_state(batch_df, keys, state).write.mode("overwrite").saveAsTable(
-                table_name
-            )
+        if not catalog.table_exists(spark, table_name):
+            catalog.overwrite_table(agg_state(batch_df, keys, state), table_name)
             return
         summary = spark.table(table_name)
         refreshed = incremental_update(summary, batch_df, keys, state)
         tmp = table_name + "_iagg_tmp"
         refreshed.write.mode("overwrite").saveAsTable(tmp)
-        spark.table(tmp).write.mode("overwrite").saveAsTable(table_name)
+        catalog.overwrite_table(spark.table(tmp), table_name)
         spark.sql(f"DROP TABLE IF EXISTS {tmp}")
 
     return (
@@ -423,9 +425,16 @@ def near_dup_filter_sink(
     Idempotency: both writes are Hive-partitioned by batch_id with DYNAMIC
     partition overwrite — an at-least-once replay of batch K rewrites
     exactly partition batch_id=K and nothing else, so neither the corpus
-    nor the store ever holds duplicate rows for a replayed batch. (The
-    store self-collision a replay would cause is thereby avoided: the
-    replayed batch's own bucket rows are overwritten, not re-matched.)
+    nor the store ever holds duplicate rows for a replayed batch. The
+    store probe excludes the CURRENT batch_id partition, so a replayed
+    batch never matches its own previously-stored bucket rows (which
+    would silently drop its docs); the corpus write commits before the
+    bands write so a crash between the two can only leave survivors
+    admitted-but-unindexed for one replay, never lost.
+
+    Bucket rows use operators/dedup.band_rows — the same banding as the
+    batch minhash_lsh_pairs tier, so the stored store interoperates with
+    batch dedup jobs.
 
     Scale: per-batch cost is signatures over the BATCH only (the corpus is
     never re-hashed); the collision probe is an equi-join of the batch's
@@ -433,30 +442,16 @@ def near_dup_filter_sink(
     broadcastable while the batch is small, bucket-partitionable when the
     store outgrows one executor. LSH state grows as bands×docs admitted —
     k rows per doc, ids only, no signatures and no text."""
-    from db_writer_redshift_spark.operators.dedup import minhash_signatures
-
-    rows_per_band = num_hashes // bands
+    from db_writer_redshift_spark.operators.dedup import (
+        band_rows as lsh_band_rows,
+        minhash_signatures,
+    )
 
     def band_rows(df: DataFrame) -> DataFrame:
         sig = minhash_signatures(
             df, "doc_id", "text", n=n, num_hashes=num_hashes
         )
-        buckets = [
-            F.xxhash64(
-                F.concat_ws(
-                    "-",
-                    *[
-                        F.col("signature")[b * rows_per_band + i].cast("string")
-                        for i in range(rows_per_band)
-                    ],
-                ),
-                F.lit(b),
-            )
-            for b in range(bands)
-        ]
-        return sig.select(
-            "doc_id", F.posexplode(F.array(*buckets)).alias("band", "bucket")
-        )
+        return lsh_band_rows(sig, num_hashes, bands)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -466,7 +461,15 @@ def near_dup_filter_sink(
         b = band_rows(batch).localCheckpoint(eager=True)
         dup_sets = []
         try:
-            store = spark.read.parquet(bands_path).select("band", "bucket")
+            # Exclude THIS batch's partition: on an at-least-once replay
+            # the store already holds the batch's own bucket rows, and
+            # matching them would classify every replayed doc as a dup
+            # (losing it from the corpus permanently).
+            store = (
+                spark.read.parquet(bands_path)
+                .filter(F.col("batch_id") != batch_id)
+                .select("band", "bucket")
+            )
             dup_sets.append(
                 b.join(store, ["band", "bucket"], "left_semi").select("doc_id")
             )
@@ -490,19 +493,23 @@ def near_dup_filter_sink(
             dups = dups.unionByName(d)
         survivors = batch.join(dups.distinct(), "doc_id", "left_anti")
         sb = b.join(survivors.select("doc_id"), "doc_id", "left_semi")
-        (
-            sb.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(bands_path)
-        )
+        # Corpus first: a crash between the writes leaves batch K's docs
+        # admitted but unindexed — the replay recomputes the same
+        # survivors (its own partition is excluded from the probe) and
+        # completes the bands write. Bands-first would drop them instead.
         (
             survivors.withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
             .parquet(corpus_path)
+        )
+        (
+            sb.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(bands_path)
         )
 
     return (

@@ -56,8 +56,12 @@ def test_vacuum_removes_expired_and_dangling_keeps_committed(spark, base):
     publish.publish_tables(_tables(spark, "r2"), base)
     publish.publish_tables(_tables(spark, "r3"), base)
     os.makedirs(os.path.join(base, "v=9"))  # dangling crashed tree
-    removed = publish.vacuum_versions(base, keep=2)
-    assert removed == [1, 9]
+    # default sweep is concurrent-publish-safe: dangling trees survive
+    assert publish.vacuum_versions(base, keep=2) == [1]
+    assert os.path.isdir(os.path.join(base, "v=9"))
+    # offline sweep reclaims the crashed tree too
+    removed = publish.vacuum_versions(base, keep=2, include_dangling=True)
+    assert removed == [9]
     # committed + one historical version survive
     assert {r.v for r in publish.read_table(spark, base, "facts").collect()} == {"r3"}
     assert {r.v for r in publish.read_table(spark, base, "facts", version=2).collect()} == {"r2"}

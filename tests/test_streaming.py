@@ -429,6 +429,7 @@ def test_stream_token_budget_gate_lifetime_budget(spark, tmp_path):
     )
     b1 = [(1, "a", 40), (2, "a", 50), (3, "b", 10)]
     # a: used=90 of 100 -> doc 4 (20) rejected, doc 5 (10) admitted (90+10<=100)
+    # b: used=10 -> doc 6 (95) would reach 105 > 100 -> rejected
     b2 = [(4, "a", 20), (5, "a", 10), (6, "b", 95)]
     src_dir = tmp_path / "docs"
     src_dir.mkdir()
@@ -473,10 +474,10 @@ def test_stream_token_budget_gate_lifetime_budget(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
-    assert set(rows) == {1, 2, 3, 5, 6}, rows  # 4 rejected (would blow budget)
+    assert set(rows) == {1, 2, 3, 5}, rows  # 4 and 6 would blow their budgets
     assert rows[2] == ("a", 50, 90)
     assert rows[5] == ("a", 10, 100)  # lifetime total resumed across batches
-    assert rows[6] == ("b", 95, 105 - 10 + 10) or rows[6][2] == 105  # b: 10+95
+    assert rows[3] == ("b", 10, 10)
 
 
 def test_budget_gate_processor_logic_with_fake_state():
