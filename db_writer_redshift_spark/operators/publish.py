@@ -124,3 +124,30 @@ def vacuum_versions(
             shutil.rmtree(os.path.join(base_dir, name))
             removed.append(v)
     return removed
+
+
+def diff_versions(
+    spark: SparkSession,
+    base_dir: str,
+    name: str,
+    pk_cols: list[str],
+    from_version: int | None = None,
+    to_version: int | None = None,
+):
+    """Net changes of ``name`` between two published versions (defaults:
+    previous committed -> current committed) — time-travel CDC: because
+    publish keeps whole versions, any consumer can recover the exact
+    insert/delete/update feed between ANY two snapshots it missed,
+    without the producer maintaining a change log. One full-outer PK
+    join; output ∝ change volume (operators/diff.snapshot_diff)."""
+    from db_writer_redshift_spark.operators.diff import snapshot_diff
+
+    to_v = to_version if to_version is not None else current_version(base_dir)
+    if to_v is None:
+        raise FileNotFoundError(f"no committed version under {base_dir}")
+    from_v = from_version if from_version is not None else to_v - 1
+    return snapshot_diff(
+        read_table(spark, base_dir, name, version=from_v),
+        read_table(spark, base_dir, name, version=to_v),
+        pk_cols,
+    )

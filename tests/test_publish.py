@@ -78,3 +78,19 @@ def test_read_before_first_commit_raises(spark, base):
 def test_publish_empty_set_rejected(spark, base):
     with pytest.raises(ValueError):
         publish.publish_tables({}, base)
+
+
+def test_diff_versions_between_publishes(spark, base):
+    publish.publish_tables(
+        {"facts": spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")},
+        base,
+    )
+    publish.publish_tables(
+        {"facts": spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string")},
+        base,
+    )
+    got = {
+        r["k"]: r["change_type"]
+        for r in publish.diff_versions(spark, base, "facts", ["k"]).collect()
+    }
+    assert got == {1: "delete", 2: "update", 3: "insert"}
