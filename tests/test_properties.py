@@ -204,3 +204,46 @@ def test_scd2_apply_matches_python_model(spark, snaps):
     )
     want = sorted((k, s, f, t, c) for k, s, f, t, c in model)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff: inverse of apply (diff(old, new) applied to old == new)
+# ---------------------------------------------------------------------------
+
+
+@given(old=keyed_rows, new=keyed_rows)
+@settings(**_SETTINGS)
+def test_snapshot_diff_is_apply_inverse(spark, old, new):
+    from db_writer_redshift_spark.operators.diff import snapshot_diff
+
+    schema = "id int, v string"
+    o = spark.createDataFrame(list(old.items()) or [(None, None)], schema).filter(
+        "id is not null"
+    )
+    n = spark.createDataFrame(list(new.items()) or [(None, None)], schema).filter(
+        "id is not null"
+    )
+    d = {r["id"]: (r["change_type"], r["v"]) for r in snapshot_diff(o, n, ["id"]).collect()}
+
+    # classification matches the dict model
+    expect = {}
+    for k in set(old) | set(new):
+        if k not in old:
+            expect[k] = ("insert", new[k])
+        elif k not in new:
+            expect[k] = ("delete", None)
+        elif old[k] != new[k]:
+            expect[k] = ("update", new[k])
+    assert d == expect
+
+    # applying the diff to old reconstructs new exactly
+    rebuilt = dict(old)
+    for k, (op, v) in d.items():
+        if op == "delete":
+            rebuilt.pop(k)
+        else:
+            rebuilt[k] = v
+    assert rebuilt == new
+
+    # self-diff is empty
+    assert snapshot_diff(n, n, ["id"]).count() == 0
