@@ -20,6 +20,18 @@ Rotation plan: CORRECTNESS files accumulate per round. Once this window
 is certified (CORRECTNESS_r02), a later round can rotate the prefix to
 the remaining registered queries so every query eventually carries a
 driver-graded row; the union of rounds covers the full registry.
+
+Round-3 rotation candidates (all hash-verified locally at sf0.01 AND
+sf0.1 this round, all scalar/non-temporal outputs): snapshot_diff_orders
+(CDC recovery), token_shift_pools (drift), dedup_cc_keep_best
+(transitive keep-best), split_by_cluster_root (leakage-free splits),
+rolling_active_users_7d (rolling distinct), copurchase_part_pairs
+(market basket), text_lang_id_ngram (char-trigram lang ID),
+robust_stats_order_price / rollup_reuse_daily_monthly /
+incremental_agg_orders (incremental-agg family siblings), plus the
+r1-green relational names rotated out above (safe to re-certify any
+round). Keep one rep per family when swapping — the
+test_window_covers_every_family prefix map is the constraint.
 """
 
 from __future__ import annotations
