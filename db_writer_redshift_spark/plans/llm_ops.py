@@ -2508,3 +2508,43 @@ def text_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.col(f"s_{p}") for p, _ in _NGRAM_PROFILES],
         pred.alias("ngram_lang"),
     )
+
+
+@register(
+    "embedding_lang_centroids",
+    oracle="""
+WITH e AS (
+  SELECT d.lang, t.i AS dim1,
+         CAST(ROUND(CAST(emb.embedding[t.i] AS DOUBLE) * 1000) AS BIGINT) AS q
+  FROM embeddings emb
+  JOIN documents d ON d.doc_id = emb.vec_id,
+  UNNEST(generate_series(1, len(emb.embedding))) AS t(i)
+)
+SELECT lang, dim1 - 1 AS dim, CAST(SUM(q) AS BIGINT) AS sum_e3,
+       COUNT(*) AS n_vecs
+FROM e GROUP BY lang, dim1
+""",
+)
+def embedding_lang_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped mean-pooling of embeddings (the per-domain/per-language
+    centroid computation behind data-mix analysis, cluster labeling, and
+    domain-similarity matrices): per (lang, dimension), the exact sum of
+    milli-quantized components plus the vector count — centroid =
+    sum_e3 / (1000 * n_vecs), derived downstream from hashed-exact
+    integers (the embedding_dim_stats discipline: floats quantize ONCE,
+    every aggregate stays integral).
+
+    Scale: one equi-join to attach the group key (broadcastable when the
+    metadata side is small), posexplode to (group, dim) cells, one
+    map-side-combined aggregate of |groups|x|dims| cells — the corpus
+    never concentrates anywhere."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = emb.join(d, emb.vec_id == d.doc_id)
+    tall = j.select(
+        "lang", F.posexplode("embedding").alias("dim", "x")
+    )
+    q = F.round(F.col("x").cast("double") * 1000).cast("long")
+    return tall.groupBy("lang", "dim").agg(
+        F.sum(q).alias("sum_e3"), F.count("*").alias("n_vecs")
+    )
