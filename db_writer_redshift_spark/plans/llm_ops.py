@@ -2548,3 +2548,101 @@ def embedding_lang_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tall.groupBy("lang", "dim").agg(
         F.sum(q).alias("sum_e3"), F.count("*").alias("n_vecs")
     )
+
+
+@register(
+    "cluster_label_purity",
+    oracle="""
+WITH c AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS ce
+           FROM embeddings WHERE vec_id < 8),
+d AS (
+  SELECT e.vec_id, e.label, c.centroid_id,
+         list_reduce(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), c.ce),
+                                    p -> (p[1] - p[2]) * (p[1] - p[2])),
+                     (a, b) -> a + b) AS sqdist
+  FROM embeddings e CROSS JOIN c
+),
+a AS (
+  SELECT vec_id, label, centroid_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sqdist, centroid_id) AS rn
+  FROM d
+),
+counts AS (
+  SELECT centroid_id, label, COUNT(*) AS n
+  FROM a WHERE rn = 1 GROUP BY centroid_id, label
+),
+best AS (
+  SELECT centroid_id, label AS top_label, n AS top_label_n,
+         ROW_NUMBER() OVER (PARTITION BY centroid_id ORDER BY n DESC, label) AS rn2
+  FROM counts
+),
+agg AS (
+  SELECT centroid_id, CAST(SUM(n) AS BIGINT) AS n_assigned,
+         COUNT(*) AS n_labels
+  FROM counts GROUP BY centroid_id
+)
+SELECT g.centroid_id, g.n_assigned, g.n_labels,
+       b.top_label, CAST(b.top_label_n AS BIGINT) AS top_label_n,
+       (CAST(b.top_label_n AS BIGINT) * 1000) // g.n_assigned AS purity_milli
+FROM agg g JOIN best b ON b.centroid_id = g.centroid_id AND b.rn2 = 1
+""",
+)
+def cluster_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering evaluation: per k-means cell, the majority ground-truth
+    label and integer-milli purity (the cluster-quality check run after
+    any unsupervised pass when labels exist for a sample). Reuses
+    kmeans_assign_stats' oracle-exact assignment kernel (8 lowest-id
+    centroids folded into the plan as literals), so the whole confusion
+    rollup carries a full value-hash oracle; the majority label breaks
+    ties toward the lowest label id in both engines.
+
+    Scale: assignment is a map-side fold (no join, no shuffle); the
+    (cell x label) contingency table is a map-side-combined aggregate of
+    k x |labels| cells; the argmax is min(struct(-n, label)) inside the
+    second tiny aggregate — no window over data."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sorted(
+        emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id,
+    )
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(r.vec_id)).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in r.embedding]).alias("ce"),
+            )
+            for r in cents
+        ]
+    )
+    sqdist = lambda ce: F.aggregate(  # noqa: E731
+        F.zip_with(
+            F.col("embedding"),
+            ce,
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    best = F.array_min(
+        F.transform(
+            cent_arr,
+            lambda c: F.struct(sqdist(c["ce"]).alias("dist"), c["cid"].alias("cid")),
+        )
+    )
+    assigned = emb.select(best["cid"].alias("centroid_id"), F.col("label"))
+    counts = assigned.groupBy("centroid_id", "label").agg(F.count("*").alias("n"))
+    agg = counts.groupBy("centroid_id").agg(
+        F.sum("n").cast("long").alias("n_assigned"),
+        F.count("*").alias("n_labels"),
+        F.min(
+            F.struct((-F.col("n")).alias("neg_n"), F.col("label").alias("lbl"))
+        ).alias("top"),
+    )
+    return agg.select(
+        "centroid_id",
+        "n_assigned",
+        "n_labels",
+        F.col("top.lbl").alias("top_label"),
+        (-F.col("top.neg_n")).cast("long").alias("top_label_n"),
+        F.expr("(-top.neg_n * 1000) div n_assigned").alias("purity_milli"),
+    )
