@@ -462,14 +462,24 @@ def join_semi_customers_with_urgent(spark: SparkSession, sf_dir: str) -> DataFra
     oracle="""
 SELECT c_custkey, c_name, c_mktsegment
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+)
 """,
 )
 def join_anti_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT ANTI join — the keep-unmatched-target half of the reference's
-    UPDATE/INSERT merge (SURVEY.md §2.1 L-9 rewrite, Redshift.php:155-209)."""
+    UPDATE/INSERT merge (SURVEY.md §2.1 L-9 rewrite, Redshift.php:155-209).
+    The anti side is the URGENT subset (the semi-join twin's complement):
+    every fixture customer has SOME order, so the unfiltered form proved
+    the operator on an empty result — a vacuous 0-row match (verify
+    recipe's vacuity rule). This form returns the real unmatched set and
+    partitions the customer table exactly against join_semi's output."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name", "c_mktsegment"
     )
