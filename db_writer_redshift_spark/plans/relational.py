@@ -797,14 +797,20 @@ def set_intersect_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c_custkey AS custkey FROM customer
 EXCEPT
-SELECT o_custkey AS custkey FROM orders
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
 """,
 )
 def set_except_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT — customer keys that never placed an order (set-op spelling of
-    the anti join)."""
+    """EXCEPT — customer keys with no URGENT order (set-op spelling of the
+    anti join; the subtracted side is the urgent subset because every
+    fixture customer has SOME order — the unfiltered form proved EXCEPT
+    on an empty result, a vacuous 0-row match)."""
     c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
-    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
     return c.exceptAll(o).distinct()
 
 
