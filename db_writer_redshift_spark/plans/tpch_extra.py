@@ -300,12 +300,13 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue —
     an aggregate reused both as join input and inside a scalar subquery.
 
-    Spark form: the revenue view feeds an empty-frame window MAX instead
-    of a second scan (the view is computed once; the window adds a
-    single-partition pass over ~n_suppliers rows, fine because the
-    per-supplier aggregate has already collapsed the fact table)."""
-    from pyspark.sql.window import Window
-
+    Spark form: the scalar MAX is a 1-row aggregate broadcast back onto
+    the revenue view as an equi-join (BroadcastHashJoin), so no stage
+    ever funnels the per-supplier table through one partition — an
+    empty-frame window MAX would, and at 100 TB that table is
+    SF-proportional (~10k rows per SF). The revenue view's shuffle is
+    identical in both branches, so Spark reuses the exchange rather
+    than scanning lineitem twice."""
     l = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
         & (F.col("l_shipdate") < _ts("1996-04-01 00:00:00"))
@@ -314,9 +315,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue0 = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         _dsum(_volume(), "total_revenue")
     )
-    top = revenue0.withColumn(
-        "max_rev", F.max("total_revenue").over(Window.partitionBy())
-    ).filter(F.col("total_revenue") == F.col("max_rev"))
+    max_rev = revenue0.agg(F.max("total_revenue").alias("max_rev"))
+    top = revenue0.join(
+        F.broadcast(max_rev), F.col("total_revenue") == F.col("max_rev")
+    ).drop("max_rev")
     return (
         s.join(top, s.s_suppkey == F.col("supplier_no"))
         .select("s_suppkey", "s_name", "total_revenue")
