@@ -323,6 +323,77 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_cross_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+    portable: bool = False,
+) -> DataFrame:
+    """Fuzzy benchmark decontamination: MinHash-LSH candidates BETWEEN two
+    corpora (training vs held-out eval), rolled up per training document —
+    the GPT-3-appendix-style contamination check upgraded from exact n-gram
+    collision (ngram_overlap) to near-duplicate detection, so lightly
+    edited benchmark copies are caught too.
+
+    Asymmetric by design: the eval side is benchmark-sized, so its band
+    rows broadcast — training band rows stream through a broadcast-hash
+    join and the training corpus is NEVER joined to itself (contrast
+    minhash_lsh_pairs, the within-corpus tier, whose candidate set is
+    quadratic in bucket occupancy). Candidate (train_id, eval_id) pairs
+    carry ids only; the training signatures rejoin on id (narrow
+    shuffle), eval signatures broadcast again, and the per-train rollup
+    combines map-side.
+
+    Returns (train_id, n_eval_hits, max_est_jaccard, first_eval_id) for
+    training docs with >=1 eval candidate at estimated Jaccard >=
+    ``threshold``.
+    """
+    sig_t = minhash_signatures(
+        train, id_col, text_col, n, num_hashes, seed, portable
+    ).persist()
+    sig_t.count()
+    sig_e = minhash_signatures(eval_df, id_col, text_col, n, num_hashes, seed, portable)
+
+    bt = band_rows(sig_t, num_hashes, bands, portable)
+    be = band_rows(sig_e, num_hashes, bands, portable).select(
+        F.col("doc_id").alias("eval_id"), "band", "bucket"
+    )
+    cand = (
+        bt.join(F.broadcast(be), ["band", "bucket"])
+        .select(F.col("doc_id").alias("train_id"), "eval_id")
+        .dropDuplicates(["train_id", "eval_id"])
+    )
+    paired = cand.join(
+        sig_t.select(F.col("doc_id").alias("train_id"), F.col("signature").alias("sig_t")),
+        "train_id",
+    ).join(
+        F.broadcast(
+            sig_e.select(F.col("doc_id").alias("eval_id"), F.col("signature").alias("sig_e"))
+        ),
+        "eval_id",
+    )
+    est = (
+        F.size(F.filter(F.zip_with("sig_t", "sig_e", lambda x, y: x == y), lambda m: m)).cast(
+            "double"
+        )
+        / F.lit(float(num_hashes))
+    )
+    hits = paired.select(
+        "train_id", "eval_id", F.round(est, 4).alias("est_jaccard")
+    ).filter(F.col("est_jaccard") >= threshold)
+    return hits.groupBy("train_id").agg(
+        F.countDistinct("eval_id").alias("n_eval_hits"),
+        F.max("est_jaccard").alias("max_est_jaccard"),
+        F.min("eval_id").alias("first_eval_id"),
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, seed: int = 42) -> DataFrame:
     """64-bit SimHash per document: per-token xxhash64, sum ±1 per bit
     position weighted by token count, sign → bit.

@@ -6,7 +6,7 @@ parallel map stages bounded by scan throughput.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from db_writer_redshift_spark.functions.text import (
@@ -219,4 +219,75 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.md5(t).alias("md5_fp"),
         F.xxhash64(t).alias("xx64_fp"),
         F.substring(F.md5(t), 1, 8).alias("md5_prefix"),
+    )
+
+
+def quality_score_e6(text_col: Column) -> Column:
+    """Composite quality score as an integer (score × 1e6, BIGINT).
+
+    Each input ratio is rounded to 6 decimals BEFORE combining, then the
+    composite is scaled to an integer — the cross-engine-deterministic
+    formulation (single IEEE ops per row over identical rounded inputs;
+    see dedup_keep_best_quality, which proved this class against the
+    DuckDB oracle after the unrounded-intermediates form flapped)."""
+    a6 = F.round(avg_word_len_expr(text_col), 6)
+    p6 = F.round(punct_ratio_expr(text_col), 6)
+    s6 = F.round(stopword_ratio_expr(text_col), 6)
+    q = (
+        F.lit(1.0)
+        - F.least(F.lit(1.0), F.abs(a6 - 5) / 5) * 0.3
+        - F.least(F.lit(1.0), p6 * 10) * 0.3
+        - F.least(F.lit(1.0), F.abs(s6 - 0.4)) * 0.4
+    )
+    return F.round(q * 1000000).cast("long")
+
+
+def quality_percentile_gate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    keep_num: int = 1,
+    keep_den: int = 2,
+) -> DataFrame:
+    """Per-group calibrated quality gate: keep the best keep_num/keep_den
+    fraction of documents WITHIN each group (source/domain), instead of
+    one global threshold — the DataComp/Dolma-style calibration that
+    stops a uniformly-verbose source from crowding out a terse one.
+
+    Membership is pure integer arithmetic: rank documents inside the
+    group by (quality_score_e6 DESC, id) and keep row ``rn`` iff
+    ``rn * keep_den <= n_group * keep_num`` — no float percentile, no
+    boundary flap. Returns the per-group audit relation
+    (group, n_docs, n_kept, kept_tokens, cutoff_q_e6) where cutoff_q_e6
+    is the worst kept score.
+
+    Scale: one window partitioned by group (groups are domains —
+    millions of modest partitions at 100 TB; a single mega-domain would
+    instead take a quickselect threshold from operators/selection.py)
+    followed by a map-side-combined rollup on the same key, so the sort
+    and the aggregate share one shuffle."""
+    from pyspark.sql.window import Window
+
+    t = F.col(text_col)
+    scored = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("doc_id"),
+        token_count_expr(t).alias("n_tokens"),
+        quality_score_e6(t).alias("q_e6"),
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("q_e6").desc(), "doc_id")
+    ranked = scored.select(
+        "grp",
+        "n_tokens",
+        "q_e6",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("grp")).alias("n_group"),
+    )
+    kept = F.col("rn") * keep_den <= F.col("n_group") * keep_num
+    return ranked.groupBy(F.col("grp").alias(group_col)).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_tokens")).otherwise(0)).cast("long").alias("kept_tokens"),
+        F.min(F.when(kept, F.col("q_e6"))).alias("cutoff_q_e6"),
     )

@@ -28,7 +28,11 @@ sf0.1 this round, all scalar/non-temporal outputs): snapshot_diff_orders
 rolling_active_users_7d (rolling distinct), copurchase_part_pairs
 (market basket), text_lang_id_ngram (char-trigram lang ID),
 robust_stats_order_price / rollup_reuse_daily_monthly /
-incremental_agg_orders (incremental-agg family siblings), plus the
+incremental_agg_orders (incremental-agg family siblings),
+quality_gate_per_source (per-source calibrated quality gate, all-BIGINT
+audit output) and decontam_minhash_fuzzy (cross-corpus fuzzy
+decontamination on the portable MinHash family — 2 rows at sf0.01,
+non-vacuous), plus the
 r1-green relational names rotated out above (safe to re-certify any
 round). Keep one rep per family when swapping — the
 test_window_covers_every_family prefix map is the constraint.

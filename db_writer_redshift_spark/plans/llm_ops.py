@@ -219,6 +219,105 @@ WHERE ({eq_terms}) / 64.0 >= 0.3
 """
 
 
+def _minhash_decontam_oracle(
+    num_hashes: int = 64, bands: int = 16, seed: int = 42, threshold: float = 0.3
+) -> str:
+    """DuckDB twin of the portable cross-corpus MinHash decontamination:
+    identical md5-affine signatures and band keys as
+    _minhash_portable_oracle, but candidates are restricted to
+    (train, eval) pairs across the doc_id % 20 split and rolled up per
+    training doc. All integer arithmetic except the final /64 estimate
+    (exact binary fraction) — bit-identical cross-engine."""
+    from db_writer_redshift_spark.operators.dedup import _MERSENNE_P, _hash_params
+
+    params = _hash_params(num_hashes, seed)
+    rows = num_hashes // bands
+    mins = ",\n         ".join(
+        f"MIN(({a} * h0 + {b}) % {_MERSENNE_P}) AS s{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_selects = "\n  UNION ALL\n  ".join(
+        "SELECT doc_id, {b} AS band, {key} AS bucket FROM sig".format(
+            b=b,
+            key=" || ',' || ".join(
+                f"CAST(s{b * rows + j} AS VARCHAR)" for j in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    eq_terms = " + ".join(
+        f"CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
+    )
+    return f"""
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+  FROM docs, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3
+),
+hx AS (
+  SELECT doc_id,
+         list_reduce(list_transform(string_split_regex(substr(md5(sh), 1, 8), ''),
+                                    c -> CAST(strpos('0123456789abcdef', c) AS BIGINT) - 1),
+                     (a, b) -> a * 16 + b) % {_MERSENNE_P} AS h0
+  FROM grams
+),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM hx GROUP BY doc_id
+),
+bands AS (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS train_id, b.doc_id AS eval_id
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id % 20 <> 0 AND b.doc_id % 20 = 0
+),
+est AS (
+  SELECT train_id, eval_id, ROUND(({eq_terms}) / {num_hashes}.0, 4) AS est_jaccard
+  FROM cand
+  JOIN sig sa ON sa.doc_id = train_id
+  JOIN sig sb ON sb.doc_id = eval_id
+  WHERE ({eq_terms}) / {num_hashes}.0 >= {threshold}
+)
+SELECT train_id,
+       COUNT(DISTINCT eval_id) AS n_eval_hits,
+       MAX(est_jaccard) AS max_est_jaccard,
+       MIN(eval_id) AS first_eval_id
+FROM est
+GROUP BY train_id
+"""
+
+
+@register("decontam_minhash_fuzzy", oracle=_minhash_decontam_oracle())
+def decontam_minhash_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy benchmark decontamination: near-duplicate (not just exact
+    n-gram) collisions between the training corpus and the held-out eval
+    slice (doc_id % 20 == 0 stands in for the benchmark suite), via the
+    portable md5-affine MinHash-LSH family — lightly edited benchmark
+    copies that the exact 5-gram check (decontam_ngram_overlap) misses
+    still land in a shared band bucket here.
+
+    Scale: the eval side is benchmark-sized, so its band rows and
+    signatures BROADCAST; the training corpus streams through
+    broadcast-hash joins and is never self-joined — candidate volume is
+    linear in training band rows, not quadratic in bucket occupancy.
+    Per-train rollup combines map-side. Fully value-hash-checkable
+    (integer signatures, /64 exact-fraction estimates)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_cross_contamination(
+        d.filter(F.col("doc_id") % 20 != 0),
+        d.filter(F.col("doc_id") % 20 == 0),
+        "doc_id",
+        "text",
+        threshold=0.3,
+        portable=True,
+    )
+
+
 @register("dedup_minhash_portable", oracle=_minhash_portable_oracle())
 def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + 16-band LSH with the engine-portable md5-affine hash
@@ -2113,30 +2212,16 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     The argmax is min(struct(-q, id)) inside a plain aggregate — no sort
     window over the corpus; the md5-key aggregate combines map-side.
     Quality rescales the same rounded double both engines compute
-    identically (single IEEE ops per row), so q_e6 is deterministic."""
-    from db_writer_redshift_spark.functions.text import (
-        avg_word_len_expr,
-        punct_ratio_expr,
-        stopword_ratio_expr,
-    )
-
+    identically (single IEEE ops per row — operators/text.quality_score_e6),
+    so q_e6 is deterministic."""
     d = load_table(spark, sf_dir, "documents")
     t = F.col("text")
-    a6 = F.round(avg_word_len_expr(t), 6)
-    p6 = F.round(punct_ratio_expr(t), 6)
-    s6 = F.round(stopword_ratio_expr(t), 6)
-    q = (
-        F.lit(1.0)
-        - F.least(F.lit(1.0), F.abs(a6 - 5) / 5) * 0.3
-        - F.least(F.lit(1.0), p6 * 10) * 0.3
-        - F.least(F.lit(1.0), F.abs(s6 - 0.4)) * 0.4
-    )
     base = d.select(
         "doc_id",
         F.md5(
             F.concat_ws(" ", F.slice(F.split(F.lower(F.col("text")), " "), 1, 20))
         ).alias("fp"),
-        F.round(q * 1000000).cast("long").alias("q_e6"),
+        text.quality_score_e6(t).alias("q_e6"),
     )
     agg = base.groupBy("fp").agg(
         F.count("*").alias("group_size"),
@@ -2148,6 +2233,63 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("best.id").alias("kept_doc_id"),
         "group_size",
         (-F.col("best.nq")).alias("kept_quality_e6"),
+    )
+
+
+@register(
+    "quality_gate_per_source",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_tokens,
+         ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')), 6) AS a6,
+         ROUND(CAST(LENGTH(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / LENGTH(text), 6) AS p6,
+         ROUND(CAST(len(list_filter(string_split(LOWER(text), ' '), x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+               / len(string_split(text, ' ')), 6) AS s6
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(ROUND((1.0 - LEAST(1.0, ABS(a6 - 5) / 5) * 0.3
+                         - LEAST(1.0, p6 * 10) * 0.3
+                         - LEAST(1.0, ABS(s6 - 0.4)) * 0.4) * 1000000) AS BIGINT) AS q_e6
+  FROM base
+),
+ranked AS (
+  SELECT source, n_tokens, q_e6,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY q_e6 DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n_group
+  FROM scored
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(CASE WHEN rn * 2 <= n_group THEN 1 ELSE 0 END) AS n_kept,
+       SUM(CASE WHEN rn * 2 <= n_group THEN n_tokens ELSE 0 END) AS kept_tokens,
+       MIN(CASE WHEN rn * 2 <= n_group THEN q_e6 END) AS cutoff_q_e6
+FROM ranked
+GROUP BY source
+""",
+)
+def quality_gate_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source calibrated quality gate (DataComp/Dolma practice): keep
+    the top half of documents WITHIN each source by integer quality
+    score, so one uniformly-verbose source cannot crowd the others out
+    of the training mix under a single global threshold. Membership is
+    integer rank arithmetic (rn*2 <= n) over the e6-scaled score — the
+    flap-proof class proven by dedup_keep_best_quality — and the audit
+    output (counts, kept token budget, worst kept score) is all-BIGINT.
+
+    Scale: window partitioned by source (domains — millions of modest
+    groups at 100 TB) sharing its shuffle with the rollup on the same
+    key; a single mega-domain would swap in the quickselect threshold
+    from operators/selection.py."""
+    return text.quality_percentile_gate(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        "source",
+        keep_num=1,
+        keep_den=2,
     )
 
 

@@ -223,3 +223,42 @@ def test_connected_components_random_graphs_match_union_find(spark):
         got = _cc(spark, all_edges)
         assert got == union_find_roots(all_edges), (n_nodes, n_edges)
         seed += 1
+
+
+def test_minhash_cross_contamination_flags_planted_copy(spark):
+    """A lightly-edited eval copy of a train doc is flagged; unrelated
+    train docs are not; the rollup reports the matching eval id."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+    train = spark.createDataFrame(
+        [(1, base), (2, "one two three four five six seven eight nine ten")],
+        "doc_id int, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, base + " extra")], "doc_id int, text string"
+    )
+    out = dedup.minhash_cross_contamination(
+        train, ev, "doc_id", "text", threshold=0.3
+    ).collect()
+    ids = {r.train_id for r in out}
+    assert 1 in ids and 2 not in ids
+    row = next(r for r in out if r.train_id == 1)
+    assert row.first_eval_id == 100
+    assert row.n_eval_hits == 1
+    assert row.max_est_jaccard >= 0.3
+
+
+def test_minhash_cross_contamination_no_train_train_pairs(spark):
+    """Two identical TRAIN docs produce no output when the eval side is
+    unrelated — the operator never self-joins the training corpus."""
+    dup = "alpha beta gamma delta epsilon zeta eta theta"
+    train = spark.createDataFrame(
+        [(1, dup), (2, dup)], "doc_id int, text string"
+    )
+    ev = spark.createDataFrame(
+        [(100, "unrelated words entirely different content here now")],
+        "doc_id int, text string",
+    )
+    out = dedup.minhash_cross_contamination(
+        train, ev, "doc_id", "text", threshold=0.3
+    ).collect()
+    assert out == []

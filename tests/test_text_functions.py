@@ -151,3 +151,44 @@ def test_rolling_hash_portable_order_sensitive_and_stable(spark):
     ha = int(hashlib.md5(b"alpha").hexdigest()[:8], 16) % p
     hb = int(hashlib.md5(b"beta").hexdigest()[:8], 16) % p
     assert h_ab == (ha * 257 + hb) % p
+
+
+def test_quality_percentile_gate_keeps_floor_half_per_group(spark):
+    """n_kept == floor(n/2) per group (rn*keep_den <= n*keep_num integer
+    rule), kept token budget <= group total, cutoff is a kept score."""
+    from db_writer_redshift_spark.operators.text import quality_percentile_gate
+
+    rows = [
+        # group g1: 5 docs of varying quality
+        (1, "the a of and to in spark fast", "g1"),
+        (2, "zzzzzzzzzzzzzzzz yyyyyyyyyyyy", "g1"),
+        (3, "the quick brown fox jumps over the lazy dog", "g1"),
+        (4, "a a a a a a a a", "g1"),
+        (5, "spark query hash vector batch the of", "g1"),
+        # group g2: 2 docs
+        (6, "the a of and", "g2"),
+        (7, "qqqq wwww eeee rrrr", "g2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r.source: r
+        for r in quality_percentile_gate(
+            df, "doc_id", "text", "source"
+        ).collect()
+    }
+    assert out["g1"].n_docs == 5 and out["g1"].n_kept == 2
+    assert out["g2"].n_docs == 2 and out["g2"].n_kept == 1
+    assert 0 < out["g1"].kept_tokens
+    assert out["g1"].cutoff_q_e6 is not None
+
+
+def test_quality_percentile_gate_single_doc_group_drops_it(spark):
+    """A 1-doc group keeps nothing at keep 1/2 (rn*2 <= 1 is false) —
+    the integer rule is floor, not round."""
+    from db_writer_redshift_spark.operators.text import quality_percentile_gate
+
+    df = spark.createDataFrame(
+        [(1, "only doc here", "solo")], "doc_id long, text string, source string"
+    )
+    row = quality_percentile_gate(df, "doc_id", "text", "source").collect()[0]
+    assert row.n_docs == 1 and row.n_kept == 0 and row.cutoff_q_e6 is None
