@@ -52,6 +52,9 @@ SHOWCASE = [
     ("events_hourly_locf", "gap fill: broadcast bounds spine, per-type running-frame forward fill"),
     ("topk_per_group_agg", "salted two-level top-k: k rows per subgroup cross the shuffle"),
     ("exact_quantiles_order_price", "distributed quickselect: 256-bucket histogram rounds, no sort"),
+    ("quality_gate_per_source", "per-source quality gate: window and rollup share one source-key shuffle"),
+    ("decontam_minhash_fuzzy", "fuzzy decontamination: eval bands+signatures broadcast, train side never self-joins"),
+    ("q15_top_supplier", "scalar-MAX subquery: 1-row aggregate broadcast back, revenue exchange reused"),
 ]
 
 
