@@ -1739,6 +1739,61 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_truncation_energy",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(ROUND(x * 1000) AS BIGINT)) AS q
+  FROM embeddings
+),
+e AS (
+  SELECT vec_id, label,
+         CAST(list_sum(list_transform(q[1:16], x -> x * x)) AS BIGINT) AS ep,
+         CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS et
+  FROM v
+),
+p AS (
+  SELECT label, (ep * 1000000) // NULLIF(et, 0) AS ppm FROM e
+)
+SELECT label,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(ppm) AS BIGINT) AS prefix16_ppm_sum,
+       MIN(ppm) AS prefix16_ppm_min,
+       MAX(ppm) AS prefix16_ppm_max
+FROM p
+GROUP BY label
+""",
+)
+def embedding_truncation_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation audit: how much of each vector's energy
+    lives in the first 16 of 64 dimensions — the measurement that decides
+    whether serving can truncate embeddings (MRL) without re-embedding.
+    Per-vector energy ratio in integer ppm over quantized coordinates
+    (round(x*1000) BIGINTs — the kmeans_fit_portable determinism class;
+    per-vector numerator ep*1e6 <= ~1e15, far under 2^63), rolled up per
+    label as sum/min/max ppm — all-BIGINT output, no float accumulation.
+
+    Scale: one map-only projection (two higher-order aggregates over the
+    array, no explode) and one map-side-combined rollup on the label key.
+    The ppm SUM overflows only past ~9e12 vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))"
+    e = emb.select(
+        "label",
+        F.expr(f"aggregate(slice({q}, 1, 16), 0L, (a, v) -> a + v * v)").alias("ep"),
+        F.expr(f"aggregate({q}, 0L, (a, v) -> a + v * v)").alias("et"),
+    )
+    p = e.select("label", F.expr("(ep * 1000000) div nullif(et, 0)").alias("ppm"))
+    return p.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum("ppm").cast("long").alias("prefix16_ppm_sum"),
+        F.min("ppm").alias("prefix16_ppm_min"),
+        F.max("ppm").alias("prefix16_ppm_max"),
+    )
+
+
 @register("embedding_pca_eigvals", oracle=None)
 def embedding_pca_eigvals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-8 principal-component eigenvalues of the embedding corpus via

@@ -55,6 +55,7 @@ SHOWCASE = [
     ("quality_gate_per_source", "per-source quality gate: window and rollup share one source-key shuffle"),
     ("decontam_minhash_fuzzy", "fuzzy decontamination: eval bands+signatures broadcast, train side never self-joins"),
     ("q15_top_supplier", "scalar-MAX subquery: 1-row aggregate broadcast back, revenue exchange reused"),
+    ("embedding_truncation_energy", "MRL truncation audit: higher-order array aggregates, no explode, one label rollup"),
 ]
 
 
