@@ -115,3 +115,39 @@ def test_copurchase_pairs_single_item_orders(spark):
     )
     got = {(r["pr"]["part_a"], r["pr"]["part_b"]) for r in pairs.collect()}
     assert got == {(30, 31)}
+
+
+def test_quality_percentile_gate_empty_corpus(spark):
+    from db_writer_redshift_spark.operators.text import quality_percentile_gate
+
+    out = quality_percentile_gate(
+        _empty(spark, "doc_id long, text string, source string"),
+        "doc_id",
+        "text",
+        "source",
+    )
+    assert out.count() == 0
+
+
+def test_minhash_cross_contamination_empty_eval(spark):
+    from db_writer_redshift_spark.operators import dedup
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], "doc_id int, text string"
+    )
+    out = dedup.minhash_cross_contamination(
+        train, _empty(spark, "doc_id int, text string"), "doc_id", "text"
+    )
+    assert out.count() == 0
+
+
+def test_minhash_cross_contamination_empty_train(spark):
+    from db_writer_redshift_spark.operators import dedup
+
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id int, text string"
+    )
+    out = dedup.minhash_cross_contamination(
+        _empty(spark, "doc_id int, text string"), ev, "doc_id", "text"
+    )
+    assert out.count() == 0
