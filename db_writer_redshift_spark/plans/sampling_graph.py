@@ -705,3 +705,57 @@ def split_by_cluster_root(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_cross", F.lit(0)).alias("n_cross_split_pairs"),
         )
     )
+
+
+@register(
+    "shuffle_epoch_order",
+    oracle="""
+WITH h AS (
+  SELECT doc_id,
+         list_reduce(list_transform(string_split_regex(substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 8), ''),
+                                    c -> CAST(strpos('0123456789abcdef', c) AS BIGINT) - 1),
+                     (a, b) -> a * 16 + b) % 2147483647 AS hv
+  FROM documents
+)
+SELECT doc_id,
+       hv % 256 AS epoch_bucket,
+       ROW_NUMBER() OVER (PARTITION BY hv % 256 ORDER BY hv, doc_id) AS bucket_pos
+FROM h
+""",
+)
+def shuffle_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch global training-order shuffle WITHOUT a
+    global sort: hash each doc with the epoch number (md5-derived 32-bit
+    value — the portable-hash family from operators/dedup), route it to
+    one of 256 shuffle buckets, and sort only WITHIN each bucket. A
+    reader that consumes buckets in bucket order sees a reproducible
+    pseudorandom permutation of the corpus; a different epoch constant
+    re-permutes everything. This is the two-level shuffle a 100 TB
+    training pipeline uses in place of ``orderBy(rand())`` — which is
+    neither deterministic under retries nor free of a global
+    range-partition sort.
+
+    Scale: one hash-partitioned exchange on the bucket key (bucket
+    count scales with the cluster), per-bucket sorts are independent
+    and spill-free at ~corpus/256 each; no driver state, no sampling
+    pass for range boundaries. Output is the (bucket, position)
+    assignment per doc — pure integers, order-insensitively gradeable."""
+    from pyspark.sql.window import Window
+
+    epoch = 7
+    d = load_table(spark, sf_dir, "documents")
+    hv = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.col("doc_id"), F.lit(epoch))), 1, 8),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(2147483647),
+    )
+    hashed = d.select("doc_id", hv.alias("hv"), (hv % 256).alias("epoch_bucket"))
+    w = Window.partitionBy("epoch_bucket").orderBy("hv", "doc_id")
+    return hashed.select(
+        "doc_id",
+        F.col("epoch_bucket").cast("long").alias("epoch_bucket"),
+        F.row_number().over(w).cast("long").alias("bucket_pos"),
+    )
