@@ -30,9 +30,11 @@ rolling_active_users_7d (rolling distinct), copurchase_part_pairs
 robust_stats_order_price / rollup_reuse_daily_monthly /
 incremental_agg_orders (incremental-agg family siblings),
 quality_gate_per_source (per-source calibrated quality gate, all-BIGINT
-audit output) and decontam_minhash_fuzzy (cross-corpus fuzzy
+audit output), decontam_minhash_fuzzy (cross-corpus fuzzy
 decontamination on the portable MinHash family — 2 rows at sf0.01,
-non-vacuous), plus the
+non-vacuous), embedding_truncation_energy (MRL truncation audit,
+all-BIGINT ppm), shuffle_epoch_order (deterministic epoch shuffle,
+all-BIGINT bucket/position), plus the
 r1-green relational names rotated out above (safe to re-certify any
 round). Keep one rep per family when swapping — the
 test_window_covers_every_family prefix map is the constraint.

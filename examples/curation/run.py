@@ -72,6 +72,19 @@ def main() -> int:
     gated = gated.join(contaminated, "doc_id", "left_anti")
     n4 = gated.count()
 
+    # 4b. FUZZY decontamination: lightly-edited benchmark copies that the
+    #     exact 8-gram check misses still collide in a MinHash band
+    #     (eval side broadcasts; the training side is never self-joined).
+    fuzzy = dedup.minhash_cross_contamination(
+        gated, evalset, "doc_id", "text", threshold=0.5
+    ).select(F.col("train_id").alias("doc_id"))
+    gated = gated.join(fuzzy, "doc_id", "left_anti")
+    n4b = gated.count()
+
+    # (For per-source calibration instead of the global threshold in
+    # step 1, see text.quality_percentile_gate — keeps the top fraction
+    # WITHIN each source so no single source crowds out the mix.)
+
     # 5. Per-language token budget: admit docs (deterministic doc_id
     #    order) until each language reaches 20k tokens.
     w_running = F.sum("n_tokens").over(
@@ -90,7 +103,8 @@ def main() -> int:
         .orderBy("lang")
     )
     print(f"docs: {n0} -> quality {n1} -> exact-dedup {n2} "
-          f"-> near-dup {n3} -> decontam {n4} -> budgeted {final.count()}")
+          f"-> near-dup {n3} -> decontam {n4} -> fuzzy-decontam {n4b} "
+          f"-> budgeted {final.count()}")
     stats.show()
     print(f"curated corpus written to {out_dir}")
     return 0
