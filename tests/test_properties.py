@@ -247,3 +247,28 @@ def test_snapshot_diff_is_apply_inverse(spark, old, new):
 
     # self-diff is empty
     assert snapshot_diff(n, n, ["id"]).count() == 0
+
+
+def test_epoch_shuffle_is_a_permutation(spark):
+    """shuffle_epoch_order assigns every doc exactly one (bucket, pos);
+    positions within each bucket are contiguous 1..n; the assignment is
+    deterministic across invocations and independent of partitioning."""
+    from db_writer_redshift_spark.plans.sampling_graph import shuffle_epoch_order
+
+    sf = "/root/testdata/sf0.001"
+    out = shuffle_epoch_order(spark, sf)
+    rows = {r.doc_id: (r.epoch_bucket, r.bucket_pos) for r in out.collect()}
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    assert len(rows) == n_docs  # every doc exactly once
+
+    by_bucket: dict[int, list[int]] = {}
+    for b, p in rows.values():
+        by_bucket.setdefault(b, []).append(p)
+    for b, ps in by_bucket.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), b
+
+    again = {
+        r.doc_id: (r.epoch_bucket, r.bucket_pos)
+        for r in shuffle_epoch_order(spark, sf).collect()
+    }
+    assert again == rows
