@@ -222,6 +222,96 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _bpe_merge_expr(sym_col: str, left: str, right: str) -> str:
+    """SQL expression merging adjacent symbol pair (left, right) inside a
+    '|'-joined symbol string — a greedy left-to-right fold identical to
+    DuckDB's ``list_reduce`` twin (which seeds with the FIRST element;
+    the empty-seed CASE here reproduces that, per the verify-recipe
+    fold-seed rule)."""
+    import re
+
+    for s in (left, right):
+        if not re.fullmatch(r"[0-9a-zA-Z]+", s):
+            raise ValueError(f"BPE symbol {s!r} not SQL-literal-safe")
+    lr = left + right
+    return f"""
+aggregate(split({sym_col}, '[|]'), '', (acc, x) ->
+  CASE WHEN acc = '' THEN x
+       WHEN (acc = '{left}' OR endswith(acc, '|' || '{left}')) AND x = '{right}'
+       THEN CASE WHEN acc = '{left}' THEN '{lr}'
+                 ELSE substr(acc, 1, length(acc) - length('{left}') - 1) || '|' || '{lr}' END
+       ELSE acc || '|' || x END)
+"""
+
+
+def bpe_train_merges(
+    df: DataFrame, text_col: str, rounds: int = 3
+) -> "DataFrame":
+    """Iterative BPE tokenizer training over the frequency-weighted word
+    vocabulary: per round, count every adjacent symbol pair (weighted by
+    word frequency), merge the most frequent pair into one symbol across
+    the whole vocabulary (greedy left-to-right, the Sennrich rule), and
+    repeat on the merged symbols. Returns the merge table — one row per
+    round: (merge_round, left_sym, right_sym, n_occurrences) — the
+    training TRAJECTORY, so a value-hash oracle covers every selection
+    and every rewrite, not just round one (the kmeans_fit_portable /
+    pagerank_int discipline applied to tokenizer training).
+
+    Determinism: pair selection breaks count ties on (left, right)
+    lexicographically; the merge fold is exact string arithmetic with a
+    bit-identical DuckDB ``list_reduce`` twin (fold-seed rule handled).
+
+    Scale: the state is the WORD VOCABULARY (saturates in the low
+    millions on any corpus — Heaps' law), not the corpus: one explode +
+    map-side-combined count builds it, then every round is a pair
+    aggregate over |vocab| rows plus a map-only fold rewrite. Driver
+    state is ONE (pair, count) row per round. Lineage is truncated per
+    round with localCheckpoint (the BSP-loop rule from
+    operators/dedup.connected_components)."""
+    w = words(F.lower(F.col(text_col)))
+    vocab = (
+        df.select(F.explode(w).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    state = vocab.select(
+        F.expr("array_join(split(w, ''), '|')").alias("s"), "freq"
+    )
+    spark = df.sparkSession
+    merges = []
+    for r in range(1, rounds + 1):
+        # Guard single-symbol words: Spark's sequence(1, 0) is the
+        # DESCENDING [1, 0] (DuckDB's generate_series(1, 0) is empty),
+        # so an unguarded transform would element_at out of bounds the
+        # moment a whole word collapses into one merged symbol.
+        pairs = state.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(split(s, '[|]')) > 1 THEN"
+                    " transform(sequence(1, size(split(s, '[|]')) - 1),"
+                    " i -> struct(element_at(split(s, '[|]'), i) AS l,"
+                    " element_at(split(s, '[|]'), i + 1) AS r))"
+                    " ELSE CAST(array() AS ARRAY<STRUCT<l: STRING, r: STRING>>) END"
+                )
+            ).alias("p"),
+            "freq",
+        ).select(F.col("p.l").alias("l"), F.col("p.r").alias("r"), "freq")
+        counts = pairs.groupBy("l", "r").agg(F.sum("freq").cast("long").alias("n"))
+        top = counts.orderBy(F.col("n").desc(), "l", "r").limit(1).collect()
+        if not top:
+            break
+        t = top[0]
+        merges.append((r, t.l, t.r, t.n))
+        state = state.select(
+            F.expr(_bpe_merge_expr("s", t.l, t.r)).alias("s"), "freq"
+        ).localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        merges,
+        "merge_round long, left_sym string, right_sym string, n_occurrences long",
+    )
+
+
 def quality_score_e6(text_col: Column) -> Column:
     """Composite quality score as an integer (score × 1e6, BIGINT).
 

@@ -2076,6 +2076,67 @@ def drift_chisq_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_train_oracle(rounds: int = 3) -> str:
+    """Unrolled-CTE DuckDB twin of the iterative BPE trainer
+    (operators/text.bpe_train_merges): per round, the same
+    frequency-weighted adjacent-pair count, the same (n DESC, l, r)
+    selection, and the same greedy left-to-right list_reduce merge fold
+    (seeded by the first element — matched by the Spark fold's
+    empty-seed CASE, per the verify recipe's fold-seed rule)."""
+
+    def fold(ci: str) -> str:
+        return (
+            f"list_reduce(string_split(s, '|'), (acc, x) -> "
+            f"CASE WHEN (acc = {ci}.l OR ends_with(acc, '|' || {ci}.l)) AND x = {ci}.r "
+            f"THEN CASE WHEN acc = {ci}.l THEN {ci}.l || {ci}.r "
+            f"ELSE substr(acc, 1, length(acc) - length({ci}.l) - 1) || '|' || {ci}.l || {ci}.r END "
+            f"ELSE acc || '|' || x END)"
+        )
+
+    parts = [
+        """
+WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents),
+vocab AS (SELECT w, COUNT(*) AS freq FROM tok WHERE LENGTH(w) >= 2 GROUP BY w),
+v0 AS (SELECT array_to_string(string_split_regex(w, ''), '|') AS s, freq FROM vocab)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+cnt{r} AS (
+  SELECT arr[i] AS l, arr[i+1] AS r, CAST(SUM(freq) AS BIGINT) AS n
+  FROM (SELECT string_split(s, '|') AS arr, freq FROM v{r-1}),
+       UNNEST(generate_series(1, len(arr) - 1)) AS t(i)
+  GROUP BY arr[i], arr[i+1]
+),
+c{r} AS (SELECT l, r, n FROM cnt{r} ORDER BY n DESC, l, r LIMIT 1),
+v{r} AS (SELECT {fold(f'c{r}')} AS s, freq FROM v{r-1} CROSS JOIN c{r})"""
+        )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {r} AS merge_round, l AS left_sym, r AS right_sym, n AS n_occurrences FROM c{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "".join(parts) + "\n" + selects
+
+
+@register("bpe_train_merge_rounds", oracle=_bpe_train_oracle())
+def bpe_train_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE tokenizer TRAINING (3 merge rounds) — each round
+    counts frequency-weighted adjacent symbol pairs over the vocabulary,
+    merges the winner everywhere (greedy left-to-right, Sennrich rule),
+    and feeds the merged symbols to the next round. The output is the
+    merge table — the whole training trajectory — so the value-hash
+    oracle proves every selection AND every vocabulary rewrite, not
+    just the first-round pair counts (bpe_pair_merge_stats remains the
+    single-shot statistics view).
+
+    Scale: state is the saturating word vocabulary, never the corpus;
+    per-round cost is one pair aggregate over |vocab| rows + a map-only
+    fold rewrite; driver state is one (pair, count) row per round."""
+    return text.bpe_train_merges(
+        load_table(spark, sf_dir, "documents"), "text", rounds=3
+    )
+
+
 @register(
     "bpe_pair_merge_stats",
     oracle="""

@@ -192,3 +192,29 @@ def test_quality_percentile_gate_single_doc_group_drops_it(spark):
     )
     row = quality_percentile_gate(df, "doc_id", "text", "source").collect()[0]
     assert row.n_docs == 1 and row.n_kept == 0 and row.cutoff_q_e6 is None
+
+
+def test_bpe_train_merges_hand_computed_trajectory(spark):
+    """Toy corpus with a hand-derived 3-round merge table: vocabulary
+    {abab:2, aab:1}; round 1 picks (a,b) with weighted count 5
+    (overlapping adjacencies count, Sennrich rule), round 2 merges
+    (ab,ab) in the rewritten vocab, round 3 (a,ab)."""
+    from db_writer_redshift_spark.operators.text import bpe_train_merges
+
+    df = spark.createDataFrame(
+        [("abab abab",), ("aab",)], "text string"
+    )
+    got = [
+        (r.merge_round, r.left_sym, r.right_sym, r.n_occurrences)
+        for r in bpe_train_merges(df, "text", rounds=3).collect()
+    ]
+    assert got == [(1, "a", "b", 5), (2, "ab", "ab", 2), (3, "a", "ab", 1)]
+
+
+def test_bpe_merge_expr_rejects_unsafe_symbols(spark):
+    from db_writer_redshift_spark.operators.text import _bpe_merge_expr
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _bpe_merge_expr("s", "a'b", "c")
