@@ -245,8 +245,8 @@ aggregate(split({sym_col}, '[|]'), '', (acc, x) ->
 
 
 def bpe_train_merges(
-    df: DataFrame, text_col: str, rounds: int = 3
-) -> "DataFrame":
+    df: DataFrame, text_col: str, rounds: int = 3, return_state: bool = False
+):
     """Iterative BPE tokenizer training over the frequency-weighted word
     vocabulary: per round, count every adjacent symbol pair (weighted by
     word frequency), merge the most frequent pair into one symbol across
@@ -276,7 +276,7 @@ def bpe_train_merges(
         .agg(F.count("*").alias("freq"))
     )
     state = vocab.select(
-        F.expr("array_join(split(w, ''), '|')").alias("s"), "freq"
+        "w", F.expr("array_join(split(w, ''), '|')").alias("s"), "freq"
     )
     spark = df.sparkSession
     merges = []
@@ -304,12 +304,17 @@ def bpe_train_merges(
         t = top[0]
         merges.append((r, t.l, t.r, t.n))
         state = state.select(
-            F.expr(_bpe_merge_expr("s", t.l, t.r)).alias("s"), "freq"
+            "w", F.expr(_bpe_merge_expr("s", t.l, t.r)).alias("s"), "freq"
         ).localCheckpoint(eager=False)
-    return spark.createDataFrame(
+    merge_df = spark.createDataFrame(
         merges,
         "merge_round long, left_sym string, right_sym string, n_occurrences long",
     )
+    if return_state:
+        # (w, s, freq) after all merges — the trained tokenizer's word →
+        # symbol-string table, broadcastable for corpus tokenization.
+        return merge_df, state
+    return merge_df
 
 
 def quality_score_e6(text_col: Column) -> Column:

@@ -2076,13 +2076,14 @@ def drift_chisq_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_train_oracle(rounds: int = 3) -> str:
-    """Unrolled-CTE DuckDB twin of the iterative BPE trainer
-    (operators/text.bpe_train_merges): per round, the same
-    frequency-weighted adjacent-pair count, the same (n DESC, l, r)
-    selection, and the same greedy left-to-right list_reduce merge fold
-    (seeded by the first element — matched by the Spark fold's
-    empty-seed CASE, per the verify recipe's fold-seed rule)."""
+def _bpe_cte_prefix(rounds: int = 3) -> str:
+    """Shared unrolled-CTE prefix of the BPE oracles: the word vocabulary,
+    per-round pair counts (cnt_r), winner selection (c_r), and merged
+    vocabulary states (v_r, word column threaded through) — the same
+    frequency-weighted counts, (n DESC, l, r) selection, and greedy
+    left-to-right list_reduce merge fold (seeded by the first element —
+    matched by the Spark fold's empty-seed CASE, per the verify recipe's
+    fold-seed rule) as operators/text.bpe_train_merges."""
 
     def fold(ci: str) -> str:
         return (
@@ -2097,7 +2098,7 @@ def _bpe_train_oracle(rounds: int = 3) -> str:
         """
 WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents),
 vocab AS (SELECT w, COUNT(*) AS freq FROM tok WHERE LENGTH(w) >= 2 GROUP BY w),
-v0 AS (SELECT array_to_string(string_split_regex(w, ''), '|') AS s, freq FROM vocab)"""
+v0 AS (SELECT w, array_to_string(string_split_regex(w, ''), '|') AS s, freq FROM vocab)"""
     ]
     for r in range(1, rounds + 1):
         parts.append(
@@ -2109,13 +2110,74 @@ cnt{r} AS (
   GROUP BY arr[i], arr[i+1]
 ),
 c{r} AS (SELECT l, r, n FROM cnt{r} ORDER BY n DESC, l, r LIMIT 1),
-v{r} AS (SELECT {fold(f'c{r}')} AS s, freq FROM v{r-1} CROSS JOIN c{r})"""
+v{r} AS (SELECT w, {fold(f'c{r}')} AS s, freq FROM v{r-1} CROSS JOIN c{r})"""
         )
+    return "".join(parts)
+
+
+def _bpe_train_oracle(rounds: int = 3) -> str:
+    """DuckDB twin of the iterative BPE trainer: the merge table (one row
+    per round) from the shared unrolled CTEs."""
     selects = "\nUNION ALL\n".join(
         f"SELECT {r} AS merge_round, l AS left_sym, r AS right_sym, n AS n_occurrences FROM c{r}"
         for r in range(1, rounds + 1)
     )
-    return "".join(parts) + "\n" + selects
+    return _bpe_cte_prefix(rounds) + "\n" + selects
+
+
+def _bpe_tokenize_oracle(rounds: int = 3) -> str:
+    """DuckDB twin of BPE application: token counts per source after the
+    learned merges (word → symbol count from the final vocabulary state;
+    words below the 2-char vocab floor count as one token)."""
+    return (
+        _bpe_cte_prefix(rounds)
+        + f""",
+wt AS (SELECT w, len(string_split(s, '|')) AS n_tok FROM v{rounds}),
+occ AS (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS w2 FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_word_occurrences,
+       CAST(SUM(COALESCE(wt.n_tok, 1)) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(CASE WHEN LENGTH(w2) < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_short_words
+FROM occ LEFT JOIN wt ON occ.w2 = wt.w
+WHERE w2 <> ''
+GROUP BY source
+"""
+    )
+
+
+@register("bpe_tokenize_stats", oracle=_bpe_tokenize_oracle())
+def bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE APPLICATION — tokenize the corpus with the merges learned by
+    bpe_train_merge_rounds and report per-source token budgets (the
+    number a data mix is actually priced in after tokenizer training).
+    Token count per word comes from the trained word → merged-symbols
+    table; sub-vocabulary words (single chars) count as one token.
+
+    Scale: the trained vocabulary BROADCASTS (it saturates — Heaps'
+    law), so the exploded corpus joins it with a broadcast-hash probe
+    and never shuffles on the skewed token key; the per-source rollup
+    combines map-side. Training cost is the 3-round loop over |vocab|
+    rows, shared with bpe_train_merge_rounds."""
+    d = load_table(spark, sf_dir, "documents")
+    _, state = text.bpe_train_merges(d, "text", rounds=3, return_state=True)
+    wordtok = state.select(
+        "w", F.size(F.split("s", "[|]")).alias("n_tok")
+    )
+    occ = d.select(
+        "source", F.explode(F.split(F.lower(F.col("text")), " ")).alias("w2")
+    ).filter(F.col("w2") != "")
+    joined = occ.join(F.broadcast(wordtok), occ.w2 == wordtok.w, "left")
+    return joined.groupBy("source").agg(
+        F.count("*").alias("n_word_occurrences"),
+        F.sum(F.coalesce(F.col("n_tok").cast("long"), F.lit(1))).cast("long").alias(
+            "n_bpe_tokens"
+        ),
+        F.sum(F.when(F.length("w2") < 2, 1).otherwise(0)).cast("long").alias(
+            "n_short_words"
+        ),
+    )
 
 
 @register("bpe_train_merge_rounds", oracle=_bpe_train_oracle())

@@ -218,3 +218,20 @@ def test_bpe_merge_expr_rejects_unsafe_symbols(spark):
 
     with _pytest.raises(ValueError):
         _bpe_merge_expr("s", "a'b", "c")
+
+
+def test_bpe_train_merges_return_state_tokenizes_words(spark):
+    """The final state maps each vocab word to its merged symbols WITH
+    round 3's merge applied: (a,b) then (ab,ab) then (a,ab) collapse
+    both 'abab' and 'aab' to single tokens."""
+    from db_writer_redshift_spark.operators.text import bpe_train_merges
+
+    df = spark.createDataFrame([("abab abab",), ("aab",)], "text string")
+    _, state = bpe_train_merges(df, "text", rounds=3, return_state=True)
+    got = {r.w: r.s for r in state.collect()}
+    assert got == {"abab": "abab", "aab": "aab"}
+
+    # one round fewer: 'aab' is still two symbols (a | ab)
+    _, state2 = bpe_train_merges(df, "text", rounds=2, return_state=True)
+    got2 = {r.w: r.s for r in state2.collect()}
+    assert got2 == {"abab": "abab", "aab": "a|ab"}
