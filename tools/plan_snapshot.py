@@ -56,6 +56,7 @@ SHOWCASE = [
     ("decontam_minhash_fuzzy", "fuzzy decontamination: eval bands+signatures broadcast, train side never self-joins"),
     ("q15_top_supplier", "scalar-MAX subquery: 1-row aggregate broadcast back, revenue exchange reused"),
     ("embedding_truncation_energy", "MRL truncation audit: higher-order array aggregates, no explode, one label rollup"),
+    ("bpe_tokenize_stats", "BPE application: trained vocab broadcasts, corpus probes it, map-side-combined source rollup"),
 ]
 
 
