@@ -270,8 +270,16 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     seed: int = 42,
     portable: bool = False,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs with estimated Jaccard.
+
+    ``max_bucket_size`` drops band buckets holding more than that many
+    docs BEFORE the self-join — the stop-shingle discipline coarse
+    (few-rows-per-band) bandings need: a bucket of k docs emits C(k,2)
+    candidates, so one hot bucket is quadratic. Deterministic (part of
+    the algorithm, mirrored by oracles); None = uncapped, right for the
+    4-row dedup banding whose collisions are already selective.
 
     num_hashes/bands rows-per-band tune the S-curve; candidates are pairs
     sharing ≥1 band bucket (equi-join on (band, band_hash) — shuffle keyed on
@@ -297,6 +305,14 @@ def minhash_lsh_pairs(
     sig.count()
 
     banded = band_rows(sig, num_hashes, bands, portable)
+    if max_bucket_size is not None:
+        small = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count("*").alias("__bs"))
+            .filter(F.col("__bs") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        banded = banded.join(small, ["band", "bucket"])
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (

@@ -318,6 +318,130 @@ def decontam_minhash_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _contrastive_pairs_oracle(
+    num_hashes: int = 64, bands: int = 64, seed: int = 42
+) -> str:
+    """DuckDB twin of contrastive pair mining: same md5-affine signatures
+    as _minhash_portable_oracle but 1-row bands (coarse blocking — any
+    shared minhash makes a candidate), positives labeled by the exact
+    /64 agreement estimate, hard negatives ranked per anchor (est DESC,
+    doc_b) and capped at 3."""
+    from db_writer_redshift_spark.operators.dedup import _MERSENNE_P, _hash_params
+
+    params = _hash_params(num_hashes, seed)
+    rows = num_hashes // bands
+    mins = ",\n         ".join(
+        f"MIN(({a} * h0 + {b}) % {_MERSENNE_P}) AS s{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_selects = "\n  UNION ALL\n  ".join(
+        "SELECT doc_id, {b} AS band, {key} AS bucket FROM sig".format(
+            b=b,
+            key=" || ',' || ".join(
+                f"CAST(s{b * rows + j} AS VARCHAR)" for j in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    eq_terms = " + ".join(
+        f"CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
+    )
+    return f"""
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+  FROM docs, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3
+),
+hx AS (
+  SELECT doc_id,
+         list_reduce(list_transform(string_split_regex(substr(md5(sh), 1, 8), ''),
+                                    c -> CAST(strpos('0123456789abcdef', c) AS BIGINT) - 1),
+                     (a, b) -> a * 16 + b) % {_MERSENNE_P} AS h0
+  FROM grams
+),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM hx GROUP BY doc_id
+),
+bands AS (
+  {band_selects}
+),
+bandsf AS (
+  SELECT b.doc_id, b.band, b.bucket
+  FROM bands b
+  JOIN (SELECT band, bucket FROM bands GROUP BY band, bucket HAVING COUNT(*) <= 32) s
+    ON b.band = s.band AND b.bucket = s.bucket
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bandsf a
+  JOIN bandsf b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT doc_a, doc_b, ROUND(({eq_terms}) / {num_hashes}.0, 4) AS est_jaccard
+  FROM cand
+  JOIN sig sa ON sa.doc_id = doc_a
+  JOIN sig sb ON sb.doc_id = doc_b
+),
+neg AS (
+  SELECT doc_a, doc_b, est_jaccard,
+         ROW_NUMBER() OVER (PARTITION BY doc_a ORDER BY est_jaccard DESC, doc_b) AS rk
+  FROM est WHERE est_jaccard < 0.15
+)
+SELECT doc_a, doc_b, est_jaccard, 'pos' AS pair_type
+FROM est WHERE est_jaccard >= 0.5
+UNION ALL
+SELECT doc_a, doc_b, est_jaccard, 'hard_neg' AS pair_type
+FROM neg WHERE rk <= 3
+"""
+
+
+@register("contrastive_pairs_minhash", oracle=_contrastive_pairs_oracle())
+def contrastive_pairs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining for embedding models: POSITIVES
+    are near-duplicate candidates (estimated Jaccard >= 0.5); HARD
+    NEGATIVES are pairs that share a minhash bucket yet measure
+    dissimilar (est < 0.15) — textually confusable but distinct, the
+    negatives that actually teach a bi-encoder — ranked per anchor by
+    hardness (est DESC) and capped at 3. Both labels fall out of ONE
+    banded candidate pass with 1-ROW bands (coarse blocking is the
+    point here: hard-negative mining WANTS the high-recall candidate
+    set the 4-row dedup bands deliberately suppress); the ambiguous
+    middle (0.15–0.5) is dropped.
+
+    Scale: same plan family as dedup_minhash_portable — bucket
+    equi-join, ids-only candidates, signatures rejoin survivors; the
+    coarser bands raise candidate volume (the accepted hard-neg-mining
+    trade), and the per-anchor top-3 window bounds the OUTPUT to 3
+    rows per doc. Estimates are exact /64 fractions, fully
+    value-hash-checkable."""
+    from pyspark.sql.window import Window
+
+    pairs = dedup.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        num_hashes=64,
+        bands=64,
+        threshold=0.0,
+        portable=True,
+        max_bucket_size=32,
+    )
+    pos = pairs.filter(F.col("est_jaccard") >= 0.5).select(
+        "doc_a", "doc_b", "est_jaccard", F.lit("pos").alias("pair_type")
+    )
+    w = Window.partitionBy("doc_a").orderBy(F.col("est_jaccard").desc(), "doc_b")
+    neg = (
+        pairs.filter(F.col("est_jaccard") < 0.15)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_a", "doc_b", "est_jaccard", F.lit("hard_neg").alias("pair_type"))
+    )
+    return pos.unionByName(neg)
+
+
 @register("dedup_minhash_portable", oracle=_minhash_portable_oracle())
 def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + 16-band LSH with the engine-portable md5-affine hash

@@ -262,3 +262,22 @@ def test_minhash_cross_contamination_no_train_train_pairs(spark):
         train, ev, "doc_id", "text", threshold=0.3
     ).collect()
     assert out == []
+
+
+def test_minhash_bucket_cap_drops_hot_buckets(spark):
+    """max_bucket_size prunes candidates from oversized buckets: with a
+    cap of 1 every bucket is degenerate and NO pairs survive, while the
+    uncapped run still finds the identical-doc pair."""
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+        ],
+        "doc_id int, text string",
+    )
+    uncapped = dedup.minhash_lsh_pairs(df, "doc_id", "text", threshold=0.5)
+    assert uncapped.count() == 1
+    capped = dedup.minhash_lsh_pairs(
+        df, "doc_id", "text", threshold=0.5, max_bucket_size=1
+    )
+    assert capped.count() == 0
