@@ -484,6 +484,77 @@ def lsh_dup_pairs_portable(
     )
 
 
+def semantic_contamination_portable(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    dim: int = 64,
+    num_planes: int = 4,
+    num_tables: int = 16,
+    seed: int = 42,
+    scale: int = 1000,
+) -> DataFrame:
+    """Semantic decontamination: flag training vectors whose cosine to ANY
+    held-out eval vector reaches ``threshold`` — the embedding-space
+    third tier of the decontamination suite (exact n-gram, fuzzy
+    lexical MinHash, and this, which catches paraphrased benchmark
+    copies that share no surface n-grams at all).
+
+    Asymmetric like dedup.minhash_cross_contamination: the eval side is
+    benchmark-sized, so its bucket bands AND vectors broadcast — the
+    training corpus streams through broadcast-hash joins and is never
+    self-joined. Buckets come from the exact-integer quantized planes
+    (bit-identical cross-engine); the refine is the exact fold cosine,
+    so the whole tier is value-hash-checkable.
+
+    Returns (train_id, n_eval_hits, max_cosine, first_eval_id) per
+    flagged training vector."""
+    planes_int = quantized_planes(dim, num_planes, num_tables, seed, scale)
+
+    t_vecs = ensure_parallelism(
+        train_df.select(
+            F.col(id_col).alias("train_id"),
+            F.col(vec_col).alias("t_vec"),
+            norm_double(F.col(vec_col)).alias("t_norm"),
+        )
+    )
+    e_vecs = eval_df.select(
+        F.col(id_col).alias("eval_id"),
+        F.col(vec_col).alias("e_vec"),
+        norm_double(F.col(vec_col)).alias("e_norm"),
+    )
+    tb = _int_bucket_bands(
+        t_vecs.select("train_id", "t_vec"), "train_id", "t_vec", planes_int, scale
+    )
+    eb = _int_bucket_bands(
+        e_vecs.select("eval_id", "e_vec"), "eval_id", "e_vec", planes_int, scale
+    )
+    cand = (
+        tb.join(F.broadcast(eb), ["t", "bkt"])
+        .select("train_id", "eval_id")
+        .dropDuplicates(["train_id", "eval_id"])
+    )
+    sim = F.round(
+        _cosine_from_norms(
+            F.col("t_vec"), F.col("e_vec"), F.col("t_norm"), F.col("e_norm")
+        ),
+        6,
+    )
+    hits = (
+        cand.join(t_vecs, "train_id")
+        .join(F.broadcast(e_vecs), "eval_id")
+        .select("train_id", "eval_id", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+    return hits.groupBy("train_id").agg(
+        F.countDistinct("eval_id").alias("n_eval_hits"),
+        F.max("cosine_sim").alias("max_cosine"),
+        F.min("eval_id").alias("first_eval_id"),
+    )
+
+
 def ivf_topk_portable(
     queries_df: DataFrame,
     corpus_df: DataFrame,

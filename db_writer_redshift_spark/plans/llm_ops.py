@@ -591,6 +591,83 @@ SELECT id_a, id_b, cosine_sim FROM sims WHERE cosine_sim >= {threshold}
 """
 
 
+def _semantic_decontam_oracle(threshold: float = 0.2, scale: int = 1000) -> str:
+    """DuckDB twin of semantic decontamination: the integer-quantized
+    hyperplane buckets and exact fold cosines of
+    _embedding_lsh_portable_oracle, restricted to (train, eval)
+    candidates across the vec_id % 20 split and rolled up per training
+    vector."""
+    from db_writer_redshift_spark.operators.similarity import quantized_planes
+
+    tables = quantized_planes(scale=scale)
+    bucket_exprs = []
+    for t, tbl in enumerate(tables):
+        bits = " + ".join(
+            "(CASE WHEN list_reduce(list_transform(list_zip(e_int, "
+            f"{[int(v) for v in plane]}"
+            f"), p -> p[1] * p[2]), (a, b) -> a + b) >= 0 THEN {1 << j} ELSE 0 END)"
+            for j, plane in enumerate(tbl)
+        )
+        bucket_exprs.append(f"SELECT vec_id, {t} AS t, {bits} AS bkt FROM vq")
+    bands = "\n  UNION ALL\n  ".join(bucket_exprs)
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+vq AS (
+  SELECT vec_id,
+         list_transform(e, x -> CAST(ROUND(x * {scale}) AS BIGINT)) AS e_int
+  FROM v
+),
+bands AS (
+  {bands}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS train_id, b.vec_id AS eval_id
+  FROM bands a JOIN bands b ON a.t = b.t AND a.bkt = b.bkt
+  WHERE a.vec_id % 20 <> 0 AND b.vec_id % 20 = 0
+),
+sims AS (
+  SELECT train_id, eval_id,
+         ROUND(list_reduce(list_transform(list_zip(x.e, y.e), p -> p[1] * p[2]), (a, b) -> a + b)
+               / (SQRT(list_reduce(list_transform(x.e, q -> q*q), (a, b) -> a + b))
+                  * SQRT(list_reduce(list_transform(y.e, q -> q*q), (a, b) -> a + b))), 6) AS cosine_sim
+  FROM cand JOIN v x ON x.vec_id = train_id JOIN v y ON y.vec_id = eval_id
+)
+SELECT train_id,
+       COUNT(DISTINCT eval_id) AS n_eval_hits,
+       MAX(cosine_sim) AS max_cosine,
+       MIN(eval_id) AS first_eval_id
+FROM sims
+WHERE cosine_sim >= {threshold}
+GROUP BY train_id
+"""
+
+
+@register("decontam_embedding_semantic", oracle=_semantic_decontam_oracle())
+def decontam_embedding_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination — the embedding-space third tier of the
+    suite (exact n-gram `decontam_ngram_overlap`, fuzzy lexical
+    `decontam_minhash_fuzzy`, and this): flag training vectors whose
+    cosine to any held-out eval vector (vec_id % 20 == 0 stands in for
+    the benchmark) reaches the threshold — the check that catches
+    PARAPHRASED benchmark copies sharing no surface n-grams. Threshold
+    0.2 matches the fixture's similarity floor (production uses ~0.9;
+    it is a parameter).
+
+    Scale: eval bucket bands and vectors BROADCAST; the training corpus
+    streams through broadcast-hash joins and never self-joins; buckets
+    are exact-integer quantized-plane signs and the refine is the exact
+    fold cosine — fully value-hash-checkable
+    (operators/similarity.semantic_contamination_portable)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_contamination_portable(
+        emb.filter(F.col("vec_id") % 20 != 0),
+        emb.filter(F.col("vec_id") % 20 == 0),
+        "vec_id",
+        "embedding",
+        threshold=0.2,
+    )
+
+
 @register("dedup_embedding_lsh_portable", oracle=_embedding_lsh_portable_oracle())
 def dedup_embedding_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-blocked embedding near-dup pairs with a FULL value-hash oracle:

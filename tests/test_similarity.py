@@ -170,3 +170,23 @@ def test_lsh_topk_portable_recall_and_exact_scores(spark, emb):
     for pair, sim in a.items():
         if pair in e:
             assert e[pair] == sim, pair
+
+
+def test_semantic_contamination_flags_near_parallel_vector(spark):
+    """A training vector nearly parallel to an eval vector is flagged
+    (cosine ~1); an orthogonal one is not; rollup names the eval hit."""
+    from db_writer_redshift_spark.operators.similarity import (
+        semantic_contamination_portable,
+    )
+
+    dim = 64
+    base = [1.0] + [0.0] * (dim - 1)
+    near = [0.99] + [0.01] * (dim - 1)
+    ortho = [0.0, 1.0] + [0.0] * (dim - 2)
+    train = spark.createDataFrame(
+        [(1, near), (2, ortho)], "vec_id long, embedding array<float>"
+    )
+    ev = spark.createDataFrame([(100, base)], "vec_id long, embedding array<float>")
+    out = semantic_contamination_portable(train, ev, threshold=0.9).collect()
+    assert [(r.train_id, r.first_eval_id) for r in out] == [(1, 100)]
+    assert out[0].max_cosine >= 0.9
