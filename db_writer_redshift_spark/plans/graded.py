@@ -36,7 +36,9 @@ non-vacuous), embedding_truncation_energy (MRL truncation audit,
 all-BIGINT ppm), shuffle_epoch_order (deterministic epoch shuffle,
 all-BIGINT bucket/position), bpe_train_merge_rounds (iterative BPE
 training trajectory, scalar strings/BIGINTs), bpe_tokenize_stats
-(tokenizer application, all-BIGINT per-source budgets), plus the
+(tokenizer application, all-BIGINT per-source budgets),
+contrastive_pairs_minhash and decontam_embedding_semantic (both fully
+value-hash-proven, non-vacuous at sf0.01), plus the
 r1-green relational names rotated out above (safe to re-certify any
 round). Keep one rep per family when swapping — the
 test_window_covers_every_family prefix map is the constraint.
