@@ -72,11 +72,23 @@ def adopt_orphan_table(spark: SparkSession, name: str) -> bool:
     fs, path = _fs_and_path(spark, loc)
     if not fs.exists(path):
         return False
-    has_data = any(
-        f.getPath().getName().endswith(".parquet")
-        for f in fs.listStatus(path)
-    )
-    if not has_data:
+
+    def _holds_parquet(p, depth: int = 3) -> bool:
+        # Recurse into partition subdirectories (k=v layout) so a
+        # partitioned table still registers as having data — a miss here
+        # would turn the next incremental merge into a silent full
+        # overwrite (table_exists -> False). Depth-bounded: deeper than
+        # a few partition levels is not a layout this writer produces.
+        for st in fs.listStatus(p):
+            child = st.getPath()
+            if st.isDirectory():
+                if depth > 0 and _holds_parquet(child, depth - 1):
+                    return True
+            elif child.getName().endswith(".parquet"):
+                return True
+        return False
+
+    if not _holds_parquet(path):
         return False  # created-but-never-written orphan; drop_table cleans it
     spark.sql(
         f"CREATE TABLE {quote_ident(name)} USING parquet LOCATION '{loc}'"

@@ -67,13 +67,26 @@ def publish_tables(tables: dict[str, DataFrame], base_dir: str) -> int:
 
     Returns the committed version number. The version directory is chosen
     past BOTH the committed pointer and any dangling (crashed) directory,
-    so a retry never writes into a partially-written tree.
-    """
+    so a retry never writes into a partially-written tree, and it is
+    CLAIMED with an exclusive ``os.mkdir`` — two concurrent publishers
+    race to distinct version numbers instead of interleaving writes into
+    the same directory. The pointer swap itself is last-writer-wins: with
+    concurrent publishers both snapshots are complete and internally
+    consistent, but which one readers see is unordered — serialize
+    publishers externally when commit ORDER matters (on object stores,
+    the conditional-PUT pointer swap provides that ordering)."""
     if not tables:
         raise ValueError("publish_tables: no tables given")
     os.makedirs(base_dir, exist_ok=True)
-    version = max(current_version(base_dir) or 0, _latest_dir_version(base_dir)) + 1
-    vdir = _version_dir(base_dir, version)
+    version = max(current_version(base_dir) or 0, _latest_dir_version(base_dir))
+    while True:
+        version += 1
+        vdir = _version_dir(base_dir, version)
+        try:
+            os.mkdir(vdir)  # exclusive claim of this version number
+            break
+        except FileExistsError:
+            continue  # another publisher claimed it — take the next
     for name, df in tables.items():
         df.write.mode("overwrite").parquet(os.path.join(vdir, f"{name}.parquet"))
     tmp = os.path.join(base_dir, CURRENT + ".tmp")

@@ -222,24 +222,30 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _sql_str(s: str) -> str:
+    """Single-quoted Spark SQL string literal, backslash-escaped — safe
+    for arbitrary corpus symbols (apostrophes, periods, backslashes), so
+    a punctuation-bearing pair winning a merge round binds cleanly
+    instead of crashing training mid-loop."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def _bpe_merge_expr(sym_col: str, left: str, right: str) -> str:
     """SQL expression merging adjacent symbol pair (left, right) inside a
     '|'-joined symbol string — a greedy left-to-right fold identical to
     DuckDB's ``list_reduce`` twin (which seeds with the FIRST element;
     the empty-seed CASE here reproduces that, per the verify-recipe
-    fold-seed rule)."""
-    import re
-
-    for s in (left, right):
-        if not re.fullmatch(r"[0-9a-zA-Z]+", s):
-            raise ValueError(f"BPE symbol {s!r} not SQL-literal-safe")
-    lr = left + right
+    fold-seed rule). Symbols never contain the '|' separator: words
+    carrying it are excluded from the vocabulary at build time
+    (bpe_train_merges), and merges only concatenate existing symbols."""
+    l, r = _sql_str(left), _sql_str(right)
+    lr = _sql_str(left + right)
     return f"""
 aggregate(split({sym_col}, '[|]'), '', (acc, x) ->
   CASE WHEN acc = '' THEN x
-       WHEN (acc = '{left}' OR endswith(acc, '|' || '{left}')) AND x = '{right}'
-       THEN CASE WHEN acc = '{left}' THEN '{lr}'
-                 ELSE substr(acc, 1, length(acc) - length('{left}') - 1) || '|' || '{lr}' END
+       WHEN (acc = {l} OR endswith(acc, '|' || {l})) AND x = {r}
+       THEN CASE WHEN acc = {l} THEN {lr}
+                 ELSE substr(acc, 1, length(acc) - length({l}) - 1) || '|' || {lr} END
        ELSE acc || '|' || x END)
 """
 
@@ -269,9 +275,13 @@ def bpe_train_merges(
     round with localCheckpoint (the BSP-loop rule from
     operators/dedup.connected_components)."""
     w = words(F.lower(F.col(text_col)))
+    # '|' is the symbol-string separator — a word containing it would
+    # make the fold's split ambiguous on both engines, so such words sit
+    # out of the vocabulary (they tokenize as 1 token downstream, same
+    # as sub-floor-length words).
     vocab = (
         df.select(F.explode(w).alias("w"))
-        .filter(F.length("w") >= 2)
+        .filter((F.length("w") >= 2) & ~F.col("w").contains("|"))
         .groupBy("w")
         .agg(F.count("*").alias("freq"))
     )

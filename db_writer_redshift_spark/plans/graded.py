@@ -47,90 +47,83 @@ test_window_covers_every_family prefix map is the constraint.
 from __future__ import annotations
 
 GRADED_FIRST: list[str] = [
-    # Relational core (scan/filter/agg/join/window/set/subquery/...).
-    # Rotated out for hash-verified _portable tiers (all rotated names
-    # were r1-green and their families keep other reps in the window):
-    # unpivot_status_counts, join_full_outer_nation_presence,
-    # set_except_all_quantities, window_range_frame_price. The _portable
-    # variants stand in for the rows-only engine-internal tiers they
-    # mirror (dedup_embedding_lsh, dedup_simhash_pairs, ann_ivf_topk —
-    # still registered and recall/fidelity-tested in pytest).
-    # Second rotation (same session): q6_revenue_change_sql (r1-green;
-    # filter+agg family keeps q1), dedup_minhash_lsh and ann_lsh_topk
-    # (rows-only engine-internal tiers whose _portable twins in this
-    # window carry full value-hash checks of the same algorithms) make
-    # room for the round-2 operator families at the list tail.
-    # Third rotation: q5_local_supplier_volume (r1-green; join family
-    # keeps q3 + anti + salted), topk_expensive_orders (r1-green; rank
-    # family keeps window_rank), text_lang_id
-    # (text family keeps text_quality_scores + tfidf_top_terms) make
-    # room for the iterative/sketch algorithms with full value-hash
-    # oracles: pagerank_part_supplier, heavy_hitter_tokens,
-    # kmeans_fit_portable_stats — all pure-integer/string outputs, the
-    # canonicalizer-safest class.
-    # Fourth rotation: pivot_status_by_priority (r1-green; grouping
-    # family keeps grouping_sets_mixed) -> exact_quantiles_order_price
-    # (the incremental-agg/selection family's first graded rep —
-    # distributed quickselect, all-BIGINT output); pipeline_chunked_training_mix
-    # (pipeline family keeps pipeline_curated_corpus) ->
-    # text_pii_redaction (the compliance family: typed-placeholder
-    # scrub, md5-of-redacted-bytes proven). Both incoming are
-    # hash-verified locally at sf0.01 AND sf0.1.
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "merge_upsert_orders",
-    "join_anti_customers_no_orders",
-    "join_salted_orders_by_priority",
-    "agg_variance_manual",
-    "agg_approx_percentiles",
-    "agg_listagg_nation_segments",
-    "grouping_sets_mixed",
-    "exact_quantiles_order_price",
-    "window_rank_orders_per_customer",
-    "set_union_high_value_keys",
+    # ---- ROUND-3 WINDOW ----------------------------------------------
+    # Round-2 result: 45/50 green; the 4 hash-fails were one oracle-side
+    # HUGEINT cast bug (VERDICT.md r2), now fixed — those 4 queries STAY
+    # so CORRECTNESS_r03 records them green. agg_approx_percentiles
+    # (no_oracle by design, can never fully pass) is swapped out per
+    # VERDICT r2 #4; its accuracy contract lives in tests/test_approx.py.
+    # Everything else r2-green rotates out for never-graded names,
+    # keeping one representative per family (test_window_covers_every_
+    # family is the constraint). 34 of the 50 names below get their
+    # first driver row this round; union coverage target ≥119/166.
+    #
+    # Keepers (16): the 4 cast-fixed queries + the minimum family reps
+    # whose every member already has a driver row (merge, grouping,
+    # join, set, subquery, scalar, ann-portable, kmeans, chunk, udtf,
+    # asof, tpch-extra).
+    "agg_variance_manual",          # FIXED r3: disc_sum_bp cast
+    "events_sessionization",        # FIXED r3: session_id window-SUM cast
+    "pipeline_curated_corpus",      # FIXED r3: total_chars cast
+    "multimodal_features",          # FIXED r3: total_bytes cast
+    "merge_upsert_orders",          # only merge_ query — must stay
+    "grouping_sets_mixed",          # grouping family fully graded
+    "q3_shipping_priority",         # join family fully graded
+    "set_union_high_value_keys",    # set-ops family fully graded
     "subquery_correlated_max_per_customer",
     "scalar_array_funcs",
-    "events_sessionization",
-    "events_json_extract",
-    # LLM-data-pipeline track
-    "dedup_exact_docs",
-    "dedup_shingle_jaccard",
-    "dedup_minhash_portable",
-    "dedup_simhash_portable",
-    "dedup_embedding_lsh_portable",
-    "dedup_cc_clusters",
-    "ann_lsh_portable",
-    "ann_ivf_portable",
+    "ann_lsh_portable",             # only oracle-bearing in-window ann tier
     "kmeans_assign_stats",
-    "text_quality_scores",
-    "tfidf_top_terms",
-    "chunk_documents_overlap",
-    "decontam_ngram_overlap",
-    "pipeline_curated_corpus",
-    "text_pii_redaction",
-    "embedding_quantize_int8",
+    "chunk_documents_overlap",      # only chunk_ query — must stay
     "udtf_split_sentences",
-    "multimodal_features",
-    # Temporal joins / event analytics
     "asof_join_purchase_attribution",
-    "range_join_purchase_window",
-    "events_funnel_click_purchase",
-    "events_weekly_cohort_retention",
-    "events_zscore_anomaly",
-    # Sampling / graph
-    "sample_stratified_by_lang",
-    "sample_weighted_per_lang",
-    "split_leakage_audit",
-    # Extra TPC-H shapes
     "q2_best_supplier_per_part",
-    "q18_large_volume_orders",
-    # Round-2 additions: new operator families (integer-exact outputs)
-    "embedding_dim_stats",
-    "scd2_customer_history",
-    "retention_sweep_orders",
-    "pagerank_part_supplier",
-    "heavy_hitter_tokens",
-    "kmeans_fit_portable_stats",
+    # Incoming (34) — never graded before; all carry DuckDB oracles and
+    # passed the dtype-faithful tools/oracle_check.py locally.
+    # Incremental-agg / robust-stats family
+    "robust_stats_order_price",
+    "rollup_reuse_daily_monthly",
+    "incremental_agg_orders",
+    # CDC / versioned-table family
+    "snapshot_diff_orders",
+    "scd2_point_in_time_orders",
+    # Relational never-graded
+    "agg_distinct_two_stage",
+    "window_navigation_funcs",      # window-fn family rep (fresh)
+    "topk_per_group_agg",
+    "hist_equiwidth_order_totals",
+    "skew_key_profile",
+    "q14_promo_revenue",
+    # Events never-graded
+    "events_transition_matrix",
+    "events_hourly_locf",
+    "rolling_active_users_7d",
+    # Dedup / decontam / contrastive
+    "dedup_cc_keep_best",
+    "dedup_normalized_fingerprint",
+    "decontam_minhash_fuzzy",
+    "decontam_embedding_semantic",
+    "contrastive_pairs_minhash",
+    # Text / tokenizer
+    "text_lang_id_ngram",
+    "text_token_stats_by_lang",
+    "bpe_train_merge_rounds",
+    "bpe_tokenize_stats",
+    "token_shift_pools",
+    # Quality / drift / mixing
+    "quality_gate_per_source",
+    "drift_chisq_sources",
+    "source_overlap_matrix",
+    "mix_source_reweighting",
+    # Embedding audits
+    "embedding_truncation_energy",
+    # Sampling / splits
+    "split_by_cluster_root",        # sampling family rep (fresh)
+    "shuffle_epoch_order",
+    # Pipelines / multimodal siblings
+    "pipeline_decontaminated_mix",
+    "multimodal_frame_rollup",
+    "copurchase_part_pairs",
 ]
 
 WINDOW = 50

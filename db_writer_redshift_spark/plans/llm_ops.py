@@ -52,7 +52,7 @@ keep AS (
 SELECT lang,
        COUNT(*) AS n_docs,
        ROUND(SUM(CAST(ROUND(quality_score * 1000000) AS BIGINT)) / 1000000.0 / COUNT(*), 4) AS avg_quality,
-       SUM(LENGTH(text)) AS total_chars
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
 FROM gated
 WHERE doc_id IN (SELECT doc_id FROM keep)
 GROUP BY lang
@@ -1096,7 +1096,7 @@ def text_rolling_fingerprint_portable(spark: SparkSession, sf_dir: str) -> DataF
     oracle="""
 SELECT lang,
        COUNT(*) AS n_docs,
-       SUM(len(regexp_extract_all(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS total_tokens,
+       CAST(SUM(len(regexp_extract_all(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS total_tokens,
        ROUND(CAST(SUM(len(regexp_extract_all(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS DOUBLE) / COUNT(*), 4) AS avg_tokens,
        MAX(n_chars) AS max_chars
 FROM documents
@@ -1142,7 +1142,7 @@ WITH media AS (
 )
 SELECT media_type,
        COUNT(*) AS n_items,
-       SUM(n_bytes) AS total_bytes,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
        MIN(checksum) AS min_checksum,
        MAX(16 + (n_bytes % 64)) AS max_width
 FROM media
@@ -1321,9 +1321,9 @@ contam AS (
 )
 SELECT d.lang,
        COUNT(*) AS n_candidates,
-       SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated,
-       SUM(CASE WHEN c.doc_id IS NULL THEN 1 ELSE 0 END) AS n_kept,
-       SUM(CASE WHEN c.doc_id IS NULL THEN d.n_tokens ELSE 0 END) AS tokens_kept
+       CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       CAST(SUM(CASE WHEN c.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN c.doc_id IS NULL THEN d.n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
 FROM deduped d LEFT JOIN contam c USING (doc_id)
 GROUP BY d.lang
 """,
@@ -1383,13 +1383,13 @@ WITH t AS (
 ),
 c AS (
   SELECT bin, doc_id, n_tokens,
-         SUM(n_tokens) OVER (PARTITION BY bin ORDER BY doc_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         CAST(SUM(n_tokens) OVER (PARTITION BY bin ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
   FROM t
 )
 SELECT bin, (cum_tokens - n_tokens) // 256 AS pack_id,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS total_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        ROUND(CAST(SUM(n_tokens) AS DOUBLE) / 256, 4) AS fill_ratio
 FROM c
 GROUP BY bin, (cum_tokens - n_tokens) // 256
@@ -2298,7 +2298,8 @@ def _bpe_cte_prefix(rounds: int = 3) -> str:
     parts = [
         """
 WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents),
-vocab AS (SELECT w, COUNT(*) AS freq FROM tok WHERE LENGTH(w) >= 2 GROUP BY w),
+vocab AS (SELECT w, COUNT(*) AS freq FROM tok
+          WHERE LENGTH(w) >= 2 AND w NOT LIKE '%|%' GROUP BY w),
 v0 AS (SELECT w, array_to_string(string_split_regex(w, ''), '|') AS s, freq FROM vocab)"""
     ]
     for r in range(1, rounds + 1):
@@ -2642,8 +2643,8 @@ ranked AS (
 )
 SELECT source,
        COUNT(*) AS n_docs,
-       SUM(CASE WHEN rn * 2 <= n_group THEN 1 ELSE 0 END) AS n_kept,
-       SUM(CASE WHEN rn * 2 <= n_group THEN n_tokens ELSE 0 END) AS kept_tokens,
+       CAST(SUM(CASE WHEN rn * 2 <= n_group THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN rn * 2 <= n_group THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
        MIN(CASE WHEN rn * 2 <= n_group THEN q_e6 END) AS cutoff_q_e6
 FROM ranked
 GROUP BY source

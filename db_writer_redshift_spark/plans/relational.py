@@ -136,7 +136,7 @@ WITH bp AS (
 )
 SELECT l_returnflag,
        COUNT(*) AS n,
-       SUM(d_bp) AS disc_sum_bp,
+       CAST(SUM(d_bp) AS BIGINT) AS disc_sum_bp,
        CAST(COUNT(*) AS BIGINT) * CAST(SUM(d_bp * d_bp) AS BIGINT)
          - CAST(SUM(d_bp) AS BIGINT) * CAST(SUM(d_bp) AS BIGINT) AS disc_var_num,
        COUNT(*) * (COUNT(*) - 1) AS disc_var_den
@@ -1124,8 +1124,8 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sessions AS (
   SELECT user_id, event_id, ts,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, COUNT(*) AS n_events,

@@ -200,10 +200,17 @@ def merge_sink(
             return
         target = spark.table(table_name)
         merged = upsert_dataframes(target, batch_df.select(*target.columns), primary_key)
-        tmp = table_name + "_stream_tmp"
-        merged.write.mode("overwrite").saveAsTable(tmp)
-        catalog.overwrite_table(spark.table(tmp), table_name)
-        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+        # Unique _temp_<hex> staging name: a crash between the staging
+        # write and the drop can't wedge the next batch (fresh name each
+        # time) and the leftover never surfaces in listings
+        # (catalog._TMP_NAME excludes the generate_tmp_name scheme);
+        # overwrite_table also pre-cleans the location either way.
+        tmp = catalog.generate_tmp_name(table_name)
+        catalog.overwrite_table(merged, tmp)
+        try:
+            catalog.overwrite_table(spark.table(tmp), table_name)
+        finally:
+            catalog.drop_table(spark, tmp)
 
     return (
         stream_df.writeStream.foreachBatch(process)
@@ -350,10 +357,13 @@ def scd2_sink(
             .unionByName(batch.select(*attr_cols))
         )
         merged = scd2_apply(history, snapshot, keys, tracked, ts=int(batch_id))
-        tmp = table_name + "_scd2_tmp"
-        merged.write.mode("overwrite").saveAsTable(tmp)
-        catalog.overwrite_table(spark.table(tmp), table_name)
-        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+        # Crash-safe staging: see merge_sink.
+        tmp = catalog.generate_tmp_name(table_name)
+        catalog.overwrite_table(merged, tmp)
+        try:
+            catalog.overwrite_table(spark.table(tmp), table_name)
+        finally:
+            catalog.drop_table(spark, tmp)
 
     return (
         stream_df.writeStream.foreachBatch(process)
@@ -391,10 +401,13 @@ def incremental_agg_sink(
             return
         summary = spark.table(table_name)
         refreshed = incremental_update(summary, batch_df, keys, state)
-        tmp = table_name + "_iagg_tmp"
-        refreshed.write.mode("overwrite").saveAsTable(tmp)
-        catalog.overwrite_table(spark.table(tmp), table_name)
-        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+        # Crash-safe staging: see merge_sink.
+        tmp = catalog.generate_tmp_name(table_name)
+        catalog.overwrite_table(refreshed, tmp)
+        try:
+            catalog.overwrite_table(spark.table(tmp), table_name)
+        finally:
+            catalog.drop_table(spark, tmp)
 
     return (
         stream_df.writeStream.foreachBatch(process)

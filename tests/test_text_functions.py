@@ -211,13 +211,39 @@ def test_bpe_train_merges_hand_computed_trajectory(spark):
     assert got == [(1, "a", "b", 5), (2, "ab", "ab", 2), (3, "a", "ab", 1)]
 
 
-def test_bpe_merge_expr_rejects_unsafe_symbols(spark):
+def test_bpe_merge_expr_binds_punctuation_symbols(spark):
+    """Real corpora put apostrophes/periods/backslashes in the space-split
+    vocabulary; a punctuation-bearing pair winning a merge round must bind
+    into the fold expression instead of crashing training (ADVICE r2)."""
     from db_writer_redshift_spark.operators.text import _bpe_merge_expr
 
-    import pytest as _pytest
+    row = spark.sql(
+        "SELECT " + _bpe_merge_expr("\"d|o|n|'|t\"", "n", "'") + " AS s"
+    ).collect()[0]
+    assert row.s == "d|o|n'|t"
+    row2 = spark.sql(
+        "SELECT " + _bpe_merge_expr("\"a|\\\\|b\"", "a", "\\") + " AS s"
+    ).collect()[0]
+    assert row2.s == "a\\|b"
 
-    with _pytest.raises(ValueError):
-        _bpe_merge_expr("s", "a'b", "c")
+
+def test_bpe_train_merges_survives_punctuation_corpus(spark):
+    """End-to-end: a corpus whose most frequent pair involves an
+    apostrophe trains without error, and '|'-bearing words are excluded
+    from the vocabulary (separator collision)."""
+    from db_writer_redshift_spark.operators.text import bpe_train_merges
+
+    df = spark.createDataFrame(
+        [("don't don't don't",), ("a|b a|b it.",)], "text string"
+    )
+    got = [
+        (r.merge_round, r.left_sym, r.right_sym, r.n_occurrences)
+        for r in bpe_train_merges(df, "text", rounds=2).collect()
+    ]
+    # vocab: {don't:3, it.:1} — a|b excluded. Round 1 pairs of don't
+    # weighted 3 each; (d,o) wins lexicographically among count-3 ties.
+    assert got[0][3] == 3 and got[0][0] == 1
+    assert all("|" not in l and "|" not in r for _, l, r, _n in got)
 
 
 def test_bpe_train_merges_return_state_tokenizes_words(spark):

@@ -28,6 +28,60 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+_DUCK_INT = {
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+}
+# Types DuckDB's fetchdf() lands as pandas float64. HUGEINT is the trap:
+# SUM(integer) returns HUGEINT, which becomes float64 while Spark's bigint
+# becomes int64 — every value equal, but the driver's hash is
+# dtype-sensitive, so the row hash-fails (VERDICT.md round 2). DECIMAL is
+# float64 in fetchdf too.
+_DUCK_FLOAT = {"HUGEINT", "UHUGEINT", "DOUBLE", "FLOAT", "REAL"}
+
+_SPARK_INT = {"tinyint", "smallint", "int", "bigint"}
+_SPARK_FLOAT = {"float", "double"}
+
+
+def _duck_kind(typename: str) -> str | None:
+    t = typename.upper()
+    if t in _DUCK_INT:
+        return "int"
+    if t in _DUCK_FLOAT or t.startswith("DECIMAL"):
+        return "float"
+    return None
+
+
+def _spark_kind(simple: str) -> str | None:
+    if simple in _SPARK_INT:
+        return "int"
+    if simple in _SPARK_FLOAT:
+        return "float"
+    return None
+
+
+def dtype_mismatches(sdf, con, oracle: str) -> list[str]:
+    """Numeric-kind disagreements the driver's hash would flap on.
+
+    The driver fetches the oracle via fetchdf() (pandas) and hashes
+    dtype-sensitively; an integer-valued column arriving as float64 on one
+    side only (the HUGEINT signature) fails even when every value matches.
+    DESCRIBE gives DuckDB's declared output types without running the query.
+    """
+    duck_types = {r[0]: r[1] for r in con.execute(f"DESCRIBE {oracle}").fetchall()}
+    out = []
+    for field in sdf.schema.fields:
+        sk = _spark_kind(field.dataType.simpleString())
+        dt = duck_types.get(field.name)
+        dk = _duck_kind(dt) if dt is not None else None
+        if sk and dk and sk != dk:
+            out.append(
+                f"column {field.name!r}: spark={field.dataType.simpleString()} "
+                f"vs duck={dt} (pandas {dk}64) — CAST the oracle expression"
+            )
+    return out
+
+
 def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -58,12 +112,20 @@ def compare_query(spark, name: str, sf_dir: str, con=None) -> dict:
     close = con is None
     con = con or duck_connection(sf_dir)
     try:
+        dtype_bad = dtype_mismatches(sdf, con, oracle)
         res = con.execute(oracle)
         dcols = [d[0] for d in res.description]
         drows = res.fetchall()
     finally:
         if close:
             con.close()
+    if dtype_bad:
+        return {
+            "name": name,
+            "status": "mismatch",
+            "rows": len(srows),
+            "detail": "dtype (driver hash-fails even on equal values): " + "; ".join(dtype_bad),
+        }
     if sorted(scols) != sorted(dcols):
         return {
             "name": name,
