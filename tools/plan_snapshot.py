@@ -57,6 +57,8 @@ SHOWCASE = [
     ("q15_top_supplier", "scalar-MAX subquery: 1-row aggregate broadcast back, revenue exchange reused"),
     ("embedding_truncation_energy", "MRL truncation audit: higher-order array aggregates, no explode, one label rollup"),
     ("bpe_tokenize_stats", "BPE application: trained vocab broadcasts, corpus probes it, map-side-combined source rollup"),
+    ("bm25_bigram_topk", "lexical retrieval: query-bigram probe filters at the explode, stats broadcast, per-query top-k window"),
+    ("retrieval_rrf_fusion", "hybrid rerank: BM25 candidates joined to broadcast quality prior, fusion windows bounded by candidate k"),
 ]
 
 
