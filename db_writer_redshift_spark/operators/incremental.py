@@ -74,3 +74,73 @@ def incremental_update(
     summary. Equivalent to re-aggregating history+batch from scratch
     (tests/test_incremental.py proves equality on random splits)."""
     return merge_agg_state(summary, agg_state(new_rows, keys, state), keys, state)
+
+
+# ---------------------------------------------------------------------------
+# Incremental JOIN-view maintenance
+# ---------------------------------------------------------------------------
+
+
+def incremental_join_insert(
+    mv: DataFrame,
+    a_old: DataFrame,
+    delta_a: DataFrame,
+    b_new: DataFrame,
+    delta_b: DataFrame,
+    on: list[str],
+) -> DataFrame:
+    """Refresh a materialized INNER-join view under insert-only deltas.
+
+    The classic delta rule: with A_new = A_old ∪ ΔA and
+    B_new = B_old ∪ ΔB,
+
+        A_new ⋈ B_new = (A_old ⋈ B_old)  -- the stored view
+                      ∪ (ΔA ⋈ B_new)     -- new left rows see ALL right
+                      ∪ (A_old ⋈ ΔB)     -- old left rows see new right
+
+    (ΔA ⋈ ΔB is inside the ΔA ⋈ B_new leg — no fourth term, no double
+    count.) Cost is two delta-sized joins; the accumulated history A_old
+    appears only opposite ΔB, and the stored view is never re-joined.
+    At 100 TB the delta legs broadcast when the batch is small, and the
+    A_old ⋈ ΔB leg prunes to ΔB's key range under partitioned storage.
+
+    Column contract: ``mv`` has exactly the columns of
+    ``a ⋈ b on keys`` (keys once, then both payloads); the output keeps
+    that shape via unionByName.
+    """
+    leg_a = delta_a.join(b_new, on)
+    leg_b = a_old.join(delta_b, on)
+    return mv.unionByName(leg_a.select(*mv.columns)).unionByName(
+        leg_b.select(*mv.columns)
+    )
+
+
+def incremental_join_upsert(
+    mv: DataFrame,
+    a_new: DataFrame,
+    b_new: DataFrame,
+    affected_keys: DataFrame,
+    on: list[str],
+) -> DataFrame:
+    """Refresh a materialized INNER-join view under keyed UPSERT deltas
+    (rows replaced in place, so old contributions must retract).
+
+    Affected-key recompute: view rows whose join key appears in
+    ``affected_keys`` are dropped (the retraction) and recomputed from
+    the updated base relations, restricted to those keys. Exact under
+    arbitrary N:M fanout — the whole key's output is rebuilt, never
+    patched row-wise.
+
+    Scale: cost ∝ affected keys. ``affected_keys`` (one column per join
+    key, distinct) broadcasts into both the anti-join and the semi-join
+    when the batch is small; the base-table semi joins prune to the
+    affected key range under partitioned/bucketed storage.
+    """
+    keys_b = F.broadcast(affected_keys.select(*on).distinct())
+    kept = mv.join(keys_b, on, "left_anti")
+    recomputed = (
+        a_new.join(keys_b, on, "left_semi")
+        .join(b_new, on)
+        .select(*mv.columns)
+    )
+    return kept.unionByName(recomputed)

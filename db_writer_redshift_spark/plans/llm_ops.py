@@ -2084,6 +2084,79 @@ def mix_source_reweighting(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mix_token_budget_waterfill",
+    oracle="""
+WITH per_src AS (
+  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens, COUNT(*) AS n_sources,
+         CAST(SUM(n_tokens) AS BIGINT) * 6 // 10 AS budget
+  FROM per_src
+),
+ranked AS (
+  SELECT source, n_tokens, total_tokens, n_sources, budget,
+         ROW_NUMBER() OVER w AS pos,
+         CAST(SUM(n_tokens) OVER (ORDER BY n_tokens, source
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS prefix,
+         LAG(n_tokens, 1, 0) OVER w AS prev_tokens
+  FROM per_src, tot
+  WINDOW w AS (ORDER BY n_tokens, source)
+),
+cand AS (
+  SELECT pos, prefix - n_tokens AS pk,
+         (budget - (prefix - n_tokens)) // (n_sources - pos + 1) AS level,
+         n_sources - pos + 1 AS m
+  FROM ranked
+  WHERE (budget - (prefix - n_tokens)) // (n_sources - pos + 1) >= prev_tokens
+),
+lvl AS (
+  SELECT pos AS cut_pos, level, m, budget - pk - m * level AS remainder
+  FROM cand ORDER BY pos DESC LIMIT 1
+)
+SELECT source, n_tokens,
+       CASE WHEN pos < cut_pos THEN n_tokens
+            ELSE LEAST(n_tokens,
+                       level + CASE WHEN pos - cut_pos + 1 <= remainder
+                                    THEN 1 ELSE 0 END)
+       END AS alloc_tokens,
+       CASE WHEN pos >= cut_pos AND n_tokens > level THEN 1 ELSE 0 END AS is_capped
+FROM ranked, lvl
+""",
+)
+def mix_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget allocation by water-filling (source capping): given a
+    global budget of 60% of corpus tokens, find the integer water level T
+    so every source keeps min(its tokens, T) and the allocations sum to
+    the budget — small sources keep everything, large sources are capped
+    at a COMMON level instead of proportionally (the standard source-cap
+    rule in LLM data mixing; complements mix_source_reweighting's
+    uniform-target weights).
+
+    Integer-exact: sources sort ascending by (tokens, source); for cut
+    position p the trial level is ``(B - prefix_{p-1}) div (n-p+1)``,
+    the chosen cut is the LAST position whose trial level covers the
+    previous source (so everything below the cut is genuinely uncapped);
+    the division remainder goes one token each to the first capped
+    sources in sort order. Every step is BIGINT arithmetic — both
+    engines compute the identical allocation.
+
+    Scale: the windows run over the per-source AGGREGATE (one row per
+    source — bounded by the catalog of sources, not the corpus), after
+    one map-side-combined token count; the 1-row level relation
+    broadcasts back (operators/mixing.py)."""
+    from db_writer_redshift_spark.operators.mixing import waterfill_allocation
+
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("n_tokens")
+    )
+    budget = F.expr("(CAST(SUM(n_tokens) AS BIGINT) * 6) div 10")
+    return waterfill_allocation(per_src, budget)
+
+
+@register(
     "heavy_hitter_tokens",
     oracle="""
 WITH tok AS (

@@ -2093,6 +2093,98 @@ def incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "incremental_join_mv_orders",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+       c_name, c_nationkey
+FROM orders JOIN customer ON o_custkey = c_custkey
+""",
+)
+def incremental_join_mv_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized JOIN-view refresh under insert-only deltas
+    (operators/incremental.incremental_join_insert): the orders⋈customer
+    view bootstraps from pre-1995 orders against the early customer
+    partition, then BOTH sides grow — 1995+ orders arrive as ΔA and the
+    c_custkey%10==0 customers as late-arriving ΔB — and the delta-rule
+    refresh (view ∪ ΔA⋈B_new ∪ A_old⋈ΔB) must equal the from-scratch
+    join, which is exactly what the oracle computes.
+
+    Scale: the stored view is never re-joined; the two delta legs are
+    batch-sized, and the only history-touching join (A_old⋈ΔB) prunes to
+    ΔB's key range under key-partitioned storage."""
+    from db_writer_redshift_spark.operators.incremental import (
+        incremental_join_insert,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        (F.round(F.col("o_totalprice") * 100)).cast("bigint").alias("cents"),
+        "o_orderdate",
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name", "c_nationkey"
+    )
+    cutoff = F.lit("1995-01-01").cast("date")
+    a_old = o.filter(F.col("o_orderdate") < cutoff).drop("o_orderdate")
+    delta_a = o.filter(F.col("o_orderdate") >= cutoff).drop("o_orderdate")
+    late_b = F.col("o_custkey") % 10 == 0
+    b_old, delta_b = c.filter(~late_b), c.filter(late_b)
+    mv = a_old.join(b_old, "o_custkey").select(
+        "o_orderkey", "o_custkey", "cents", "c_name", "c_nationkey"
+    )
+    return incremental_join_insert(
+        mv, a_old, delta_a, c, delta_b, on=["o_custkey"]
+    )
+
+
+@register(
+    "incremental_join_upsert_orders",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT)
+         + CASE WHEN o_orderkey % 7 = 0 THEN 100000 ELSE 0 END AS cents,
+       c_name, c_nationkey
+FROM orders JOIN customer ON o_custkey = c_custkey
+""",
+)
+def incremental_join_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized JOIN-view refresh under keyed UPSERTS
+    (operators/incremental.incremental_join_upsert): every
+    o_orderkey%7==0 order gets a price correction, so its OLD view rows
+    must retract — the affected-key recompute drops every view row of a
+    touched customer and rebuilds that key from the updated bases,
+    exact under the join's N:M fanout. Oracle: the from-scratch join
+    with the same corrections applied.
+
+    Scale: refresh cost ∝ affected keys; the distinct affected-key
+    relation broadcasts into the anti/semi joins, and the base-table
+    rebuild prunes to those keys under bucketed storage."""
+    from db_writer_redshift_spark.operators.incremental import (
+        incremental_join_upsert,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        (F.round(F.col("o_totalprice") * 100)).cast("bigint").alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name", "c_nationkey"
+    )
+    bumped = F.col("o_orderkey") % 7 == 0
+    a_new = o.withColumn(
+        "cents", F.col("cents") + F.when(bumped, F.lit(100000)).otherwise(F.lit(0))
+    )
+    mv = o.join(c, "o_custkey").select(
+        "o_orderkey", "o_custkey", "cents", "c_name", "c_nationkey"
+    )
+    affected = o.filter(bumped).select("o_custkey")
+    return incremental_join_upsert(mv, a_new, c, affected, on=["o_custkey"])
+
+
+@register(
     "exact_quantiles_order_price",
     oracle="""
 WITH q AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders)

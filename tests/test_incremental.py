@@ -62,3 +62,76 @@ def test_count_star_counts_rows_with_nulls(spark):
     df = spark.createDataFrame([("a", None), ("a", 2)], "g string, v int")
     got = _canon(agg_state(df, ["g"], STATE))
     assert got == {"a": (2, 2, 2, 2)}  # count(*)=2, sum/min/max ignore NULL
+
+
+# ---------------------------------------------------------------------------
+# Join-view maintenance
+# ---------------------------------------------------------------------------
+
+
+def _join_canon(df):
+    return sorted((r.k, r.av, r.bv) for r in df.collect())
+
+
+def test_join_insert_delta_rule_equals_full_join(spark):
+    """Insert-only delta rule on an N:M join with random splits of both
+    sides must equal the from-scratch join (no dropped or doubled
+    ΔA⋈ΔB pairs)."""
+    import random
+
+    rng = random.Random(11)
+    a = [(rng.randint(1, 6), i) for i in range(80)]
+    b = [(rng.randint(1, 6), 100 + i) for i in range(40)]
+    cut_a, cut_b = 50, 25
+    mk_a = lambda rows: spark.createDataFrame(rows, "k int, av int")
+    mk_b = lambda rows: spark.createDataFrame(rows, "k int, bv int")
+    from db_writer_redshift_spark.operators.incremental import (
+        incremental_join_insert,
+    )
+
+    a_old, da = mk_a(a[:cut_a]), mk_a(a[cut_a:])
+    b_old, db = mk_b(b[:cut_b]), mk_b(b[cut_b:])
+    b_new = b_old.unionByName(db)
+    mv = a_old.join(b_old, "k").select("k", "av", "bv")
+    refreshed = incremental_join_insert(mv, a_old, da, b_new, db, ["k"])
+    full = mk_a(a).join(mk_b(b), "k").select("k", "av", "bv")
+    assert _join_canon(refreshed) == _join_canon(full)
+
+
+def test_join_upsert_retracts_and_rebuilds_fanout_keys(spark):
+    """An upserted A-row on a key with N:M fanout must retract every old
+    view row of that key and rebuild them all from the new bases."""
+    from db_writer_redshift_spark.operators.incremental import (
+        incremental_join_upsert,
+    )
+
+    a0 = spark.createDataFrame([(1, 10), (1, 11), (2, 20)], "k int, av int")
+    b = spark.createDataFrame([(1, 100), (1, 101), (2, 200)], "k int, bv int")
+    mv = a0.join(b, "k").select("k", "av", "bv")
+    # upsert: key 1's av=10 row becomes av=99 (replacement, same k)
+    a_new = spark.createDataFrame([(1, 99), (1, 11), (2, 20)], "k int, av int")
+    affected = spark.createDataFrame([(1,)], "k int")
+    refreshed = incremental_join_upsert(mv, a_new, b, affected, ["k"])
+    full = a_new.join(b, "k").select("k", "av", "bv")
+    assert _join_canon(refreshed) == _join_canon(full)
+    # untouched key 2 must come from the stored view leg, not a rebuild:
+    # dropping key 2 from a_new must not change its output row
+    a_missing2 = spark.createDataFrame([(1, 99), (1, 11)], "k int, av int")
+    still = incremental_join_upsert(mv, a_missing2, b, affected, ["k"])
+    assert (2, 20, 200) in _join_canon(still)
+
+
+def test_join_upsert_handles_deleted_keys(spark):
+    """A key present in affected_keys but absent from the new base
+    relation simply disappears from the view (delete semantics)."""
+    from db_writer_redshift_spark.operators.incremental import (
+        incremental_join_upsert,
+    )
+
+    a0 = spark.createDataFrame([(1, 10), (2, 20)], "k int, av int")
+    b = spark.createDataFrame([(1, 100), (2, 200)], "k int, bv int")
+    mv = a0.join(b, "k").select("k", "av", "bv")
+    a_new = spark.createDataFrame([(2, 20)], "k int, av int")  # key 1 deleted
+    affected = spark.createDataFrame([(1,)], "k int")
+    refreshed = incremental_join_upsert(mv, a_new, b, affected, ["k"])
+    assert _join_canon(refreshed) == [(2, 20, 200)]
