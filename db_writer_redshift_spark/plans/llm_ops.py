@@ -747,10 +747,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(queries, emb, "vec_id", "embedding", k=5)
 
 
-def _ann_lsh_portable_oracle(scale: int = 1000) -> str:
-    """DuckDB twin of the integer-quantized ANN-LSH top-k: same band
-    buckets as the embedding-dedup oracle, brute-force-style exact
-    re-rank restricted to bucket-collided candidates."""
+def _ann_lsh_portable_ctes(scale: int = 1000) -> str:
+    """Shared CTE chain of the integer-quantized ANN-LSH top-k (ends at
+    ``topk``), composable by downstream oracles (ann_recall_audit)."""
     from db_writer_redshift_spark.operators.similarity import quantized_planes
 
     tables = quantized_planes(scale=scale)
@@ -791,9 +790,18 @@ topk AS (
          ROW_NUMBER() OVER (PARTITION BY query_id
                             ORDER BY cosine_sim DESC, neighbor_id) AS nn_rank
   FROM sims
-)
-SELECT query_id, neighbor_id, cosine_sim, nn_rank FROM topk WHERE nn_rank <= 5
-"""
+)"""
+
+
+def _ann_lsh_portable_oracle(scale: int = 1000) -> str:
+    """DuckDB twin of the integer-quantized ANN-LSH top-k: same band
+    buckets as the embedding-dedup oracle, brute-force-style exact
+    re-rank restricted to bucket-collided candidates."""
+    return (
+        _ann_lsh_portable_ctes(scale)
+        + "\nSELECT query_id, neighbor_id, cosine_sim, nn_rank"
+        " FROM topk WHERE nn_rank <= 5\n"
+    )
 
 
 @register("ann_lsh_portable", oracle=_ann_lsh_portable_oracle())
@@ -807,6 +815,77 @@ def ann_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return similarity.lsh_topk_portable(queries, emb, "vec_id", "embedding", k=5)
+
+
+@register(
+    "ann_recall_audit",
+    oracle=_ann_lsh_portable_ctes()
+    + """,
+bf_sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(list_reduce(list_transform(list_zip(q.e, c.e), p -> p[1] * p[2]), (a, b) -> a + b)
+               / (SQRT(list_reduce(list_transform(q.e, x -> x*x), (a, b) -> a + b))
+                  * SQRT(list_reduce(list_transform(c.e, x -> x*x), (a, b) -> a + b))), 6) AS cosine_sim
+  FROM (SELECT * FROM v WHERE vec_id % 50 = 0) q JOIN v c ON q.vec_id <> c.vec_id
+),
+bf_topk AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, neighbor_id) AS exact_rank
+  FROM bf_sims
+),
+approx AS (SELECT query_id, neighbor_id, nn_rank FROM topk WHERE nn_rank <= 5),
+joined AS (
+  SELECT e.query_id, a.nn_rank AS approx_rank
+  FROM (SELECT * FROM bf_topk WHERE exact_rank <= 5) e
+  LEFT JOIN approx a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+)
+SELECT query_id,
+       COUNT(*) AS n_exact,
+       COUNT(approx_rank) AS n_hit,
+       CAST(COALESCE(MIN(approx_rank), 0) AS BIGINT) AS first_hit_rank,
+       CAST(COALESCE(1000000 // MIN(approx_rank), 0) AS BIGINT) AS mrr_e6
+FROM joined
+GROUP BY query_id
+""",
+)
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation as a query: per-query recall@5 and
+    MRR of the portable LSH tier against the exact cosine baseline —
+    the ANN family's accuracy contract (tests/test_similarity.py recall
+    floors) promoted to an oracle-checkable, driver-gradable relation.
+
+    n_hit of n_exact=5 exact neighbors appear in the LSH top-5;
+    first_hit_rank / mrr_e6 locate the best exact neighbor inside the
+    approximate ranking (0 = missed entirely). All-integer output.
+
+    Scale: the exact leg is the documented evaluation-only linear scan —
+    run on a 1-in-50 QUERY SAMPLE, so cost is |sample|x|corpus| and the
+    audit amortizes by sampling; like ann_brute_force_topk it stays out
+    of the bench set. The LSH leg is the production-shape plan."""
+    exact = similarity.brute_force_topk(
+        load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 50 == 0),
+        load_table(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        k=5,
+    ).select("query_id", "neighbor_id")
+    approx = similarity.lsh_topk_portable(
+        load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 50 == 0),
+        load_table(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        k=5,
+    ).select("query_id", "neighbor_id", F.col("nn_rank").alias("approx_rank"))
+    joined = exact.join(approx, ["query_id", "neighbor_id"], "left")
+    return joined.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_exact"),
+        F.count("approx_rank").cast("long").alias("n_hit"),
+        F.coalesce(F.min("approx_rank"), F.lit(0)).cast("long").alias("first_hit_rank"),
+        F.coalesce(
+            F.expr("1000000 div MIN(approx_rank)"), F.lit(0)
+        ).cast("long").alias("mrr_e6"),
+    )
 
 
 @register(
