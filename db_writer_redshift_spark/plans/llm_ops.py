@@ -888,9 +888,7 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ann_ivf_portable",
-    oracle="""
+_ANN_IVF_PORTABLE_CTES = """
 WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
            FROM embeddings WHERE vec_id < 8),
 v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -927,9 +925,13 @@ topk AS (
          ROW_NUMBER() OVER (PARTITION BY query_id
                             ORDER BY cosine_sim DESC, neighbor_id) AS nn_rank
   FROM sims
-)
-SELECT query_id, neighbor_id, cosine_sim, nn_rank FROM topk WHERE nn_rank <= 5
-""",
+)"""
+
+
+@register(
+    "ann_ivf_portable",
+    oracle=_ANN_IVF_PORTABLE_CTES
+    + "\nSELECT query_id, neighbor_id, cosine_sim, nn_rank FROM topk WHERE nn_rank <= 5\n",
 )
 def ann_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF cell-probe ANN with a FULL value-hash oracle: fixed lowest-id
@@ -941,6 +943,63 @@ def ann_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return similarity.ivf_topk_portable(queries, emb, "vec_id", "embedding", k=5)
+
+
+@register(
+    "ann_ivf_recall_audit",
+    oracle=_ANN_IVF_PORTABLE_CTES
+    + """,
+bf_sims AS (
+  SELECT q.vec_id AS query_id, cv.vec_id AS neighbor_id,
+         ROUND(list_reduce(list_transform(list_zip(q.e, cv.e), p -> p[1] * p[2]), (a, b) -> a + b)
+               / (SQRT(list_reduce(list_transform(q.e, x -> x*x), (a, b) -> a + b))
+                  * SQRT(list_reduce(list_transform(cv.e, x -> x*x), (a, b) -> a + b))), 6) AS cosine_sim
+  FROM (SELECT * FROM v WHERE vec_id % 50 = 0) q JOIN v cv ON q.vec_id <> cv.vec_id
+),
+bf_topk AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, neighbor_id) AS exact_rank
+  FROM bf_sims
+),
+approx AS (SELECT query_id, neighbor_id, nn_rank FROM topk WHERE nn_rank <= 5),
+joined AS (
+  SELECT e.query_id, a.nn_rank AS approx_rank
+  FROM (SELECT * FROM bf_topk WHERE exact_rank <= 5) e
+  LEFT JOIN approx a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+)
+SELECT query_id,
+       COUNT(*) AS n_exact,
+       COUNT(approx_rank) AS n_hit,
+       CAST(COALESCE(MIN(approx_rank), 0) AS BIGINT) AS first_hit_rank,
+       CAST(COALESCE(1000000 // MIN(approx_rank), 0) AS BIGINT) AS mrr_e6
+FROM joined
+GROUP BY query_id
+""",
+)
+def ann_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF sibling of ann_recall_audit: per-query recall@5 + MRR of the
+    portable cell-probe tier vs the exact cosine baseline. Together the
+    two audits make approximate-retrieval quality a measurable relation
+    for BOTH ANN index shapes. Same evaluation-only cost note as the LSH
+    audit: the exact leg runs on the 1-in-50 query sample."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = similarity.brute_force_topk(
+        queries, emb, "vec_id", "embedding", k=5
+    ).select("query_id", "neighbor_id")
+    approx = similarity.ivf_topk_portable(
+        queries, emb, "vec_id", "embedding", k=5
+    ).select("query_id", "neighbor_id", F.col("nn_rank").alias("approx_rank"))
+    joined = exact.join(approx, ["query_id", "neighbor_id"], "left")
+    return joined.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_exact"),
+        F.count("approx_rank").cast("long").alias("n_hit"),
+        F.coalesce(F.min("approx_rank"), F.lit(0)).cast("long").alias("first_hit_rank"),
+        F.coalesce(
+            F.expr("1000000 div MIN(approx_rank)"), F.lit(0)
+        ).cast("long").alias("mrr_e6"),
+    )
 
 
 @register(
