@@ -73,26 +73,34 @@ def adopt_orphan_table(spark: SparkSession, name: str) -> bool:
     if not fs.exists(path):
         return False
 
-    def _holds_parquet(p, depth: int = 3) -> bool:
+    def _holds_parquet(p, depth: int = 3) -> tuple[bool, bool]:
         # Recurse into partition subdirectories (k=v layout) so a
         # partitioned table still registers as having data — a miss here
         # would turn the next incremental merge into a silent full
         # overwrite (table_exists -> False). Depth-bounded: deeper than
         # a few partition levels is not a layout this writer produces.
+        # Returns (has_data, nested): nested data needs partition
+        # recovery after registration.
+        found, nested = False, False
         for st in fs.listStatus(p):
             child = st.getPath()
             if st.isDirectory():
-                if depth > 0 and _holds_parquet(child, depth - 1):
-                    return True
+                if depth > 0 and _holds_parquet(child, depth - 1)[0]:
+                    found, nested = True, True
             elif child.getName().endswith(".parquet"):
-                return True
-        return False
+                found = True
+        return found, nested
 
-    if not _holds_parquet(path):
+    has_data, nested = _holds_parquet(path)
+    if not has_data:
         return False  # created-but-never-written orphan; drop_table cleans it
     spark.sql(
         f"CREATE TABLE {quote_ident(name)} USING parquet LOCATION '{loc}'"
     )
+    if nested:
+        # Hive-partitioned layout: the catalog entry knows the partition
+        # schema but not the partition directories until recovered.
+        spark.catalog.recoverPartitions(name)
     return True
 
 

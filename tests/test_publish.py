@@ -94,3 +94,19 @@ def test_diff_versions_between_publishes(spark, base):
         for r in publish.diff_versions(spark, base, "facts", ["k"]).collect()
     }
     assert got == {1: "delete", 2: "update", 3: "insert"}
+
+
+def test_concurrent_publisher_claim_bumps_version(spark, base):
+    """Version directories are claimed with an exclusive mkdir: if another
+    publisher has already created v=N (even empty — its writes may not
+    have landed yet), a publish skips to N+1 instead of interleaving
+    writes into the same directory (round-2 ADVICE)."""
+    df = spark.range(3).toDF("id")
+    v1 = publish.publish_tables({"t": df}, base)
+    assert v1 == 1
+    # another publisher's in-flight claim of v=2
+    os.mkdir(os.path.join(base, "v=2"))
+    v3 = publish.publish_tables({"t": df}, base)
+    assert v3 == 3
+    assert publish.current_version(base) == 3
+    assert publish.read_table(spark, base, "t").count() == 3

@@ -166,6 +166,43 @@ def test_merge_sink_idempotent_upsert(spark, events_dir, tmp_path):
         catalog.drop_table(spark, "events_merged")
 
 
+def test_merge_sink_survives_orphan_staging_table(spark, events_dir, tmp_path):
+    """Crash-recovery regression (round-2 ADVICE): a previous run that
+    died between the staging write and its drop leaves parquet at a
+    staging location. The sink must not wedge on it (unique per-batch
+    staging names + location-cleaning overwrite), and the leftover must
+    never surface as a user table in listings."""
+    from db_writer_redshift_spark.operators import catalog
+
+    # Simulate the crash artifact: orphan parquet at a _temp_ location
+    # of the target's staging-name scheme, with NO catalog entry (the
+    # crashed session's in-memory catalog died with it).
+    orphan = "events_merged2_temp_deadbeef01"
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    spark.range(3).write.mode("overwrite").parquet(
+        wh.rstrip("/") + "/" + orphan
+    )
+    src = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    try:
+        q = (
+            merge_sink(
+                src, "events_merged2", ["event_id"], str(tmp_path / "ck_merge2")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.table("events_merged2")
+        assert sorted(r.event_id for r in got.collect()) == [1, 2, 3, 4, 5]
+        # the staging leftover is invisible to listings (tmp-name scheme)
+        assert orphan not in catalog.show_tables(spark)
+        # and no _temp_ staging tables leak from the successful batches
+        assert not [t for t in spark.catalog.listTables() if "_temp_" in t.name]
+    finally:
+        catalog.drop_table(spark, "events_merged2")
+        catalog.drop_table(spark, orphan)
+
+
 def test_csv_stream_same_dialect(spark, tmp_path):
     """CSV files dropped into a watched dir stream through with the pinned
     dialect intact (quote-doubling survives)."""

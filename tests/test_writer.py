@@ -253,6 +253,26 @@ def test_orphan_warehouse_table_adopted_across_catalog_loss(spark):
     assert not os.path.exists(loc)  # drop cleans the managed location
 
 
+def test_partitioned_orphan_is_adopted(spark):
+    """Partition-layout orphans (parquet nested under k=v subdirectories,
+    no top-level files) must still register as having data — a probe
+    miss would turn the next incremental merge into a silent full
+    overwrite (round-2 ADVICE)."""
+    from db_writer_redshift_spark.operators import catalog
+
+    name = "orphan_partitioned"
+    loc = catalog._managed_location(spark, name).replace("file:", "")
+    assert not spark.catalog.tableExists(name)
+    spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y")], "id int, v string, p string"
+    ).write.partitionBy("p").parquet(loc)
+    try:
+        assert catalog.table_exists(spark, name)  # adopted despite nesting
+        assert spark.table(name).count() == 2
+    finally:
+        catalog.drop_table(spark, name)
+
+
 def test_empty_orphan_dir_does_not_block_write(spark):
     """A created-but-never-written orphan directory (no parquet inside)
     is not a table, and a fresh write over that name succeeds."""
