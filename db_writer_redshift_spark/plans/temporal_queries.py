@@ -519,3 +519,67 @@ def rolling_active_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "events_ewma_per_user",
+    oracle="""
+WITH arr AS (
+  SELECT user_id,
+         list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vs,
+         COUNT(*) AS n_events
+  FROM events GROUP BY user_id
+),
+capped AS (
+  SELECT user_id, n_events,
+         CASE WHEN len(vs) > 64 THEN vs[len(vs) - 63 :] ELSE vs END AS cv
+  FROM arr
+)
+SELECT user_id, n_events,
+       ROUND(list_reduce(cv, (acc, x) -> acc * 0.75 + x * 0.25), 6) AS ewma_value
+FROM capped
+""",
+)
+def events_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of each user's event values
+    (alpha = 0.25) — the smoothing companion to events_zscore_anomaly's
+    global 3-sigma gate: the per-entity baseline a drifting sensor or
+    spend stream is compared against.
+
+    Determinism: EWMA is an ordered SEQUENTIAL FOLD, so both engines run
+    the identical chain of IEEE ops (Spark ``aggregate`` seeded with the
+    first element to match DuckDB ``list_reduce``'s first-element seed —
+    the verify-recipe fold-seed rule) and the result is bit-identical;
+    rounded once per group at output. No summed-then-rounded term ever
+    feeds the hash.
+
+    Scale: state per user is the trailing 64 values (contributions
+    beyond that are < (3/4)^64 ~ 1e-8 — below the rounded output), so
+    per-group memory is capped regardless of history length; the
+    collect+fold shares the single user_id shuffle. For unbounded
+    per-entity streams the same fold runs incrementally in
+    streaming/jobs.py's stateful shapes."""
+    e = load_table(spark, sf_dir, "events")
+    arr = e.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(ts, event_id, "
+            "CAST(value AS DOUBLE) AS v))), s -> s.v)"
+        ).alias("vs"),
+        F.count("*").alias("n_events"),
+    )
+    capped = arr.select(
+        "user_id",
+        "n_events",
+        F.expr(
+            "CASE WHEN size(vs) > 64 THEN slice(vs, size(vs) - 63, 64) ELSE vs END"
+        ).alias("cv"),
+    )
+    return capped.select(
+        "user_id",
+        "n_events",
+        F.expr(
+            "round(aggregate(slice(cv, 2, size(cv) - 1),"
+            " element_at(cv, 1),"
+            " (acc, x) -> acc * CAST(0.75 AS DOUBLE) + x * CAST(0.25 AS DOUBLE)), 6)"
+        ).alias("ewma_value"),
+    )
