@@ -272,3 +272,34 @@ def test_epoch_shuffle_is_a_permutation(spark):
         for r in shuffle_epoch_order(spark, sf).collect()
     }
     assert again == rows
+
+
+@given(
+    counts=st.lists(
+        st.integers(min_value=0, max_value=10_000), min_size=1, max_size=8
+    ),
+    budget_pct=st.integers(min_value=0, max_value=100),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_waterfill_budget_exact_and_bounded(spark, counts, budget_pct):
+    """Water-filling invariants for arbitrary source-count profiles:
+    allocations are per-source bounded, ordered monotonically with
+    tokens, and sum EXACTLY to the budget whenever budget <= total."""
+    from pyspark.sql import functions as F
+
+    from db_writer_redshift_spark.operators.mixing import waterfill_allocation
+
+    total = sum(counts)
+    budget = total * budget_pct // 100
+    per_src = spark.createDataFrame(
+        [(f"s{i}", n) for i, n in enumerate(counts)],
+        "source string, n_tokens long",
+    )
+    out = waterfill_allocation(per_src, F.lit(budget).cast("long")).collect()
+    got = {r.source: r.alloc_tokens for r in out}
+    assert all(0 <= got[f"s{i}"] <= n for i, n in enumerate(counts))
+    assert sum(got.values()) == budget
