@@ -583,3 +583,99 @@ def events_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (acc, x) -> acc * CAST(0.75 AS DOUBLE) + x * CAST(0.25 AS DOUBLE)), 6)"
         ).alias("ewma_value"),
     )
+
+
+@register(
+    "events_cusum_drift",
+    oracle="""
+WITH v AS (
+  SELECT user_id, event_type, ts, event_id,
+         CAST(ROUND(value * 1000000) AS BIGINT) AS v_e6
+  FROM events
+),
+tm AS (
+  SELECT event_type, CAST(SUM(v_e6) AS BIGINT) // COUNT(*) AS mean_e6
+  FROM v GROUP BY event_type
+),
+d AS (
+  SELECT user_id, v.event_type, ts, event_id, v_e6 - mean_e6 AS dd
+  FROM v JOIN tm ON v.event_type = tm.event_type
+),
+p AS (
+  SELECT user_id, event_type, ts, event_id, dd,
+         CAST(SUM(dd) OVER w AS BIGINT) AS pre
+  FROM d
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+c AS (
+  SELECT user_id, event_type, dd, pre,
+         pre - LEAST(CAST(0 AS BIGINT), MIN(pre) OVER w) AS cus
+  FROM p
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_type,
+       COUNT(*) AS n_events,
+       CAST(MAX(cus) AS BIGINT) AS peak_cusum_e6,
+       CAST(SUM(dd) AS BIGINT) - LEAST(CAST(0 AS BIGINT), MIN(pre)) AS final_cusum_e6
+FROM c
+GROUP BY user_id, event_type
+""",
+)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change-point statistic per (user, event_type):
+    how far each entity's values have drifted ABOVE the population mean
+    of its event type — the classic upward-shift detector
+    (c_i = max(0, c_{i-1} + (x_i - target))), complementing the EWMA
+    baseline and the 3-sigma point gate.
+
+    Computed in CLOSED FORM instead of a recursive fold:
+    ``c_i = P_i - min(0, min_{j<=i} P_j)`` over the running delta sum
+    P — plain window functions, so the whole statistic is exact BIGINT
+    arithmetic on e6-scaled values with a bit-identical DuckDB twin (no
+    per-row recursion, no float accumulation). Target = per-type mean as
+    a floor-divided integer.
+
+    Scale: one map-side-combined per-type mean (broadcast back), then
+    both windows and the final rollup share a single
+    (user_id, event_type) shuffle; state per row is two BIGINTs."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 1000000).cast("bigint").alias("v_e6"),
+    )
+    tm = v.groupBy("event_type").agg(
+        F.expr("CAST(SUM(v_e6) AS BIGINT) div COUNT(*)").alias("mean_e6")
+    )
+    d = v.join(F.broadcast(tm), "event_type").select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        (F.col("v_e6") - F.col("mean_e6")).alias("dd"),
+    )
+    w = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = d.withColumn("pre", F.sum("dd").over(w).cast("bigint"))
+    c = p.withColumn(
+        "cus",
+        F.col("pre")
+        - F.least(F.lit(0).cast("bigint"), F.min("pre").over(w)),
+    )
+    return c.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.max("cus").cast("bigint").alias("peak_cusum_e6"),
+        (
+            F.sum("dd").cast("bigint")
+            - F.least(F.lit(0).cast("bigint"), F.min("pre"))
+        ).alias("final_cusum_e6"),
+    )
