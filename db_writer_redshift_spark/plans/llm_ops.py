@@ -95,6 +95,127 @@ def pipeline_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_attrition_funnel",
+    oracle=r"""
+WITH train AS (SELECT * FROM documents WHERE doc_id % 20 <> 0),
+base AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_tokens,
+         ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')), 6) AS a6,
+         ROUND(CAST(LENGTH(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / LENGTH(text), 6) AS p6,
+         ROUND(CAST(len(list_filter(string_split(LOWER(text), ' '), x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+               / len(string_split(text, ' ')), 6) AS s6
+  FROM train
+),
+q AS (
+  SELECT doc_id, source, n_tokens,
+         ROUND(1.0 - LEAST(1.0, ABS(a6 - 5) / 5) * 0.3
+                   - LEAST(1.0, p6 * 10) * 0.3
+                   - LEAST(1.0, ABS(s6 - 0.4)) * 0.4, 6) AS quality_score
+  FROM base
+),
+gated AS (
+  SELECT doc_id, source, n_tokens FROM q
+  WHERE quality_score >= 0.83 AND n_tokens >= 30
+),
+keep AS (
+  SELECT MIN(g.doc_id) AS doc_id
+  FROM gated g JOIN train t ON g.doc_id = t.doc_id
+  GROUP BY md5(t.text)
+),
+docs5 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS g
+  FROM docs5, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+  WHERE len(w) >= 5
+),
+contam AS (
+  SELECT DISTINCT tr.doc_id
+  FROM (SELECT * FROM grams WHERE doc_id % 20 <> 0) tr
+  JOIN (SELECT * FROM grams WHERE doc_id % 20 = 0) ev ON tr.g = ev.g
+),
+flags AS (
+  SELECT t.source,
+         CASE WHEN g.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f_gate,
+         CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f_dedup,
+         CASE WHEN k.doc_id IS NOT NULL AND c.doc_id IS NULL THEN 1 ELSE 0 END AS f_clean,
+         CASE WHEN k.doc_id IS NOT NULL AND c.doc_id IS NULL THEN g.n_tokens ELSE 0 END AS tok
+  FROM train t
+  LEFT JOIN gated g ON t.doc_id = g.doc_id
+  LEFT JOIN keep k ON t.doc_id = k.doc_id
+  LEFT JOIN contam c ON t.doc_id = c.doc_id
+)
+SELECT source,
+       COUNT(*) AS n_raw,
+       CAST(SUM(f_gate) AS BIGINT) AS n_gated,
+       CAST(SUM(f_dedup) AS BIGINT) AS n_deduped,
+       CAST(SUM(f_clean) AS BIGINT) AS n_clean,
+       CAST(SUM(tok) AS BIGINT) AS tokens_final
+FROM flags
+GROUP BY source
+""",
+)
+def pipeline_attrition_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auditable curation funnel: per-source document counts surviving
+    each stage of the pipeline — raw → quality gate → exact dedup →
+    benchmark decontamination — plus the final token budget. The
+    accounting relation a data-governance review asks for: WHERE did
+    each source's documents go, stage by stage.
+
+    Composes the same operators the individual stages register
+    (text.quality_features gate, dedup.exact_dedup min-id keep list,
+    dedup.ngram_overlap eval-collision flags); counts are conditional
+    sums over one flags relation built from id-only left joins.
+
+    Scale: the gate is scan-stage; the keep and contamination relations
+    carry ids only (keep is distinct-contents-sized, contamination is
+    eval-collision-sized — both broadcastable); the final rollup is a
+    map-side-combined aggregate on source."""
+    d = load_table(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 20 != 0)
+    eval_side = d.filter(F.col("doc_id") % 20 == 0)
+    q = text.quality_features(train, "doc_id", "text").select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+    gated = train.select("doc_id", "source", "text").join(
+        q.filter(
+            (F.col("quality_score") >= 0.83) & (F.col("n_tokens") >= 30)
+        ).select("doc_id", "n_tokens"),
+        "doc_id",
+    )
+    keep = dedup.exact_dedup(gated, "doc_id", "text").select(
+        F.col("keep_id").alias("doc_id"), F.lit(1).alias("f_dedup")
+    )
+    contam = (
+        dedup.ngram_overlap(train, eval_side, "doc_id", "text", n=5)
+        .select(F.col("train_id").alias("doc_id"))
+        .distinct()
+        .withColumn("f_contam", F.lit(1))
+    )
+    flags = (
+        train.select("doc_id", "source")
+        .join(
+            gated.select("doc_id", F.lit(1).alias("f_gate"), "n_tokens"),
+            "doc_id",
+            "left",
+        )
+        .join(keep, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+    )
+    clean = F.col("f_dedup").isNotNull() & F.col("f_contam").isNull()
+    return flags.groupBy("source").agg(
+        F.count("*").alias("n_raw"),
+        F.count("f_gate").cast("long").alias("n_gated"),
+        F.count("f_dedup").cast("long").alias("n_deduped"),
+        F.sum(F.when(clean, 1).otherwise(0)).cast("long").alias("n_clean"),
+        F.sum(F.when(clean, F.col("n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("tokens_final"),
+    )
+
+
+@register(
     "dedup_exact_docs",
     oracle="""
 SELECT MD5(text) AS fingerprint, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
