@@ -16,32 +16,45 @@ new registrations land AFTER the window unless this list changes too.
 Ordering within the list groups by family; only membership and the
 50-item prefix matter to the driver.
 
-Rotation plan: CORRECTNESS files accumulate per round. Once this window
-is certified (CORRECTNESS_r02), a later round can rotate the prefix to
-the remaining registered queries so every query eventually carries a
-driver-graded row; the union of rounds covers the full registry.
+Rotation plan: CORRECTNESS files accumulate per round; the union of
+rounds covers the full registry (tools/correctness_union.py rolls it
+up). Round 3's window brought 34 first-time names; after it grades,
+the never-graded remainder is ~57 of 176.
 
-Round-3 rotation candidates (all hash-verified locally at sf0.01 AND
-sf0.1 this round, all scalar/non-temporal outputs): snapshot_diff_orders
-(CDC recovery), token_shift_pools (drift), dedup_cc_keep_best
-(transitive keep-best), split_by_cluster_root (leakage-free splits),
-rolling_active_users_7d (rolling distinct), copurchase_part_pairs
-(market basket), text_lang_id_ngram (char-trigram lang ID),
-robust_stats_order_price / rollup_reuse_daily_monthly /
-incremental_agg_orders (incremental-agg family siblings),
-quality_gate_per_source (per-source calibrated quality gate, all-BIGINT
-audit output), decontam_minhash_fuzzy (cross-corpus fuzzy
-decontamination on the portable MinHash family — 2 rows at sf0.01,
-non-vacuous), embedding_truncation_energy (MRL truncation audit,
-all-BIGINT ppm), shuffle_epoch_order (deterministic epoch shuffle,
-all-BIGINT bucket/position), bpe_train_merge_rounds (iterative BPE
-training trajectory, scalar strings/BIGINTs), bpe_tokenize_stats
-(tokenizer application, all-BIGINT per-source budgets),
-contrastive_pairs_minhash and decontam_embedding_semantic (both fully
-value-hash-proven, non-vacuous at sf0.01), plus the
-r1-green relational names rotated out above (safe to re-certify any
-round). Keep one rep per family when swapping — the
-test_window_covers_every_family prefix map is the constraint.
+Round-4 rotation candidates — the ENTIRE registry passed the
+dtype-faithful tools/oracle_check.py at sf0.1 (10x the driver's gate
+scale) in round 3, so every oracle-bearing name is pre-certified.
+Priorities for the round-4 window, keeping one representative per
+family (test_window_covers_every_family's prefix map is the
+constraint):
+  * round-3 additions (new families, never graded): bm25_bigram_topk,
+    retrieval_rrf_fusion, incremental_join_mv_orders,
+    incremental_join_upsert_orders, mix_token_budget_waterfill,
+    ann_recall_audit, ann_ivf_recall_audit, events_ewma_per_user,
+    events_cusum_drift, pipeline_attrition_funnel;
+  * never-graded operator reps: dedup_keep_best_quality,
+    dedup_chunk_exact, multimodal_frame_rollup, pack_training_sequences,
+    text_repetition_scores, text_unigram_logprob, text_token_diversity,
+    text_fingerprint, text_rolling_fingerprint_portable,
+    vocab_topk_terms, vocab_topk_bigrams, bpe_pair_merge_stats,
+    chargram_neighbor_pairs, embedding_norm_stats,
+    embedding_lang_centroids, cluster_label_purity,
+    sample_hash_documents, sample_rebalance_uniform,
+    sample_weighted_priority, sample_neyman_allocation,
+    catalog_profile_orders, dq_constraint_report,
+    agg_distinct_per_segment, topk-but-graded-family siblings;
+  * never-graded TPC-H: q4, q7-q17, q19-q22 (15 names — spread over
+    rounds 4-5; all r3-sf0.1-certified);
+  * NOT candidates (oracle=None, rows-only by design — leave to pytest
+    accuracy contracts): agg_approx_percentiles, agg_approx_distinct,
+    dedup_minhash_lsh, dedup_simhash_pairs, dedup_embedding_lsh,
+    ann_lsh_topk, ann_ivf_topk, text_rolling_fingerprint,
+    kmeans_fit_clusters, embedding_pca_eigvals, hll_partial_union_rollup;
+    plus the two documented non-scale baselines (ann_brute_force_topk,
+    dedup_embedding_cosine) which may be graded last for completeness.
+Keep the four round-2-fixed queries' green rows (no need to re-grade);
+the 16 round-3 keepers can rotate out in round 4 if their family keeps
+a rep.
 """
 
 from __future__ import annotations

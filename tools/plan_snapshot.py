@@ -59,6 +59,10 @@ SHOWCASE = [
     ("bpe_tokenize_stats", "BPE application: trained vocab broadcasts, corpus probes it, map-side-combined source rollup"),
     ("bm25_bigram_topk", "lexical retrieval: query-bigram probe filters at the explode, stats broadcast, per-query top-k window"),
     ("retrieval_rrf_fusion", "hybrid rerank: BM25 candidates joined to broadcast quality prior, fusion windows bounded by candidate k"),
+    ("incremental_join_mv_orders", "join-view delta rule: stored view never re-joined, both delta legs batch-sized"),
+    ("mix_token_budget_waterfill", "water-filling caps: windows over the per-source aggregate only, 1-row level broadcast back"),
+    ("events_cusum_drift", "CUSUM closed form: per-type mean broadcast, both windows and rollup share one entity shuffle"),
+    ("pipeline_attrition_funnel", "curation accounting: id-only keep/contam relations, conditional-sum rollup on source"),
 ]
 
 
