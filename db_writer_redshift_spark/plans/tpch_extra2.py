@@ -506,3 +506,87 @@ def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
         .limit(25)
     )
+
+
+@register(
+    "graph_triangle_parts",
+    oracle="""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+e AS (SELECT u, v FROM p GROUP BY u, v HAVING COUNT(*) >= 2),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e1.v = e2.u
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+member AS (
+  SELECT a AS part FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT part, COUNT(*) AS n_triangles,
+       ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, part) AS tri_rank
+FROM member
+GROUP BY part
+ORDER BY n_triangles DESC, part
+LIMIT 25
+""",
+)
+def graph_triangle_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the co-purchase graph (parts as vertices,
+    edges = pairs co-ordered in >= 2 orders): per-part triangle
+    participation, ranked — the clustering-cohesion signal behind
+    community detection and recommendation cross-sell triads, and the
+    third member of the graph family beside PageRank and connected
+    components.
+
+    Canonical orientation u < v < w counts each triangle exactly once:
+    wedge join (u,v)x(v,w) then a closing semi-join on (u,w). The
+    weight->=2 edge gate sparsifies the graph BEFORE any self-join (the
+    df-cap discipline applied to graph building). At production scale
+    the orientation key switches from id to (degree, id) — same
+    semantics, O(m^1.5) wedge bound — and the explode/count stays one
+    map-side-combined aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+    )
+    e = (
+        pairs.groupBy("u", "v")
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    wedges = e1.join(e2, F.col("e1.v") == F.col("e2.u")).select(
+        F.col("e1.u").alias("ta"), F.col("e1.v").alias("tb"), F.col("e2.v").alias("tc")
+    )
+    tri = wedges.join(
+        e3,
+        (F.col("ta") == F.col("e3.u")) & (F.col("tc") == F.col("e3.v")),
+        "left_semi",
+    )
+    member = (
+        tri.select(F.col("ta").alias("part"))
+        .unionAll(tri.select(F.col("tb").alias("part")))
+        .unionAll(tri.select(F.col("tc").alias("part")))
+    )
+    from pyspark.sql.window import Window
+
+    counts = member.groupBy("part").agg(F.count("*").alias("n_triangles"))
+    w = Window.orderBy(F.col("n_triangles").desc(), "part")
+    return (
+        counts.withColumn("tri_rank", F.row_number().over(w))
+        .orderBy(F.col("n_triangles").desc(), "part")
+        .limit(25)
+    )
