@@ -2416,6 +2416,67 @@ def mix_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mix_temperature_weights",
+    oracle="""
+WITH per_src AS (
+  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM per_src),
+shares AS (
+  SELECT source, n_tokens,
+         (n_tokens * 1000000) // total_tokens AS share_ppm,
+         CAST(FLOOR(SQRT(CAST((n_tokens * 1000000) // total_tokens AS DOUBLE) * 1000000)) AS BIGINT) AS root_micro
+  FROM per_src, tot
+),
+denom AS (SELECT CAST(SUM(root_micro) AS BIGINT) AS root_sum FROM shares)
+SELECT source, n_tokens, share_ppm,
+       (root_micro * 1000000) // root_sum AS temp_weight_ppm
+FROM shares, denom
+""",
+)
+def mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling weights across sources (T = 2, i.e.
+    weight ∝ share^(1/2), renormalized) — the standard multilingual /
+    multi-source mixing rule that upweights small sources without the
+    full uniform flattening of mix_source_reweighting. Completes the
+    mixing family: uniform-target weights, water-filling caps, and
+    temperature interpolation between proportional and uniform.
+
+    Integer-exact: share in ppm by floor division; sqrt via
+    FLOOR(SQRT(integer)) — IEEE sqrt of an integer below 2^52 is
+    correctly rounded and the floor cannot flap for arguments below
+    2^52 (the nearest perfect-square gap ~1/(2k) dwarfs one ulp), so
+    both engines produce the identical integer root; renormalization is
+    a floor-divided ppm. No order-dependent float sum ever forms: the
+    only SUM is over exact BIGINTs.
+
+    Scale: one map-side-combined token count per source; everything
+    after runs on the per-source aggregate with 1-row broadcasts."""
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("n_tokens")
+    )
+    tot = per_src.agg(F.sum("n_tokens").cast("long").alias("total_tokens"))
+    shares = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.expr("(n_tokens * 1000000) div total_tokens").alias("share_ppm"),
+        F.expr(
+            "CAST(FLOOR(SQRT(CAST((n_tokens * 1000000) div total_tokens AS DOUBLE)"
+            " * 1000000)) AS BIGINT)"
+        ).alias("root_micro"),
+    )
+    denom = shares.agg(F.sum("root_micro").cast("long").alias("root_sum"))
+    return shares.crossJoin(F.broadcast(denom)).select(
+        "source",
+        "n_tokens",
+        "share_ppm",
+        F.expr("(root_micro * 1000000) div root_sum").alias("temp_weight_ppm"),
+    )
+
+
+@register(
     "heavy_hitter_tokens",
     oracle="""
 WITH tok AS (
