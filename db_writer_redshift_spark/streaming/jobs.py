@@ -180,6 +180,50 @@ def streaming_running_totals(events: DataFrame, timeout_s: int = 3600) -> DataFr
     )
 
 
+def streaming_ewma(
+    events: DataFrame, alpha: float = 0.25, timeout_s: int = 3600
+) -> DataFrame:
+    """Incremental per-user EWMA — the streaming twin of the batch
+    events_ewma_per_user query: state is ONE (count, ewma) pair per
+    user, updated by the same sequential fold
+    ``acc = acc*(1-alpha) + x*alpha`` in event order within each
+    micro-batch (first observation seeds the accumulator, matching the
+    batch query's first-element seed). Emits the current smoothed value
+    per active user each micro-batch. State never grows with history —
+    the bounded-entity answer to the batch side's trailing-64 cap."""
+    import pandas as pd  # noqa: F401 — imported for executors
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id bigint, n_events bigint, ewma_value double"
+    state_schema = "n bigint, e double"
+
+    def update(key, pdfs, state: GroupState):
+        n, e = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            ordered = pdf.sort_values(["ts", "event_id"])
+            for x in ordered["value"].astype(float):
+                if n == 0:
+                    e = x
+                else:
+                    e = e * (1.0 - alpha) + x * alpha
+                n += 1
+        state.update((n, e))
+        state.setTimeoutDuration(timeout_s * 1000)
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "ewma_value": [round(e, 6)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def merge_sink(
     stream_df: DataFrame,
     table_name: str,

@@ -569,3 +569,30 @@ def test_budget_gate_processor_logic_with_fake_state():
     # batch 3: budget exhausted -> nothing emitted, state unchanged
     assert run([(6, 1)]) == []
     assert h.state.get() == (100,)
+
+
+def test_streaming_ewma_matches_sequential_fold(spark, events_dir, tmp_path):
+    """The stateful streaming EWMA must equal the same fold computed over
+    each user's history in PROCESSING order (micro-batch arrival order,
+    (ts, event_id)-sorted within each batch) — state carries across
+    micro-batches (one file per trigger)."""
+    import glob
+
+    from db_writer_redshift_spark.streaming import streaming_ewma
+
+    src = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    out = _run_to_memory(
+        spark, streaming_ewma(src), "t_ewma", tmp_path, mode="update"
+    )
+    latest = {r.user_id: (r.n_events, r.ewma_value) for r in out.collect()}
+
+    by_user: dict[int, tuple[int, float]] = {}
+    for pth in sorted(glob.glob(events_dir + "/*.parquet")):
+        batch = spark.read.schema(EVENTS_SCHEMA).parquet(pth).collect()
+        for r in sorted(batch, key=lambda r: (r.ts, r.event_id)):
+            n, e = by_user.get(r.user_id, (0, 0.0))
+            x = float(r.value)
+            e = x if n == 0 else e * 0.75 + x * 0.25
+            by_user[r.user_id] = (n + 1, e)
+    expected = {u: (n, round(e, 6)) for u, (n, e) in by_user.items()}
+    assert latest == expected
