@@ -679,3 +679,86 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.least(F.lit(0).cast("bigint"), F.min("pre"))
         ).alias("final_cusum_e6"),
     )
+
+
+@register(
+    "events_trend_slope",
+    oracle="""
+WITH base AS (
+  SELECT event_type, epoch_us(ts) AS t_us,
+         CAST(ROUND(value * 1000000) AS BIGINT) AS y_e6
+  FROM events
+),
+rebased AS (
+  SELECT event_type,
+         (t_us - MIN(t_us) OVER (PARTITION BY event_type)) // 60000000 AS x_min,
+         y_e6
+  FROM base
+),
+moments AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         CAST(SUM(x_min) AS BIGINT) AS sx,
+         CAST(SUM(y_e6) AS BIGINT) AS sy,
+         CAST(SUM(x_min * y_e6) AS BIGINT) AS sxy,
+         CAST(SUM(x_min * x_min) AS BIGINT) AS sxx
+  FROM rebased
+  GROUP BY event_type
+)
+SELECT event_type, n,
+       CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx = 0 THEN 0.0
+            ELSE ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                       / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+       END AS slope_e6_per_min
+FROM moments
+""",
+)
+def events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares trend slope of event values over time, per event
+    type: the five moments (n, Σx, Σy, Σxy, Σx²) accumulate as EXACT
+    BIGINTs (the agg_variance_manual discipline — no double accumulation,
+    so partitioning cannot perturb them), and only the final three IEEE
+    ops (two products, one division per group) run in double — each
+    correctly rounded on identical exact inputs, hence bit-identical
+    across engines, rounded once at output. The n·Σxy-style final
+    products are what overflow int64 on large groups — doubles carry
+    them at any scale.
+
+    x is minutes since each type's first event (rebasing keeps the
+    moment sums themselves within int64 far past sf 10).
+
+    Scale: the rebase MIN window and the moment aggregate share one
+    event_type shuffle; all five moments are map-side-combined sums."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    ts_ltz = F.col("ts").cast("timestamp_ltz")
+    base = e.select(
+        "event_type",
+        F.unix_micros(ts_ltz).alias("t_us"),
+        F.round(F.col("value") * 1000000).cast("bigint").alias("y_e6"),
+    )
+    w = Window.partitionBy("event_type")
+    rebased = base.select(
+        "event_type",
+        F.expr(
+            "CAST((t_us - MIN(t_us) OVER (PARTITION BY event_type)) div 60000000 AS BIGINT)"
+        ).alias("x_min"),
+        "y_e6",
+    )
+    moments = rebased.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x_min").cast("long").alias("sx"),
+        F.sum("y_e6").cast("long").alias("sy"),
+        F.sum(F.col("x_min") * F.col("y_e6")).cast("long").alias("sxy"),
+        F.sum(F.col("x_min") * F.col("x_min")).cast("long").alias("sxx"),
+    )
+    den = F.col("n").cast("double") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    num = F.col("n").cast("double") * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    return moments.select(
+        "event_type",
+        "n",
+        F.when(den == 0, F.lit(0.0))
+        .otherwise(F.round(num / den, 6))
+        .alias("slope_e6_per_min"),
+    )
