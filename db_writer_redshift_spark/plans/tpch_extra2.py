@@ -544,13 +544,16 @@ def graph_triangle_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     third member of the graph family beside PageRank and connected
     components.
 
-    Canonical orientation u < v < w counts each triangle exactly once:
-    wedge join (u,v)x(v,w) then a closing semi-join on (u,w). The
-    weight->=2 edge gate sparsifies the graph BEFORE any self-join (the
-    df-cap discipline applied to graph building). At production scale
-    the orientation key switches from id to (degree, id) — same
-    semantics, O(m^1.5) wedge bound — and the explode/count stays one
-    map-side-combined aggregate."""
+    Degree-ordered orientation (the Ortmann/Latapy production form):
+    every undirected edge points from its lower-(degree, id) endpoint
+    to the higher, so each triangle is counted exactly once from its
+    lowest-degree corner and the wedge join is bounded O(m^1.5)
+    regardless of hub vertices — a hub with degree d contributes
+    out-wedges only through the rare vertices ordered above it, never
+    d² pairs. The weight->=2 edge gate sparsifies the graph BEFORE any
+    self-join (the df-cap discipline applied to graph building). The
+    oracle counts the same triangle set via the simpler id-canonical
+    orientation — set equality is the correctness claim."""
     li = load_table(spark, sf_dir, "lineitem")
     op = li.select("l_orderkey", "l_partkey").distinct()
     a, b = op.alias("a"), op.alias("b")
@@ -567,13 +570,43 @@ def graph_triangle_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w") >= 2)
         .select("u", "v")
     )
-    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
-    wedges = e1.join(e2, F.col("e1.v") == F.col("e2.u")).select(
-        F.col("e1.u").alias("ta"), F.col("e1.v").alias("tb"), F.col("e2.v").alias("tc")
+    # degree-ordered orientation: lower (degree, id) -> higher
+    deg = (
+        e.select(F.col("u").alias("x"))
+        .unionAll(e.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").alias("d"))
+    )
+    ed = (
+        e.join(deg.withColumnRenamed("x", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("x", "v").withColumnRenamed("d", "dv"), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+    )
+    o1, o2, o3 = oriented.alias("o1"), oriented.alias("o2"), oriented.alias("o3")
+    # wedges from the lowest-ordered corner: two out-edges of the same
+    # source; order the pair's endpoints by id to probe the closing
+    # oriented edge in whichever direction the degree order gave it
+    wedges = (
+        o1.join(o2, (F.col("o1.s") == F.col("o2.s")) & (F.col("o1.t") < F.col("o2.t")))
+        .select(
+            F.col("o1.s").alias("ta"),
+            F.col("o1.t").alias("tb"),
+            F.col("o2.t").alias("tc"),
+        )
+    )
+    closing = oriented.select(
+        F.least(F.col("s"), F.col("t")).alias("cb"),
+        F.greatest(F.col("s"), F.col("t")).alias("cc"),
     )
     tri = wedges.join(
-        e3,
-        (F.col("ta") == F.col("e3.u")) & (F.col("tc") == F.col("e3.v")),
+        closing,
+        (F.col("tb") == F.col("cb")) & (F.col("tc") == F.col("cc")),
         "left_semi",
     )
     member = (
