@@ -216,6 +216,77 @@ def pipeline_attrition_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quality_dup_calibration",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, md5(text) AS fp,
+         ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')), 6) AS a6,
+         ROUND(CAST(LENGTH(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / LENGTH(text), 6) AS p6,
+         ROUND(CAST(len(list_filter(string_split(LOWER(text), ' '), x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+               / len(string_split(text, ' ')), 6) AS s6
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, fp,
+         CAST(ROUND((1.0 - LEAST(1.0, ABS(a6 - 5) / 5) * 0.3
+                         - LEAST(1.0, p6 * 10) * 0.3
+                         - LEAST(1.0, ABS(s6 - 0.4)) * 0.4) * 1000000) AS BIGINT) AS q_e6
+  FROM base
+),
+dups AS (SELECT fp FROM scored GROUP BY fp HAVING COUNT(*) > 1),
+flagged AS (
+  SELECT LEAST(9, GREATEST(0, s.q_e6 // 100000)) AS q_bucket,
+         CASE WHEN d.fp IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+  FROM scored s LEFT JOIN dups d ON s.fp = d.fp
+)
+SELECT q_bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(is_dup) AS BIGINT) AS n_dup_docs,
+       (CAST(SUM(is_dup) AS BIGINT) * 1000) // COUNT(*) AS dup_permille
+FROM flagged
+GROUP BY q_bucket
+""",
+)
+def quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-signal calibration audit: duplicate rate per quality bucket
+    — the check that tells you whether a quality gate ALSO removes
+    duplicated boilerplate (dup-rate falling with quality) or is
+    orthogonal to it, which decides whether gate-then-dedup ordering
+    matters for your corpus.
+
+    Buckets are VALUE-based deciles of the integer quality score
+    (q_e6 div 100000, capped) — a histogram, not a rank, so no global
+    sort exists at any scale; duplicate membership is the md5-group
+    size>1 relation joined back by fingerprint. All-integer output with
+    exact permille rates."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        F.md5("text").alias("fp"),
+        text.quality_score_e6(F.col("text")).alias("q_e6"),
+    )
+    dups = (
+        scored.groupBy("fp")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .select("fp", F.lit(1).alias("is_dup"))
+    )
+    flagged = scored.join(dups, "fp", "left").select(
+        F.least(
+            F.lit(9), F.greatest(F.lit(0), F.expr("q_e6 div 100000"))
+        ).alias("q_bucket"),
+        F.coalesce(F.col("is_dup"), F.lit(0)).alias("is_dup"),
+    )
+    return flagged.groupBy("q_bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("is_dup").cast("long").alias("n_dup_docs"),
+        F.expr("(CAST(SUM(is_dup) AS BIGINT) * 1000) div COUNT(*)").alias(
+            "dup_permille"
+        ),
+    )
+
+
+@register(
     "dedup_exact_docs",
     oracle="""
 SELECT MD5(text) AS fingerprint, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
