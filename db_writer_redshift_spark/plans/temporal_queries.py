@@ -762,3 +762,76 @@ def events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(num / den, 6))
         .alias("slope_e6_per_min"),
     )
+
+
+@register(
+    "events_conversion_latency_hist",
+    oracle="""
+WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+conv AS (
+  SELECT c.event_id,
+         MIN(epoch_us(p.ts) - epoch_us(c.ts)) AS lat_us
+  FROM c JOIN p
+    ON c.user_id = p.user_id
+   AND p.ts >= c.ts
+   AND p.ts <= c.ts + INTERVAL 2 DAY
+  GROUP BY c.event_id
+)
+SELECT LEAST(CAST(11 AS BIGINT), lat_us // 14400000000) AS lat_bucket_4h,
+       COUNT(*) AS n_conversions,
+       CAST(MIN(lat_us) AS BIGINT) AS min_lat_us,
+       CAST(MAX(lat_us) AS BIGINT) AS max_lat_us
+FROM conv
+GROUP BY LEAST(CAST(11 AS BIGINT), lat_us // 14400000000)
+""",
+)
+def events_conversion_latency_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for every click that converts
+    within 2 days, the latency to the FIRST subsequent purchase by the
+    same user, bucketed into 4-hour bins (12th bucket collects the
+    tail) — the funnel family's "how fast", where
+    events_funnel_click_purchase answers "how many".
+
+    The inequality join runs through operators/temporal.range_join_days
+    (day-bucket blocking → an equi-join on (user_id, day); Catalyst
+    alone would pick BroadcastNestedLoopJoin for the raw BETWEEN), the
+    first-conversion MIN and the histogram are map-side-combined
+    aggregates, and every output is an exact epoch-micros BIGINT."""
+    from db_writer_redshift_spark.operators.temporal import range_join_days
+
+    e = load_table(spark, sf_dir, "events")
+    ts_ltz = F.col("ts").cast("timestamp_ltz")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        F.expr(
+            "CAST(ts AS TIMESTAMP_LTZ) + INTERVAL 2 DAY"
+        ).cast("timestamp_ntz").alias("c_end"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    pairs = range_join_days(
+        purchases.select("user_id", "p_ts"),
+        clicks.select("event_id", "user_id", F.col("c_ts").alias("r_start"), F.col("c_end").alias("r_end")),
+        left_ts="p_ts",
+        range_start="r_start",
+        range_end="r_end",
+        keys=["user_id"],
+    )
+    conv = pairs.groupBy("event_id").agg(
+        F.min(
+            F.unix_micros(F.col("p_ts").cast("timestamp_ltz"))
+            - F.unix_micros(F.col("r_start").cast("timestamp_ltz"))
+        ).alias("lat_us")
+    )
+    bucket = F.least(
+        F.lit(11).cast("bigint"), F.expr("lat_us div 14400000000")
+    ).alias("lat_bucket_4h")
+    return conv.groupBy(bucket).agg(
+        F.count("*").alias("n_conversions"),
+        F.min("lat_us").cast("bigint").alias("min_lat_us"),
+        F.max("lat_us").cast("bigint").alias("max_lat_us"),
+    )
