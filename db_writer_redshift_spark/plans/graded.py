@@ -31,7 +31,9 @@ constraint):
     retrieval_rrf_fusion, incremental_join_mv_orders,
     incremental_join_upsert_orders, mix_token_budget_waterfill,
     ann_recall_audit, ann_ivf_recall_audit, events_ewma_per_user,
-    events_cusum_drift, pipeline_attrition_funnel, graph_triangle_parts;
+    events_cusum_drift, pipeline_attrition_funnel, graph_triangle_parts,
+    mix_temperature_weights, events_trend_slope, quality_dup_calibration,
+    events_conversion_latency_hist;
   * never-graded operator reps: dedup_keep_best_quality,
     dedup_chunk_exact, multimodal_frame_rollup, pack_training_sequences,
     text_repetition_scores, text_unigram_logprob, text_token_diversity,

@@ -63,6 +63,9 @@ SHOWCASE = [
     ("mix_token_budget_waterfill", "water-filling caps: windows over the per-source aggregate only, 1-row level broadcast back"),
     ("events_cusum_drift", "CUSUM closed form: per-type mean broadcast, both windows and rollup share one entity shuffle"),
     ("pipeline_attrition_funnel", "curation accounting: id-only keep/contam relations, conditional-sum rollup on source"),
+    ("graph_triangle_parts", "triangle counting: degree-ordered orientation bounds wedges O(m^1.5), weight-gated edges"),
+    ("events_trend_slope", "OLS trend: exact BIGINT moments share one type shuffle, IEEE finish per group"),
+    ("events_conversion_latency_hist", "conversion latency: day-blocked range equi-join, first-purchase MIN, 4h histogram"),
 ]
 
 
