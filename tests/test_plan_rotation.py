@@ -1,0 +1,59 @@
+"""tools/plan_rotation.py: the next-window proposal obeys the grading
+policy — fails re-prove first, every family covered, no oracle-less or
+deferred-baseline names while ungraded work remains, exactly 50 names."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(
+    0,
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+    ),
+)
+
+from plan_rotation import DEFER_LAST, FAMILIES, WINDOW, propose  # noqa: E402
+
+
+def test_proposed_window_obeys_policy():
+    import __spark_entry__ as entry_mod
+
+    window, status = propose()
+    assert len(window) == WINDOW
+    assert len(set(window)) == WINDOW
+    oracles = entry_mod.oracle_sql()
+    assert all(oracles.get(n) is not None for n in window)
+    # every family covered
+    for fam, prefixes in FAMILIES.items():
+        assert any(
+            n.startswith(p) for p in prefixes for n in window
+        ), f"family {fam} uncovered"
+    # all previously-failing names seated
+    fails = [n for n, s in status.items() if s in ("fail", "err")]
+    assert all(f in window for f in fails)
+    # deferred baselines stay out while ungraded names remain
+    ungraded_left = [
+        n for n, s in status.items()
+        if s == "ungraded" and oracles.get(n) is not None and n not in DEFER_LAST
+    ]
+    if ungraded_left:
+        assert not (set(window) & DEFER_LAST)
+
+
+def test_family_map_matches_window_guard():
+    """The tool's family map must stay in sync with the pytest guard's —
+    a drift would let proposals violate test_window_covers_every_family."""
+    import re
+
+    guard_src = open(
+        os.path.join(os.path.dirname(__file__), "test_graded_window.py")
+    ).read()
+    body = guard_src.split("families = {")[1].split("}")[0]
+    guard = {}
+    for line in body.strip().splitlines():
+        m = re.match(r'\s*"([^"]+)": \[(.*)\],', line)
+        if m:
+            guard[m.group(1)] = [p.strip().strip('"') for p in m.group(2).split(",")]
+    assert guard == FAMILIES
