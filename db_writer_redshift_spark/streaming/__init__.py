@@ -19,6 +19,7 @@ from db_writer_redshift_spark.streaming.jobs import (  # noqa: F401
     stream_sessionize,
     stream_token_budget_gate,
     stream_tumbling_counts,
+    streaming_cusum,
     streaming_ewma,
     streaming_running_totals,
 )

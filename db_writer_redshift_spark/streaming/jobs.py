@@ -224,6 +224,68 @@ def streaming_ewma(
     )
 
 
+def streaming_cusum(
+    events: DataFrame, targets: DataFrame, timeout_s: int = 3600
+) -> DataFrame:
+    """Incremental one-sided CUSUM drift per (user, event_type) — the
+    streaming twin of the batch events_cusum_drift query via the same
+    closed form: state is four BIGINTs (n, prefix-sum P, running min of
+    P, peak), updated in arrival order, with the current statistic
+    ``c = P - min(0, minP)``. ``targets`` is the static (event_type,
+    mean_e6) relation — batch-trained like stream_anomaly_filter's
+    stats — broadcast onto the stream before grouping, so the stateful
+    operator itself never joins. Emits (n, peak, current) per active
+    entity each micro-batch; all arithmetic is exact integers, so a
+    replay reaches the identical state."""
+    import pandas as pd  # noqa: F401 — imported for executors
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id bigint, event_type string, n_events bigint,"
+        " peak_cusum_e6 bigint, cusum_e6 bigint"
+    )
+    state_schema = "n bigint, p bigint, minp bigint, peak bigint"
+
+    enriched = events.join(F.broadcast(targets), "event_type")
+
+    def update(key, pdfs, state: GroupState):
+        n, p, minp, peak = state.get if state.exists else (0, 0, 0, 0)
+        for pdf in pdfs:
+            ordered = pdf.sort_values(["ts", "event_id"])
+            deltas = (
+                (ordered["value"].astype(float) * 1_000_000).round().astype("int64")
+                - ordered["mean_e6"].astype("int64")
+            )
+            for d in deltas:
+                p += int(d)
+                minp = min(minp, p)
+                cur = p - min(0, minp)
+                peak = max(peak, cur)
+                n += 1
+        state.update((n, p, minp, peak))
+        state.setTimeoutDuration(timeout_s * 1000)
+        import pandas as pd
+
+        cur = p - min(0, minp)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[1]],
+                "event_type": [key[0]],
+                "n_events": [n],
+                "peak_cusum_e6": [peak],
+                "cusum_e6": [cur],
+            }
+        )
+
+    return enriched.groupBy("event_type", "user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def merge_sink(
     stream_df: DataFrame,
     table_name: str,

@@ -596,3 +596,43 @@ def test_streaming_ewma_matches_sequential_fold(spark, events_dir, tmp_path):
             by_user[r.user_id] = (n + 1, e)
     expected = {u: (n, round(e, 6)) for u, (n, e) in by_user.items()}
     assert latest == expected
+
+
+def test_streaming_cusum_matches_integer_model(spark, events_dir, tmp_path):
+    """The stateful streaming CUSUM must equal the closed-form integer
+    model replayed in processing order against static per-type targets."""
+    import glob
+
+    from db_writer_redshift_spark.streaming import streaming_cusum
+
+    targets = spark.createDataFrame(
+        [("click", 1_500_000), ("view", 2_000_000)], "event_type string, mean_e6 long"
+    )
+    src = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    out = _run_to_memory(
+        spark, streaming_cusum(src, targets), "t_cusum", tmp_path, mode="update"
+    )
+    latest = {
+        (r.user_id, r.event_type): (r.n_events, r.peak_cusum_e6, r.cusum_e6)
+        for r in out.collect()
+    }
+
+    means = {"click": 1_500_000, "view": 2_000_000}
+    st: dict[tuple[int, str], list[int]] = {}
+    for pth in sorted(glob.glob(events_dir + "/*.parquet")):
+        batch = spark.read.schema(EVENTS_SCHEMA).parquet(pth).collect()
+        for r in sorted(batch, key=lambda r: (r.ts, r.event_id)):
+            k = (r.user_id, r.event_type)
+            n, p, minp, peak = st.get(k, [0, 0, 0, 0])
+            p += round(float(r.value) * 1_000_000) - means[r.event_type]
+            minp = min(minp, p)
+            cur = p - min(0, minp)
+            peak = max(peak, cur)
+            st[k] = [n + 1, p, minp, peak]
+    expected = {
+        k: (n, peak, p - min(0, minp)) for k, (n, p, minp, peak) in st.items()
+    }
+    assert latest == expected
+    # drift really registers: user 200's 4.0-value click sits far above
+    # the 1.5 click target
+    assert latest[(200, "click")][1] > 0
