@@ -508,9 +508,7 @@ def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "graph_triangle_parts",
-    oracle="""
+_COPURCHASE_TRI_CTES = """
 WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 p AS (
   SELECT a.l_partkey AS u, b.l_partkey AS v
@@ -527,33 +525,13 @@ member AS (
   SELECT a AS part FROM tri
   UNION ALL SELECT b FROM tri
   UNION ALL SELECT c FROM tri
-)
-SELECT part, COUNT(*) AS n_triangles,
-       ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, part) AS tri_rank
-FROM member
-GROUP BY part
-ORDER BY n_triangles DESC, part
-LIMIT 25
-""",
-)
-def graph_triangle_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle counting on the co-purchase graph (parts as vertices,
-    edges = pairs co-ordered in >= 2 orders): per-part triangle
-    participation, ranked — the clustering-cohesion signal behind
-    community detection and recommendation cross-sell triads, and the
-    third member of the graph family beside PageRank and connected
-    components.
+)"""
 
-    Degree-ordered orientation (the Ortmann/Latapy production form):
-    every undirected edge points from its lower-(degree, id) endpoint
-    to the higher, so each triangle is counted exactly once from its
-    lowest-degree corner and the wedge join is bounded O(m^1.5)
-    regardless of hub vertices — a hub with degree d contributes
-    out-wedges only through the rare vertices ordered above it, never
-    d² pairs. The weight->=2 edge gate sparsifies the graph BEFORE any
-    self-join (the df-cap discipline applied to graph building). The
-    oracle counts the same triangle set via the simpler id-canonical
-    orientation — set equality is the correctness claim."""
+
+def _copurchase_triangles(spark: SparkSession, sf_dir: str):
+    """(degree, triangle-member) relations of the weight>=2 co-purchase
+    graph, via degree-ordered orientation — shared by the triangle-count
+    and clustering-coefficient queries."""
     li = load_table(spark, sf_dir, "lineitem")
     op = li.select("l_orderkey", "l_partkey").distinct()
     a, b = op.alias("a"), op.alias("b")
@@ -588,7 +566,7 @@ def graph_triangle_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
     )
-    o1, o2, o3 = oriented.alias("o1"), oriented.alias("o2"), oriented.alias("o3")
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
     # wedges from the lowest-ordered corner: two out-edges of the same
     # source; order the pair's endpoints by id to probe the closing
     # oriented edge in whichever direction the degree order gave it
@@ -614,8 +592,44 @@ def graph_triangle_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tri.select(F.col("tb").alias("part")))
         .unionAll(tri.select(F.col("tc").alias("part")))
     )
+    return deg, member
+
+
+@register(
+    "graph_triangle_parts",
+    oracle=_COPURCHASE_TRI_CTES
+    + """
+SELECT part, COUNT(*) AS n_triangles,
+       ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, part) AS tri_rank
+FROM member
+GROUP BY part
+ORDER BY n_triangles DESC, part
+LIMIT 25
+""",
+)
+
+
+def graph_triangle_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the co-purchase graph (parts as vertices,
+    edges = pairs co-ordered in >= 2 orders): per-part triangle
+    participation, ranked — the clustering-cohesion signal behind
+    community detection and recommendation cross-sell triads, and the
+    third member of the graph family beside PageRank and connected
+    components.
+
+    Degree-ordered orientation (the Ortmann/Latapy production form):
+    every undirected edge points from its lower-(degree, id) endpoint
+    to the higher, so each triangle is counted exactly once from its
+    lowest-degree corner and the wedge join is bounded O(m^1.5)
+    regardless of hub vertices — a hub with degree d contributes
+    out-wedges only through the rare vertices ordered above it, never
+    d² pairs. The weight->=2 edge gate sparsifies the graph BEFORE any
+    self-join (the df-cap discipline applied to graph building). The
+    oracle counts the same triangle set via the simpler id-canonical
+    orientation — set equality is the correctness claim."""
     from pyspark.sql.window import Window
 
+    _deg, member = _copurchase_triangles(spark, sf_dir)
     counts = member.groupBy("part").agg(F.count("*").alias("n_triangles"))
     w = Window.orderBy(F.col("n_triangles").desc(), "part")
     return (
@@ -623,3 +637,52 @@ def graph_triangle_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_triangles").desc(), "part")
         .limit(25)
     )
+
+
+@register(
+    "graph_clustering_coeff_parts",
+    oracle=_COPURCHASE_TRI_CTES
+    + """,
+degs AS (
+  SELECT x, COUNT(*) AS deg FROM (
+    SELECT u AS x FROM e UNION ALL SELECT v FROM e
+  ) GROUP BY x
+),
+tric AS (SELECT part, COUNT(*) AS n_triangles FROM member GROUP BY part)
+SELECT d.x AS part, d.deg, COALESCE(t.n_triangles, 0) AS n_triangles,
+       (CAST(COALESCE(t.n_triangles, 0) AS BIGINT) * 2000)
+         // (CAST(d.deg AS BIGINT) * (d.deg - 1)) AS coeff_permille
+FROM degs d LEFT JOIN tric t ON d.x = t.part
+WHERE d.deg >= 2
+ORDER BY coeff_permille DESC, part
+LIMIT 25
+""",
+)
+def graph_clustering_coeff_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per part on the co-purchase graph:
+    how close each part's co-purchase neighborhood is to a clique —
+    ``2·triangles / (deg·(deg−1))`` in exact integer permille — the
+    community-tightness score that separates "bought with everything"
+    hub parts from genuine bundle members. Shares the degree and
+    triangle-membership relations with graph_triangle_parts (one
+    degree-oriented wedge join serves both).
+
+    Scale: degrees and per-part triangle counts are map-side-combined
+    aggregates over the same weight-gated edge/triangle relations; the
+    permille ratio is a floor division of BIGINTs — no float forms."""
+    deg, member = _copurchase_triangles(spark, sf_dir)
+    tric = member.groupBy("part").agg(F.count("*").alias("n_triangles"))
+    out = (
+        deg.filter(F.col("d") >= 2)
+        .join(tric, deg.x == tric.part, "left")
+        .select(
+            F.col("x").alias("part"),
+            F.col("d").alias("deg"),
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+            F.expr(
+                "(CAST(COALESCE(n_triangles, 0) AS BIGINT) * 2000)"
+                " div (CAST(d AS BIGINT) * (d - 1))"
+            ).alias("coeff_permille"),
+        )
+    )
+    return out.orderBy(F.col("coeff_permille").desc(), "part").limit(25)
