@@ -686,3 +686,73 @@ def graph_clustering_coeff_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy(F.col("coeff_permille").desc(), "part").limit(25)
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey,
+         date_diff('day', MAX(o_orderdate), (SELECT MAX(o_orderdate) FROM orders)) AS r_days,
+         COUNT(*) AS f_orders,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS m_cents
+  FROM orders GROUP BY o_custkey
+),
+med AS (
+  SELECT quantile_disc(r_days, 0.5) AS med_r,
+         quantile_disc(f_orders, 0.5) AS med_f,
+         quantile_disc(m_cents, 0.5) AS med_m
+  FROM per_cust
+)
+SELECT CASE WHEN r_days <= med_r THEN 1 ELSE 0 END AS r_seg,
+       CASE WHEN f_orders > med_f THEN 1 ELSE 0 END AS f_seg,
+       CASE WHEN m_cents > med_m THEN 1 ELSE 0 END AS m_seg,
+       COUNT(*) AS n_customers,
+       CAST(SUM(m_cents) AS BIGINT) AS seg_total_cents
+FROM per_cust, med
+GROUP BY 1, 2, 3
+""",
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: customers split into 8 cells by median recency
+    (days since last order, relative to the corpus max date), median
+    order frequency, and median lifetime spend — the classic marketing
+    cohorting, built on exact machinery: medians come from the
+    distributed quickselect (operators/selection.py, bit-compatible
+    with DuckDB quantile_disc — the exact_quantiles_order_price proof),
+    and membership rules are pure integer comparisons against those
+    medians, so every cell count hashes identically.
+
+    Scale: one map-side-combined per-customer rollup; the three medians
+    are scalar driver state from quickselect's histogram rounds (no
+    global sort); segmentation is a scan-stage CASE against broadcast
+    literals feeding one 8-group aggregate."""
+    from db_writer_redshift_spark.operators.selection import quantile_disc
+
+    o = load_table(spark, sf_dir, "orders")
+    max_date = o.agg(F.max("o_orderdate").alias("mx"))
+    per_cust = (
+        o.crossJoin(F.broadcast(max_date))
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.datediff(F.col("mx"), F.col("o_orderdate")))
+            .cast("long")
+            .alias("r_days"),
+            F.count("*").alias("f_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("long")
+            .alias("m_cents"),
+        )
+    )
+    per_cust = per_cust.localCheckpoint(eager=True)
+    med_r = quantile_disc(per_cust, "r_days", 0.5)
+    med_f = quantile_disc(per_cust, "f_orders", 0.5)
+    med_m = quantile_disc(per_cust, "m_cents", 0.5)
+    return per_cust.groupBy(
+        F.when(F.col("r_days") <= F.lit(med_r), 1).otherwise(0).alias("r_seg"),
+        F.when(F.col("f_orders") > F.lit(med_f), 1).otherwise(0).alias("f_seg"),
+        F.when(F.col("m_cents") > F.lit(med_m), 1).otherwise(0).alias("m_seg"),
+    ).agg(
+        F.count("*").alias("n_customers"),
+        F.sum("m_cents").cast("long").alias("seg_total_cents"),
+    )
