@@ -33,7 +33,8 @@ constraint):
     ann_recall_audit, ann_ivf_recall_audit, events_ewma_per_user,
     events_cusum_drift, pipeline_attrition_funnel, graph_triangle_parts,
     mix_temperature_weights, events_trend_slope, quality_dup_calibration,
-    events_conversion_latency_hist, graph_clustering_coeff_parts;
+    events_conversion_latency_hist, graph_clustering_coeff_parts,
+    customer_rfm_segments;
   * never-graded operator reps: dedup_keep_best_quality,
     dedup_chunk_exact, multimodal_frame_rollup, pack_training_sequences,
     text_repetition_scores, text_unigram_logprob, text_token_diversity,
