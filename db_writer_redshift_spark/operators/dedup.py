@@ -684,3 +684,106 @@ def connected_components(
             break
     p.unpersist()
     return labels.select(F.col("u").alias("node"), F.col("label").alias("cluster_root"))
+
+
+def ppjoin_exact_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold_num: int = 3,
+    threshold_den: int = 10,
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (the
+    SSJoin/PPJoin family — Chaudhuri et al. 2006, Xiao et al. 2008):
+    all pairs with shingle-set Jaccard ≥ num/den, with ZERO false
+    negatives — the deterministic complement to the probabilistic
+    MinHash-LSH tier (which trades recall for fixed signatures) and to
+    shingle_jaccard_pairs' df-cap (which silently drops high-frequency
+    shingles).
+
+    Prefix filter: order every document's shingles by ascending global
+    document frequency (rarest first, shingle string as tie-break — a
+    total order both engines agree on); if J(A,B) ≥ t, A and B MUST
+    share a token within their first ``|S| − ⌈t·|S|⌉ + 1`` tokens under
+    any common total order, so joining PREFIXES only — weighted toward
+    the rarest shingles, hence the smallest buckets — finds every
+    qualifying pair. A length filter (den·min(|A|,|B|) ≥
+    num·max(|A|,|B|), since J ≤ min/max) prunes inside the join.
+    Candidates then verify with the exact integer Jaccard.
+
+    All arithmetic is integer (⌈t·s⌉ as ``(num·s + den − 1) div den``,
+    final ratio as ppm floor-division), so the DuckDB twin is
+    bit-identical.
+
+    Scale: df is one map-side-combined aggregate; the prefix join's
+    bucket sizes are the df of the RAREST ~(1−t) fraction of each doc's
+    shingles — the filter is self-tuning toward small buckets. The
+    verify join touches candidate pairs only.
+    """
+    g = ensure_parallelism(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
+    ).select("doc_id", F.explode(shingles(F.col("__t"), n)).alias("sh"))
+    from pyspark.sql.window import Window
+
+    sizes = g.groupBy("doc_id").agg(F.count("*").cast("long").alias("sz"))
+    dfreq = g.groupBy("sh").agg(F.count("*").cast("long").alias("df"))
+    ranked = (
+        g.join(dfreq, "sh")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "sh")
+            ),
+        )
+        .join(sizes, "doc_id")
+    )
+    prefix_len = (
+        F.col("sz")
+        - F.expr(f"({threshold_num} * sz + {threshold_den} - 1) div {threshold_den}")
+        + 1
+    )
+    prefix = ranked.filter(F.col("rk") <= prefix_len).select("doc_id", "sh", "sz")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.lit(threshold_den)
+                * F.least(F.col("a.sz"), F.col("b.sz"))
+                >= F.lit(threshold_num) * F.greatest(F.col("a.sz"), F.col("b.sz"))
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .distinct()
+    )
+    ga = g.select(F.col("doc_id").alias("doc_a"), "sh")
+    gb = g.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        cand.join(ga, "doc_a")
+        .join(gb, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    un = F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    return (
+        inter.withColumn("un", un.cast("long"))
+        .filter(
+            F.lit(threshold_den) * F.col("inter")
+            >= F.lit(threshold_num) * F.col("un")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            "un",
+            F.expr("(1000000 * inter) div un").cast("long").alias("jac_ppm"),
+        )
+    )

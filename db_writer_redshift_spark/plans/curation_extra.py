@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from db_writer_redshift_spark.functions.text import ngrams, shingles, token_count_expr
 from db_writer_redshift_spark.operators.text import quality_score_e6
-from db_writer_redshift_spark.operators import bloom, er, sketches
+from db_writer_redshift_spark.operators import bloom, dedup, er, sketches
 from db_writer_redshift_spark.operators.bloom import BITS_PER_WORD
 from db_writer_redshift_spark.plans.registry import load_table, register
 
@@ -355,4 +355,142 @@ def curriculum_quality_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("sum_tokens"),
         F.min("q_e6").alias("min_q_e6"),
         F.max("q_e6").alias("max_q_e6"),
+    )
+
+
+@register(
+    "dedup_ppjoin_exact",
+    oracle="""
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+  FROM docs, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+dfreq AS (SELECT sh, COUNT(*) AS df FROM grams GROUP BY sh),
+ranked AS (
+  SELECT g.doc_id, g.sh, s.sz,
+         ROW_NUMBER() OVER (PARTITION BY g.doc_id ORDER BY d.df, g.sh) AS rk
+  FROM grams g JOIN dfreq d USING (sh) JOIN sizes s USING (doc_id)
+),
+prefix AS (
+  SELECT doc_id, sh, sz FROM ranked
+  WHERE rk <= sz - ((3 * sz + 9) // 10) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.sz AS sz_a, b.sz AS sz_b
+  FROM prefix a JOIN prefix b
+    ON a.sh = b.sh AND a.doc_id < b.doc_id
+   AND 10 * LEAST(a.sz, b.sz) >= 3 * GREATEST(a.sz, b.sz)
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, c.sz_a, c.sz_b, COUNT(*) AS inter
+  FROM cand c
+  JOIN grams ga ON ga.doc_id = c.doc_a
+  JOIN grams gb ON gb.doc_id = c.doc_b AND gb.sh = ga.sh
+  GROUP BY c.doc_a, c.doc_b, c.sz_a, c.sz_b
+)
+SELECT doc_a, doc_b, inter,
+       (sz_a + sz_b - inter) AS un,
+       (1000000 * inter) // (sz_a + sz_b - inter) AS jac_ppm
+FROM inter
+WHERE 10 * inter >= 3 * (sz_a + sz_b - inter)
+""",
+)
+def dedup_ppjoin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join (PPJoin-family prefix filter): all
+    document pairs with 3-gram-shingle Jaccard ≥ 0.3, zero false
+    negatives — the deterministic exact complement to the MinHash-LSH
+    tier (probabilistic recall) and the df-capped inverted index (drops
+    high-df shingles). See operators/dedup.ppjoin_exact_pairs for the
+    prefix-filter guarantee and the integer-only arithmetic.
+
+    Scale: prefix buckets are the RAREST (1−t) fraction of each doc's
+    shingles — self-tuning toward small joins; the exact verify touches
+    candidate pairs only; the length filter prunes inside the join."""
+    return dedup.ppjoin_exact_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=3,
+        threshold_num=3,
+        threshold_den=10,
+    )
+
+
+@register(
+    "er_entity_clusters",
+    oracle="""
+WITH RECURSIVE names AS (
+  SELECT p_name AS name, COUNT(*) AS n_records, MIN(p_partkey) AS canonical_key,
+         string_split(p_name, ' ')[-1] AS block
+  FROM part GROUP BY p_name
+),
+matches AS (
+  SELECT a.canonical_key AS ka, b.canonical_key AS kb
+  FROM names a JOIN names b
+    ON a.block = b.block AND a.name < b.name
+   AND ABS(LENGTH(a.name) - LENGTH(b.name)) <= 4
+  WHERE levenshtein(a.name, b.name) <= 4
+),
+e AS (SELECT ka AS u, kb AS v FROM matches UNION SELECT kb, ka FROM matches),
+reach(u, v) AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+),
+roots AS (SELECT u AS k, LEAST(u, MIN(v)) AS root FROM reach GROUP BY u)
+SELECT COALESCE(r.root, n.canonical_key) AS cluster_id,
+       COUNT(*) AS n_names,
+       CAST(SUM(n.n_records) AS BIGINT) AS n_records_total,
+       arg_min(n.name, n.canonical_key) AS rep_name
+FROM names n LEFT JOIN roots r ON r.k = n.canonical_key
+GROUP BY 1
+""",
+)
+def er_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution survivorship: connected components over the
+    blocked fuzzy-match graph (er_part_name_matches edges) collapse
+    transitive matches ("acme corp" ~ "acmee corp" ~ "acme korp") into
+    one canonical entity per cluster — id = the cluster's minimum part
+    key, representative name = the name holding that key, plus name and
+    record mass. Singleton names (no match) stay their own entity, so
+    the output IS the canonical entity table a merge would load.
+
+    Scale: reuses the hash-min BSP label propagation from the dedup
+    clusters (one shuffle per superstep over the vocabulary-bounded
+    match graph — tiny); the oracle computes the same roots by
+    recursive-CTE transitive closure, feasible only at oracle scale."""
+    names = (
+        load_table(spark, sf_dir, "part")
+        .groupBy(F.col("p_name").alias("name"))
+        .agg(
+            F.count("*").cast("long").alias("n_records"),
+            F.min("p_partkey").alias("canonical_key"),
+        )
+    )
+    matches = er.blocked_name_matches(
+        load_table(spark, sf_dir, "part"), "p_partkey", "p_name", max_dist=4
+    ).select(F.col("canonical_a").alias("doc_a"), F.col("canonical_b").alias("doc_b"))
+    from db_writer_redshift_spark.operators.dedup import connected_components
+
+    roots = connected_components(matches)
+    return (
+        names.join(roots, names.canonical_key == roots.node, "left")
+        .select(
+            "name",
+            "n_records",
+            "canonical_key",
+            F.coalesce(F.col("cluster_root"), F.col("canonical_key")).alias(
+                "cluster_id"
+            ),
+        )
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("long").alias("n_names"),
+            F.sum("n_records").cast("long").alias("n_records_total"),
+            F.expr("min_by(name, canonical_key)").alias("rep_name"),
+        )
     )

@@ -835,3 +835,138 @@ def events_conversion_latency_hist(spark: SparkSession, sf_dir: str) -> DataFram
         F.min("lat_us").cast("bigint").alias("min_lat_us"),
         F.max("lat_us").cast("bigint").alias("max_lat_us"),
     )
+
+
+@register(
+    "events_concurrency_peak",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+              OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id,
+         ts
+  FROM flagged
+),
+iv AS (
+  SELECT user_id, session_id,
+         epoch_us(MIN(ts)) AS s_us, epoch_us(MAX(ts)) AS e_us
+  FROM sessions GROUP BY user_id, session_id
+),
+sweep AS (
+  SELECT d AS epoch_day, user_id, session_id,
+         GREATEST(s_us, d * 86400000000) AS pt, 1 AS delta
+  FROM iv, UNNEST(generate_series(s_us // 86400000000, e_us // 86400000000)) AS t(d)
+  UNION ALL
+  SELECT d AS epoch_day, user_id, session_id,
+         LEAST(e_us, (d + 1) * 86400000000 - 1) AS pt, -1 AS delta
+  FROM iv, UNNEST(generate_series(s_us // 86400000000, e_us // 86400000000)) AS t(d)
+),
+run AS (
+  SELECT epoch_day, delta,
+         CAST(SUM(delta) OVER (PARTITION BY epoch_day
+              ORDER BY pt, delta DESC, user_id, session_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS conc
+  FROM sweep
+)
+SELECT epoch_day,
+       MAX(conc) AS peak_concurrency,
+       CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_active_sessions
+FROM run
+GROUP BY epoch_day
+""",
+)
+def events_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day by interval sweep-line: gap
+    sessionization (the events_sessionization machinery) yields
+    [start, end] intervals; each interval splits into the days it
+    touches (clipped — sessions are ≤ 30-min-gap chains, so ≤ 2 days);
+    per day, +1/−1 deltas ordered by (instant, starts-before-ends at
+    ties) prefix-sum to the live-session count, whose max is the peak —
+    the classic O(n log n) interval-overlap algorithm, shuffled once
+    per day partition instead of a global sort. Capacity planning /
+    rate-limit sizing over 100 TB of event history runs exactly this.
+
+    Determinism: the per-day MAX of the running sum is invariant to
+    ordering within an (instant, delta) tie group (+1s raise the run
+    monotonically; −1s lower it), so the output hashes identically even
+    though tie order between equal keys is arbitrary. All integers
+    (epoch-µs, epoch-day floor divisions)."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_ltz = F.col("ts").cast("timestamp_ltz")
+    gap_us = F.unix_micros(ts_ltz) - F.unix_micros(F.lag(ts_ltz).over(w))
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    iv = (
+        flagged.select(
+            "user_id",
+            "ts",
+            F.sum("new_session")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("session_id"),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.unix_micros(F.min("ts").cast("timestamp_ltz")).alias("s_us"),
+            F.unix_micros(F.max("ts").cast("timestamp_ltz")).alias("e_us"),
+        )
+    )
+    day_us = 86_400_000_000
+    days = iv.select(
+        "user_id",
+        "session_id",
+        "s_us",
+        "e_us",
+        F.explode(
+            F.sequence(
+                F.expr(f"s_us div {day_us}"), F.expr(f"e_us div {day_us}")
+            )
+        ).alias("epoch_day"),
+    )
+    starts = days.select(
+        "epoch_day",
+        "user_id",
+        "session_id",
+        F.greatest(F.col("s_us"), F.col("epoch_day") * day_us).alias("pt"),
+        F.lit(1).alias("delta"),
+    )
+    ends = days.select(
+        "epoch_day",
+        "user_id",
+        "session_id",
+        F.least(F.col("e_us"), (F.col("epoch_day") + 1) * day_us - 1).alias("pt"),
+        F.lit(-1).alias("delta"),
+    )
+    sweep = starts.unionByName(ends)
+    wd = Window.partitionBy("epoch_day").orderBy(
+        F.col("pt"), F.col("delta").desc(), F.col("user_id"), F.col("session_id")
+    )
+    run = sweep.select(
+        "epoch_day",
+        "delta",
+        F.sum("delta")
+        .over(wd.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("conc"),
+    )
+    return run.groupBy("epoch_day").agg(
+        F.max("conc").alias("peak_concurrency"),
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_active_sessions"),
+    )
