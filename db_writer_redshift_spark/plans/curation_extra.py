@@ -155,25 +155,15 @@ def sketch_countmin_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined count; probes join the broadcast sketch. The
     probe set here reuses the corpus's own top-50 (deterministic
     tie-break) to stay self-contained; production would pass any token
-    list. The row_number window runs over the per-token aggregate —
-    vocabulary-bounded, not corpus-sized — so its single-partition
-    sort is a few thousand rows at any SF."""
+    list. Top-50 selection is orderBy+limit, which Spark compiles to
+    TakeOrderedAndProject — each partition keeps a local top-50 and
+    only 50·P rows reach the final merge, so the probe pick never
+    single-partitions the vocabulary."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
     sk = sketches.cms_build(toks, "tok", depth=_CMS_D, width=_CMS_W)
     truec = toks.groupBy("tok").agg(F.count("*").cast("long").alias("true_count"))
-    from pyspark.sql.window import Window
-
-    probes = (
-        truec.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.orderBy(F.col("true_count").desc(), F.col("tok"))
-            ),
-        )
-        .filter(F.col("rn") <= 50)
-        .drop("rn")
-    )
+    probes = truec.orderBy(F.col("true_count").desc(), F.col("tok")).limit(50)
     est = sketches.cms_estimate(sk, probes, "tok", depth=_CMS_D, width=_CMS_W)
     return probes.join(est, "tok").select(
         "tok",

@@ -631,12 +631,11 @@ def graph_triangle_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _deg, member = _copurchase_triangles(spark, sf_dir)
     counts = member.groupBy("part").agg(F.count("*").alias("n_triangles"))
+    # Distributed top-25 first (TakeOrderedAndProject), THEN rank: the
+    # single-partition row_number window touches 25 rows, not |V|.
+    top = counts.orderBy(F.col("n_triangles").desc(), "part").limit(25)
     w = Window.orderBy(F.col("n_triangles").desc(), "part")
-    return (
-        counts.withColumn("tri_rank", F.row_number().over(w))
-        .orderBy(F.col("n_triangles").desc(), "part")
-        .limit(25)
-    )
+    return top.withColumn("tri_rank", F.row_number().over(w)).orderBy("tri_rank")
 
 
 @register(
