@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from db_writer_redshift_spark.functions.text import shingles
+from db_writer_redshift_spark.functions.text import ngrams, shingles
 from db_writer_redshift_spark.operators.partitioning import ensure_parallelism
 
 # Mersenne prime 2^31-1 for the universal-hash family (a*h + b) mod p.
@@ -785,5 +785,74 @@ def ppjoin_exact_pairs(
             "inter",
             "un",
             F.expr("(1000000 * inter) div un").cast("long").alias("jac_ppm"),
+        )
+    )
+
+
+def span_coverage_stats(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> DataFrame:
+    """EXACT duplicated-span coverage (the word-granular cousin of
+    exact substring dedup, Lee et al. 2022 "Deduplicating Training
+    Data Makes Language Models Better"): for every document that
+    shares at least one word n-gram with ANOTHER document, how much of
+    its text sits inside such shared spans.
+
+    A position is covered when any cross-document-duplicated n-gram's
+    window [start, start+n-1] contains it; overlapping windows are
+    unioned by counting DISTINCT covered positions, so coverage never
+    double-counts. Returns one row per affected doc:
+    (doc_id, n_words, n_dup_grams, dup_positions, dup_ppm).
+
+    Scale shape: positional grams shuffle once on the gram string with
+    map-side MIN/MAX partials (min(doc)≠max(doc) decides cross-doc
+    without a COUNT DISTINCT); the start set joins back on the gram
+    key (AQE broadcasts the dup side when small); coverage is a
+    bounded explode (n rows per dup start) followed by one
+    (doc,pos)-keyed distinct. At 100 TB one would first map grams to
+    64-bit hashes to shrink the shuffle payload — kept as full strings
+    here because this is the zero-false-positive exact tier.
+    """
+    g = ensure_parallelism(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
+    ).select(
+        "doc_id", F.posexplode(ngrams(F.col("__t"), n)).alias("pos", "g")
+    )
+    dup = (
+        g.groupBy("g")
+        .agg(F.min("doc_id").alias("__mn"), F.max("doc_id").alias("__mx"))
+        .filter(F.col("__mn") != F.col("__mx"))
+        .select("g")
+    )
+    starts = g.join(dup, "g").select("doc_id", "pos")
+    cov = (
+        starts.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("cp"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("dup_positions"))
+    )
+    nstarts = starts.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_dup_grams")
+    )
+    n_words = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_words"),
+    )
+    return (
+        n_words.join(nstarts, "doc_id")
+        .join(cov, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            "n_dup_grams",
+            "dup_positions",
+            F.expr("(1000000 * dup_positions) div n_words")
+            .cast("long")
+            .alias("dup_ppm"),
         )
     )

@@ -484,3 +484,49 @@ def er_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("min_by(name, canonical_key)").alias("rep_name"),
         )
     )
+
+
+@register(
+    "dedup_span_coverage",
+    oracle="""
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id, i AS pos,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+         w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7] AS g
+  FROM docs, UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+  WHERE len(w) >= 8
+),
+dup AS (SELECT g FROM grams GROUP BY g HAVING MIN(doc_id) <> MAX(doc_id)),
+starts AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+cov AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_positions
+  FROM (SELECT DISTINCT doc_id, pos + o AS cp
+        FROM starts, UNNEST(generate_series(0, 7)) AS u(o))
+  GROUP BY doc_id
+),
+ns AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_grams
+  FROM starts GROUP BY doc_id
+),
+nw AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+  FROM documents
+)
+SELECT nw.doc_id, n_words, n_dup_grams, dup_positions,
+       (1000000 * dup_positions) // n_words AS dup_ppm
+FROM nw JOIN ns USING (doc_id) JOIN cov USING (doc_id)
+""",
+)
+def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-SPAN coverage: per document sharing at least
+    one word-8-gram with another document, the unioned fraction of its
+    positions inside cross-doc-duplicated spans (ppm). Document-level
+    dedup (exact/MinHash/SimHash tiers) misses boilerplate stitched
+    into otherwise-unique pages; span coverage is the signal substring
+    dedup acts on. Delegates to operators/dedup.span_coverage_stats;
+    positions feed only counts, so Spark's 0-based and the oracle's
+    1-based indices cancel."""
+    return dedup.span_coverage_stats(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", n=8
+    )

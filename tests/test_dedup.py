@@ -281,3 +281,29 @@ def test_minhash_bucket_cap_drops_hot_buckets(spark):
         df, "doc_id", "text", threshold=0.5, max_bucket_size=1
     )
     assert capped.count() == 0
+
+
+def test_span_coverage_unions_overlaps_and_ignores_within_doc_repeats(spark):
+    """Two docs sharing a 9-word run contain two overlapping duplicated
+    8-grams; coverage must union them (9 positions, not 16). A doc that
+    repeats an 8-gram only WITHIN itself is not cross-doc duplicated and
+    must not appear. Unique docs never appear."""
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8 w9"  # 9 words -> two 8-gram starts
+    df = spark.createDataFrame(
+        [
+            (1, shared + " tail1 tail2 tail3"),        # 12 words
+            (2, "head1 head2 " + shared),              # 11 words
+            (3, "r1 r2 r3 r4 r5 r6 r7 r8 r1 r2 r3 r4 r5 r6 r7 r8"),
+            (4, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in dedup.span_coverage_stats(df, "doc_id", "text", n=8).collect()
+    }
+    assert set(rows) == {1, 2}
+    assert rows[1].n_dup_grams == 2 and rows[1].dup_positions == 9
+    assert rows[2].n_dup_grams == 2 and rows[2].dup_positions == 9
+    assert rows[1].n_words == 12 and rows[1].dup_ppm == 9 * 1_000_000 // 12
+    assert rows[2].n_words == 11 and rows[2].dup_ppm == 9 * 1_000_000 // 11
