@@ -82,3 +82,56 @@ def quantile_disc(df: DataFrame, col: str, q: float) -> int:
     total = df.filter(F.col(col).isNotNull()).count()
     k = max(1, math.ceil(q * total - 1e-9))
     return kth_smallest(df, col, k)
+
+
+def pareto_frontier(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Exact 2-D Pareto frontier (skyline, Börzsönyi et al. 2001) per
+    group, maximizing both ``x_col`` and ``y_col``: the points no other
+    point in the group weakly dominates (≥ on both axes, > on at least
+    one).
+
+    Two-dimensional skyline reduces to a prefix maximum: after
+    collapsing to one row per (group, x) carrying ymax = MAX(y), a
+    point survives iff its ymax strictly exceeds the running MAX(ymax)
+    over all strictly-greater x — computed with one window over the
+    pre-aggregated points. No pairwise dominance join, no quadratic
+    blow-up.
+
+    Returns (group, x, max_y, n_docs, frontier_rank): n_docs counts the
+    rows sitting exactly at the frontier point (x, max_y);
+    frontier_rank orders the frontier by x descending.
+
+    Scale: the (group, x, y) pre-aggregation is map-side combinable and
+    shrinks the window input to the distinct-(x) cardinality per group
+    — bounded by the score domain, not the corpus; the windows then
+    run over that reduced set. All arithmetic integer-exact.
+    """
+    from pyspark.sql.window import Window
+
+    xy = df.groupBy(group_col, x_col, y_col).agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    pts = xy.groupBy(group_col, x_col).agg(
+        F.max(y_col).alias("max_y"),
+        F.expr(f"max_by(n_docs, {y_col})").cast("long").alias("n_docs"),
+    )
+    prev = Window.partitionBy(group_col).orderBy(F.col(x_col).desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    rank_w = Window.partitionBy(group_col).orderBy(F.col(x_col).desc())
+    return (
+        pts.withColumn("__prev", F.max("max_y").over(prev))
+        .filter(F.col("__prev").isNull() | (F.col("max_y") > F.col("__prev")))
+        .select(
+            group_col,
+            x_col,
+            "max_y",
+            "n_docs",
+            F.row_number().over(rank_w).cast("long").alias("frontier_rank"),
+        )
+    )

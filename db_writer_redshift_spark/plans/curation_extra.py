@@ -530,3 +530,64 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.span_coverage_stats(
         load_table(spark, sf_dir, "documents"), "doc_id", "text", n=8
     )
+
+
+@register(
+    "pareto_quality_length_frontier",
+    oracle="""
+WITH base AS (
+  SELECT lang,
+         ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')), 6) AS a6,
+         ROUND(CAST(LENGTH(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / LENGTH(text), 6) AS p6,
+         ROUND(CAST(len(list_filter(string_split(LOWER(text), ' '), x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+               / len(string_split(text, ' ')), 6) AS s6,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+  FROM documents
+),
+scored AS (
+  SELECT lang,
+         CAST(ROUND((1.0 - LEAST(1.0, ABS(a6 - 5) / 5) * 0.3
+                         - LEAST(1.0, p6 * 10) * 0.3
+                         - LEAST(1.0, ABS(s6 - 0.4)) * 0.4) * 1000000) AS BIGINT) AS q_e6,
+         n_words
+  FROM base
+),
+xy AS (
+  SELECT lang, q_e6, n_words, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM scored GROUP BY 1, 2, 3
+),
+pts AS (
+  SELECT lang, q_e6, MAX(n_words) AS max_words,
+         arg_max(n_docs, n_words) AS n_docs
+  FROM xy GROUP BY 1, 2
+),
+fr AS (
+  SELECT lang, q_e6, max_words, n_docs,
+         MAX(max_words) OVER (PARTITION BY lang ORDER BY q_e6 DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+  FROM pts
+)
+SELECT lang, q_e6, max_words, n_docs,
+       CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY q_e6 DESC) AS BIGINT) AS frontier_rank
+FROM fr WHERE prev IS NULL OR max_words > prev
+""",
+)
+def pareto_quality_length_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Pareto frontier (skyline) of documents maximizing
+    BOTH composite quality (q_e6) and length (n_words): the docs no
+    other same-language doc beats on both axes — the exact candidate
+    set a curation pass selects from when quality and length trade off.
+    Delegates to operators/selection.pareto_frontier (2-D skyline as a
+    prefix-max window over (lang, q_e6) pre-aggregates — never a
+    pairwise dominance join)."""
+    from db_writer_redshift_spark.operators import selection
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "lang",
+        quality_score_e6(F.col("text")).alias("q_e6"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_words"),
+    )
+    return selection.pareto_frontier(scored, "lang", "q_e6", "n_words").withColumnRenamed(
+        "max_y", "max_words"
+    )

@@ -52,3 +52,32 @@ def test_nulls_are_ignored_and_bounds_checked(spark):
         kth_smallest(df, "x", 3)
     with pytest.raises(ValueError, match="q must be"):
         quantile_disc(df, "x", 0.0)
+
+
+def test_pareto_frontier_dominance_and_ties(spark):
+    """Skyline contract: (1) dominated points never appear; (2) a point
+    tying the frontier max_y at lower x is dominated (strict > rule);
+    (3) co-located rows collapse into n_docs; (4) frontier_rank orders
+    by x descending; (5) groups are independent."""
+    from db_writer_redshift_spark.operators.selection import pareto_frontier
+
+    rows = [
+        # group a: frontier = (9,1), (5,7), (2,9)
+        ("a", 9, 1), ("a", 5, 7), ("a", 2, 9),
+        ("a", 4, 7),   # y ties a higher-x frontier point -> dominated
+        ("a", 3, 5),   # strictly dominated
+        ("a", 5, 7),   # duplicate of a frontier point -> n_docs=2
+        ("a", 5, 2),   # same x, lower y -> dominated
+        # group b: single point
+        ("b", 1, 1),
+    ]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = {
+        (r.g, r.x): r for r in pareto_frontier(df, "g", "x", "y").collect()
+    }
+    assert set(out) == {("a", 9), ("a", 5), ("a", 2), ("b", 1)}
+    assert out[("a", 5)].max_y == 7 and out[("a", 5)].n_docs == 2
+    assert out[("a", 9)].n_docs == 1
+    ranks = {k: v.frontier_rank for k, v in out.items()}
+    assert ranks[("a", 9)] == 1 and ranks[("a", 5)] == 2 and ranks[("a", 2)] == 3
+    assert ranks[("b", 1)] == 1
