@@ -348,9 +348,9 @@ def curriculum_quality_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_ppjoin_exact",
-    oracle="""
+# Shared by dedup_ppjoin_exact and dedup_minhash_recall_audit (the
+# exact tier IS the audit's ground truth).
+_PPJOIN_ORACLE = """
 WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 grams AS (
   SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
@@ -387,8 +387,10 @@ SELECT doc_a, doc_b, inter,
        (1000000 * inter) // (sz_a + sz_b - inter) AS jac_ppm
 FROM inter
 WHERE 10 * inter >= 3 * (sz_a + sz_b - inter)
-""",
-)
+"""
+
+
+@register("dedup_ppjoin_exact", oracle=_PPJOIN_ORACLE)
 def dedup_ppjoin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT set-similarity self-join (PPJoin-family prefix filter): all
     document pairs with 3-gram-shingle Jaccard ≥ 0.3, zero false
@@ -590,4 +592,62 @@ def pareto_quality_length_frontier(spark: SparkSession, sf_dir: str) -> DataFram
     )
     return selection.pareto_frontier(scored, "lang", "q_e6", "n_words").withColumnRenamed(
         "max_y", "max_words"
+    )
+
+
+def _minhash_recall_oracle() -> str:
+    """Compose the two existing oracles: exact PPJoin pairs (ground
+    truth) LEFT JOIN portable MinHash-LSH pairs (prediction), recall
+    per exact-Jaccard decile."""
+    from db_writer_redshift_spark.plans.llm_ops import _minhash_portable_oracle
+
+    return f"""
+WITH truep AS (SELECT doc_a, doc_b, jac_ppm FROM ({_PPJOIN_ORACLE}) t),
+pred AS (SELECT doc_a, doc_b FROM ({_minhash_portable_oracle()}) p),
+j AS (
+  SELECT truep.jac_ppm // 100000 AS jac_decile,
+         CASE WHEN pred.doc_a IS NULL THEN 0 ELSE 1 END AS hit
+  FROM truep LEFT JOIN pred
+    ON pred.doc_a = truep.doc_a AND pred.doc_b = truep.doc_b
+)
+SELECT jac_decile,
+       CAST(COUNT(*) AS BIGINT) AS n_true,
+       CAST(SUM(hit) AS BIGINT) AS n_hit,
+       (1000000 * CAST(SUM(hit) AS BIGINT)) // COUNT(*) AS recall_ppm
+FROM j GROUP BY jac_decile
+"""
+
+
+@register("dedup_minhash_recall_audit", oracle=_minhash_recall_oracle())
+def dedup_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit of the MinHash-LSH near-dup tier against EXACT
+    ground truth: every pair with true 3-shingle Jaccard >= 0.3 (from
+    the zero-false-negative PPJoin tier) is checked against the
+    portable MinHash(64)/16-band candidate set, and recall is reported
+    per exact-Jaccard decile — the S-curve the banding parameters
+    promise, measured instead of assumed. The dedup twin of
+    ann_recall_audit (which plays the same role for the ANN tiers).
+
+    Scale: both sides are the already-scale-safe tier plans (prefix-
+    filtered self-join; banded bucket join); the audit adds one
+    pair-keyed left join and a tiny decile rollup. Run on a sample at
+    production scale — the audit needs statistical mass, not the full
+    corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    truep = dedup.ppjoin_exact_pairs(
+        docs, "doc_id", "text", n=3, threshold_num=3, threshold_den=10
+    ).select("doc_a", "doc_b", "jac_ppm")
+    pred = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.3, portable=True
+    ).select("doc_a", "doc_b", F.lit(1).alias("hit"))
+    return (
+        truep.join(pred, ["doc_a", "doc_b"], "left")
+        .groupBy(F.expr("jac_ppm div 100000").cast("long").alias("jac_decile"))
+        .agg(
+            F.count("*").cast("long").alias("n_true"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hit"),
+        )
+        .withColumn(
+            "recall_ppm", F.expr("(1000000 * n_hit) div n_true").cast("long")
+        )
     )

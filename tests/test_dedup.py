@@ -307,3 +307,33 @@ def test_span_coverage_unions_overlaps_and_ignores_within_doc_repeats(spark):
     assert rows[2].n_dup_grams == 2 and rows[2].dup_positions == 9
     assert rows[1].n_words == 12 and rows[1].dup_ppm == 9 * 1_000_000 // 12
     assert rows[2].n_words == 11 and rows[2].dup_ppm == 9 * 1_000_000 // 11
+
+
+def test_minhash_recall_audit_catches_exact_duplicates(spark):
+    """The audit's top decile (exact duplicates, jac_ppm=1e6) must show
+    perfect recall: identical docs agree on every signature position, so
+    LSH banding cannot miss them."""
+    from db_writer_redshift_spark.plans.curation_extra import (
+        dedup_minhash_recall_audit,
+    )
+    import db_writer_redshift_spark.plans.registry as reg
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, text), (2, text), (3, "totally different words here now friend")],
+        "doc_id long, text string",
+    )
+    orig = reg.load_table
+    try:
+        reg.load_table = lambda s, d, n: docs
+        import db_writer_redshift_spark.plans.curation_extra as ce
+
+        ce.load_table = reg.load_table
+        rows = {r.jac_decile: r for r in dedup_minhash_recall_audit(spark, "x").collect()}
+    finally:
+        reg.load_table = orig
+        import db_writer_redshift_spark.plans.curation_extra as ce
+
+        ce.load_table = orig
+    assert rows[10].n_true == 1 and rows[10].n_hit == 1
+    assert rows[10].recall_ppm == 1_000_000
