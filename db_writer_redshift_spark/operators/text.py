@@ -396,3 +396,70 @@ def quality_percentile_gate(
         F.sum(F.when(kept, F.col("n_tokens")).otherwise(0)).cast("long").alias("kept_tokens"),
         F.min(F.when(kept, F.col("q_e6"))).alias("cutoff_q_e6"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    w: int = 5,
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken
+    2003 — the MOSS scheme): hash every word k-gram, slide a window of
+    w consecutive hashes, and keep each window's minimum (rightmost on
+    ties). Guarantee: any shared run of at least w + k - 1 words
+    between two documents shares at least one selected fingerprint,
+    with expected density 2/(w+1) — the property plain mod-p sampling
+    lacks.
+
+    The rightmost-min rule packs into one integer so a single window
+    MIN implements it: v = h·2^20 + (2^20 − 1 − pos); minimizing v
+    minimizes h and, on ties, maximizes pos. Positions are capped at
+    2^20 grams per document (1M words — far above any sane document;
+    chunk first otherwise). Only full windows select (docs shorter
+    than w+k-1 words yield no fingerprints).
+
+    Returns distinct (id_col, pos, fp): selected 0-based gram start
+    positions and their 32-bit md5-portable hashes.
+
+    Scale: the k-gram hash is row-local codegen; the sliding MIN is a
+    per-document window over gram positions (document-sized
+    partitions, never corpus-sized); the distinct collapses each
+    document's selections locally before any cross-doc use.
+    """
+    from pyspark.sql.window import Window
+
+    from db_writer_redshift_spark.functions.text import ngrams
+    from db_writer_redshift_spark.operators.bloom import _md5_int32
+
+    cap = 1 << 20
+    g = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(ngrams(F.lower(F.col(text_col)), k)).alias("pos", "g"),
+    )
+    v = g.select(
+        "__id",
+        "pos",
+        (_md5_int32(F.col("g")) * cap + (F.lit(cap - 1) - F.col("pos"))).alias(
+            "v"
+        ),
+    )
+    n_grams = v.groupBy("__id").agg(F.count("*").alias("__ng"))
+    win = (
+        Window.partitionBy("__id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    sel = (
+        v.withColumn("vm", F.min("v").over(win))
+        .join(n_grams, "__id")
+        .filter(F.col("pos") <= F.col("__ng") - w)
+        .select("__id", "vm")
+        .distinct()
+    )
+    return sel.select(
+        F.col("__id").alias(id_col),
+        (F.lit(cap - 1) - F.col("vm") % cap).cast("long").alias("pos"),
+        F.expr(f"vm div {cap}").cast("long").alias("fp"),
+    )

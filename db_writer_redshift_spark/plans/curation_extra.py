@@ -651,3 +651,90 @@ def dedup_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_ppm", F.expr("(1000000 * n_hit) div n_true").cast("long")
         )
     )
+
+
+@register(
+    "text_winnowing_fingerprints",
+    oracle=f"""
+WITH docs AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS g
+  FROM docs, UNNEST(generate_series(1, len(w) - 3)) AS t(i)
+  WHERE len(w) >= 4
+),
+v AS (
+  SELECT doc_id, pos,
+         {_duck_md5_int32("g")} * 1048576 + (1048575 - pos) AS v
+  FROM grams
+),
+ng AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM v GROUP BY doc_id),
+m AS (
+  SELECT doc_id, pos,
+         MIN(v) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS vm
+  FROM v
+),
+sel AS (
+  SELECT DISTINCT m.doc_id, vm
+  FROM m JOIN ng USING (doc_id)
+  WHERE pos <= n_grams - 5
+),
+fp AS (SELECT DISTINCT doc_id, vm // 1048576 AS fp FROM sel),
+sh AS (SELECT fp FROM fp GROUP BY fp HAVING MIN(doc_id) <> MAX(doc_id)),
+perdoc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fps FROM sel GROUP BY doc_id),
+persh AS (
+  SELECT fp.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_fps
+  FROM fp JOIN sh USING (fp) GROUP BY fp.doc_id
+)
+SELECT ng.doc_id, n_grams, n_fps,
+       COALESCE(n_shared_fps, 0) AS n_shared_fps,
+       (1000000 * n_fps) // n_grams AS density_ppm
+FROM ng JOIN perdoc USING (doc_id) LEFT JOIN persh USING (doc_id)
+""",
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint audit per document: selected
+    fingerprint count, density (expected ~2/(w+1) = 333k ppm for w=5),
+    and how many of the doc's distinct fingerprints also appear in
+    another document — the local-match signal with the w+k-1 guarantee
+    that whole-doc fingerprints (text_fingerprint,
+    text_rolling_fingerprint) cannot give. Selection rule and the
+    integer-packed rightmost-min window live in
+    operators/text.winnow_fingerprints."""
+    from db_writer_redshift_spark.operators.text import winnow_fingerprints
+
+    d = load_table(spark, sf_dir, "documents")
+    sel = winnow_fingerprints(d, "doc_id", "text", k=4, w=5)
+    n_grams = d.select(
+        "doc_id",
+        F.size(ngrams(F.lower(F.col("text")), 4)).cast("long").alias("n_grams"),
+    ).filter(F.col("n_grams") >= 1)
+    fps = sel.select("doc_id", "fp").distinct()
+    sh = (
+        fps.groupBy("fp")
+        .agg(F.min("doc_id").alias("__mn"), F.max("doc_id").alias("__mx"))
+        .filter(F.col("__mn") != F.col("__mx"))
+        .select("fp")
+    )
+    perdoc = sel.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_fps"))
+    persh = (
+        fps.join(sh, "fp")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_shared_fps"))
+    )
+    return (
+        n_grams.join(perdoc, "doc_id")
+        .join(persh, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_fps",
+            F.coalesce(F.col("n_shared_fps"), F.lit(0)).cast("long").alias(
+                "n_shared_fps"
+            ),
+            F.expr("(1000000 * n_fps) div n_grams").cast("long").alias(
+                "density_ppm"
+            ),
+        )
+    )

@@ -261,3 +261,30 @@ def test_bpe_train_merges_return_state_tokenizes_words(spark):
     _, state2 = bpe_train_merges(df, "text", rounds=2, return_state=True)
     got2 = {r.w: r.s for r in state2.collect()}
     assert got2 == {"abab": "abab", "aab": "a|ab"}
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """The MOSS guarantee: two documents sharing a run of >= w + k - 1
+    words (here 5 + 4 - 1 = 8) must share at least one selected
+    fingerprint. Density: each full window contributes one selection,
+    so 1 <= n_fps <= n_windows, and a single-window doc selects exactly
+    one fingerprint."""
+    from db_writer_redshift_spark.operators.text import winnow_fingerprints
+
+    shared = "q w e r t y u i"  # 8 shared words
+    df = spark.createDataFrame(
+        [
+            (1, shared + " aa bb cc dd"),
+            (2, "zz yy " + shared),
+            (3, "k4 k5 k6 k7 k8"),  # 5 words -> 2 grams, no full window of 5
+            (4, "m1 m2 m3 m4 m5 m6 m7 m8"),  # exactly one full window
+        ],
+        "doc_id long, text string",
+    )
+    sel = winnow_fingerprints(df, "doc_id", "text", k=4, w=5).collect()
+    by_doc = {}
+    for r in sel:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "shared 8-word run must share a fingerprint"
+    assert 3 not in by_doc, "no full window -> no selections"
+    assert len(by_doc[4]) == 1, "one full window -> exactly one fingerprint"
