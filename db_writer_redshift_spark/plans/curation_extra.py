@@ -738,3 +738,84 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_VARINT_CASE = (
+    "CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2"
+    " WHEN gap < 2097152 THEN 3 WHEN gap < 268435456 THEN 4 ELSE 5 END"
+)
+
+
+@register(
+    "index_posting_gaps",
+    oracle=f"""
+WITH postings AS (
+  SELECT DISTINCT unnest(string_split(lower(text), ' ')) AS tok, doc_id
+  FROM documents
+),
+gaps AS (
+  SELECT tok,
+         doc_id - COALESCE(LAG(doc_id) OVER (PARTITION BY tok ORDER BY doc_id), 0) AS gap
+  FROM postings
+),
+per_term AS (
+  SELECT tok,
+         CAST(COUNT(*) AS BIGINT) AS df,
+         CAST(SUM({_VARINT_CASE}) AS BIGINT) AS varint_bytes
+  FROM gaps GROUP BY tok
+)
+SELECT LENGTH(CAST(df AS VARCHAR)) AS df_digits,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(SUM(df) AS BIGINT) AS total_postings,
+       CAST(SUM(df) AS BIGINT) * 8 AS raw_bytes,
+       CAST(SUM(varint_bytes) AS BIGINT) AS varint_bytes,
+       (1000000 * (CAST(SUM(df) AS BIGINT) * 8 - CAST(SUM(varint_bytes) AS BIGINT)))
+         // (CAST(SUM(df) AS BIGINT) * 8) AS savings_ppm
+FROM per_term GROUP BY df_digits
+""",
+)
+def index_posting_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index posting-list compression audit: build the
+    (term -> sorted doc_id list) postings the BM25/TF-IDF queries
+    implicitly assume, delta-encode each list (gap = doc_id − previous,
+    first gap from 0), and account LEB128-varint bytes per gap exactly
+    (1 byte per started 7-bit group) — rolled up by document-frequency
+    magnitude (decimal digits of df). The classic index-storage result
+    made measurable: high-df terms have small gaps and compress hardest.
+
+    Scale: postings dedup is one (tok, doc) shuffle; the LAG window
+    partitions per term (a production index blocks hot terms' postings
+    into per-range segments — same gap math, bounded partitions); the
+    rollup is a ≤10-group aggregate. All integer — full value-hash
+    oracle."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    postings = d.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"), "doc_id"
+    ).distinct()
+    w = Window.partitionBy("tok").orderBy("doc_id")
+    gaps = postings.withColumn(
+        "gap", F.col("doc_id") - F.coalesce(F.lag("doc_id").over(w), F.lit(0))
+    )
+    per_term = gaps.groupBy("tok").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum(F.expr(_VARINT_CASE)).cast("long").alias("varint_bytes"),
+    )
+    return (
+        per_term.groupBy(
+            F.length(F.col("df").cast("string")).alias("df_digits")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.sum("df").cast("long").alias("total_postings"),
+            (F.sum("df") * 8).cast("long").alias("raw_bytes"),
+            F.sum("varint_bytes").cast("long").alias("varint_bytes"),
+        )
+        .withColumn(
+            "savings_ppm",
+            F.expr(
+                "(1000000 * (raw_bytes - varint_bytes)) div raw_bytes"
+            ).cast("long"),
+        )
+    )

@@ -157,3 +157,34 @@ class TestCurriculumPhases:
         phases = sorted(by_phase)
         for hi, lo in zip(phases, phases[1:]):
             assert by_phase[hi].min_q_e6 >= by_phase[lo].max_q_e6
+
+
+class TestPostingGaps:
+    def test_varint_gap_accounting_exact(self, spark):
+        """Gap chain for a term in docs {1, 3, 200}: gaps 1,2,197 ->
+        varint 1+1+2 = 4 bytes vs 24 raw; a 128-boundary gap needs 2
+        bytes. Dedup: repeated token in one doc counts once."""
+        import db_writer_redshift_spark.plans.curation_extra as ce
+        from db_writer_redshift_spark.plans.curation_extra import index_posting_gaps
+
+        docs = spark.createDataFrame(
+            [
+                (1, "zebra zebra"),     # dedup within doc
+                (3, "zebra"),
+                (200, "zebra"),
+                (128, "lonely"),        # single posting, gap 128 -> 2 bytes
+            ],
+            "doc_id long, text string",
+        )
+        orig = ce.load_table
+        try:
+            ce.load_table = lambda s, d, n: docs
+            rows = {r.df_digits: r for r in index_posting_gaps(spark, "x").collect()}
+        finally:
+            ce.load_table = orig
+        assert rows[1].n_terms == 2
+        assert rows[1].total_postings == 4
+        assert rows[1].raw_bytes == 32
+        # zebra: gaps 1,2,197 -> 1+1+2; lonely: gap 128 -> 2
+        assert rows[1].varint_bytes == 6
+        assert rows[1].savings_ppm == (1_000_000 * (32 - 6)) // 32
