@@ -819,3 +819,58 @@ def index_posting_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         )
     )
+
+
+@register(
+    "privacy_k_anonymity_customer",
+    oracle="""
+WITH cells AS (
+  SELECT c_nationkey AS nation,
+         CAST(FLOOR(c_acctbal / 100) AS BIGINT) AS bal_bucket,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l
+  FROM customer
+  GROUP BY 1, 2
+)
+SELECT k AS anonymity_k,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(k) AS BIGINT) AS n_rows,
+       MIN(l) AS min_l,
+       (1000000 * CAST(SUM(l) AS BIGINT)) // COUNT(*) AS avg_l_ppm
+FROM cells GROUP BY k
+""",
+)
+def privacy_k_anonymity_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala
+    et al. 2006) over the customer table: quasi-identifier cells are
+    (nation, account-balance bucket of width 100); for each cell size k
+    the audit reports how many cells and rows sit at that re-
+    identification level, and the worst / average diversity l of the
+    sensitive attribute (market segment) inside them — rows in k=1
+    cells are individually re-identifiable; low l means attribute
+    disclosure even at healthy k. The privacy gate a release pipeline
+    runs BEFORE publishing (the complement of text_pii_redaction, which
+    scrubs content; this audits structure).
+
+    Scale: one map-side-combinable QI aggregate (COUNT DISTINCT over a
+    5-value domain), then a histogram over cell sizes — the same
+    two-stage profile as skew_key_profile. All integer."""
+    c = load_table(spark, sf_dir, "customer")
+    cells = c.groupBy(
+        F.col("c_nationkey").alias("nation"),
+        F.floor(F.col("c_acctbal") / 100).cast("long").alias("bal_bucket"),
+    ).agg(
+        F.count("*").cast("long").alias("k"),
+        F.countDistinct("c_mktsegment").cast("long").alias("l"),
+    )
+    return (
+        cells.groupBy(F.col("k").alias("anonymity_k"))
+        .agg(
+            F.count("*").cast("long").alias("n_groups"),
+            F.sum("k").cast("long").alias("n_rows"),
+            F.min("l").alias("min_l"),
+            F.expr("(1000000 * sum(l)) div count(*)").cast("long").alias(
+                "avg_l_ppm"
+            ),
+        )
+    )

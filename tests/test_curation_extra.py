@@ -188,3 +188,37 @@ class TestPostingGaps:
         # zebra: gaps 1,2,197 -> 1+1+2; lonely: gap 128 -> 2
         assert rows[1].varint_bytes == 6
         assert rows[1].savings_ppm == (1_000_000 * (32 - 6)) // 32
+
+
+class TestKAnonymity:
+    def test_cell_sizes_and_diversity(self, spark):
+        """Three rows in one QI cell with two distinct segments -> one
+        k=3 cell with l=2; two singleton cells with l=1."""
+        import db_writer_redshift_spark.plans.curation_extra as ce
+        from db_writer_redshift_spark.plans.curation_extra import (
+            privacy_k_anonymity_customer,
+        )
+
+        cust = spark.createDataFrame(
+            [
+                (1, 7, 150.0, "AUTO"),
+                (2, 7, 199.0, "AUTO"),
+                (3, 7, 101.0, "HOUSE"),   # same cell (7, 1)
+                (4, 7, 250.0, "AUTO"),    # cell (7, 2)
+                (5, 9, 150.0, "AUTO"),    # cell (9, 1)
+            ],
+            "c_custkey long, c_nationkey int, c_acctbal double, c_mktsegment string",
+        )
+        orig = ce.load_table
+        try:
+            ce.load_table = lambda s, d, n: cust
+            rows = {
+                r.anonymity_k: r
+                for r in privacy_k_anonymity_customer(spark, "x").collect()
+            }
+        finally:
+            ce.load_table = orig
+        assert rows[3].n_groups == 1 and rows[3].n_rows == 3
+        assert rows[3].min_l == 2 and rows[3].avg_l_ppm == 2_000_000
+        assert rows[1].n_groups == 2 and rows[1].n_rows == 2
+        assert rows[1].min_l == 1 and rows[1].avg_l_ppm == 1_000_000
