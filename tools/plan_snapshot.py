@@ -66,6 +66,10 @@ SHOWCASE = [
     ("graph_triangle_parts", "triangle counting: degree-ordered orientation bounds wedges O(m^1.5), weight-gated edges"),
     ("events_trend_slope", "OLS trend: exact BIGINT moments share one type shuffle, IEEE finish per group"),
     ("events_conversion_latency_hist", "conversion latency: day-blocked range equi-join, first-purchase MIN, 4h histogram"),
+    ("dedup_span_coverage", "span dedup: gram min/max partials decide cross-doc, bounded explode unions overlaps"),
+    ("pareto_quality_length_frontier", "skyline: prefix-max window over (lang, score) pre-aggregates, no dominance join"),
+    ("text_winnowing_fingerprints", "winnowing: integer-packed rightmost-min sliding window, per-document partitions"),
+    ("index_posting_gaps", "posting compression: one (term,doc) shuffle, per-term LAG, 10-group rollup"),
 ]
 
 
