@@ -791,9 +791,18 @@ def index_posting_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     d = load_table(spark, sf_dir, "documents")
-    postings = d.select(
-        F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"), "doc_id"
-    ).distinct()
+    # repartition on tok ALONE: HashPartitioning(tok) satisfies both the
+    # (tok, doc) dedup's and the per-term window's clustering, so the
+    # whole chain runs on ONE exchange instead of two full-data shuffles
+    # (verified: plan shows a single Exchange).
+    postings = (
+        d.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"),
+            "doc_id",
+        )
+        .repartition("tok")
+        .dropDuplicates(["tok", "doc_id"])
+    )
     w = Window.partitionBy("tok").orderBy("doc_id")
     gaps = postings.withColumn(
         "gap", F.col("doc_id") - F.coalesce(F.lag("doc_id").over(w), F.lit(0))
