@@ -970,3 +970,82 @@ def events_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_active_sessions"),
     )
+
+
+@register(
+    "events_top_session_paths",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+              OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, event_id, ts, event_type,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM flagged
+), paths AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM sessions GROUP BY user_id, session_id
+)
+SELECT path,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 25
+""",
+)
+def events_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 exact session paths: sessionize with the same 30-min gap
+    rule as events_sessionization, concatenate each session's ordered
+    event types into a path string, and rank paths by frequency — the
+    order-SENSITIVE sequence rollup the transition matrix (bigrams)
+    cannot express. Tie-breaks are total: (ts, event_id) orders events
+    within a session; (n_sessions DESC, path) orders the leaderboard.
+
+    Scale: both windows and the path aggregate share one user_id
+    shuffle; paths are session-bounded strings; the leaderboard is
+    orderBy+limit, which Spark executes as TakeOrderedAndProject — 25
+    rows per partition reach the driver-side merge, never the full
+    path distribution."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_ltz = F.col("ts").cast("timestamp_ltz")
+    gap_us = F.unix_micros(ts_ltz) - F.unix_micros(F.lag(ts_ltz).over(w))
+    sessions = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.sum(
+            F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_id"),
+    )
+    paths = sessions.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s.event_type,
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(25)
+    )

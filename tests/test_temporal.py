@@ -130,3 +130,38 @@ def test_salted_join_reserved_column_raises(spark):
     df = spark.createDataFrame([(1, 0)], "k int, _salt int")
     with pytest.raises(ValueError, match="reserved"):
         salted_join(df, df, ["k"])
+
+
+def test_top_session_paths_order_and_gap(spark):
+    """Path strings respect (ts, event_id) order inside a session; a
+    31-minute gap splits one user's activity into two sessions."""
+    import datetime as dt
+
+    import db_writer_redshift_spark.plans.temporal_queries as tq
+    from db_writer_redshift_spark.plans.temporal_queries import (
+        events_top_session_paths,
+    )
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1, one session: click -> view -> purchase (event_id breaks the ts tie)
+        (1, 1, t0, "click"),
+        (2, 1, t0 + dt.timedelta(seconds=10), "view"),
+        (3, 1, t0 + dt.timedelta(seconds=10), "purchase"),
+        # 31-minute gap -> new session: lone click
+        (4, 1, t0 + dt.timedelta(minutes=41, seconds=10), "click"),
+        # user 2: same lone click path
+        (5, 2, t0, "click"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, event_type string"
+    )
+    orig = tq.load_table
+    try:
+        tq.load_table = lambda s, d, n: ev
+        out = {r.path: r for r in events_top_session_paths(spark, "x").collect()}
+    finally:
+        tq.load_table = orig
+    assert out["click"].n_sessions == 2 and out["click"].n_users == 2
+    assert out["click>view>purchase"].n_sessions == 1
+    assert set(out) == {"click", "click>view>purchase"}
