@@ -755,3 +755,111 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_customers"),
         F.sum("m_cents").cast("long").alias("seg_total_cents"),
     )
+
+
+@register(
+    "assoc_rules_copurchase",
+    oracle="""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n_orders AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM op),
+supp AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_part FROM op GROUP BY l_partkey
+),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+),
+rules AS (
+  SELECT part_a AS antecedent, part_b AS consequent, n_ab FROM pairs
+  UNION ALL
+  SELECT part_b, part_a, n_ab FROM pairs
+)
+SELECT r.antecedent, r.consequent, r.n_ab,
+       sa.n_part AS n_antecedent,
+       (1000000 * r.n_ab) // sa.n_part AS confidence_ppm,
+       (1000000 * r.n_ab * (SELECT n FROM n_orders)) // (sa.n_part * sc.n_part) AS lift_ppm
+FROM rules r
+JOIN supp sa ON sa.l_partkey = r.antecedent
+JOIN supp sc ON sc.l_partkey = r.consequent
+ORDER BY lift_ppm DESC, antecedent, consequent
+LIMIT 25
+""",
+)
+def assoc_rules_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets (Agrawal-Srikant itemset
+    mining, the step after copurchase_part_pairs' raw co-occurrence):
+    directed rules antecedent -> consequent with support >= 2 orders,
+    exact integer confidence (n_ab/n_antecedent) and lift
+    (n_ab*N / (n_a*n_c)) in ppm, top-25 by lift. Pair generation reuses
+    the row-local C(n,2) trick — never a self-join.
+
+    Scale: basket-bounded pair fan-out + three map-side-combined
+    aggregates; the 1-row order count broadcasts into the projection;
+    the leaderboard is TakeOrdered. The ppm lift product n_ab*N stays
+    far under int64 while n_ab <= N; a 100 TB deployment with trillions
+    of baskets would scale the ppm factor down symmetrically."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    n = op.select(
+        F.countDistinct("l_orderkey").cast("long").alias("n")
+    )
+    supp = op.groupBy("l_partkey").agg(
+        F.count("*").cast("long").alias("n_part")
+    )
+    arr = op.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pairs = (
+        arr.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x AS part_a, y AS part_b))))"
+                )
+            ).alias("pr")
+        )
+        .groupBy(
+            F.col("pr.part_a").alias("part_a"), F.col("pr.part_b").alias("part_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    rules = pairs.select(
+        F.col("part_a").alias("antecedent"),
+        F.col("part_b").alias("consequent"),
+        "n_ab",
+    ).unionByName(
+        pairs.select(
+            F.col("part_b").alias("antecedent"),
+            F.col("part_a").alias("consequent"),
+            "n_ab",
+        )
+    )
+    sa = supp.select(
+        F.col("l_partkey").alias("antecedent"), F.col("n_part").alias("n_antecedent")
+    )
+    sc = supp.select(
+        F.col("l_partkey").alias("consequent"), F.col("n_part").alias("n_consequent")
+    )
+    return (
+        rules.join(sa, "antecedent")
+        .join(sc, "consequent")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_ab",
+            "n_antecedent",
+            F.expr("(1000000 * n_ab) div n_antecedent")
+            .cast("long")
+            .alias("confidence_ppm"),
+            F.expr("(1000000 * n_ab * n) div (n_antecedent * n_consequent)")
+            .cast("long")
+            .alias("lift_ppm"),
+        )
+        .orderBy(F.col("lift_ppm").desc(), "antecedent", "consequent")
+        .limit(25)
+    )
