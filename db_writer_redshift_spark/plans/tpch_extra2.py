@@ -863,3 +863,69 @@ def assoc_rules_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift_ppm").desc(), "antecedent", "consequent")
         .limit(25)
     )
+
+
+# Benford expected first-digit frequencies, ppm (log10(1+1/d) scaled;
+# the nine literals sum to exactly 1,000,000 so both engines share them
+# as constants — no transcendental evaluated in either plan).
+_BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+_BENFORD_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items()
+) + " END"
+
+
+@register(
+    "dq_benford_order_totals",
+    oracle=f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders
+),
+counts AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_orders FROM digits GROUP BY digit
+),
+total AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS n FROM counts)
+SELECT digit, n_orders,
+       (1000000 * n_orders) // (SELECT n FROM total) AS obs_ppm,
+       {_BENFORD_CASE} AS benford_ppm,
+       (1000000 * n_orders) // (SELECT n FROM total) - {_BENFORD_CASE} AS dev_ppm
+FROM counts
+""",
+)
+def dq_benford_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the
+    classic anomaly/fraud screen for monetary columns: observed
+    first-significant-digit frequency vs the Benford expectation
+    (hardcoded integer ppm constants — no log evaluated in the plan),
+    with the signed deviation per digit. Digits come from exact integer
+    cents (DECIMAL(18,2)·100), never from float-to-string formatting,
+    so both engines extract identical digits.
+
+    Scale: one 9-group map-side-combined aggregate over a scan-stage
+    projection; the 1-row total broadcasts back. All integer."""
+    o = load_table(spark, sf_dir, "orders")
+    digits = o.select(
+        F.expr(
+            "CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS STRING), 1, 1) AS BIGINT)"
+        ).alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(
+        F.count("*").cast("long").alias("n_orders")
+    )
+    total = counts.agg(F.sum("n_orders").cast("long").alias("n"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n_orders",
+            F.expr("(1000000 * n_orders) div n").cast("long").alias("obs_ppm"),
+            F.expr(_BENFORD_CASE).cast("long").alias("benford_ppm"),
+            (
+                F.expr("(1000000 * n_orders) div n")
+                - F.expr(_BENFORD_CASE)
+            ).cast("long").alias("dev_ppm"),
+        )
+    )
