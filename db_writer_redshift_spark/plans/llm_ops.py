@@ -3632,3 +3632,49 @@ def cluster_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("top.neg_n")).cast("long").alias("top_label_n"),
         F.expr("(-top.neg_n * 1000) div n_assigned").alias("purity_milli"),
     )
+
+
+@register(
+    "lang_confusion_matrix",
+    oracle=f"""
+WITH pred AS (SELECT doc_id, ngram_lang FROM ({_ngram_lang_oracle()}) p)
+SELECT d.lang AS declared_lang, pred.ngram_lang AS predicted_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       (1000000 * CAST(COUNT(*) AS BIGINT))
+         // CAST(SUM(COUNT(*)) OVER (PARTITION BY d.lang) AS BIGINT) AS row_share_ppm
+FROM documents d JOIN pred ON pred.doc_id = d.doc_id
+GROUP BY 1, 2
+""",
+)
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation rollup: confusion matrix of the corpus's
+    DECLARED language label against the n-gram classifier's prediction
+    (text_lang_id_ngram), with each cell's exact ppm share of its
+    declared-language row — the per-class recall diagonal and the
+    mislabel flows off it. The label-quality audit a curation pipeline
+    runs before trusting either column for sampling or mixing.
+
+    Scale: the classifier is a map-only projection; the matrix is one
+    (declared, predicted) aggregate (|langs|² groups) and the row share
+    is a window over those few rows."""
+    from pyspark.sql.window import Window as _W
+
+    pred = text_lang_id_ngram(spark, sf_dir).select("doc_id", "ngram_lang")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("declared_lang")
+    )
+    cm = (
+        d.join(pred, "doc_id")
+        .groupBy("declared_lang", F.col("ngram_lang").alias("predicted_lang"))
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    return cm.select(
+        "declared_lang",
+        "predicted_lang",
+        "n_docs",
+        F.expr(
+            "(1000000 * n_docs) div sum(n_docs) over (partition by declared_lang)"
+        )
+        .cast("long")
+        .alias("row_share_ppm"),
+    )
