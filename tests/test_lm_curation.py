@@ -1,0 +1,163 @@
+"""Property tests for the published-method curation track
+(plans/lm_curation.py): SemDeDup, DSIR, Kneser-Ney, CCNet buckets.
+
+Value-exact oracle parity for every query is covered by
+tests/test_queries_oracle.py; these tests pin the METHOD invariants —
+the algebra each paper guarantees — independent of the oracle SQL.
+"""
+
+from __future__ import annotations
+
+import os
+from fractions import Fraction
+
+import pytest
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason=f"testdata missing: {SF_DIR}"
+)
+
+
+def _run(spark, name):
+    import __spark_entry__ as entry_mod
+
+    return entry_mod.queries()[name](spark, SF_DIR)
+
+
+class TestSemDeDup:
+    def test_clusters_partition_corpus_and_keep_at_least_one(self, spark):
+        rows = {r["cid"]: r for r in _run(spark, "semdedup_cluster_prune").collect()}
+        n_vecs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+        assert sum(r["n_members"] for r in rows.values()) == n_vecs
+        for r in rows.values():
+            assert r["n_pruned"] + r["n_kept"] == r["n_members"]
+            # the lowest-id member of a cluster is never pruned, so every
+            # non-empty cluster keeps at least one representative
+            assert r["n_kept"] >= 1
+
+    def test_seed_centroids_assigned_to_themselves(self, spark):
+        # a seed's distance to itself is 0, strictly minimal unless two
+        # seeds coincide — then the lower cid wins; either way every
+        # seed cluster contains its own seed, so exactly k clusters
+        n = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+        k = max(8, n // 64)
+        rows = _run(spark, "semdedup_cluster_prune").collect()
+        assert sorted(r["cid"] for r in rows) == list(range(k))
+
+
+class TestDSIR:
+    def test_every_bigram_bearing_doc_scored_once(self, spark):
+        import duckdb
+
+        got = {r["doc_id"]: r for r in _run(spark, "dsir_importance_weights").collect()}
+        expect = duckdb.sql(
+            f"""
+            WITH docs AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+                          FROM '{SF_DIR}/documents.parquet'),
+            g AS (SELECT doc_id, COUNT(*) AS n
+                  FROM docs, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+                  WHERE len(w) >= 2 AND w[i] <> '' AND w[i+1] <> ''
+                  GROUP BY doc_id)
+            SELECT doc_id, n FROM g
+            """
+        ).fetchall()
+        assert len(got) == len(expect)
+        for doc_id, n in expect:
+            assert got[doc_id]["n_grams"] == n
+
+    def test_weights_are_finite_log_ratios(self, spark):
+        import math
+
+        for r in _run(spark, "dsir_importance_weights").collect():
+            assert math.isfinite(r["dsir_weight"])
+
+
+class TestKneserNey:
+    def _counts(self):
+        import duckdb
+
+        return duckdb.sql(
+            f"""
+            WITH docs AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+                          FROM '{SF_DIR}/documents.parquet'),
+            grams AS (SELECT w[i] AS w1, w[i+1] AS w2
+                      FROM docs, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+                      WHERE len(w) >= 2 AND w[i] <> '' AND w[i+1] <> '')
+            SELECT w1, w2, COUNT(*) AS c FROM grams GROUP BY 1, 2
+            """
+        ).fetchall()
+
+    def test_probabilities_match_exact_fractions_and_sum_to_one(self, spark):
+        big = self._counts()
+        c1: dict[str, int] = {}
+        n1f: dict[str, int] = {}
+        n1b: dict[str, int] = {}
+        for w1, w2, c in big:
+            c1[w1] = c1.get(w1, 0) + c
+            n1f[w1] = n1f.get(w1, 0) + 1
+            n1b[w2] = n1b.get(w2, 0) + 1
+        npairs = len(big)
+        d = Fraction(3, 4)
+
+        def p_kn(w1, w2, c12):
+            return (c12 - d) / c1[w1] + d * n1f[w1] / c1[w1] * Fraction(
+                n1b[w2], npairs
+            )
+
+        # Chen & Goodman: interpolated KN is a proper distribution over
+        # the FULL continuation vocabulary — unseen continuations get
+        # lambda(w1) * P_cont(w2). sum_w2 P(w2|w1) = 1 exactly because
+        # the discounted mass D*N1f/c1 equals lambda and
+        # sum_w2 N1b(w2) = npairs. Check a sample of contexts end to end.
+        seen = {(w1, w2) for w1, w2, _ in big}
+        obs = {}
+        for w1, w2, c in big:
+            obs.setdefault(w1, []).append((w2, c))
+        for w1 in sorted(obs)[:5]:
+            total = sum(
+                (c - d) / c1[w1] for _, c in obs[w1]
+            ) + d * n1f[w1] / c1[w1] * sum(
+                Fraction(n1b[w2], npairs)
+                for w2 in n1b
+                if (w1, w2) not in seen
+            )
+            total += sum(
+                d * n1f[w1] / c1[w1] * Fraction(n1b[w2], npairs)
+                for w2, _ in obs[w1]
+            )
+            assert total == 1, (w1, total)
+
+        rows = _run(spark, "lm_kneser_ney_bigram").collect()
+        assert len(rows) == min(50, npairs)
+        for r in rows:
+            exact = p_kn(r["w1"], r["w2"], r["c12"])
+            assert r["p_kn_e6"] == (exact.numerator * 1_000_000) // exact.denominator
+            lam = d * n1f[r["w1"]] / c1[r["w1"]]
+            assert r["lambda_e6"] == (lam.numerator * 1_000_000) // lam.denominator
+
+
+class TestCCNetBuckets:
+    def test_terciles_balanced_and_ordered(self, spark):
+        rows = _run(spark, "ccnet_logprob_buckets").collect()
+        by_lang: dict[str, dict[str, dict]] = {}
+        for r in rows:
+            by_lang.setdefault(r["lang"], {})[r["bucket"]] = r
+        import duckdb
+
+        lang_counts = dict(
+            duckdb.sql(
+                f"SELECT lang, COUNT(*) FROM '{SF_DIR}/documents.parquet' GROUP BY lang"
+            ).fetchall()
+        )
+        for lang, buckets in by_lang.items():
+            sizes = [r["n_docs"] for r in buckets.values()]
+            assert sum(sizes) == lang_counts[lang]
+            # NTILE(3): bucket sizes differ by at most 1
+            assert max(sizes) - min(sizes) <= 1
+            # head holds the highest scores; boundaries may tie exactly
+            if "head" in buckets and "middle" in buckets:
+                assert buckets["head"]["min_avg_lp"] >= buckets["middle"]["max_avg_lp"]
+            if "middle" in buckets and "tail" in buckets:
+                assert buckets["middle"]["min_avg_lp"] >= buckets["tail"]["max_avg_lp"]
