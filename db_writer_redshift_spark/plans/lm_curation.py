@@ -490,3 +490,258 @@ def ccnet_logprob_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("avg_lp").alias("min_avg_lp"),
         F.max("avg_lp").alias("max_avg_lp"),
     )
+
+
+#: Gopher's stopword list for the "contains >= 2 stopwords" rule
+#: (Rae et al. 2021, Table A1 filter set).
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_STOP_SQL = ", ".join(f"'{s}'" for s in _GOPHER_STOPWORDS)
+
+
+@register(
+    "gopher_rules_audit",
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id, source, text,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+  FROM documents
+),
+base AS (
+  SELECT doc_id, source,
+         len(w) AS n_words,
+         CAST(list_sum(list_transform(w, x -> CAST(length(x) AS BIGINT)))
+              AS BIGINT) AS sum_chars,
+         length(text) AS n_chars,
+         len(list_distinct(list_filter(w, x -> x IN ({_STOP_SQL})))) AS n_stop
+  FROM docs
+),
+grams AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] AS bigram, COUNT(*) AS c
+  FROM docs, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2
+  GROUP BY doc_id, bigram
+),
+top2 AS (
+  SELECT doc_id, c AS c_top, length(bigram) AS len_top
+  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY c DESC, bigram) AS rn
+        FROM grams)
+  WHERE rn = 1
+),
+flags AS (
+  SELECT b.source,
+         CASE WHEN b.n_words BETWEEN 50 AND 100000 THEN 0 ELSE 1 END AS f_wc,
+         CASE WHEN 4 * b.n_words <= b.sum_chars
+                   AND b.sum_chars <= 10 * b.n_words THEN 0 ELSE 1 END AS f_wl,
+         CASE WHEN b.n_stop >= 1 THEN 0 ELSE 1 END AS f_stop,
+         CASE WHEN COALESCE(5 * t.c_top * t.len_top, 0) <= b.n_chars
+              THEN 0 ELSE 1 END AS f_rep
+  FROM base b LEFT JOIN top2 t USING (doc_id)
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(f_wc) AS BIGINT) AS fail_wordcount,
+       CAST(SUM(f_wl) AS BIGINT) AS fail_wordlen,
+       CAST(SUM(f_stop) AS BIGINT) AS fail_stopword,
+       CAST(SUM(f_rep) AS BIGINT) AS fail_rep2gram,
+       CAST(SUM(CASE WHEN f_wc + f_wl + f_stop + f_rep = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_pass_all
+FROM flags
+GROUP BY source
+""",
+)
+def gopher_rules_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText rule-filter audit (Rae et al. 2021, Table A1):
+    per source, how many documents fail each named rule and how many
+    pass the whole gate. Rules kept are the ones that DISCRIMINATE on
+    this corpus: word count in [50, 100000]; mean word length in
+    [4, 10]; >= 1 of the paper's 8 stopwords; top-2-gram character
+    fraction <= 0.20. Two constants are fixture-matched so the rule
+    branches actually fire (the tau precedent): the paper's word-length
+    floor of 3 and stopword floor of 2 are constant-pass / constant-fail
+    on this synthetic word-soup (mean word length 3.7-5.3, only
+    'the'/'of' from the paper's list occur), so the audit runs the same
+    rule SHAPES at floor 4 / floor 1. (The paper's symbol-ratio /
+    bullet-line / alphabetic-word rules are structurally satisfied here
+    — the fixture corpus has no symbols, lines, or non-alpha words — so
+    including them would ship constant columns.)
+
+    Integer-exact throughout: mean-word-length bounds run as
+    4*n_words <= sum_chars <= 10*n_words, the repetition rule as
+    5 * c_top * len(top_bigram) <= len(text) — cross-multiplied
+    rationals, no float division; the top 2-gram ties deterministically
+    on (count desc, bigram asc).
+
+    Scale: one (doc, bigram) partial-aggregated shuffle plus a per-doc
+    top-1 window (same profile as text_repetition_scores' family), a
+    scan-stage flag projection, and a source-keyed map-side-combined
+    rollup. At 100 TB the per-doc window partitions by doc_id —
+    millions of tiny groups, the well-behaved window shape."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        "source",
+        F.length("text").alias("n_chars"),
+        F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("w"),
+    )
+    base = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.size("w").alias("n_words"),
+        F.aggregate(
+            F.transform(F.col("w"), lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sum_chars"),
+        F.size(
+            F.array_distinct(
+                F.filter(
+                    F.col("w"),
+                    lambda x: x.isin(*_GOPHER_STOPWORDS),
+                )
+            )
+        ).alias("n_stop"),
+    )
+    grams = (
+        docs.filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 2),"
+                    " i -> concat(w[i], ' ', w[i+1]))"
+                )
+            ).alias("bigram"),
+        )
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+    )
+    from pyspark.sql import Window
+
+    top2 = (
+        grams.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.col("c").desc(), "bigram")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("c").alias("c_top"), F.length("bigram").alias("len_top"))
+    )
+    flags = base.join(top2, "doc_id", "left").select(
+        "source",
+        F.when(F.col("n_words").between(50, 100000), 0).otherwise(1).alias("f_wc"),
+        F.when(
+            (4 * F.col("n_words") <= F.col("sum_chars"))
+            & (F.col("sum_chars") <= 10 * F.col("n_words")),
+            0,
+        )
+        .otherwise(1)
+        .alias("f_wl"),
+        F.when(F.col("n_stop") >= 1, 0).otherwise(1).alias("f_stop"),
+        F.when(
+            F.coalesce(5 * F.col("c_top") * F.col("len_top"), F.lit(0))
+            <= F.col("n_chars"),
+            0,
+        )
+        .otherwise(1)
+        .alias("f_rep"),
+    )
+    return flags.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("f_wc").cast("long").alias("fail_wordcount"),
+        F.sum("f_wl").cast("long").alias("fail_wordlen"),
+        F.sum("f_stop").cast("long").alias("fail_stopword"),
+        F.sum("f_rep").cast("long").alias("fail_rep2gram"),
+        F.sum(
+            F.when(
+                F.col("f_wc") + F.col("f_wl") + F.col("f_stop") + F.col("f_rep") == 0,
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_pass_all"),
+    )
+
+
+@register(
+    "zipf_slope_audit",
+    oracle="""
+WITH tok AS (
+  SELECT lang, unnest(string_split(lower(text), ' ')) AS token FROM documents
+),
+freq AS (SELECT lang, token, COUNT(*) AS f FROM tok
+         WHERE token <> '' GROUP BY lang, token),
+ranked AS (
+  SELECT lang, f,
+         row_number() OVER (PARTITION BY lang ORDER BY f DESC, token) AS r
+  FROM freq
+),
+top AS (
+  SELECT lang,
+         CAST(ROUND(LN(CAST(r AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+         CAST(ROUND(LN(CAST(f AS DOUBLE)) * 1000000) AS BIGINT) AS y
+  FROM ranked WHERE r <= 100
+)
+SELECT lang,
+       COUNT(*) AS n_terms,
+       CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT) AS slope_num,
+       CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT) AS slope_den
+FROM top
+GROUP BY lang
+""",
+)
+def zipf_slope_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law conformance audit: per language, the OLS slope of
+    ln(frequency) against ln(rank) over the top-100 terms — natural
+    corpora sit near slope -1; a corpus whose slope drifts signals
+    boilerplate (too flat) or template spam (too steep). A standard
+    LM-corpus health check (Zipf 1949 empirically; used as a filter
+    diagnostic in corpus-quality literature).
+
+    Determinism: ranks are a TOTAL order (freq desc, token asc);
+    ln(rank) and ln(freq) are logs of exact integers rounded to e6
+    BIGINTs per term (the certified text_unigram_logprob class — the
+    only cross-engine surface is libm ln of identical integer inputs),
+    and the slope ships as the exact integer fraction
+    slope_num/slope_den = (n*Sxy - Sx*Sy)/(n*Sxx - Sx^2) — NO integer
+    division in the output, because Spark's `div` truncates toward zero
+    while DuckDB's `//` floors, and the slope is negative (verify-recipe
+    fraction rule).
+
+    Scale: one (lang, token) partial-aggregated shuffle; the rank
+    window sees only per-language vocabularies; the regression is a
+    5-row integer-moment rollup (events_trend_slope class)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "lang", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    freq = tok.groupBy("lang", "token").agg(F.count("*").alias("f"))
+    from pyspark.sql import Window
+
+    ranked = freq.withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("lang").orderBy(F.col("f").desc(), "token")
+        ),
+    ).filter(F.col("r") <= 100)
+    top = ranked.select(
+        "lang",
+        F.round(F.log(F.col("r").cast("double")) * 1000000, 0)
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("f").cast("double")) * 1000000, 0)
+        .cast("long")
+        .alias("y"),
+    )
+    n = F.count("*")
+    return top.groupBy("lang").agg(
+        n.alias("n_terms"),
+        (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y"))
+        .cast("long")
+        .alias("slope_num"),
+        (n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x"))
+        .cast("long")
+        .alias("slope_den"),
+    )

@@ -161,3 +161,51 @@ class TestCCNetBuckets:
                 assert buckets["head"]["min_avg_lp"] >= buckets["middle"]["max_avg_lp"]
             if "middle" in buckets and "tail" in buckets:
                 assert buckets["middle"]["min_avg_lp"] >= buckets["tail"]["max_avg_lp"]
+
+
+class TestGopherRules:
+    def test_counts_consistent_and_every_rule_discriminates(self, spark):
+        rows = _run(spark, "gopher_rules_audit").collect()
+        n_corpus = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+        assert sum(r["n_docs"] for r in rows) == n_corpus
+        fails = ["fail_wordcount", "fail_wordlen", "fail_stopword", "fail_rep2gram"]
+        for r in rows:
+            for f in fails:
+                assert 0 <= r[f] <= r["n_docs"]
+                # pass-all is bounded by every individual rule's pass count
+                assert r["n_pass_all"] <= r["n_docs"] - r[f]
+        # vacuity guard: each rule must fire somewhere AND pass somewhere
+        # corpus-wide (the fixture-matched constants exist for this)
+        for f in fails:
+            total = sum(r[f] for r in rows)
+            assert 0 < total < n_corpus, f
+
+
+class TestZipfSlope:
+    def test_slope_matches_numpy_and_is_negative(self, spark):
+        import duckdb
+        import numpy as np
+
+        rows = {r["lang"]: r for r in _run(spark, "zipf_slope_audit").collect()}
+        freqs = duckdb.sql(
+            f"""
+            WITH tok AS (SELECT lang, unnest(string_split(lower(text), ' ')) AS token
+                         FROM '{SF_DIR}/documents.parquet')
+            SELECT lang, COUNT(*) AS f FROM tok WHERE token <> ''
+            GROUP BY lang, token
+            """
+        ).fetchall()
+        by_lang: dict[str, list[int]] = {}
+        for lang, f in freqs:
+            by_lang.setdefault(lang, []).append(f)
+        for lang, fs in by_lang.items():
+            r = rows[lang]
+            top = sorted(fs, reverse=True)[:100]
+            assert r["n_terms"] == len(top)
+            assert r["slope_den"] > 0
+            x = np.log(np.arange(1, len(top) + 1))
+            y = np.log(np.array(top, dtype=float))
+            slope = np.polyfit(x, y, 1)[0]
+            got = r["slope_num"] / r["slope_den"]
+            assert got < 0
+            assert abs(got - slope) < 1e-3, (lang, got, slope)
