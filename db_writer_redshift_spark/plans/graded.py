@@ -27,6 +27,10 @@ scale) in round 3, so every oracle-bearing name is pre-certified.
 Priorities for the round-4 window, keeping one representative per
 family (test_window_covers_every_family's prefix map is the
 constraint):
+  * published-method curation module (plans/lm_curation.py, added late
+    round 3, certified at sf0.001/0.01/0.1): semdedup_cluster_prune,
+    dsir_importance_weights, lm_kneser_ney_bigram,
+    ccnet_logprob_buckets, gopher_rules_audit, zipf_slope_audit;
   * round-3 additions (new families, never graded): bm25_bigram_topk,
     retrieval_rrf_fusion, incremental_join_mv_orders,
     incremental_join_upsert_orders, mix_token_budget_waterfill,
