@@ -745,3 +745,105 @@ def zipf_slope_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("slope_den"),
     )
+
+
+@register(
+    "kn_perplexity_filter",
+    oracle=f"""
+WITH {_DUCK_BIGRAMS},
+big AS (
+  SELECT string_split(bigram, ' ')[1] AS w1,
+         string_split(bigram, ' ')[2] AS w2,
+         COUNT(*) AS c12
+  FROM grams GROUP BY 1, 2
+),
+lft AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1, COUNT(*) AS n1f
+        FROM big GROUP BY w1),
+rgt AS (SELECT w2, COUNT(*) AS n1b FROM big GROUP BY w2),
+np AS (SELECT COUNT(*) AS npairs FROM big),
+probs AS (
+  SELECT w1, w2,
+         GREATEST(CAST(((4 * c12 - 3) * npairs + 3 * n1f * n1b) * 1000000
+                       // (4 * c1 * npairs) AS BIGINT), 1) AS p_e6
+  FROM big JOIN lft USING (w1) JOIN rgt USING (w2) CROSS JOIN np
+),
+scored AS (
+  SELECT g.doc_id,
+         CAST(ROUND(LN(CAST(p.p_e6 AS DOUBLE) / 1000000), 6)
+              AS DECIMAL(18,6)) AS lp
+  FROM grams g
+  JOIN probs p ON string_split(g.bigram, ' ')[1] = p.w1
+              AND string_split(g.bigram, ' ')[2] = p.w2
+)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(lp) * 1000000 AS BIGINT) AS sum_lp_e6
+FROM scored
+GROUP BY doc_id
+""",
+)
+def kn_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's actual scoring step (Wenzek et al., LREC 2020) with an
+    in-corpus LM: per document, the average log-probability of its
+    bigram stream under the interpolated Kneser-Ney model of
+    lm_kneser_ney_bigram — the perplexity filter proper, one model
+    class up from the unigram proxy (text_unigram_logprob). Low
+    scorers read as atypical/noisy and get cut or bucketed
+    (ccnet_logprob_buckets applies the tercile split).
+
+    Determinism: each bigram's probability is first materialized as the
+    exact e6-scaled integer rational (GREATEST(.,1) floors the e6
+    quantization away from ln(0) — only reachable when a context
+    exceeds ~250k occurrences), then ln(p_e6/1e6) is rounded to 6 per
+    OCCURRENCE and summed as DECIMAL; the output ships the exact
+    integer fraction (sum_lp_e6, n_bigrams) rather than a rounded
+    average — ROUND of a float division flapped one doc per ~500 at
+    the 4th decimal (the avg landed at -3.36654999...97, a half
+    boundary the engines round differently; verify-recipe fraction
+    rule).
+
+    Scale: the LM (observed-bigram table) is vocabulary-bounded; the
+    score join keys the exploded bigram stream on the bigram — ONE
+    shuffle shared by model build and scoring when AQE reuses the
+    exchange, then a map-side-combined per-doc rollup. Head-bigram
+    skew on the join is absorbed the moment the LM side broadcasts
+    (a few M rows for a trained tokenizer's vocab)."""
+    grams = _bigrams(load_table(spark, sf_dir, "documents"))
+    big = (
+        grams.select(
+            F.split(F.col("bigram"), " ").getItem(0).alias("w1"),
+            F.split(F.col("bigram"), " ").getItem(1).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+    )
+    lft = big.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count("*").alias("n1f")
+    )
+    rgt = big.groupBy("w2").agg(F.count("*").alias("n1b"))
+    np_ = big.agg(F.count("*").alias("npairs"))
+    probs = (
+        big.join(F.broadcast(lft), "w1")
+        .join(F.broadcast(rgt), "w2")
+        .join(F.broadcast(np_))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            F.greatest(
+                F.expr(
+                    "CAST(((4 * c12 - 3) * npairs + 3 * n1f * n1b) * 1000000"
+                    " div (4 * c1 * npairs) AS BIGINT)"
+                ),
+                F.lit(1),
+            ).alias("p_e6"),
+        )
+    )
+    scored = grams.join(F.broadcast(probs), "bigram").select(
+        "doc_id",
+        F.round(F.log(F.col("p_e6").cast("double") / 1000000), 6)
+        .cast("decimal(18,6)")
+        .alias("lp"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        (F.sum("lp") * 1000000).cast("long").alias("sum_lp_e6"),
+    )

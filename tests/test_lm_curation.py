@@ -209,3 +209,17 @@ class TestZipfSlope:
             got = r["slope_num"] / r["slope_den"]
             assert got < 0
             assert abs(got - slope) < 1e-3, (lang, got, slope)
+
+
+class TestKNPerplexity:
+    def test_scores_every_bigram_bearing_doc_with_negative_logprob(self, spark):
+        rows = _run(spark, "kn_perplexity_filter").collect()
+        dsir = {r["doc_id"] for r in _run(spark, "dsir_importance_weights").collect()}
+        # same doc universe as the bigram-feature query
+        assert {r["doc_id"] for r in rows} == dsir
+        for r in rows:
+            # every observed-bigram probability is < 1, so the summed
+            # log-prob is strictly negative and bounded by n * ln(1e-6)
+            assert r["n_bigrams"] >= 1
+            assert r["sum_lp_e6"] < 0
+            assert r["sum_lp_e6"] >= r["n_bigrams"] * -13815511  # ln(1e-6)*1e6
