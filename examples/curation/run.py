@@ -107,6 +107,25 @@ def main() -> int:
           f"-> budgeted {final.count()}")
     stats.show()
     print(f"curated corpus written to {out_dir}")
+
+    # 6. Corpus health audits (published-method track, plans/lm_curation):
+    #    Gopher rule-filter failure accounting per source, Zipf
+    #    rank-frequency slope per language, and the SemDeDup semantic
+    #    near-dup profile over the embedding table.
+    from db_writer_redshift_spark.plans import QUERIES
+
+    print("\nGopher rule audit (per-source failures):")
+    QUERIES["gopher_rules_audit"].fn(spark, sf_dir).orderBy("source").show(5)
+    print("Zipf rank-frequency slope per language (num/den fraction):")
+    for r in QUERIES["zipf_slope_audit"].fn(spark, sf_dir).collect():
+        print(f"  {r['lang']}: slope={r['slope_num'] / r['slope_den']:+.3f}"
+              f" over top {r['n_terms']} terms")
+    sem = QUERIES["semdedup_cluster_prune"].fn(spark, sf_dir)
+    agg = sem.agg(
+        F.sum("n_members").alias("m"), F.sum("n_pruned").alias("p")
+    ).first()
+    print(f"SemDeDup: {agg['p']}/{agg['m']} embeddings are within-cluster "
+          f"semantic near-dups at cos>=0.35")
     return 0
 
 
