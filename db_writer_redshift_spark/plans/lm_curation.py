@@ -847,3 +847,104 @@ def kn_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_bigrams"),
         (F.sum("lp") * 1000000).cast("long").alias("sum_lp_e6"),
     )
+
+
+@register(
+    "d4_prototype_prune",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id, {_DUCK_Q} AS qv FROM embeddings
+),
+cent AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < {_DUCK_K}),
+dist AS (
+  SELECT q.vec_id, c.cid,
+         {_duck_dot("qv", "qv")} - 2 * {_duck_dot("qv", "cv")}
+           + {_duck_dot("cv", "cv")} AS d2
+  FROM q CROSS JOIN cent c
+),
+assign AS (
+  SELECT vec_id, cid, d2
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM dist)
+  WHERE rn = 1
+),
+ranked AS (
+  SELECT vec_id, cid, d2,
+         row_number() OVER (PARTITION BY cid ORDER BY d2, vec_id) AS rk,
+         COUNT(*) OVER (PARTITION BY cid) AS nm
+  FROM assign
+)
+SELECT cid,
+       COUNT(*) AS n_members,
+       CAST(SUM(CASE WHEN 4 * rk <= nm THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+       CAST(SUM(CASE WHEN 4 * rk <= nm THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+       CAST(COALESCE(SUM(CASE WHEN 4 * rk <= nm THEN vec_id END), 0)
+            AS BIGINT) AS sum_pruned_ids,
+       CAST(COALESCE(MAX(CASE WHEN 4 * rk <= nm THEN d2 END), 0)
+            AS BIGINT) AS frontier_d2
+FROM ranked
+GROUP BY cid
+""",
+)
+def d4_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4's second stage (Tirumala et al., arXiv:2308.12284): after
+    SemDeDup, apply SSL-prototypes pruning (Sorscher et al., NeurIPS
+    2022) — within each cluster, drop the most PROTOTYPICAL members,
+    the ones closest to their centroid, keeping the diverse tail. Here
+    the fixed prune fraction is 1/4: member pruned iff 4*rank <=
+    n_members with rank ordered by (squared distance asc, vec_id asc),
+    i.e. exactly floor(n_members/4) prototypes cut per cluster — an
+    exact integer rank test, no float fraction (verify-recipe rule).
+
+    Shares semdedup_cluster_prune's portable assignment: round(x*1000)
+    BIGINT coordinates, k = max(8, n/64) lowest-vec_id seed centroids,
+    min squared-Euclidean assignment with ties on centroid id — so the
+    two stages read the SAME clustering, exactly how the paper chains
+    them. frontier_d2 ships the largest pruned distance per cluster
+    (the prototype/keeper boundary); clusters with fewer than 4
+    members prune nothing (frontier 0), so every cluster keeps >= 1.
+
+    Scale: strictly cheaper than the SemDeDup stage — the broadcast
+    n*k assignment pass is shared, then ONE window over ~64-member
+    cid partitions replaces the within-cluster pair join; no stage is
+    quadratic and the only shuffle is the cid repartition. At 100 TB
+    the assignment term swaps in IVF/kmeans_fit centroids exactly as
+    documented on semdedup_cluster_prune."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = max(_SEMDEDUP_K_MIN, emb.count() // _SEMDEDUP_CLUSTER_SIZE)
+    q = emb.select("vec_id", _quantize_e3(F.col("embedding")).alias("qv"))
+    cent = q.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
+    )
+    d2 = _dot(F.col("qv"), F.col("qv")) - 2 * _dot(F.col("qv"), F.col("cv")) + _dot(
+        F.col("cv"), F.col("cv")
+    )
+    dist = q.join(F.broadcast(cent)).select("vec_id", "cid", d2.alias("d2"))
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(Window.partitionBy("vec_id").orderBy("d2", "cid"))
+    assign = (
+        dist.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "d2")
+    )
+    wc = Window.partitionBy("cid")
+    ranked = assign.select(
+        "vec_id",
+        "cid",
+        "d2",
+        F.row_number().over(wc.orderBy("d2", "vec_id")).alias("rk"),
+        F.count("*").over(wc).alias("nm"),
+    )
+    pruned = F.when(4 * F.col("rk") <= F.col("nm"), 1).otherwise(0)
+    return ranked.groupBy("cid").agg(
+        F.count("*").alias("n_members"),
+        F.sum(pruned).cast("long").alias("n_pruned"),
+        F.sum(1 - pruned).cast("long").alias("n_kept"),
+        F.coalesce(F.sum(F.when(pruned == 1, F.col("vec_id"))), F.lit(0))
+        .cast("long")
+        .alias("sum_pruned_ids"),
+        F.coalesce(F.max(F.when(pruned == 1, F.col("d2"))), F.lit(0))
+        .cast("long")
+        .alias("frontier_d2"),
+    )

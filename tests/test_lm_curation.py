@@ -211,6 +211,26 @@ class TestZipfSlope:
             assert abs(got - slope) < 1e-3, (lang, got, slope)
 
 
+class TestD4Prototype:
+    def test_prunes_exact_quarter_and_shares_semdedup_clustering(self, spark):
+        rows = {r["cid"]: r for r in _run(spark, "d4_prototype_prune").collect()}
+        n_vecs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+        assert sum(r["n_members"] for r in rows.values()) == n_vecs
+        for r in rows.values():
+            # exact-rank rule: exactly floor(n/4) prototypes cut
+            assert r["n_pruned"] == r["n_members"] // 4
+            assert r["n_pruned"] + r["n_kept"] == r["n_members"]
+            assert r["n_kept"] >= 1
+            if r["n_pruned"] == 0:
+                assert r["frontier_d2"] == 0 and r["sum_pruned_ids"] == 0
+        # vacuity guard: the prune branch fires somewhere
+        assert sum(r["n_pruned"] for r in rows.values()) > 0
+        # both D4 stages read the SAME clustering: identical cluster sizes
+        sem = {r["cid"]: r["n_members"]
+               for r in _run(spark, "semdedup_cluster_prune").collect()}
+        assert sem == {cid: r["n_members"] for cid, r in rows.items()}
+
+
 class TestKNPerplexity:
     def test_scores_every_bigram_bearing_doc_with_negative_logprob(self, spark):
         rows = _run(spark, "kn_perplexity_filter").collect()
