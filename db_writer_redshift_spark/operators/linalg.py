@@ -120,3 +120,85 @@ def pca_eigvals(
     vals, vecs = np.linalg.eigh(cov)
     order = np.argsort(vals)[::-1]
     return vals[order], vecs[:, order], n
+
+
+def ridge_fit(
+    df: DataFrame,
+    vec_col: str,
+    label_col: str,
+    dim: int,
+    lam: float | None = None,
+    scale: int = 1000,
+) -> tuple[np.ndarray, int]:
+    """Closed-form ridge regression of an integer label on a vector
+    column — the full-dimensional linear quality probe (FineWeb-Edu /
+    DataComp-LM classifier-filter practice; the 3-feature oracle-exact
+    Cramer variant is plans/lm_curation.quality_linear_probe).
+
+    One distributed pass accumulates the exact-integer normal-equation
+    moments per Arrow batch (GEMM for XtX, matvec for Xty — the
+    gram_summary pattern extended with a label row); only d² + d + 1
+    integers reach the driver, where numpy solves
+    ``(XtX + lam·I) w = Xty``. ``lam`` defaults to n (unit ridge on
+    averaged moments, invariant to corpus size). Weights are in
+    quantized-feature units (features scaled by ``scale``); divide by
+    ``scale`` for raw-unit weights.
+
+    Exactness: per-batch float64 GEMM partials stay below 2⁵³
+    (|q| ≤ scale·|x|_max, batch ≤ ~10⁵ rows) and are rounded back to
+    int64 before cross-batch summing, so the aggregated moments are
+    bit-identical regardless of partitioning; the solve of an identical
+    system is deterministic on a fixed BLAS.
+    """
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gram = np.zeros((dim, dim), dtype=np.int64)
+        xty = np.zeros(dim, dtype=np.int64)
+        count = 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if mat.shape[1] != dim:
+                raise ValueError(f"expected {dim}-dim vectors, got {mat.shape[1]}")
+            q = np.rint(mat * scale)
+            y = pdf[label_col].to_numpy().astype(np.float64)
+            gram += np.rint(q.T @ q).astype(np.int64)
+            xty += np.rint(q.T @ y).astype(np.int64)
+            count += len(pdf)
+        if count == 0:
+            return
+        ii, jj = np.meshgrid(np.arange(dim), np.arange(dim), indexing="ij")
+        out = pd.DataFrame({"i": ii.ravel(), "j": jj.ravel(), "s": gram.ravel()})
+        extra = pd.DataFrame(
+            {
+                "i": np.concatenate([np.arange(dim), [COUNT_ROW]]),
+                "j": np.concatenate([np.full(dim, SUM_COL), [COUNT_ROW]]),
+                "s": np.concatenate([xty, [count]]),
+            }
+        )
+        yield pd.concat([out, extra], ignore_index=True)
+
+    rows = (
+        df.select(vec_col, label_col)
+        .mapInPandas(part, schema=_SUMMARY_SCHEMA)
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"))
+        .collect()
+    )
+    gram = np.zeros((dim, dim), dtype=np.float64)
+    xty = np.zeros(dim, dtype=np.float64)
+    n = 0
+    for r in rows:
+        if r.i == COUNT_ROW:
+            n = int(r.s)
+        elif r.j == SUM_COL:
+            xty[r.i] = float(r.s)
+        else:
+            gram[r.i, r.j] = float(r.s)
+    if n < 1:
+        raise ValueError("ridge_fit needs >= 1 row")
+    if lam is None:
+        lam = float(n)
+    w = np.linalg.solve(gram + lam * np.eye(dim), xty)
+    return w, n

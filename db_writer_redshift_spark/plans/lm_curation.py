@@ -948,3 +948,160 @@ def d4_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("frontier_d2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# FineWeb-Edu-style quality linear probe — closed-form 3-feature ridge.
+
+def _det3(m: list[list[str]]) -> str:
+    """Cofactor expansion of a 3x3 determinant over SQL expression
+    strings — shared verbatim by the Spark and DuckDB sides so both
+    engines evaluate the SAME arithmetic tree."""
+    return (
+        f"({m[0][0]})*(({m[1][1]})*({m[2][2]}) - ({m[1][2]})*({m[2][1]}))"
+        f" - ({m[0][1]})*(({m[1][0]})*({m[2][2]}) - ({m[1][2]})*({m[2][0]}))"
+        f" + ({m[0][2]})*(({m[1][0]})*({m[2][1]}) - ({m[1][1]})*({m[2][0]}))"
+    )
+
+
+#: Ridge normal-equations matrix A = XtX + n*I and Cramer numerators with
+#: column i of A replaced by b — over the pre-cast wide-integer entry
+#: columns a00..a22 / b0..b2 (symmetric: a10 == a01 etc.).
+_PROBE_A = [["a00", "a01", "a02"], ["a01", "a11", "a12"], ["a02", "a12", "a22"]]
+_PROBE_DETS = {
+    "dd": _det3(_PROBE_A),
+    "n0": _det3([["b0", "a01", "a02"], ["b1", "a11", "a12"], ["b2", "a12", "a22"]]),
+    "n1": _det3([["a00", "b0", "a02"], ["a01", "b1", "a12"], ["a02", "b2", "a22"]]),
+    "n2": _det3([["a00", "a01", "b0"], ["a01", "a11", "b1"], ["a02", "a12", "b2"]]),
+}
+#: Moment names: upper-triangle Gram + rhs. lam = n_rows is added to the
+#: diagonal at cast time.
+_PROBE_MOMENTS = ["m00", "m01", "m02", "m11", "m12", "m22", "b0", "b1", "b2"]
+
+
+def _probe_cast_exprs(big: str) -> list[str]:
+    """Entry projections casting BIGINT moments into the engine's wide
+    integer type ``big`` (Spark DECIMAL(38,0) / DuckDB HUGEINT), with
+    the ridge term n_rows added to the Gram diagonal."""
+    out = []
+    for name in ["m00", "m11", "m22"]:
+        out.append(f"CAST({name} + n_rows AS {big}) AS a{name[1:]}")
+    for name in ["m01", "m02", "m12"]:
+        out.append(f"CAST({name} AS {big}) AS a{name[1:]}")
+    for name in ["b0", "b1", "b2"]:
+        out.append(f"CAST({name} AS {big}) AS {name}")
+    return out
+
+
+def _probe_w_exprs(big: str, divop: str) -> list[str]:
+    """Engine-portable floor division w_i_e6 = floor(n_i * 1e6 / dd).
+
+    Spark's ``div`` truncates toward zero and DuckDB's ``//`` floors, so
+    negative coefficients would round apart (memory: div-vs-floor flap
+    class); subtracting the positive modulus first makes the division
+    exact, where truncation and floor agree — and both ``divop`` forms
+    stay in wide-integer arithmetic (DuckDB ``/`` would detour through
+    hugeint→double, the 1-ulp class). dd > 0 always: A is positive
+    definite (XtX + n*I with n >= 1)."""
+    out = []
+    for i in range(3):
+        scaled = f"(n{i}) * CAST(1000000 AS {big})"
+        pmod = f"((({scaled}) % (dd) + (dd)) % (dd))"
+        out.append(f"CAST((({scaled}) - {pmod}) {divop} (dd) AS BIGINT) AS w{i}_e6")
+    return out
+
+
+def _probe_oracle() -> str:
+    casts = ",\n         ".join(_probe_cast_exprs("HUGEINT"))
+    dets = ",\n         ".join(f"{e} AS {n}" for n, e in _PROBE_DETS.items())
+    ws = ",\n       ".join(_probe_w_exprs("HUGEINT", "//"))
+    return f"""
+WITH q AS (
+  SELECT CAST(ROUND(CAST(e.embedding AS DOUBLE[])[1] * 1000) AS BIGINT) AS q0,
+         CAST(ROUND(CAST(e.embedding AS DOUBLE[])[2] * 1000) AS BIGINT) AS q1,
+         CAST(ROUND(CAST(e.embedding AS DOUBLE[])[3] * 1000) AS BIGINT) AS q2,
+         d.n_chars AS y
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+),
+m AS (
+  SELECT COUNT(*) AS n_rows,
+         CAST(SUM(q0*q0) AS BIGINT) AS m00, CAST(SUM(q0*q1) AS BIGINT) AS m01,
+         CAST(SUM(q0*q2) AS BIGINT) AS m02, CAST(SUM(q1*q1) AS BIGINT) AS m11,
+         CAST(SUM(q1*q2) AS BIGINT) AS m12, CAST(SUM(q2*q2) AS BIGINT) AS m22,
+         CAST(SUM(q0*y) AS BIGINT) AS b0, CAST(SUM(q1*y) AS BIGINT) AS b1,
+         CAST(SUM(q2*y) AS BIGINT) AS b2
+  FROM q
+),
+t AS (
+  SELECT n_rows,
+         {casts}
+  FROM m
+),
+dets AS (
+  SELECT n_rows,
+         {dets}
+  FROM t
+)
+SELECT n_rows,
+       {ws}
+FROM dets
+"""
+
+
+@register("quality_linear_probe", oracle=_probe_oracle())
+def quality_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb-Edu-style quality linear probe (Penedo et al.,
+    arXiv:2406.17557; DataComp-LM's classifier-filter practice), fit in
+    closed form: ridge-regress a per-document quality label (n_chars)
+    on embedding features and ship the probe weights — the
+    train-a-tiny-linear-model-on-embeddings recipe those pipelines use
+    to score quality at corpus scale, here with the fit itself
+    distributed and ORACLE-EXACT.
+
+    Portable-determinism formulation: 3 features (quantized dims
+    round(x*1000), the proven scale), normal equations A = XtX + n*I
+    (ridge lambda = n, i.e. unit ridge on averaged moments — shrinkage
+    invariant to corpus size), solved by Cramer's rule on EXACT integer
+    moments: every determinant is a 3x3 cofactor expansion evaluated in
+    DECIMAL(38,0) on Spark and HUGEINT in DuckDB (|det| <= 6 * (n *
+    578^2)^3 ~ 1e30 at the 10x probe — wide-integer territory, 38
+    digits hold it), and w_i_e6 = floor(det_i * 1e6 / det) uses the
+    subtract-positive-modulus floor division so truncating and flooring
+    engines agree on negative coefficients. The driver-facing row is 4
+    plain BIGINTs. Full-dimensional fits use operators/linalg.ridge_fit
+    (same moment summary at d=64, numpy solve on the driver — d^2
+    integers cross the boundary, never data).
+
+    Scale: ONE map-side-combined aggregate over the scan produces the
+    9 moments + count; the solve is a constant-size projection. At
+    100 TB this is the cheapest possible distributed fit — no shuffle
+    wider than one row — and exactly how a linear quality classifier
+    is refit per crawl snapshot."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    q = emb.join(docs, emb.vec_id == docs.doc_id).select(
+        *[
+            F.round(F.col("embedding").getItem(i).cast("double") * 1000, 0)
+            .cast("long")
+            .alias(f"q{i}")
+            for i in range(3)
+        ],
+        F.col("n_chars").alias("y"),
+    )
+    pairs = {
+        "m00": ("q0", "q0"), "m01": ("q0", "q1"), "m02": ("q0", "q2"),
+        "m11": ("q1", "q1"), "m12": ("q1", "q2"), "m22": ("q2", "q2"),
+        "b0": ("q0", "y"), "b1": ("q1", "y"), "b2": ("q2", "y"),
+    }
+    m = q.agg(
+        F.count("*").alias("n_rows"),
+        *[
+            F.sum(F.col(a) * F.col(b)).cast("long").alias(name)
+            for name, (a, b) in pairs.items()
+        ],
+    )
+    t = m.selectExpr("n_rows", *_probe_cast_exprs("DECIMAL(38,0)"))
+    dets = t.selectExpr(
+        "n_rows", *[f"{e} AS {n}" for n, e in _PROBE_DETS.items()]
+    )
+    return dets.selectExpr("n_rows", *_probe_w_exprs("DECIMAL(38,0)", "div"))

@@ -88,3 +88,42 @@ def test_pca_needs_two_vectors(emb):
     one = emb.limit(1)
     with pytest.raises(ValueError, match="2 vectors"):
         linalg.pca_eigvals(one, "embedding", DIM, SCALE)
+
+
+def test_ridge_fit_matches_numpy_and_cramer_probe(spark, emb, mat):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    joined = emb.join(docs, emb.vec_id == docs.doc_id)
+    w, n = linalg.ridge_fit(joined, "embedding", "n_chars", DIM, scale=SCALE)
+    # local ground truth on the same quantization
+    ids = {r.doc_id: r.n_chars for r in docs.collect()}
+    rows = emb.select("vec_id", "embedding").collect()
+    q = np.rint(np.array([r.embedding for r in rows], dtype=np.float64) * SCALE)
+    y = np.array([ids[r.vec_id] for r in rows], dtype=np.float64)
+    ref = np.linalg.solve(q.T @ q + n * np.eye(DIM), q.T @ y)
+    assert n == len(rows)
+    assert np.allclose(w, ref, atol=1e-9)
+    # the oracle-exact 3-feature Cramer probe is the SAME normal
+    # equations restricted to dims 0..2: solve that subsystem locally
+    # and compare against the registered query's floored e6 weights
+    import __spark_entry__ as entry_mod
+
+    row = entry_mod.queries()["quality_linear_probe"](spark, SF_DIR).collect()[0]
+    q3 = q[:, :3]
+    w3 = np.linalg.solve(q3.T @ q3 + n * np.eye(3), q3.T @ y)
+    for i in range(3):
+        assert row[f"w{i}_e6"] == int(np.floor(w3[i] * 1_000_000))
+    assert row["n_rows"] == n
+
+
+def test_ridge_fit_invariant_under_repartitioning(spark, emb):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    joined = emb.join(docs, emb.vec_id == docs.doc_id)
+    w1, _ = linalg.ridge_fit(joined, "embedding", "n_chars", DIM, scale=SCALE)
+    w2, _ = linalg.ridge_fit(
+        joined.repartition(13), "embedding", "n_chars", DIM, scale=SCALE
+    )
+    assert np.array_equal(w1, w2)
