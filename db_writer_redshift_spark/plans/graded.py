@@ -31,7 +31,8 @@ constraint):
     round 3, certified at sf0.001/0.01/0.1): semdedup_cluster_prune,
     dsir_importance_weights, lm_kneser_ney_bigram,
     ccnet_logprob_buckets, gopher_rules_audit, zipf_slope_audit,
-    kn_perplexity_filter, d4_prototype_prune, quality_linear_probe;
+    kn_perplexity_filter, d4_prototype_prune, quality_linear_probe,
+    dsir_resample_topk, softdedup_commonness;
   * round-3 additions (new families, never graded): bm25_bigram_topk,
     retrieval_rrf_fusion, incremental_join_mv_orders,
     incremental_join_upsert_orders, mix_token_budget_waterfill,

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from db_writer_redshift_spark.functions.text import ngrams
 from db_writer_redshift_spark.operators.bloom import _md5_int32
 from db_writer_redshift_spark.plans.curation_extra import _duck_md5_int32
 from db_writer_redshift_spark.plans.registry import load_table, register
@@ -237,10 +238,11 @@ def _bigrams(d: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "dsir_importance_weights",
-    oracle=f"""
-WITH {_DUCK_BIGRAMS},
+#: Shared CTE chain producing the hashed-bigram stream and the
+#: per-bucket DSIR log-ratio table — used verbatim by both the
+#: weight-scoring and resampling oracles so the lam arithmetic is
+#: byte-identical across the pipeline's two stages.
+_DSIR_LAM_CTES = f"""{_DUCK_BIGRAMS},
 hashed AS (
   SELECT doc_id, source,
          {_duck_md5_int32("bigram")} % {_DSIR_BUCKETS} AS bucket
@@ -259,7 +261,44 @@ lam AS (
                 ((SELECT COUNT(*) FROM hashed) + {_DSIR_BUCKETS})), 6)
            AS DECIMAL(18,6)) AS lam
   FROM raw b LEFT JOIN tgt USING (bucket)
-)
+)"""
+
+
+def _dsir_lam(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Spark twin of _DSIR_LAM_CTES: the hashed-bigram stream and the
+    broadcastable per-bucket log-ratio table (the two stages both
+    queries fan out from)."""
+    hashed = _bigrams(d).select(
+        "doc_id", "source", (_md5_int32(F.col("bigram")) % _DSIR_BUCKETS).alias("bucket")
+    )
+    raw = hashed.groupBy("bucket").agg(F.count("*").alias("cr"))
+    tgt = (
+        hashed.filter(F.col("source") == "src0")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("ct"))
+    )
+    t_total = hashed.filter(F.col("source") == "src0").count() + _DSIR_BUCKETS
+    r_total = hashed.count() + _DSIR_BUCKETS
+    lam = (
+        raw.join(tgt, "bucket", "left")
+        .select(
+            "bucket",
+            F.round(
+                F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double") / F.lit(float(t_total)))
+                - F.log((F.col("cr") + 1).cast("double") / F.lit(float(r_total))),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("lam"),
+        )
+    )
+    return hashed, lam
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+WITH {_DSIR_LAM_CTES}
 SELECT h.doc_id,
        COUNT(*) AS n_grams,
        ROUND(CAST(SUM(lam) AS DOUBLE), 6) AS dsir_weight
@@ -286,30 +325,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id. Nothing grows with the corpus except the exploded bigram
     stream, which is scan-stage fan-out."""
     d = load_table(spark, sf_dir, "documents")
-    hashed = _bigrams(d).select(
-        "doc_id", "source", (_md5_int32(F.col("bigram")) % _DSIR_BUCKETS).alias("bucket")
-    )
-    raw = hashed.groupBy("bucket").agg(F.count("*").alias("cr"))
-    tgt = (
-        hashed.filter(F.col("source") == "src0")
-        .groupBy("bucket")
-        .agg(F.count("*").alias("ct"))
-    )
-    t_total = hashed.filter(F.col("source") == "src0").count() + _DSIR_BUCKETS
-    r_total = hashed.count() + _DSIR_BUCKETS
-    lam = (
-        raw.join(tgt, "bucket", "left")
-        .select(
-            "bucket",
-            F.round(
-                F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double") / F.lit(float(t_total)))
-                - F.log((F.col("cr") + 1).cast("double") / F.lit(float(r_total))),
-                6,
-            )
-            .cast("decimal(18,6)")
-            .alias("lam"),
-        )
-    )
+    hashed, lam = _dsir_lam(d)
     return (
         hashed.join(F.broadcast(lam), "bucket")
         .groupBy("doc_id")
@@ -1105,3 +1121,186 @@ def quality_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows", *[f"{e} AS {n}" for n, e in _PROBE_DETS.items()]
     )
     return dets.selectExpr("n_rows", *_probe_w_exprs("DECIMAL(38,0)", "div"))
+
+
+# ---------------------------------------------------------------------------
+# DSIR stage 2 — Gumbel-top-k importance resampling.
+
+#: Knuth-multiplicative ring for the deterministic per-doc uniform
+#: (the sample_* family's proven hash; redeclared here so this module
+#: stays self-contained).
+_ES_A = 2654435761
+_ES_RING = 4294967296  # 2^32
+#: Resample size: 40 keeps a real cut even at sf0.001 (~50 docs).
+_DSIR_K = 40
+
+
+@register(
+    "dsir_resample_topk",
+    oracle=f"""
+WITH {_DSIR_LAM_CTES},
+dw AS (
+  SELECT h.doc_id, h.source,
+         COUNT(*) AS n_grams,
+         CAST(SUM(lam) AS DECIMAL(18,6)) AS lam_sum
+  FROM hashed h JOIN lam ON h.bucket = lam.bucket
+  GROUP BY h.doc_id, h.source
+),
+keyed AS (
+  SELECT doc_id, source, n_grams, lam_sum,
+         CAST(ROUND(-LN(-LN(
+           CAST((doc_id * {_ES_A}) % {_ES_RING} + 1 AS DOUBLE)
+           / {_ES_RING + 1})), 6) AS DECIMAL(18,6)) AS gumbel
+  FROM dw
+)
+SELECT doc_id, source, n_grams,
+       ROUND(CAST(lam_sum AS DOUBLE), 6) AS dsir_weight,
+       ROUND(CAST(gumbel AS DOUBLE), 6) AS gumbel_key,
+       ROUND(CAST(lam_sum + gumbel AS DOUBLE), 6) AS priority
+FROM keyed
+ORDER BY lam_sum + gumbel DESC, doc_id
+LIMIT {_DSIR_K}
+""",
+)
+def dsir_resample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR stage 2 (Xie et al., arXiv:2302.03169 §3): importance
+    RESAMPLING — draw the training subset without replacement with
+    probability proportional to the importance weights, implemented as
+    Gumbel-top-k over the log weights (Kool et al., arXiv:1903.06059:
+    top-k of log w_i + Gumbel(0,1) is an exact weighted sample without
+    replacement). Completes the pipeline whose stage 1 is
+    dsir_importance_weights — the two queries share the lam arithmetic
+    verbatim (_DSIR_LAM_CTES / _dsir_lam).
+
+    Portable determinism: the Gumbel noise is -ln(-ln(u)) of the
+    registry's Knuth-ring uniform u = ((doc_id * A) mod 2^32 + 1) /
+    (2^32 + 1) — the sample_weighted_* family's proven per-row
+    transcendental, rounded once to 6 decimals and cast DECIMAL(18,6);
+    the selection key lam_sum + gumbel is then EXACT decimal addition,
+    so the top-k cut is identical on both engines (ties broken on
+    doc_id; per-row rounded transcendentals are the allowed class —
+    never summed per member across rows).
+
+    Scale: lam broadcasts (fixed bucket space); the per-doc rollup is
+    one map-side-combined aggregate; the top-k is orderBy+limit, which
+    Spark compiles to TakeOrderedAndProject — each partition keeps a
+    local top-{_DSIR_K} and only k·P rows reach the final merge. At
+    100 TB the k-row resample result IS the job output; nothing wider
+    than k rows per partition ever moves."""
+    d = load_table(spark, sf_dir, "documents")
+    hashed, lam = _dsir_lam(d)
+    dw = (
+        hashed.join(F.broadcast(lam), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum("lam").cast("decimal(18,6)").alias("lam_sum"),
+        )
+    )
+    u = ((F.col("doc_id") * _ES_A) % _ES_RING + 1).cast("double") / F.lit(
+        float(_ES_RING + 1)
+    )
+    keyed = dw.withColumn(
+        "gumbel", F.round(-F.log(-F.log(u)), 6).cast("decimal(18,6)")
+    )
+    return (
+        keyed.orderBy(
+            (F.col("lam_sum") + F.col("gumbel")).desc(), "doc_id"
+        )
+        .limit(_DSIR_K)
+        .select(
+            "doc_id",
+            "source",
+            "n_grams",
+            F.round(F.col("lam_sum").cast("double"), 6).alias("dsir_weight"),
+            F.round(F.col("gumbel").cast("double"), 6).alias("gumbel_key"),
+            F.round(
+                (F.col("lam_sum") + F.col("gumbel")).cast("double"), 6
+            ).alias("priority"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SoftDedup — frequency-based soft down-weighting instead of removal.
+
+#: Per-gram frequency cap: winsorizes pathological boilerplate so
+#: 1e6 * sum_freq stays far inside BIGINT at any corpus size.
+_SOFT_FREQ_CAP = 1000000
+
+
+@register(
+    "softdedup_commonness",
+    oracle=f"""
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+         w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7] AS g
+  FROM docs, UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+  WHERE len(w) >= 8
+),
+h AS (SELECT doc_id, {_duck_md5_int32("g")} AS hg FROM grams),
+freq AS (
+  SELECT hg, LEAST(COUNT(*), {_SOFT_FREQ_CAP}) AS c FROM h GROUP BY hg
+),
+per AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(c) AS BIGINT) AS sum_freq
+  FROM h JOIN freq USING (hg)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_grams, sum_freq,
+       (1000000 * sum_freq) // n_grams AS common_ppm,
+       (1000000 * n_grams) // sum_freq AS weight_ppm
+FROM per
+""",
+)
+def softdedup_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDedup (He et al., ACL 2024): instead of REMOVING duplicated
+    documents, down-weight their sampling probability by a per-document
+    "commonness" score — how duplicated the document's n-gram content
+    is across the corpus — so high-quality but partially-duplicated
+    pages keep contributing at reduced weight.
+
+    Exact-integer formulation (the paper estimates commonness with a
+    FracMinHash sketch; the registry's portable tier computes it
+    exactly): commonness = mean corpus frequency of the document's word
+    8-grams (the dedup_span_coverage gram), shipped as the exact floor
+    fraction common_ppm = 1e6·Σfreq // n_grams, and the sampling weight
+    is its inverse weight_ppm = 1e6·n_grams // Σfreq (= 1e6 for a fully
+    unique document, smaller the more duplicated its spans; all
+    operands positive, so truncating and flooring engines agree).
+    Per-gram frequency is winsorized at {_SOFT_FREQ_CAP} so the ppm
+    numerators stay far inside BIGINT at any corpus size.
+
+    Scale: grams hash to 64-bit keys at the scan stage (the shuffle
+    carries BIGINTs, never gram text); the frequency count is map-side
+    combined on the gram key; the join back to occurrences reuses the
+    same hash partitioning (one exchange); the per-doc rollup ships 3
+    longs per doc. The frequency table is vocabulary-sized and is NOT
+    broadcast — it stays a shuffle-side equi-join, the profile that
+    holds at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id", F.explode(ngrams(F.col("text"), 8)).alias("g")
+    ).select("doc_id", _md5_int32(F.col("g")).alias("hg"))
+    freq = h.groupBy("hg").agg(
+        F.least(F.count("*"), F.lit(_SOFT_FREQ_CAP)).cast("long").alias("c")
+    )
+    per = (
+        h.join(freq, "hg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum("c").cast("long").alias("sum_freq"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_grams",
+        "sum_freq",
+        F.expr("(1000000 * sum_freq) div n_grams").alias("common_ppm"),
+        F.expr("(1000000 * n_grams) div sum_freq").alias("weight_ppm"),
+    )
