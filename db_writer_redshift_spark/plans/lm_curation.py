@@ -1304,3 +1304,221 @@ def softdedup_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(1000000 * sum_freq) div n_grams").alias("common_ppm"),
         F.expr("(1000000 * n_grams) div sum_freq").alias("weight_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# UniMax — epoch-capped uniform language sampling.
+
+#: UniMax epoch cap N: a language may be repeated at most N times.
+_UNIMAX_EPOCHS = 2
+
+
+@register(
+    "mix_unimax_epochs",
+    oracle=f"""
+WITH per_lang AS (
+  SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+),
+caps AS (SELECT lang AS source, {_UNIMAX_EPOCHS} * n_tokens AS n_tokens
+         FROM per_lang),
+tot AS (
+  SELECT COUNT(*) AS n_sources,
+         (3 * CAST(SUM(n_tokens) AS BIGINT)) // 4 AS budget
+  FROM caps
+),
+ranked AS (
+  SELECT source, n_tokens, n_sources, budget,
+         ROW_NUMBER() OVER w AS pos,
+         CAST(SUM(n_tokens) OVER (ORDER BY n_tokens, source
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS prefix,
+         LAG(n_tokens, 1, 0) OVER w AS prev_tokens
+  FROM caps, tot
+  WINDOW w AS (ORDER BY n_tokens, source)
+),
+cand AS (
+  SELECT pos, prefix - n_tokens AS pk,
+         (budget - (prefix - n_tokens)) // (n_sources - pos + 1) AS level,
+         n_sources - pos + 1 AS m
+  FROM ranked
+  WHERE (budget - (prefix - n_tokens)) // (n_sources - pos + 1) >= prev_tokens
+),
+lvl AS (
+  SELECT pos AS cut_pos, level, m, budget - pk - m * level AS remainder
+  FROM cand ORDER BY pos DESC LIMIT 1
+),
+alloc AS (
+  SELECT source, n_tokens AS cap_tokens,
+         CASE WHEN pos < cut_pos THEN n_tokens
+              ELSE LEAST(n_tokens,
+                         level + CASE WHEN pos - cut_pos + 1 <= remainder
+                                      THEN 1 ELSE 0 END)
+         END AS alloc_tokens
+  FROM ranked, lvl
+)
+SELECT p.lang, p.n_tokens, a.cap_tokens, a.alloc_tokens,
+       CASE WHEN a.alloc_tokens = a.cap_tokens THEN 1 ELSE 0 END AS sat_epoch_cap,
+       (1000000 * a.alloc_tokens) // p.n_tokens AS epochs_ppm
+FROM alloc a JOIN per_lang p ON a.source = p.lang
+""",
+)
+def mix_unimax_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language sampling (Chung et al., ICLR 2023,
+    arXiv:2304.09151): distribute the token budget as UNIFORMLY as
+    possible across languages, but never repeat a language's data more
+    than N = {_UNIMAX_EPOCHS} epochs — the paper's fairer alternative
+    to temperature sampling for multilingual pretraining. UniMax's
+    iterative uniform-redistribution IS water-filling with per-language
+    capacity N·n_tokens, so this reuses the proven integer waterfill
+    kernel (operators/mixing.waterfill_allocation) with epoch-scaled
+    capacities and budget = 1.5 corpus-epochs of tokens (chosen so
+    BOTH branches fire on this fixture: every smaller language
+    saturates its 2-epoch cap while the largest is level-capped below
+    one epoch — a one-epoch budget leaves the epoch cap vacuously
+    unbound here, the vacuous-threshold flap class).
+
+    Integer-exact end-to-end (BIGINT sort, prefix sums, floor
+    divisions — the mix_token_budget_waterfill arithmetic verbatim);
+    the output adds the realized repetition rate epochs_ppm =
+    1e6·alloc // n_tokens (1e6 = exactly one epoch, capped at
+    {_UNIMAX_EPOCHS}e6) and a saturation flag for languages whose
+    entire {_UNIMAX_EPOCHS}-epoch capacity is consumed — the paper's
+    head/tail split falls straight out (small languages saturate the
+    epoch cap, large ones are level-capped below a single epoch).
+
+    Scale: the windows run over the per-LANGUAGE aggregate (bounded by
+    the language catalog); the corpus-wide work is one map-side-combined
+    token count. Same 100 TB profile as the waterfill query."""
+    from db_writer_redshift_spark.operators.mixing import waterfill_allocation
+
+    d = load_table(spark, sf_dir, "documents")
+    per_lang = d.groupBy("lang").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("n_tokens")
+    )
+    caps = per_lang.select(
+        F.col("lang").alias("source"),
+        (F.lit(_UNIMAX_EPOCHS) * F.col("n_tokens")).cast("long").alias("n_tokens"),
+    )
+    budget = F.expr("(3 * CAST(SUM(n_tokens) AS BIGINT)) div 4")
+    alloc = waterfill_allocation(caps, budget).select(
+        F.col("source").alias("lang"),
+        F.col("n_tokens").alias("cap_tokens"),
+        "alloc_tokens",
+    )
+    return alloc.join(per_lang, "lang").select(
+        "lang",
+        "n_tokens",
+        "cap_tokens",
+        "alloc_tokens",
+        F.when(F.col("alloc_tokens") == F.col("cap_tokens"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("sat_epoch_cap"),
+        F.expr("(1000000 * alloc_tokens) div n_tokens").alias("epochs_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heaps'-law vocabulary-growth audit.
+
+@register(
+    "heaps_vocab_growth",
+    oracle="""
+WITH docs0 AS (
+  SELECT lang, doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+tok AS (
+  SELECT lang, doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS token
+  FROM docs0, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3
+),
+first AS (
+  SELECT lang, token, MIN(doc_id) AS first_doc
+  FROM tok GROUP BY lang, token
+),
+docs AS (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS dr,
+         COUNT(*) OVER (PARTITION BY lang) AS nd
+  FROM documents
+),
+firstd AS (
+  SELECT f.lang, (10 * d.dr + d.nd - 1) // d.nd AS dmin
+  FROM first f JOIN docs d ON f.lang = d.lang AND f.first_doc = d.doc_id
+),
+hist AS (SELECT lang, dmin, CAST(COUNT(*) AS BIGINT) AS c
+         FROM firstd GROUP BY lang, dmin),
+decs AS (
+  SELECT lang, nd, dec
+  FROM (SELECT DISTINCT lang, nd FROM docs),
+       UNNEST(generate_series(1, 10)) AS t(dec)
+)
+SELECT d.lang, d.dec,
+       CAST((d.dec * d.nd) // 10 AS BIGINT) AS n_docs,
+       CAST(SUM(COALESCE(h.c, 0)) OVER (PARTITION BY d.lang ORDER BY d.dec)
+            AS BIGINT) AS vocab_size
+FROM decs d LEFT JOIN hist h ON d.lang = h.lang AND d.dec = h.dmin
+""",
+)
+def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth audit (Heaps 1978; the
+    vocabulary-saturation curve corpus reports like WIMBD, Elazar et
+    al. arXiv:2310.20707, publish per shard): per language, the number
+    of DISTINCT word 3-grams seen after each decile of the corpus in
+    deterministic doc_id order (3-grams, not unigrams: this fixture's
+    unigram vocabulary saturates inside the first decile — ~31 tokens —
+    so the unigram curve would be flat; the trigram space keeps growing
+    through every decile, a real curve) — the collector's curve whose flattening
+    says a source has stopped contributing new vocabulary (diminishing
+    returns for further crawling/dedup).
+
+    Exact-integer formulation: each (lang, token)'s first-occurrence
+    doc rank dr maps to the FIRST decile that includes it, dmin =
+    ceil(10·dr / nd) as (10·dr + nd − 1) // nd (exact: decile d covers
+    ranks <= (d·nd)//10, and floor((d·nd)/10) >= dr iff d·nd >= 10·dr);
+    the running decile vocabulary is then a 10-row cumulative sum per
+    language — no inequality join ever forms. Companion to
+    zipf_slope_audit (rank-frequency) over the same tokenization.
+
+    Scale: one (lang, token) partial-aggregated shuffle
+    (vocabulary-bounded), the doc-rank window partitions by language
+    (the CCNet-buckets profile; a 100 TB run swaps the per-language
+    rank for range-bucketed doc_id quantiles), and the decile rollup
+    runs on 10 rows per language."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "lang", "doc_id", F.explode(ngrams(F.lower(F.col("text")), 3)).alias("token")
+    )
+    first = tok.groupBy("lang", "token").agg(F.min("doc_id").alias("first_doc"))
+    wl = Window.partitionBy("lang")
+    docs = d.select("lang", "doc_id").withColumn(
+        "dr", F.row_number().over(wl.orderBy("doc_id"))
+    ).withColumn("nd", F.count("*").over(wl))
+    firstd = first.join(
+        docs,
+        (first.lang == docs.lang) & (first.first_doc == docs.doc_id),
+    ).select(first.lang, F.expr("(10 * dr + nd - 1) div nd").alias("dmin"))
+    hist = firstd.groupBy("lang", "dmin").agg(F.count("*").cast("long").alias("c"))
+    decs = (
+        docs.select("lang", "nd")
+        .distinct()
+        .select("lang", "nd", F.explode(F.sequence(F.lit(1), F.lit(10))).alias("dec"))
+    )
+    joined = decs.join(
+        hist,
+        (decs.lang == hist.lang) & (decs.dec == hist.dmin),
+        "left",
+    ).select(decs.lang, "dec", "nd", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    wcum = (
+        Window.partitionBy("lang")
+        .orderBy("dec")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "lang",
+        F.col("dec").cast("long").alias("dec"),
+        F.expr("(dec * nd) div 10").cast("long").alias("n_docs"),
+        F.sum("c").over(wcum).cast("long").alias("vocab_size"),
+    )
