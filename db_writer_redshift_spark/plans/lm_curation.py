@@ -1522,3 +1522,152 @@ def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(dec * nd) div 10").cast("long").alias("n_docs"),
         F.sum("c").over(wcum).cast("long").alias("vocab_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Borda-fusion quality ensemble.
+
+@register(
+    "quality_borda_fusion",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, lang,
+         CAST(LENGTH(text) AS BIGINT) AS n_chars,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS wt
+  FROM documents
+),
+ttr AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(len(list_distinct(wt)) AS BIGINT) * 1000000 // len(wt) AS ttr_ppm
+  FROM base WHERE len(wt) >= 1
+),
+docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+         w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7] AS g
+  FROM docs, UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+  WHERE len(w) >= 8
+),
+freq AS (SELECT g, COUNT(*) AS c FROM grams GROUP BY g),
+common AS (
+  SELECT doc_id, CAST(1000000 * SUM(c) // COUNT(*) AS BIGINT) AS common_ppm
+  FROM grams JOIN freq USING (g) GROUP BY doc_id
+),
+m AS (
+  SELECT t.doc_id, t.lang, t.n_chars, t.ttr_ppm,
+         COALESCE(c.common_ppm, 1000000) AS common_ppm
+  FROM ttr t LEFT JOIN common c USING (doc_id)
+),
+ranked AS (
+  SELECT doc_id, lang, n_chars, ttr_ppm, common_ppm,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY common_ppm, doc_id) AS r_dup,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY ttr_ppm DESC, doc_id) AS r_ttr,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS r_len
+  FROM m
+),
+borda AS (
+  SELECT *, r_dup + r_ttr + r_len AS borda_score,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY r_dup + r_ttr + r_len, doc_id) AS rk
+  FROM ranked
+)
+SELECT doc_id, lang, n_chars, ttr_ppm, common_ppm,
+       CAST(r_dup AS BIGINT) AS r_dup, CAST(r_ttr AS BIGINT) AS r_ttr,
+       CAST(r_len AS BIGINT) AS r_len, CAST(borda_score AS BIGINT) AS borda_score,
+       CAST(rk AS BIGINT) AS rk
+FROM borda WHERE rk <= 5
+""",
+)
+def quality_borda_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Borda-count rank fusion of quality signals (the classic rank
+    aggregation of metasearch — Aslam & Montague, SIGIR 2001 — applied
+    to corpus curation: combine heterogeneous per-doc quality metrics
+    by summing their RANKS, the scale-free alternative to hand-tuned
+    weighted scores; sibling of retrieval_rrf_fusion, which fuses the
+    same way with reciprocal ranks). Per language, rank documents on
+    three portable metrics — span duplication (softdedup_commonness's
+    8-gram mean frequency, ascending: unique is better), type-token
+    ratio (descending: diverse is better), and length (descending) —
+    and keep the top-5 by Borda sum.
+
+    Integer-exact end-to-end: every metric is a BIGINT or floor-ppm
+    fraction, every rank a deterministic row_number with doc_id
+    tie-break — rank aggregation is EXACTLY the trick that makes a
+    multi-metric quality ensemble oracle-portable, because ranks
+    absorb any monotone float rescaling of the underlying metric.
+
+    Scale: the commonness branch is softdedup's profile (hash-keyed
+    gram shuffle); TTR and length are row-local; the rank windows
+    partition by LANGUAGE (CCNet-buckets profile) and the final top-5
+    cut is a rank-filtered window (WindowGroupLimit pushdown keeps
+    per-partition state at 5 rows). A 100 TB run swaps per-language
+    row_number for range-bucketed percentile ranks, same as the other
+    per-language windows."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    ttr = d.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("long").alias("n_chars"),
+        F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("wt"),
+    ).filter(F.size("wt") >= 1).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.expr(
+            "(CAST(size(array_distinct(wt)) AS BIGINT) * 1000000)"
+            " div CAST(size(wt) AS BIGINT)"
+        ).alias("ttr_ppm"),
+    )
+    grams = d.select(
+        "doc_id", F.explode(ngrams(F.col("text"), 8)).alias("g")
+    )
+    freq = grams.groupBy("g").agg(F.count("*").alias("c"))
+    common = (
+        grams.join(freq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.expr("CAST(1000000 * SUM(c) div COUNT(*) AS BIGINT)").alias(
+                "common_ppm"
+            )
+        )
+    )
+    m = ttr.join(common, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "ttr_ppm",
+        F.coalesce(F.col("common_ppm"), F.lit(1000000)).alias("common_ppm"),
+    )
+    wl = Window.partitionBy("lang")
+    ranked = m.select(
+        "*",
+        F.row_number().over(wl.orderBy("common_ppm", "doc_id")).alias("r_dup"),
+        F.row_number()
+        .over(wl.orderBy(F.col("ttr_ppm").desc(), "doc_id"))
+        .alias("r_ttr"),
+        F.row_number()
+        .over(wl.orderBy(F.col("n_chars").desc(), "doc_id"))
+        .alias("r_len"),
+    )
+    borda = ranked.select(
+        "*",
+        (F.col("r_dup") + F.col("r_ttr") + F.col("r_len")).alias("borda_score"),
+    ).withColumn(
+        "rk",
+        F.row_number().over(wl.orderBy(F.col("borda_score"), "doc_id")),
+    )
+    return borda.filter(F.col("rk") <= 5).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "ttr_ppm",
+        "common_ppm",
+        F.col("r_dup").cast("long").alias("r_dup"),
+        F.col("r_ttr").cast("long").alias("r_ttr"),
+        F.col("r_len").cast("long").alias("r_len"),
+        F.col("borda_score").cast("long").alias("borda_score"),
+        F.col("rk").cast("long").alias("rk"),
+    )
