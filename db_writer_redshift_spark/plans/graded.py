@@ -47,6 +47,7 @@ constraint):
     text_repetition_scores, text_unigram_logprob, text_token_diversity,
     text_fingerprint, text_rolling_fingerprint_portable,
     vocab_topk_terms, vocab_topk_bigrams, bpe_pair_merge_stats,
+    tokenizer_fertility_by_lang,
     chargram_neighbor_pairs, embedding_norm_stats,
     embedding_lang_centroids, cluster_label_purity,
     sample_hash_documents, sample_rebalance_uniform,

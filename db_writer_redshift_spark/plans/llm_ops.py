@@ -2846,6 +2846,110 @@ def bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_fertility_oracle(rounds: int = 3) -> str:
+    """DuckDB twin of the tokenizer fertility audit: per-language tokens
+    per word / chars per token under the learned merges, and each
+    language's fertility premium over the cheapest-to-encode language."""
+    return (
+        _bpe_cte_prefix(rounds)
+        + f""",
+wt AS (SELECT w, len(string_split(s, '|')) AS n_tok FROM v{rounds}),
+occ AS (
+  SELECT lang, unnest(string_split(lower(text), ' ')) AS w2 FROM documents
+),
+per_lang AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(COALESCE(wt.n_tok, 1)) AS BIGINT) AS n_bpe_tokens,
+         CAST(SUM(LENGTH(w2)) AS BIGINT) AS n_word_chars
+  FROM occ LEFT JOIN wt ON occ.w2 = wt.w
+  WHERE w2 <> ''
+  GROUP BY lang
+),
+fert AS (
+  SELECT *,
+         n_bpe_tokens * 1000000 // n_words AS fertility_ppm,
+         n_word_chars * 1000000 // n_bpe_tokens AS chars_per_token_ppm
+  FROM per_lang
+)
+SELECT lang, n_words, n_bpe_tokens, n_word_chars,
+       CAST(fertility_ppm AS BIGINT) AS fertility_ppm,
+       CAST(chars_per_token_ppm AS BIGINT) AS chars_per_token_ppm,
+       CAST(fertility_ppm * 1000000 // MIN(fertility_ppm) OVER ()
+            AS BIGINT) AS premium_ppm
+FROM fert
+"""
+    )
+
+
+@register("tokenizer_fertility_by_lang", oracle=_bpe_fertility_oracle())
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY audit under the engine's own learned BPE —
+    per language, tokens-per-word (fertility, the multilingual-tokenizer
+    metric from the mBERT/XLM analyses) and chars-per-token, plus each
+    language's fertility PREMIUM over the cheapest-to-encode language
+    (Petrov et al., "Language Model Tokenizers Introduce Unfairness
+    Between Languages", arXiv:2305.15425 — languages whose text costs
+    more tokens get less effective context and pay more per request;
+    this audit is how a curation pipeline detects that before training).
+
+    Shares bpe_tokenize_stats' machinery: the word → merged-symbols
+    state from the 3-round training loop gives n_tok per vocabulary
+    word; sub-vocabulary words (single chars) count as one token. All
+    ratios are floor-ppm over exact BIGINT sums, so the full value-hash
+    oracle holds (the trained-trajectory CTE prefix proves the merges
+    too).
+
+    Scale: trained vocabulary BROADCASTS (Heaps'-law saturation); the
+    exploded corpus probes it map-side and rolls up per language with
+    map-side combine; the premium window runs over one row per language.
+    Cites reference scope: keboola/db-writer-redshift has no tokenizer
+    surface — this is the beyond-reference training-data track."""
+    d = load_table(spark, sf_dir, "documents")
+    _, state = text.bpe_train_merges(d, "text", rounds=3, return_state=True)
+    wordtok = state.select("w", F.size(F.split("s", "[|]")).alias("n_tok"))
+    occ = d.select(
+        "lang", F.explode(F.split(F.lower(F.col("text")), " ")).alias("w2")
+    ).filter(F.col("w2") != "")
+    per_lang = (
+        occ.join(F.broadcast(wordtok), occ.w2 == wordtok.w, "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum(F.coalesce(F.col("n_tok").cast("long"), F.lit(1)))
+            .cast("long")
+            .alias("n_bpe_tokens"),
+            F.sum(F.length("w2")).cast("long").alias("n_word_chars"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    fert = per_lang.select(
+        "*",
+        F.expr("n_bpe_tokens * 1000000 div n_words").alias("fertility_ppm"),
+        F.expr("n_word_chars * 1000000 div n_bpe_tokens").alias(
+            "chars_per_token_ppm"
+        ),
+    )
+    w_all = Window.partitionBy()
+    return (
+        fert.withColumn("_min_fert", F.min("fertility_ppm").over(w_all))
+        .select(
+            "lang",
+            "n_words",
+            "n_bpe_tokens",
+            "n_word_chars",
+            F.col("fertility_ppm").cast("long").alias("fertility_ppm"),
+            F.col("chars_per_token_ppm")
+            .cast("long")
+            .alias("chars_per_token_ppm"),
+            F.expr("(fertility_ppm * 1000000) div _min_fert")
+            .cast("long")
+            .alias("premium_ppm"),
+        )
+    )
+
+
 @register("bpe_train_merge_rounds", oracle=_bpe_train_oracle())
 def bpe_train_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative BPE tokenizer TRAINING (3 merge rounds) — each round
