@@ -258,3 +258,114 @@ def kmeans_fit_portable(
             for c in range(k)
         ]
     return assign(cents)
+
+
+def kcenter_greedy_portable(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    scale: int = 1000,
+) -> tuple[list[tuple[int, int, list[int]]], DataFrame]:
+    """k-Center greedy (farthest-point / Gonzalez) coreset selection in
+    EXACT INTEGER arithmetic — the coreset construction of Sener &
+    Savarese, "Active Learning for CNNs: A Core-Set Approach" (ICLR
+    2018), the geometry-coverage complement of kmeans_fit_portable's
+    density clustering: instead of minimizing mean distance it
+    minimizes the COVERAGE RADIUS, a 2-approximation of the optimal
+    k-center solution, so the selected subset provably spans the
+    embedding space.
+
+    Determinism (the pagerank_int / kmeans_fit_portable discipline):
+    coordinates quantize to round(x*scale) BIGINTs up front, distances
+    are exact integer sums of squared diffs, the seed is the lowest-id
+    vector, and every argmax breaks ties to the lowest id — so the full
+    selection TRAJECTORY (which center, in which order, at what radius)
+    is bit-identical cross-engine and value-hash checkable.
+
+    Returns (trajectory, assignment):
+      * trajectory — [(round, center_id, radius_int)], where
+        radius_int at round r>=1 is the max-min squared distance to
+        centers 0..r-1 (the coverage radius that made this pick);
+        round 0 is the seed with radius 0;
+      * assignment — DataFrame (id, center_round, sqdist_int) mapping
+        every vector to its nearest selected center (ties to the
+        earliest round).
+
+    Scale: each of the k-1 rounds is one scan-stage min-distance
+    expression against center literals plus a SINGLE-ROW struct-max
+    aggregate (partials combine map-side — the shuffle carries one row
+    per map partition); the quantized input is persisted once and the
+    driver holds only k ids + k quantized vectors. Total work
+    O(k * n * dim) with k scans — at 100 TB you bound k or run the
+    standard two-level variant (greedy over per-partition pre-coresets)
+    with the same kernel.
+    """
+    q = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.expr(
+            f"transform({vec_col}, x -> cast(round(cast(x as double) * {scale}) as bigint))"
+        ).alias("qv"),
+    ).persist()
+    try:
+        seed = q.orderBy("id").limit(1).collect()
+        if not seed:
+            raise ValueError("kcenter_greedy: empty input")
+        centers: list[list[int]] = [[int(x) for x in seed[0].qv]]
+        trajectory: list[tuple[int, int, list[int]]] = [(0, int(seed[0].id), 0)]
+
+        def dist_to(c: list[int]):
+            ce = F.array(*[F.lit(int(x)).cast("long") for x in c])
+            return F.aggregate(
+                F.zip_with(F.col("qv"), ce, lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+
+        for r in range(1, k):
+            mind = F.least(*[dist_to(c) for c in centers]) if len(centers) > 1 else dist_to(centers[0])
+            # argmax(mind), ties to the LOWEST id: struct-max on
+            # (mind, -id, qv) — (mind, -id) is unique so qv never
+            # participates in the comparison, it just rides along.
+            far = q.select(
+                F.max(
+                    F.struct(
+                        mind.alias("d"),
+                        (-F.col("id")).alias("nid"),
+                        F.col("qv").alias("qv"),
+                    )
+                ).alias("m")
+            ).collect()[0].m
+            centers.append([int(x) for x in far.qv])
+            trajectory.append((r, int(-far.nid), int(far.d)))
+
+        cent_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("r"),
+                    F.array(*[F.lit(int(x)).cast("long") for x in c]).alias("ce"),
+                )
+                for i, c in enumerate(centers)
+            ]
+        )
+        sqd = lambda ce: F.aggregate(  # noqa: E731
+            F.zip_with(F.col("qv"), ce, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        best = F.array_min(
+            F.transform(
+                cent_arr,
+                lambda c: F.struct(sqd(c["ce"]).alias("dist"), c["r"].alias("r")),
+            )
+        )
+        assignment = q.select(
+            "id",
+            best["r"].alias("center_round"),
+            best["dist"].alias("sqdist_int"),
+        )
+        # materialize before unpersist: the caller's plan re-reads q
+        assignment = assignment.localCheckpoint(eager=True)
+        return trajectory, assignment
+    finally:
+        q.unpersist()

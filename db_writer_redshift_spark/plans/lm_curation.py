@@ -1671,3 +1671,128 @@ def quality_borda_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("borda_score").cast("long").alias("borda_score"),
         F.col("rk").cast("long").alias("rk"),
     )
+
+
+def _kcenter_oracle(k: int = 8, scale: int = 1000) -> str:
+    """Unrolled k-round k-center-greedy trajectory in DuckDB SQL — the
+    kmeans_fit_portable / pagerank_int unrolled-CTE discipline: each
+    round's chosen center is a 1-row CTE (farthest point, lowest-id
+    tie-break), the running min-distance folds forward with LEAST, and
+    every quantity is BIGINT (note CAST(SUM(..) AS BIGINT) — the
+    HUGEINT class from VERDICT r2)."""
+
+    def dist(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_transform(list_zip({a}, {b}),"
+            " p -> (p[1]-p[2])*(p[1]-p[2])), (a,b) -> a+b)"
+        )
+
+    parts = [
+        f"""WITH q AS (
+  SELECT CAST(vec_id AS BIGINT) AS id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(ROUND(x * {scale}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+c0 AS (SELECT id AS cid, qv AS cv, CAST(0 AS BIGINT) AS rad
+       FROM q ORDER BY id LIMIT 1),
+d1 AS (
+  SELECT q.id, q.qv, {dist('q.qv', 'c0.cv')} AS mind
+  FROM q CROSS JOIN c0
+)"""
+    ]
+    for r in range(1, k):
+        parts.append(
+            f""",
+c{r} AS (SELECT id AS cid, qv AS cv, mind AS rad
+        FROM d{r} ORDER BY mind DESC, id LIMIT 1)"""
+        )
+        if r < k - 1:
+            parts.append(
+                f""",
+d{r + 1} AS (
+  SELECT d{r}.id, d{r}.qv,
+         LEAST(d{r}.mind, {dist(f'd{r}.qv', f'c{r}.cv')}) AS mind
+  FROM d{r} CROSS JOIN c{r}
+)"""
+            )
+    centers_union = "\n  UNION ALL\n".join(
+        f"  SELECT CAST({r} AS BIGINT) AS sel_round, cid, cv, rad FROM c{r}"
+        for r in range(k)
+    )
+    parts.append(
+        f""",
+centers AS (
+{centers_union}
+),
+asn AS (
+  SELECT q.id, centers.sel_round,
+         {dist('q.qv', 'centers.cv')} AS sqdist,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.id
+           ORDER BY {dist('q.qv', 'centers.cv')}, centers.sel_round) AS rn
+  FROM q CROSS JOIN centers
+),
+agg AS (
+  SELECT sel_round, CAST(COUNT(*) AS BIGINT) AS n_assigned,
+         CAST(SUM(sqdist) AS BIGINT) AS sum_sqdist_int
+  FROM asn WHERE rn = 1 GROUP BY sel_round
+)
+SELECT c.sel_round, c.cid AS center_id, c.rad AS radius_int,
+       COALESCE(a.n_assigned, CAST(0 AS BIGINT)) AS n_assigned,
+       COALESCE(a.sum_sqdist_int, CAST(0 AS BIGINT)) AS sum_sqdist_int
+FROM centers c LEFT JOIN agg a USING (sel_round)
+ORDER BY c.sel_round"""
+    )
+    return "".join(parts)
+
+
+@register("coreset_kcenter_trajectory", oracle=_kcenter_oracle())
+def coreset_kcenter_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-Center greedy coreset selection (Sener & Savarese, "Active
+    Learning for Convolutional Neural Networks: A Core-Set Approach",
+    ICLR 2018 — the farthest-point traversal of Gonzalez 1985): pick 8
+    embedding exemplars that 2-approximate the minimal coverage radius,
+    the geometry-spanning data-selection step that complements
+    SemDeDup's density pruning (prune redundancy) with coverage
+    sampling (keep spread). Output is the full selection TRAJECTORY —
+    one row per round with the chosen center, the coverage radius that
+    made it the pick, and the final-assignment member count / inertia —
+    so the driver's value hash certifies every greedy decision, not
+    just the final set (the kmeans_fit_portable discipline).
+
+    Integer-exact end-to-end: round(x*1000) BIGINT quantization, integer
+    squared distances, lowest-id tie-breaks (operators/clustering.
+    kcenter_greedy_portable).
+
+    Scale: k-1 rounds of scan + single-row struct-max aggregate (map-side
+    combined) over a persisted quantized projection; final assignment is
+    one scan against 8 center literals and one 8-group aggregate. Driver
+    state: 8 ids + 8 quantized vectors."""
+    from db_writer_redshift_spark.operators.clustering import (
+        kcenter_greedy_portable,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    trajectory, assignment = kcenter_greedy_portable(
+        emb, "vec_id", "embedding", k=8, scale=1000
+    )
+    traj_df = spark.createDataFrame(
+        [(int(r), int(cid), int(rad)) for r, cid, rad in trajectory],
+        schema="sel_round bigint, center_id bigint, radius_int bigint",
+    )
+    agg = assignment.groupBy(
+        F.col("center_round").cast("long").alias("sel_round")
+    ).agg(
+        F.count("*").cast("long").alias("n_assigned"),
+        F.sum("sqdist_int").cast("long").alias("sum_sqdist_int"),
+    )
+    return traj_df.join(agg, "sel_round", "left").select(
+        "sel_round",
+        "center_id",
+        "radius_int",
+        F.coalesce(F.col("n_assigned"), F.lit(0).cast("long")).alias("n_assigned"),
+        F.coalesce(F.col("sum_sqdist_int"), F.lit(0).cast("long")).alias(
+            "sum_sqdist_int"
+        ),
+    )

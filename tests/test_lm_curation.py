@@ -243,3 +243,38 @@ class TestKNPerplexity:
             assert r["n_bigrams"] >= 1
             assert r["sum_lp_e6"] < 0
             assert r["sum_lp_e6"] >= r["n_bigrams"] * -13815511  # ln(1e-6)*1e6
+
+
+class TestKCenterCoreset:
+    def test_trajectory_radii_non_increasing_and_assignment_complete(self, spark):
+        """Gonzalez's invariant: the coverage radius of the first r
+        centers is non-increasing in r (each pick is the current
+        farthest point), centers are distinct, and the final assignment
+        partitions the corpus (member counts sum to n)."""
+        rows = sorted(
+            _run(spark, "coreset_kcenter_trajectory").collect(),
+            key=lambda r: r.sel_round,
+        )
+        assert [r.sel_round for r in rows] == list(range(8))
+        assert len({r.center_id for r in rows}) == 8
+        radii = [r.radius_int for r in rows[1:]]  # round 0 is the seed
+        assert all(a >= b for a, b in zip(radii, radii[1:])), radii
+        assert all(r.radius_int >= 0 for r in rows)
+        import duckdb
+
+        n = duckdb.connect().execute(
+            f"SELECT COUNT(*) FROM '{SF_DIR}/embeddings.parquet'"
+        ).fetchone()[0]
+        assert sum(r.n_assigned for r in rows) == n
+
+    def test_seed_is_lowest_id_and_own_cluster_contains_it(self, spark):
+        rows = {r.sel_round: r for r in _run(spark, "coreset_kcenter_trajectory").collect()}
+        import duckdb
+
+        lo = duckdb.connect().execute(
+            f"SELECT MIN(vec_id) FROM '{SF_DIR}/embeddings.parquet'"
+        ).fetchone()[0]
+        assert rows[0].center_id == lo
+        assert rows[0].radius_int == 0
+        # every center is assigned somewhere, with zero distance to itself
+        assert all(rows[r].n_assigned >= 1 for r in rows)
