@@ -786,3 +786,118 @@ def lsh_topk(
         .filter(F.col("nn_rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "nn_rank")
     )
+
+
+def margin_bitext_pairs_portable(
+    x_df: DataFrame,
+    y_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    ratio_num: int = 110,
+    ratio_den: int = 100,
+    dim: int = 64,
+    num_planes: int = 4,
+    num_tables: int = 16,
+    seed: int = 42,
+    scale: int = 1000,
+) -> DataFrame:
+    """Margin-based parallel-pair mining (Artetxe & Schwenk, "Margin-based
+    Parallel Corpus Mining with Multilingual Sentence Embeddings", ACL
+    2019 — the CCMatrix/LASER mining criterion): a cross-side candidate
+    pair (x, y) is mined when its similarity clears the RATIO margin
+    against the mean of each side's k-nearest-neighbor similarities,
+    which cancels hubness (a vector globally similar to everything never
+    clears its own neighborhood average).
+
+    Portable determinism: similarities are exact integer dots of
+    round(v*scale) quantized vectors, neighborhoods are the top-k
+    candidate dots per side (lowest-id tie-break), and the margin test
+    is the cross-multiplied INTEGER inequality
+
+        ratio_den * 2 * kx * ky * dot >= ratio_num * (stk_x*ky + stk_y*kx)
+
+    (i.e. dot >= ratio * (stk_x/kx + stk_y/ky)/2 without any float
+    division) — every mined pair and every statistic is BIGINT and
+    bit-identical cross-engine.
+
+    Candidates come from the quantized-hyperplane sign buckets
+    (quantized_planes / _int_bucket_bands — the dedup_embedding_lsh_
+    portable kernel) joined ACROSS sides, so no all-pairs product ever
+    forms. Scale: the x side is a mining batch (callers sample it; it
+    broadcasts), the bucket join carries ids only, and both k-NN
+    windows partition on a side id over candidate rows. At 100 TB the
+    4-bit bucket occupancy grows with the corpus — raise num_planes
+    ~log2(n) (the standard LSH knob) to keep per-bucket work flat.
+
+    Returns (x_id, y_id, dot_int, stk_x, kx, stk_y, ky) for mined pairs.
+    """
+    from pyspark.sql.window import Window
+
+    planes_int = quantized_planes(dim, num_planes, num_tables, seed, scale)
+    qv = F.expr(
+        f"transform({vec_col}, v -> cast(round(cast(v as double) * {scale}) as bigint))"
+    )
+    xs = x_df.select(F.col(id_col).cast("long").alias("x_id"), qv.alias("qv"))
+    ys = ensure_parallelism(
+        y_df.select(F.col(id_col).cast("long").alias("y_id"), qv.alias("qv"))
+    )
+    xb = _int_bucket_bands(
+        x_df.select(F.col(id_col).cast("long").alias("x_id"), F.col(vec_col).alias("vec")),
+        "x_id",
+        "vec",
+        planes_int,
+        scale,
+    )
+    yb = _int_bucket_bands(
+        y_df.select(F.col(id_col).cast("long").alias("y_id"), F.col(vec_col).alias("vec")),
+        "y_id",
+        "vec",
+        planes_int,
+        scale,
+    )
+    cand = (
+        F.broadcast(xb)
+        .join(yb, ["t", "bkt"])
+        .select("x_id", "y_id")
+        .dropDuplicates(["x_id", "y_id"])
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("xqv"), F.col("yqv"), lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    dots = (
+        cand.join(F.broadcast(xs.select("x_id", F.col("qv").alias("xqv"))), "x_id")
+        .join(ys.select("y_id", F.col("qv").alias("yqv")), "y_id")
+        .select("x_id", "y_id", dot.alias("dot_int"))
+    )
+    wx = Window.partitionBy("x_id").orderBy(F.col("dot_int").desc(), F.col("y_id"))
+    wy = Window.partitionBy("y_id").orderBy(F.col("dot_int").desc(), F.col("x_id"))
+    xstat = (
+        dots.withColumn("rn", F.row_number().over(wx))
+        .filter(F.col("rn") <= k)
+        .groupBy("x_id")
+        .agg(
+            F.sum("dot_int").cast("long").alias("stk_x"),
+            F.count("*").cast("long").alias("kx"),
+        )
+    )
+    ystat = (
+        dots.withColumn("rn", F.row_number().over(wy))
+        .filter(F.col("rn") <= k)
+        .groupBy("y_id")
+        .agg(
+            F.sum("dot_int").cast("long").alias("stk_y"),
+            F.count("*").cast("long").alias("ky"),
+        )
+    )
+    scored = dots.join(F.broadcast(xstat), "x_id").join(ystat, "y_id")
+    passes = (
+        F.lit(ratio_den).cast("long") * 2 * F.col("kx") * F.col("ky") * F.col("dot_int")
+        >= F.lit(ratio_num).cast("long")
+        * (F.col("stk_x") * F.col("ky") + F.col("stk_y") * F.col("kx"))
+    )
+    return scored.filter(passes).select(
+        "x_id", "y_id", "dot_int", "stk_x", "kx", "stk_y", "ky"
+    )

@@ -1796,3 +1796,103 @@ def coreset_kcenter_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_sqdist_int"
         ),
     )
+
+
+def _margin_oracle(
+    k: int = 4, ratio_num: int = 110, ratio_den: int = 100, scale: int = 1000
+) -> str:
+    """DuckDB twin of margin-based bitext mining: the quantized-plane
+    band CTEs (same literals as the dedup/ann portable oracles) joined
+    across sides, exact integer dots, per-side top-k sums, and the
+    cross-multiplied BIGINT margin inequality — no float division
+    anywhere (the flap class the registry bans)."""
+    from db_writer_redshift_spark.operators.similarity import quantized_planes
+
+    def bands(src: str, idname: str) -> str:
+        tables = quantized_planes(scale=scale)
+        exprs = []
+        for t, tbl in enumerate(tables):
+            bits = " + ".join(
+                "(CASE WHEN list_reduce(list_transform(list_zip(qv, "
+                f"{[int(v) for v in plane]}"
+                f"), p -> p[1] * p[2]), (a, b) -> a + b) >= 0"
+                f" THEN {1 << j} ELSE 0 END)"
+                for j, plane in enumerate(tbl)
+            )
+            exprs.append(f"SELECT {idname}, {t} AS t, {bits} AS bkt FROM {src}")
+        return "\n  UNION ALL\n  ".join(exprs)
+
+    return f"""
+WITH e AS (
+  SELECT CAST(vec_id AS BIGINT) AS id, label,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(ROUND(x * {scale}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+xs AS (SELECT id AS x_id, qv FROM e WHERE label % 2 = 0 AND id % 5 = 0),
+ys AS (SELECT id AS y_id, qv FROM e WHERE label % 2 = 1),
+xb AS ({bands('xs', 'x_id')}),
+yb AS ({bands('ys', 'y_id')}),
+cand AS (
+  SELECT DISTINCT xb.x_id, yb.y_id
+  FROM xb JOIN yb ON xb.t = yb.t AND xb.bkt = yb.bkt
+),
+dots AS (
+  SELECT c.x_id, c.y_id,
+         list_reduce(list_transform(list_zip(x.qv, y.qv), p -> p[1]*p[2]),
+                     (a, b) -> a + b) AS dot_int
+  FROM cand c JOIN xs x USING (x_id) JOIN ys y USING (y_id)
+),
+xstat AS (
+  SELECT x_id, CAST(SUM(dot_int) AS BIGINT) AS stk_x,
+         CAST(COUNT(*) AS BIGINT) AS kx
+  FROM (SELECT x_id, dot_int,
+               ROW_NUMBER() OVER (PARTITION BY x_id
+                                  ORDER BY dot_int DESC, y_id) AS rn
+        FROM dots)
+  WHERE rn <= {k} GROUP BY x_id
+),
+ystat AS (
+  SELECT y_id, CAST(SUM(dot_int) AS BIGINT) AS stk_y,
+         CAST(COUNT(*) AS BIGINT) AS ky
+  FROM (SELECT y_id, dot_int,
+               ROW_NUMBER() OVER (PARTITION BY y_id
+                                  ORDER BY dot_int DESC, x_id) AS rn
+        FROM dots)
+  WHERE rn <= {k} GROUP BY y_id
+)
+SELECT d.x_id, d.y_id, d.dot_int, s.stk_x, s.kx, t.stk_y, t.ky
+FROM dots d JOIN xstat s USING (x_id) JOIN ystat t USING (y_id)
+WHERE {ratio_den} * 2 * s.kx * t.ky * d.dot_int
+      >= {ratio_num} * (s.stk_x * t.ky + t.stk_y * s.kx)
+"""
+
+
+@register("bitext_margin_mining", oracle=_margin_oracle())
+def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based parallel-pair mining (Artetxe & Schwenk, ACL 2019 —
+    the criterion behind CCMatrix/WikiMatrix bitext harvesting): mine
+    cross-corpus embedding pairs whose similarity clears a 1.10 ratio
+    margin over the mean of BOTH sides' top-4 neighborhood similarities,
+    the hubness-cancelling score that raw cosine thresholds lack. Sides
+    are the even/odd label halves of the embedding space (the two
+    "languages" of this fixture); the x side is a 1-in-5 mining batch,
+    matching the ann queries' batch semantics.
+
+    Portable determinism (operators/similarity.margin_bitext_pairs_
+    portable): quantized-hyperplane sign buckets generate candidates —
+    never an all-pairs product — integer dots score them, and the margin
+    is the cross-multiplied BIGINT inequality, so every mined pair and
+    statistic value-hashes identically in DuckDB.
+
+    Scale: broadcast mining batch, ids-only bucket join, two k-NN
+    windows partitioned on a side id over candidate rows only; raise
+    num_planes ~log2(n) to hold bucket occupancy flat at 100 TB."""
+    from db_writer_redshift_spark.operators.similarity import (
+        margin_bitext_pairs_portable,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    xs = emb.filter((F.col("label") % 2 == 0) & (F.col("vec_id") % 5 == 0))
+    ys = emb.filter(F.col("label") % 2 == 1)
+    return margin_bitext_pairs_portable(xs, ys, "vec_id", "embedding", k=4)

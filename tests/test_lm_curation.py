@@ -278,3 +278,55 @@ class TestKCenterCoreset:
         assert rows[0].radius_int == 0
         # every center is assigned somewhere, with zero distance to itself
         assert all(rows[r].n_assigned >= 1 for r in rows)
+
+
+class TestBitextMarginMining:
+    def test_mined_pairs_satisfy_margin_and_side_membership(self, spark):
+        """Artetxe & Schwenk's criterion, re-checked from the output's own
+        statistics: every mined pair clears the integer margin inequality,
+        neighborhood sizes are in [1, k], and ids come from the right
+        sides (x: even label, 1-in-5 batch; y: odd label)."""
+        rows = _run(spark, "bitext_margin_mining").collect()
+        assert rows, "mining must be non-vacuous at this SF"
+        for r in rows:
+            assert 100 * 2 * r.kx * r.ky * r.dot_int >= 110 * (
+                r.stk_x * r.ky + r.stk_y * r.kx
+            )
+            assert 1 <= r.kx <= 4 and 1 <= r.ky <= 4
+            assert r.x_id % 5 == 0
+        import duckdb
+
+        con = duckdb.connect()
+        x_ids = sorted({r.x_id for r in rows})
+        y_ids = sorted({r.y_id for r in rows})
+        x_ok, y_ok = con.execute(
+            f"""SELECT
+              (SELECT COUNT(*) FROM '{SF_DIR}/embeddings.parquet'
+               WHERE label % 2 = 0 AND vec_id % 5 = 0 AND vec_id IN ({",".join(map(str, x_ids))})),
+              (SELECT COUNT(*) FROM '{SF_DIR}/embeddings.parquet'
+               WHERE label % 2 = 1 AND vec_id IN ({",".join(map(str, y_ids))}))"""
+        ).fetchone()
+        assert x_ok == len(x_ids), "every mined x_id must be a batch member"
+        assert y_ok == len(y_ids), "every mined y_id must be odd-label side"
+
+    def test_top1_pair_of_each_side_need_not_pass(self, spark):
+        """The margin is a RATIO over the neighborhood mean, so passing is
+        strictly rarer than being someone's nearest neighbor — the mined
+        set must be a proper subset of the candidate set (hubness pairs
+        filtered out)."""
+        mined = _run(spark, "bitext_margin_mining").count()
+        # candidate count from the same kernel without the margin filter:
+        from db_writer_redshift_spark.operators.similarity import (
+            margin_bitext_pairs_portable,
+        )
+        from db_writer_redshift_spark.plans.registry import load_table
+        from pyspark.sql import functions as F
+
+        emb = load_table(spark, SF_DIR, "embeddings")
+        xs = emb.filter((F.col("label") % 2 == 0) & (F.col("vec_id") % 5 == 0))
+        ys = emb.filter(F.col("label") % 2 == 1)
+        # ratio 0 admits every candidate with positive dot and beyond
+        all_pairs = margin_bitext_pairs_portable(
+            xs, ys, "vec_id", "embedding", k=4, ratio_num=-(10**9), ratio_den=100
+        ).count()
+        assert 0 < mined < all_pairs
