@@ -1896,3 +1896,164 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     xs = emb.filter((F.col("label") % 2 == 0) & (F.col("vec_id") % 5 == 0))
     ys = emb.filter(F.col("label") % 2 == 1)
     return margin_bitext_pairs_portable(xs, ys, "vec_id", "embedding", k=4)
+
+
+def _knn_shapley_oracle(k: int = 4, scale: int = 1000, topv: int = 5) -> str:
+    """DuckDB twin of exact KNN-Shapley. Every quantity is BIGINT: integer
+    squared distances, floor-scaled e12 per-rank terms, integer suffix
+    sums — floor division of positive BIGINTs is exact and identical in
+    DuckDB (//) and Spark (div), so no rounded-float-division flap."""
+    return f"""
+WITH e AS (
+  SELECT CAST(vec_id AS BIGINT) AS id, CAST(label AS BIGINT) AS label,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(ROUND(x * {scale}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+val AS (SELECT id AS val_id, label AS val_label, qv AS vq FROM e WHERE id % 50 = 0),
+tr  AS (SELECT id AS train_id, label AS tr_label, qv AS tq FROM e WHERE id % 50 <> 0),
+pairs AS (
+  SELECT v.val_id, t.train_id,
+         CASE WHEN t.tr_label = v.val_label THEN 1 ELSE 0 END AS m,
+         list_reduce(list_transform(list_zip(v.vq, t.tq),
+                                    p -> (p[1]-p[2])*(p[1]-p[2])),
+                     (a, b) -> a + b) AS sqd
+  FROM val v CROSS JOIN tr t
+),
+ranked AS (
+  SELECT val_id, train_id, m, sqd,
+         ROW_NUMBER() OVER (PARTITION BY val_id ORDER BY sqd, train_id) AS j,
+         COUNT(*) OVER (PARTITION BY val_id) AS n
+  FROM pairs
+),
+terms AS (
+  SELECT val_id, train_id, m, j, n,
+         LEAD(m, 1, NULL) OVER (PARTITION BY val_id ORDER BY j) AS m_next
+  FROM ranked
+),
+contrib AS (
+  SELECT val_id, train_id, j,
+         CASE WHEN m_next IS NULL THEN m * (1000000000000 // n)
+              ELSE (m - m_next)
+                   * ((1000000000000 * LEAST({k}, j)) // ({k} * j))
+         END AS term_e12
+  FROM terms
+),
+shap AS (
+  SELECT val_id, train_id, CAST(j AS BIGINT) AS knn_rank,
+         CAST(SUM(term_e12) OVER (PARTITION BY val_id ORDER BY j DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS shapley_e12
+  FROM contrib
+)
+SELECT val_id, train_id, knn_rank, shapley_e12,
+       CAST(ROW_NUMBER() OVER (PARTITION BY val_id
+            ORDER BY shapley_e12 DESC, train_id) AS BIGINT) AS value_rank
+FROM shap QUALIFY value_rank <= {topv}
+"""
+
+
+@register("knn_shapley_valuation", oracle=_knn_shapley_oracle())
+def knn_shapley_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact KNN-Shapley data valuation (Jia et al., "Efficient
+    task-specific data valuation for nearest neighbor algorithms",
+    VLDB 2019): the Shapley value of every training point under the
+    K-NN utility has a CLOSED FORM — rank train points by distance to a
+    validation point, then fold the recursion
+    s_(n) = m_n/n;  s_(j) = s_(j+1) + (m_j - m_{j+1})/K * min(K,j)/j
+    from farthest to nearest — turning an exponential game-theoretic sum
+    into one sorted scan per validation point. Output: the top-5 most
+    valuable training points per validation point (the keep-list a
+    valuation-driven curation step consumes; mislabeled/noisy points
+    surface with NEGATIVE values).
+
+    Portable determinism: integer squared distances on round(x*1000)
+    BIGINTs; each per-rank term floor-scales to e12 BEFORE summation
+    ((m_j - m_{j+1}) * ((10^12 * min(K,j)) div (K*j)) — floor division
+    of positive BIGINTs, identical in Spark div and DuckDB //), and the
+    Shapley value is an integer SUFFIX SUM of those terms — never a
+    float accumulation. Total deviation from the exact rational is
+    < n * 1e-12 (one ulp per term), asserted against a Fraction-exact
+    reference in tests.
+
+    Scale: the validation batch (1-in-50) broadcasts; the per-val_id
+    rank/lead/suffix-sum windows scan each validation point's candidate
+    list once — O(v * n log n), the published algorithm's own cost, so
+    v is the knob (a 100 TB run values against a fixed eval suite, not
+    the corpus)."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        F.col("vec_id").cast("long").alias("id"),
+        F.col("label").cast("long").alias("label"),
+        F.expr(
+            "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))"
+        ).alias("qv"),
+    )
+    val = e.filter(F.col("id") % 50 == 0).select(
+        F.col("id").alias("val_id"),
+        F.col("label").alias("val_label"),
+        F.col("qv").alias("vq"),
+    )
+    tr = e.filter(F.col("id") % 50 != 0).select(
+        F.col("id").alias("train_id"),
+        F.col("label").alias("tr_label"),
+        F.col("qv").alias("tq"),
+    )
+    sqd = F.aggregate(
+        F.zip_with(F.col("vq"), F.col("tq"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    pairs = tr.crossJoin(F.broadcast(val)).select(
+        "val_id",
+        "train_id",
+        F.when(F.col("tr_label") == F.col("val_label"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("m"),
+        sqd.alias("sqd"),
+    )
+    wv = Window.partitionBy("val_id")
+    ranked = pairs.select(
+        "val_id",
+        "train_id",
+        "m",
+        F.row_number().over(wv.orderBy("sqd", "train_id")).alias("j"),
+        F.count("*").over(wv).alias("n"),
+    )
+    terms = ranked.withColumn(
+        "m_next", F.lead("m", 1).over(wv.orderBy("j"))
+    )
+    contrib = terms.select(
+        "val_id",
+        "train_id",
+        "j",
+        F.expr(
+            "CASE WHEN m_next IS NULL THEN m * (1000000000000L div n) "
+            "ELSE (m - m_next) * ((1000000000000L * least(4L, j)) div (4 * j)) END"
+        ).alias("term_e12"),
+    )
+    shap = contrib.select(
+        "val_id",
+        "train_id",
+        F.col("j").cast("long").alias("knn_rank"),
+        F.sum("term_e12")
+        .over(
+            wv.orderBy(F.col("j").desc()).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .cast("long")
+        .alias("shapley_e12"),
+    )
+    return (
+        shap.withColumn(
+            "value_rank",
+            F.row_number()
+            .over(wv.orderBy(F.col("shapley_e12").desc(), "train_id"))
+            .cast("long"),
+        )
+        .filter(F.col("value_rank") <= 5)
+    )

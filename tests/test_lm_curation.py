@@ -330,3 +330,60 @@ class TestBitextMarginMining:
             xs, ys, "vec_id", "embedding", k=4, ratio_num=-(10**9), ratio_den=100
         ).count()
         assert 0 < mined < all_pairs
+
+
+class TestKnnShapley:
+    def test_matches_fraction_exact_reference_within_term_ulp(self, spark):
+        """Jia et al.'s closed form, re-derived with exact rational
+        arithmetic (fractions.Fraction) per validation point: the
+        query's floor-scaled e12 integers must sit within n ulps of the
+        exact Shapley value (one floor per term, suffix-summed), and the
+        top-5 selection must agree with the exact ranking."""
+        from fractions import Fraction
+
+        import duckdb
+
+        K = 4
+        con = duckdb.connect()
+        rows = con.execute(
+            f"""SELECT CAST(vec_id AS BIGINT),
+                       CAST(label AS BIGINT),
+                       list_transform(CAST(embedding AS DOUBLE[]),
+                                      x -> CAST(ROUND(x*1000) AS BIGINT))
+                FROM '{SF_DIR}/embeddings.parquet'"""
+        ).fetchall()
+        pts = {int(i): (int(lb), [int(v) for v in qv]) for i, lb, qv in rows}
+        val_ids = sorted(i for i in pts if i % 50 == 0)
+        got = _run(spark, "knn_shapley_valuation").collect()
+        by_val = {}
+        for r in got:
+            by_val.setdefault(r.val_id, []).append(r)
+        assert sorted(by_val) == val_ids
+        for vid in val_ids[:3]:  # exact recursion is O(n log n) per point
+            vlb, vq = pts[vid]
+            tr = sorted(
+                (
+                    sum((a - b) * (a - b) for a, b in zip(q, vq)),
+                    tid,
+                    1 if lb == vlb else 0,
+                )
+                for tid, (lb, q) in pts.items()
+                if tid % 50 != 0
+            )
+            n = len(tr)
+            exact = {}
+            s = Fraction(tr[-1][2], n)
+            exact[tr[-1][1]] = s
+            for j in range(n - 2, -1, -1):
+                mj, mj1 = tr[j][2], tr[j + 1][2]
+                s = s + Fraction(mj - mj1, K) * Fraction(min(K, j + 1), j + 1)
+                exact[tr[j][1]] = s
+            for r in sorted(by_val[vid], key=lambda r: r.value_rank):
+                diff = abs(Fraction(r.shapley_e12, 10**12) - exact[r.train_id])
+                assert diff <= Fraction(n + 1, 10**12), (vid, r.train_id, diff)
+            top_exact = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+            # the e12 floor can swap exact ties only; values must match
+            got_ids = [r.train_id for r in sorted(by_val[vid], key=lambda r: r.value_rank)]
+            assert {exact[t] for t in got_ids} == {v for _, v in top_exact} or got_ids == [
+                t for t, _ in top_exact
+            ]
