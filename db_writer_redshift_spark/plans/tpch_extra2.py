@@ -528,10 +528,11 @@ member AS (
 )"""
 
 
-def _copurchase_triangles(spark: SparkSession, sf_dir: str):
-    """(degree, triangle-member) relations of the weight>=2 co-purchase
-    graph, via degree-ordered orientation — shared by the triangle-count
-    and clustering-coefficient queries."""
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weight>=2 co-purchase edge set (u < v, parts co-ordered in at
+    least 2 orders) — shared by the triangle, clustering-coefficient,
+    and label-propagation queries. The weight gate sparsifies BEFORE any
+    self-join (the df-cap discipline applied to graph building)."""
     li = load_table(spark, sf_dir, "lineitem")
     op = li.select("l_orderkey", "l_partkey").distinct()
     a, b = op.alias("a"), op.alias("b")
@@ -542,12 +543,19 @@ def _copurchase_triangles(spark: SparkSession, sf_dir: str):
     ).select(
         F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
     )
-    e = (
+    return (
         pairs.groupBy("u", "v")
         .agg(F.count("*").alias("w"))
         .filter(F.col("w") >= 2)
         .select("u", "v")
     )
+
+
+def _copurchase_triangles(spark: SparkSession, sf_dir: str):
+    """(degree, triangle-member) relations of the weight>=2 co-purchase
+    graph, via degree-ordered orientation — shared by the triangle-count
+    and clustering-coefficient queries."""
+    e = _copurchase_edges(spark, sf_dir)
     # degree-ordered orientation: lower (degree, id) -> higher
     deg = (
         e.select(F.col("u").alias("x"))
@@ -928,4 +936,100 @@ def dq_benford_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.expr(_BENFORD_CASE)
             ).cast("long").alias("dev_ppm"),
         )
+    )
+
+
+def _lpa_oracle(rounds: int = 3) -> str:
+    """Unrolled synchronous label-propagation trajectory in DuckDB SQL:
+    each round is one neighbor-label count + per-node argmax CTE pair
+    (mode with lowest-label tie-break), matching the Spark rounds
+    bit-for-bit — the pagerank_int unrolled-CTE discipline applied to
+    community detection."""
+    sql = ["""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+e AS (SELECT u, v FROM p GROUP BY u, v HAVING COUNT(*) >= 2),
+und AS (SELECT u AS x, v AS y FROM e UNION ALL SELECT v, u FROM e),
+l0 AS (SELECT DISTINCT x, x AS lbl FROM und)"""]
+    for r in range(1, rounds + 1):
+        sql.append(f""",
+l{r} AS (
+  SELECT x, lbl FROM (
+    SELECT und.x, prev.lbl, COUNT(*) AS c,
+           ROW_NUMBER() OVER (PARTITION BY und.x
+                              ORDER BY COUNT(*) DESC, prev.lbl) AS rn
+    FROM und JOIN l{r - 1} prev ON und.y = prev.x
+    GROUP BY und.x, prev.lbl
+  ) WHERE rn = 1
+)""")
+    sql.append(f"""
+SELECT CAST(lbl AS BIGINT) AS community,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(MIN(x) AS BIGINT) AS min_member,
+       CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, lbl) AS BIGINT) AS size_rank
+FROM l{rounds}
+GROUP BY lbl
+ORDER BY size_rank
+LIMIT 25""")
+    return "".join(sql)
+
+
+@register("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan,
+    Albert & Kumara, "Near linear time algorithm to detect community
+    structures in large-scale networks", Phys. Rev. E 2007) on the
+    weight>=2 co-purchase graph — the fourth graph-family member beside
+    PageRank (influence), connected components (reachability), and
+    triangles (cohesion): LPA finds DENSE communities, which CC cannot
+    (CC merges everything touching, LPA keeps weakly-bridged clusters
+    apart). Every node starts as its own label; each round it adopts
+    the MODE of its neighbors' labels (deterministic lowest-label
+    tie-break — the usual random tie-break would be oracle-hostile);
+    3 synchronous rounds, then top-25 communities by size.
+
+    Spark shape per round: one (node,label) join keyed on the neighbor
+    + one count aggregate + one per-node struct-max argmax — two
+    map-side-combinable shuffles on the node key, no window over the
+    full graph; label state never leaves the cluster (contrast
+    kmeans/k-center, whose k-row state collects). At 100 TB this is
+    the textbook BSP round Pregel/GraphX run; AQE handles hub skew.
+
+    Oracle: the same 3 rounds unrolled as CTEs — full-trajectory value
+    hash, same discipline as pagerank_part_supplier."""
+    e = _copurchase_edges(spark, sf_dir)
+    und = e.select(F.col("u").alias("x"), F.col("v").alias("y")).unionAll(
+        e.select(F.col("v").alias("x"), F.col("u").alias("y"))
+    )
+    labels = und.select("x").distinct().select("x", F.col("x").alias("lbl"))
+    for _ in range(3):
+        counts = (
+            und.join(
+                labels.select(F.col("x").alias("y"), F.col("lbl").alias("nl")),
+                "y",
+            )
+            .groupBy("x", "nl")
+            .agg(F.count("*").alias("c"))
+        )
+        labels = counts.groupBy("x").agg(
+            F.max(F.struct(F.col("c"), (-F.col("nl")).alias("neg"))).alias("m")
+        ).select("x", (-F.col("m.neg")).alias("lbl"))
+    sized = labels.groupBy("lbl").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.min("x").cast("long").alias("min_member"),
+    )
+    top = sized.orderBy(F.col("n_members").desc(), "lbl").limit(25)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("n_members").desc(), "community")
+    return (
+        top.select(
+            F.col("lbl").cast("long").alias("community"),
+            "n_members",
+            "min_member",
+        )
+        .withColumn("size_rank", F.row_number().over(w).cast("long"))
     )

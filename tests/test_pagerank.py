@@ -48,3 +48,33 @@ def test_multi_edges_count_in_degree(spark):
 def test_rejects_zero_iterations(spark):
     with pytest.raises(ValueError, match="iterations"):
         pagerank_int(_edges(spark, [(1, 2)]), "s", "d", 0)
+
+
+class TestLabelPropagation:
+    """Method invariants of graph_label_propagation (Raghavan et al.
+    2007, deterministic min-label variant); value-exact oracle parity is
+    covered by tests/test_queries_oracle.py."""
+
+    def test_communities_are_node_labels_and_sizes_positive(self, spark):
+        import os
+
+        import __spark_entry__ as entry_mod
+
+        sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+        if not os.path.isdir(sf):
+            import pytest
+
+            pytest.skip(f"testdata missing: {sf}")
+        rows = sorted(
+            entry_mod.queries()["graph_label_propagation"](spark, sf).collect(),
+            key=lambda r: r.size_rank,
+        )
+        assert rows, "co-purchase graph must be non-empty"
+        sizes = [r.n_members for r in rows]
+        assert sizes == sorted(sizes, reverse=True)
+        assert all(s >= 1 for s in sizes)
+        # a community's label is a propagated node id, and the smallest
+        # member can never exceed the label's own id only if the label
+        # left its community — but the label id must exist as a node
+        assert len({r.community for r in rows}) == len(rows)
+        assert all(r.min_member >= 0 for r in rows)
