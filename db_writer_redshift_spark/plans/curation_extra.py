@@ -883,3 +883,72 @@ def privacy_k_anonymity_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _duck_md5_int60(expr: str) -> str:
+    """First 15 md5 hex chars folded to a BIGINT in [0, 2^60) — identical
+    to Spark's conv(substring(md5(x),1,15),16,10) cast long. The 60-bit
+    sibling of _duck_md5_int32, wide enough that a corpus-level XOR
+    fingerprint has no birthday-collision weakness at audit scale."""
+    return (
+        "list_reduce(list_transform(string_split_regex("
+        f"substr(md5({expr}), 1, 15), ''),"
+        " c -> CAST(strpos('0123456789abcdef', c) AS BIGINT) - 1),"
+        " (a, b) -> a * 16 + b)"
+    )
+
+
+@register(
+    "dataset_integrity_manifest",
+    oracle=f"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc_id,
+       bit_xor({_duck_md5_int60("CAST(doc_id AS VARCHAR) || ':' || text")}) AS content_fp,
+       bit_xor({_duck_md5_int60("text")}) AS text_fp
+FROM documents
+GROUP BY source
+""",
+)
+def dataset_integrity_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset integrity manifest: row count, char budget, id
+    range, and two ORDER-INDEPENDENT XOR fingerprints — bit_xor over a
+    60-bit md5 fold of (doc_id:text) and of text alone. XOR is
+    commutative and associative, so the fingerprint is invariant to
+    partitioning, shuffle order, and file layout: two replicas of a
+    corpus match iff their manifests match (the rsync-style audit a
+    pipeline runs after every copy/migration/backfill; the two
+    fingerprints separate "content changed" from "ids remapped" —
+    text_fp equal + content_fp different = pure id remap). The same
+    identity is why a replica differing in ONE doc is always caught:
+    XOR of the two manifests isolates that doc's hash.
+
+    Scale: one map-side-combined aggregate over the scan — the shuffle
+    carries |sources| rows of 7 BIGINTs regardless of corpus size; no
+    sort anywhere (contrast hash-chain manifests, which force a total
+    order). Fingerprints are exact cross-engine: md5 is byte-defined,
+    the 60-bit fold stays under 2^63, and bit_xor is integer-exact in
+    both Spark and DuckDB."""
+    d = load_table(spark, sf_dir, "documents")
+    h = lambda col: F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast(  # noqa: E731
+        "long"
+    )
+    rows = d.select(
+        "source",
+        F.length("text").cast("long").alias("n_chars"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        h(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text"))
+        ).alias("h_content"),
+        h(F.col("text")).alias("h_text"),
+    )
+    return rows.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+        F.expr("bit_xor(h_content)").alias("content_fp"),
+        F.expr("bit_xor(h_text)").alias("text_fp"),
+    )

@@ -222,3 +222,55 @@ class TestKAnonymity:
         assert rows[3].min_l == 2 and rows[3].avg_l_ppm == 2_000_000
         assert rows[1].n_groups == 2 and rows[1].n_rows == 2
         assert rows[1].min_l == 1 and rows[1].avg_l_ppm == 1_000_000
+
+
+class TestIntegrityManifest:
+    def test_single_doc_tamper_isolated_to_its_source(self, spark, tmp_path):
+        """The XOR-manifest contract: a replica differing in exactly one
+        document changes ONLY that document's source row, and the XOR of
+        the two content fingerprints equals h(old) XOR h(new) — the
+        manifest localizes the diff without rescanning either corpus."""
+        import os
+
+        import duckdb
+
+        import __spark_entry__ as entry_mod
+
+        sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+        if not os.path.isdir(sf):
+            import pytest
+
+            pytest.skip(f"testdata missing: {sf}")
+        src = f"{sf}/documents.parquet"
+        con = duckdb.connect()
+        victim, victim_source = con.execute(
+            f"SELECT doc_id, source FROM '{src}' ORDER BY doc_id LIMIT 1"
+        ).fetchone()
+        con.execute(
+            f"""COPY (SELECT doc_id,
+                         CASE WHEN doc_id = {victim} THEN text || 'X' ELSE text END AS text,
+                         lang, source, n_chars
+                  FROM '{src}') TO '{tmp_path}/documents.parquet' (FORMAT PARQUET)"""
+        )
+        q = entry_mod.queries()["dataset_integrity_manifest"]
+        a = {r.source: r for r in q(spark, sf).collect()}
+        b = {r.source: r for r in q(spark, str(tmp_path)).collect()}
+        assert set(a) == set(b)
+        h60 = lambda s: int(  # noqa: E731
+            __import__("hashlib").md5(s.encode()).hexdigest()[:15], 16
+        )
+        old_text, new_text = con.execute(
+            f"""SELECT a.text, b.text
+                FROM '{src}' a JOIN '{tmp_path}/documents.parquet' b USING (doc_id)
+                WHERE doc_id = {victim}"""
+        ).fetchone()
+        for s in a:
+            if s == victim_source:
+                assert a[s].content_fp != b[s].content_fp
+                assert a[s].text_fp != b[s].text_fp
+                assert b[s].total_chars == a[s].total_chars + 1
+                assert (a[s].content_fp ^ b[s].content_fp) == (
+                    h60(f"{victim}:{old_text}") ^ h60(f"{victim}:{new_text}")
+                )
+            else:
+                assert a[s] == b[s], s
