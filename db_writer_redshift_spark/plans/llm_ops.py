@@ -3782,3 +3782,110 @@ def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("row_share_ppm"),
     )
+
+
+@register(
+    "drift_ks_doclen",
+    oracle="""
+WITH lens AS (SELECT source, CAST(LENGTH(text) AS BIGINT) AS len FROM documents),
+tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM lens GROUP BY source),
+grand AS (SELECT CAST(SUM(n) AS BIGINT) AS n_all FROM tot),
+vals AS (SELECT DISTINCT len FROM lens),
+cnt AS (SELECT source, len, CAST(COUNT(*) AS BIGINT) AS c FROM lens GROUP BY source, len),
+grid AS (SELECT t.source, v.len, COALESCE(c.c, 0) AS c
+         FROM tot t CROSS JOIN vals v
+         LEFT JOIN cnt c ON c.source = t.source AND c.len = v.len),
+cum AS (SELECT source, len,
+               CAST(SUM(c) OVER (PARTITION BY source ORDER BY len) AS BIGINT) AS cum_s
+        FROM grid),
+allcum AS (SELECT len, CAST(SUM(cum_s) AS BIGINT) AS cum_all FROM cum GROUP BY len),
+diff AS (
+  SELECT c.source, c.len, c.cum_s, a.cum_all - c.cum_s AS cum_r,
+         t.n AS n_s, g.n_all - t.n AS n_r,
+         ABS(c.cum_s * (g.n_all - t.n) - (a.cum_all - c.cum_s) * t.n) AS dev
+  FROM cum c JOIN allcum a USING (len) JOIN tot t USING (source) CROSS JOIN grand g
+),
+best AS (
+  SELECT source, n_s, n_r, dev, len,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY dev DESC, len) AS rn
+  FROM diff
+)
+SELECT source, n_s, n_r AS n_rest,
+       dev AS ks_num, n_s * n_r AS ks_den,
+       (1000 * dev) // (n_s * n_r) AS ks_permille,
+       len AS argmax_len
+FROM best WHERE rn = 1
+""",
+)
+def drift_ks_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test of each source's document
+    -length distribution against the pooled rest — the distribution-
+    SHAPE drift detector that completes the family beside
+    drift_chisq_sources (categorical composition) and
+    events_cusum_drift (temporal): KS catches a source whose length
+    histogram silently shifts even when its share of the mix is stable.
+
+    The statistic is EXACT INTEGER arithmetic: D = max_x |F_s(x) -
+    F_rest(x)| is computed as max |cum_s*n_rest - cum_rest*n_s| over
+    observed lengths, numerator and denominator reported as BIGINTs
+    (floor-permille summary included) with the argmax length — the
+    classic fraction-free form, no float ECDFs to flap. Ties between
+    lengths break to the smallest.
+
+    Scale: per-(source,len) counts combine map-side; the value grid is
+    |sources| x |distinct lengths| (both bounded — lengths by the chunk
+    cap, sources by the catalog), the cumulative windows partition by
+    source, and the final argmax is one row per source. At 100 TB
+    nothing here scales with row count except the first aggregate."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    lens = d.select("source", F.length("text").cast("long").alias("len"))
+    tot = lens.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    grand = tot.agg(F.sum("n").cast("long").alias("n_all"))
+    vals = lens.select("len").distinct()
+    cnt = lens.groupBy("source", "len").agg(F.count("*").cast("long").alias("c"))
+    grid = (
+        F.broadcast(tot)
+        .crossJoin(vals)
+        .join(cnt, ["source", "len"], "left")
+        .select("source", "len", "n", F.coalesce("c", F.lit(0)).cast("long").alias("c"))
+    )
+    cum = grid.select(
+        "source",
+        "len",
+        "n",
+        F.sum("c")
+        .over(Window.partitionBy("source").orderBy("len"))
+        .cast("long")
+        .alias("cum_s"),
+    )
+    allcum = cum.groupBy("len").agg(F.sum("cum_s").cast("long").alias("cum_all"))
+    diff = (
+        cum.join(allcum, "len")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "source",
+            "len",
+            F.col("n").alias("n_s"),
+            (F.col("n_all") - F.col("n")).alias("n_r"),
+            F.abs(
+                F.col("cum_s") * (F.col("n_all") - F.col("n"))
+                - (F.col("cum_all") - F.col("cum_s")) * F.col("n")
+            ).alias("dev"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.col("dev").desc(), "len")
+    return (
+        diff.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "source",
+            "n_s",
+            F.col("n_r").alias("n_rest"),
+            F.col("dev").alias("ks_num"),
+            (F.col("n_s") * F.col("n_r")).alias("ks_den"),
+            F.expr("(1000 * dev) div (n_s * n_r)").alias("ks_permille"),
+            F.col("len").alias("argmax_len"),
+        )
+    )

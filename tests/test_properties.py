@@ -303,3 +303,43 @@ def test_waterfill_budget_exact_and_bounded(spark, counts, budget_pct):
     got = {r.source: r.alloc_tokens for r in out}
     assert all(0 <= got[f"s{i}"] <= n for i, n in enumerate(counts))
     assert sum(got.values()) == budget
+
+
+def test_ks_statistic_matches_python_ecdf_reference(spark):
+    """drift_ks_doclen's fraction-free integers must equal the textbook
+    two-sample KS statistic computed with exact Python rationals over
+    the same length samples."""
+    import os
+    from fractions import Fraction
+
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    if not os.path.isdir(sf):
+        import pytest
+
+        pytest.skip(f"testdata missing: {sf}")
+    rows = duckdb.connect().execute(
+        f"SELECT source, LENGTH(text) FROM '{sf}/documents.parquet'"
+    ).fetchall()
+    got = {r.source: r for r in entry_mod.queries()["drift_ks_doclen"](spark, sf).collect()}
+    sources = sorted({s for s, _ in rows})
+    assert sorted(got) == sources
+    all_vals = sorted({l for _, l in rows})
+    for s in sources[:4]:
+        a = sorted(l for src, l in rows if src == s)
+        b = sorted(l for src, l in rows if src != s)
+        na, nb = len(a), len(b)
+        d = max(
+            abs(
+                Fraction(sum(1 for x in a if x <= v), na)
+                - Fraction(sum(1 for x in b if x <= v), nb)
+            )
+            for v in all_vals
+        )
+        r = got[s]
+        assert Fraction(r.ks_num, r.ks_den) == d, (s, r)
+        assert r.ks_permille == (1000 * r.ks_num) // r.ks_den
+        assert r.n_s == na and r.n_rest == nb
