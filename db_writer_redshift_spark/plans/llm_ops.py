@@ -3889,3 +3889,71 @@ def drift_ks_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("len").alias("argmax_len"),
         )
     )
+
+
+@register(
+    "dedup_savings_curve",
+    oracle="""
+WITH fam AS (
+  SELECT doc_id,
+         md5(array_to_string(string_split(lower(text), ' ')[1:20], ' ')) AS fp,
+         CAST(LENGTH(text) AS BIGINT) AS n_chars
+  FROM documents
+),
+clusters AS (
+  SELECT fp,
+         CAST(COUNT(*) AS BIGINT) AS cluster_size,
+         CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+         CAST(arg_min(n_chars, doc_id) AS BIGINT) AS keep_chars
+  FROM fam GROUP BY fp
+)
+SELECT cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+       CAST(SUM(chars_total) AS BIGINT) AS chars_total,
+       CAST(SUM(chars_total - keep_chars) AS BIGINT) AS chars_saved,
+       (1000 * CAST(SUM(chars_total - keep_chars) AS BIGINT))
+         // CAST(SUM(chars_total) AS BIGINT) AS saved_permille
+FROM clusters
+GROUP BY cluster_size
+""",
+)
+def dedup_savings_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup ROI curve: for every duplicate-family size (the 20-word
+    opening-prefix boilerplate key proven by dedup_keep_best_quality),
+    how many clusters/docs exist and how many characters a
+    keep-one-per-cluster policy reclaims — the report a curation team
+    reads BEFORE paying for a corpus-wide dedup pass (Lee et al. 2021's
+    headline argument is exactly this curve: savings concentrate in the
+    long tail of large clusters). Keeper is the lowest doc_id; all
+    columns are BIGINT counts/sums with a floor-permille summary.
+
+    Scale: one md5-keyed aggregate (map-side combined) to form
+    clusters, one size-keyed aggregate over |clusters| rows for the
+    curve — strictly cheaper than any dedup it forecasts, and the
+    min-struct keeper needs no window over members."""
+    d = load_table(spark, sf_dir, "documents")
+    fam = d.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.slice(F.split(F.lower(F.col("text")), " "), 1, 20))
+        ).alias("fp"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    clusters = fam.groupBy("fp").agg(
+        F.count("*").cast("long").alias("cluster_size"),
+        F.sum("n_chars").cast("long").alias("chars_total"),
+        F.min(F.struct("doc_id", "n_chars")).alias("keep"),
+    )
+    return clusters.groupBy("cluster_size").agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.sum("cluster_size").cast("long").alias("n_docs"),
+        F.sum("chars_total").cast("long").alias("chars_total"),
+        F.sum(F.col("chars_total") - F.col("keep.n_chars"))
+        .cast("long")
+        .alias("chars_saved"),
+        F.expr(
+            "(1000 * CAST(SUM(chars_total - keep.n_chars) AS BIGINT))"
+            " div CAST(SUM(chars_total) AS BIGINT)"
+        ).alias("saved_permille"),
+    )

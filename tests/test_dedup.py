@@ -337,3 +337,26 @@ def test_minhash_recall_audit_catches_exact_duplicates(spark):
         ce.load_table = orig
     assert rows[10].n_true == 1 and rows[10].n_hit == 1
     assert rows[10].recall_ppm == 1_000_000
+
+
+def test_savings_curve_identity_and_nonvacuity(spark):
+    """Keep-one savings algebra: singleton clusters save nothing, every
+    bucket saves exactly (docs - clusters)/docs of its copies in doc
+    count terms, and the fixture has at least one multi-doc family (the
+    prefix key is the proven non-vacuous grouping at every SF)."""
+    import os
+
+    import __spark_entry__ as entry_mod
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    if not os.path.isdir(sf):
+        import pytest
+
+        pytest.skip(f"testdata missing: {sf}")
+    rows = {r.cluster_size: r for r in entry_mod.queries()["dedup_savings_curve"](spark, sf).collect()}
+    assert any(s > 1 for s in rows), "prefix families must be non-vacuous"
+    if 1 in rows:
+        assert rows[1].chars_saved == 0 and rows[1].saved_permille == 0
+    for s, r in rows.items():
+        assert r.n_docs == s * r.n_clusters
+        assert 0 <= r.chars_saved < r.chars_total or (s == 1 and r.chars_saved == 0)
