@@ -3957,3 +3957,153 @@ def dedup_savings_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div CAST(SUM(chars_total) AS BIGINT)"
         ).alias("saved_permille"),
     )
+
+
+@register(
+    "mix_two_phase_anneal",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')), 6) AS a6,
+         ROUND(CAST(LENGTH(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / LENGTH(text), 6) AS p6,
+         ROUND(CAST(len(list_filter(string_split(LOWER(text), ' '), x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+               / len(string_split(text, ' ')), 6) AS s6
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(ROUND((1.0 - LEAST(1.0, ABS(a6 - 5) / 5) * 0.3
+                         - LEAST(1.0, p6 * 10) * 0.3
+                         - LEAST(1.0, ABS(s6 - 0.4)) * 0.4) * 1000000) AS BIGINT) AS q_e6
+  FROM base
+),
+ranked AS (
+  SELECT source, doc_id, n_tokens, q_e6,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY q_e6 DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n_group
+  FROM scored
+),
+per_src AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(SUM(CASE WHEN rn * 4 <= n_group THEN 1 ELSE 0 END) AS BIGINT) AS elig_docs,
+         CAST(SUM(CASE WHEN rn * 4 <= n_group THEN n_tokens ELSE 0 END) AS BIGINT) AS elig_tokens,
+         MIN(CASE WHEN rn * 4 <= n_group THEN q_e6 END) AS cutoff_q_e6
+  FROM ranked GROUP BY source
+),
+tot AS (
+  SELECT COUNT(*) AS n_sources,
+         CAST(SUM(total_tokens) AS BIGINT) // 10 AS budget
+  FROM per_src
+),
+wf AS (
+  SELECT source, elig_tokens AS n_tokens, n_sources, budget,
+         ROW_NUMBER() OVER w AS pos,
+         CAST(SUM(elig_tokens) OVER (ORDER BY elig_tokens, source
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS prefix,
+         LAG(elig_tokens, 1, 0) OVER w AS prev_tokens
+  FROM per_src, tot
+  WINDOW w AS (ORDER BY elig_tokens, source)
+),
+cand AS (
+  SELECT pos, prefix - n_tokens AS pk,
+         (budget - (prefix - n_tokens)) // (n_sources - pos + 1) AS level,
+         n_sources - pos + 1 AS m
+  FROM wf
+  WHERE (budget - (prefix - n_tokens)) // (n_sources - pos + 1) >= prev_tokens
+),
+lvl AS (
+  SELECT pos AS cut_pos, level, m, budget - pk - m * level AS remainder
+  FROM cand ORDER BY pos DESC LIMIT 1
+),
+alloc AS (
+  SELECT source,
+         CASE WHEN pos < cut_pos THEN n_tokens
+              ELSE LEAST(n_tokens,
+                         level + CASE WHEN pos - cut_pos + 1 <= remainder
+                                      THEN 1 ELSE 0 END)
+         END AS anneal_tokens,
+         CASE WHEN pos >= cut_pos AND n_tokens > level THEN 1 ELSE 0 END AS anneal_capped
+  FROM wf, lvl
+)
+SELECT p.source, p.n_docs, p.total_tokens, p.elig_docs, p.elig_tokens,
+       p.cutoff_q_e6,
+       CAST(a.anneal_tokens AS BIGINT) AS anneal_tokens,
+       CAST(a.anneal_capped AS BIGINT) AS anneal_capped
+FROM per_src p JOIN alloc a USING (source)
+""",
+)
+def mix_two_phase_anneal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase training-mix schedule (the decay-phase data annealing of
+    MiniCPM — Hu et al. 2024, arXiv:2404.06395 — and Llama-3-style
+    midtraining: a stable phase on the full mix, then a short anneal
+    phase upweighting high-quality data): per source, the anneal pool
+    is the top QUARTER of documents by the house integer quality score
+    (the rank rule proven by quality_gate_per_source), and an anneal
+    token budget of 10% of corpus tokens is WATER-FILLED across the
+    per-source pools (the proven mix_token_budget_waterfill kernel) so
+    no single verbose source dominates the anneal.
+
+    Output per source: corpus stats, anneal-pool stats with the quality
+    cutoff, and the final anneal allocation with its cap flag — every
+    column BIGINT (rank rules + floor arithmetic end-to-end).
+
+    Scale: one scan computes tokens+quality; the eligibility window
+    shares quality_gate's per-source shuffle; the waterfill windows run
+    over ONE ROW PER SOURCE. Nothing beyond the first aggregate touches
+    row count."""
+    from pyspark.sql.window import Window
+
+    from db_writer_redshift_spark.operators.mixing import waterfill_allocation
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        text.quality_score_e6(F.col("text")).alias("q_e6"),
+    )
+    wsrc = Window.partitionBy("source")
+    ranked = scored.select(
+        "source",
+        "n_tokens",
+        "q_e6",
+        F.row_number()
+        .over(wsrc.orderBy(F.col("q_e6").desc(), "doc_id"))
+        .alias("rn"),
+        F.count("*").over(wsrc).alias("n_group"),
+    )
+    elig = F.col("rn") * 4 <= F.col("n_group")
+    per_src = ranked.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum(F.when(elig, 1).otherwise(0)).cast("long").alias("elig_docs"),
+        F.sum(F.when(elig, F.col("n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("elig_tokens"),
+        F.min(F.when(elig, F.col("q_e6"))).alias("cutoff_q_e6"),
+    )
+    wf_in = per_src.select(
+        "source",
+        F.col("elig_tokens").alias("n_tokens"),
+        "total_tokens",
+    )
+    alloc = waterfill_allocation(
+        wf_in, F.expr("CAST(SUM(total_tokens) AS BIGINT) div 10")
+    ).select(
+        "source",
+        F.col("alloc_tokens").alias("anneal_tokens"),
+        F.col("is_capped").alias("anneal_capped"),
+    )
+    return per_src.join(alloc, "source").select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "elig_docs",
+        "elig_tokens",
+        "cutoff_q_e6",
+        "anneal_tokens",
+        "anneal_capped",
+    )

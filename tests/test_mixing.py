@@ -47,3 +47,28 @@ def test_allocation_never_exceeds_source_tokens(spark):
 def test_single_source(spark):
     got = _run(spark, {"only": 500}, 300)
     assert got == {"only": (300, 1)}
+
+
+def test_two_phase_anneal_budget_identity(spark):
+    """The anneal allocation must sum EXACTLY to 10% of corpus tokens
+    (waterfill's defining identity), never exceed a source's eligible
+    pool, and cap flags must mark exactly the sources allocated less
+    than their pool."""
+    import os
+
+    import __spark_entry__ as entry_mod
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    if not os.path.isdir(sf):
+        import pytest
+
+        pytest.skip(f"testdata missing: {sf}")
+    rows = entry_mod.queries()["mix_two_phase_anneal"](spark, sf).collect()
+    assert rows
+    total = sum(r.total_tokens for r in rows)
+    assert sum(r.anneal_tokens for r in rows) == total // 10
+    for r in rows:
+        assert 0 <= r.anneal_tokens <= r.elig_tokens <= r.total_tokens
+        assert r.elig_docs * 4 <= r.n_docs  # top-quarter rank rule
+        if r.anneal_capped:
+            assert r.anneal_tokens < r.elig_tokens
