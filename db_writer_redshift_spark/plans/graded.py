@@ -37,7 +37,8 @@ constraint):
     coreset_kcenter_trajectory, bitext_margin_mining,
     knn_shapley_valuation, graph_label_propagation,
     dataset_integrity_manifest, drift_ks_doclen,
-    dedup_savings_curve, mix_two_phase_anneal;
+    dedup_savings_curve, mix_two_phase_anneal,
+    quality_mannwhitney_auc;
   * round-3 additions (new families, never graded): bm25_bigram_topk,
     retrieval_rrf_fusion, incremental_join_mv_orders,
     incremental_join_upsert_orders, mix_token_budget_waterfill,

@@ -4107,3 +4107,124 @@ def mix_two_phase_anneal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "anneal_tokens",
         "anneal_capped",
     )
+
+
+@register(
+    "quality_mannwhitney_auc",
+    oracle="""
+WITH base AS (
+  SELECT source,
+         ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')), 6) AS a6,
+         ROUND(CAST(LENGTH(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / LENGTH(text), 6) AS p6,
+         ROUND(CAST(len(list_filter(string_split(LOWER(text), ' '), x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+               / len(string_split(text, ' ')), 6) AS s6
+  FROM documents
+),
+scored AS (
+  SELECT source,
+         CAST(ROUND((1.0 - LEAST(1.0, ABS(a6 - 5) / 5) * 0.3
+                         - LEAST(1.0, p6 * 10) * 0.3
+                         - LEAST(1.0, ABS(s6 - 0.4)) * 0.4) * 1000000) AS BIGINT) AS q
+  FROM base
+),
+cnt AS (SELECT source, q, CAST(COUNT(*) AS BIGINT) AS c FROM scored GROUP BY source, q),
+tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY source),
+grand AS (SELECT CAST(SUM(n) AS BIGINT) AS n_all FROM tot),
+allcnt AS (SELECT q, CAST(SUM(c) AS BIGINT) AS c_all FROM cnt GROUP BY q),
+below AS (
+  SELECT q, c_all,
+         CAST(COALESCE(SUM(c_all) OVER (ORDER BY q
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_below
+  FROM allcnt
+),
+sbelow AS (
+  SELECT source, q,
+         CAST(COALESCE(SUM(c) OVER (PARTITION BY source ORDER BY q
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_s_below
+  FROM cnt
+),
+u AS (
+  SELECT c.source,
+         CAST(SUM(c.c * (2 * (b.cum_below - s.cum_s_below) + (b.c_all - c.c))) AS BIGINT) AS u2
+  FROM cnt c
+  JOIN below b USING (q)
+  JOIN sbelow s ON s.source = c.source AND s.q = c.q
+  GROUP BY c.source
+)
+SELECT u.source, t.n AS n_s, g.n_all - t.n AS n_rest, u.u2,
+       (1000 * u.u2) // (2 * t.n * (g.n_all - t.n)) AS auc_permille
+FROM u JOIN tot t USING (source) CROSS JOIN grand g
+""",
+)
+def quality_mannwhitney_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U quality audit per source (Mann & Whitney 1947),
+    reported as the common-language effect size U/(n_s*n_rest) — the
+    probability a random document from the source out-scores a random
+    document from the pooled rest, i.e. the AUC of "source" as a quality
+    classifier. The LOCATION-shift drift detector completing the family:
+    drift_chisq_sources (composition), drift_ks_doclen (shape),
+    Mann-Whitney (median shift with full tie handling).
+
+    Fraction-free integers throughout: 2U = sum over score values of
+    c_s * (2*rest_below + rest_ties) — wins double, ties single — so
+    u2 and the floor-permille AUC are BIGINTs both engines compute
+    identically (brute-force-verified in tests).
+
+    Scale: per-(source,q) counts combine map-side; the cumulative
+    relations are bounded by DISTINCT SCORE VALUES (the e6 scale caps
+    them at ~1e6 rows regardless of corpus size — same bound as the KS
+    grid) and the per-source window partitions by source; the final U
+    aggregate is one row per source."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "source", text.quality_score_e6(F.col("text")).alias("q")
+    )
+    cnt = scored.groupBy("source", "q").agg(F.count("*").cast("long").alias("c"))
+    tot = cnt.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    grand = tot.agg(F.sum("n").cast("long").alias("n_all"))
+    allcnt = cnt.groupBy("q").agg(F.sum("c").cast("long").alias("c_all"))
+    wq = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
+    below = allcnt.select(
+        "q",
+        "c_all",
+        F.coalesce(F.sum("c_all").over(wq), F.lit(0)).cast("long").alias("cum_below"),
+    )
+    wsq = (
+        Window.partitionBy("source")
+        .orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sbelow = cnt.select(
+        "source",
+        "q",
+        "c",
+        F.coalesce(F.sum("c").over(wsq), F.lit(0)).cast("long").alias("cum_s_below"),
+    )
+    u = (
+        sbelow.join(below, "q")
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.col("c")
+                * (
+                    2 * (F.col("cum_below") - F.col("cum_s_below"))
+                    + (F.col("c_all") - F.col("c"))
+                )
+            )
+            .cast("long")
+            .alias("u2")
+        )
+    )
+    return (
+        u.join(tot, "source")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "source",
+            F.col("n").alias("n_s"),
+            (F.col("n_all") - F.col("n")).alias("n_rest"),
+            "u2",
+            F.expr("(1000 * u2) div (2 * n * (n_all - n))").alias("auc_permille"),
+        )
+    )

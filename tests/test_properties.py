@@ -343,3 +343,38 @@ def test_ks_statistic_matches_python_ecdf_reference(spark):
         assert Fraction(r.ks_num, r.ks_den) == d, (s, r)
         assert r.ks_permille == (1000 * r.ks_num) // r.ks_den
         assert r.n_s == na and r.n_rest == nb
+
+
+def test_mannwhitney_u2_matches_brute_force_pairs(spark):
+    """quality_mannwhitney_auc's fraction-free 2U must equal the textbook
+    pairwise count (wins double, ties single) recomputed from raw scores
+    for a sample of sources, with the floor-permille AUC in [0, 1000]."""
+    import os
+
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    if not os.path.isdir(sf):
+        import pytest
+
+        pytest.skip(f"testdata missing: {sf}")
+    from db_writer_redshift_spark.operators.text import quality_score_e6
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "source", quality_score_e6(F.col("text")).alias("q")
+    )
+    qs = [(r.source, r.q) for r in d.collect()]
+    got = {r.source: r for r in entry_mod.queries()["quality_mannwhitney_auc"](spark, sf).collect()}
+    assert set(got) == {s for s, _ in qs}
+    for s0 in sorted(got)[:3]:
+        a = [q for s, q in qs if s == s0]
+        b = [q for s, q in qs if s != s0]
+        u2 = sum(2 if x > y else (1 if x == y else 0) for x in a for y in b)
+        r = got[s0]
+        assert r.u2 == u2, (s0, r.u2, u2)
+        assert r.n_s == len(a) and r.n_rest == len(b)
+        assert r.auc_permille == (1000 * u2) // (2 * len(a) * len(b))
+        assert 0 <= r.auc_permille <= 1000
