@@ -38,7 +38,7 @@ constraint):
     knn_shapley_valuation, graph_label_propagation,
     dataset_integrity_manifest, drift_ks_doclen,
     dedup_savings_curve, mix_two_phase_anneal,
-    quality_mannwhitney_auc;
+    quality_mannwhitney_auc, selection_mmr_trajectory;
   * round-3 additions (new families, never graded): bm25_bigram_topk,
     retrieval_rrf_fusion, incremental_join_mv_orders,
     incremental_join_upsert_orders, mix_token_budget_waterfill,

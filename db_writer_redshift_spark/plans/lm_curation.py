@@ -2057,3 +2057,152 @@ def knn_shapley_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("value_rank") <= 5)
     )
+
+
+def _mmr_oracle(k: int = 8, scale: int = 1000) -> str:
+    """Unrolled MMR selection trajectory in DuckDB SQL: each round is a
+    1-row argmax CTE over the shrinking candidate pool, the redundancy
+    penalty folds forward with GREATEST, and every quantity is BIGINT
+    (quality e6 and quantized dots share the same order of magnitude,
+    so the lambda=1/2 trade-off needs no rescaling)."""
+
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_transform(list_zip({a}, {b}),"
+            " p -> p[1]*p[2]), (x, y) -> x + y)"
+        )
+
+    quality = """
+SELECT doc_id,
+       CAST(ROUND((1.0 - LEAST(1.0, ABS(ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')), 6) - 5) / 5) * 0.3
+                       - LEAST(1.0, ROUND(CAST(LENGTH(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / LENGTH(text), 6) * 10) * 0.3
+                       - LEAST(1.0, ABS(ROUND(CAST(len(list_filter(string_split(LOWER(text), ' '), x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+                                        / len(string_split(text, ' ')), 6) - 0.4)) * 0.4) * 1000000) AS BIGINT) AS rel
+FROM documents"""
+    parts = [
+        f"""WITH ql AS ({quality}),
+base AS (
+  SELECT CAST(e.vec_id AS BIGINT) AS id, ql.rel,
+         list_transform(CAST(e.embedding AS DOUBLE[]),
+                        x -> CAST(ROUND(x * {scale}) AS BIGINT)) AS qv
+  FROM embeddings e JOIN ql ON ql.doc_id = e.vec_id
+),
+c0 AS (SELECT id AS cid, rel AS crel, qv AS cv, CAST(0 AS BIGINT) AS cpen
+       FROM base ORDER BY rel DESC, id LIMIT 1),
+d1 AS (
+  SELECT b.id, b.rel, b.qv, {dot('b.qv', 'c0.cv')} AS pen
+  FROM base b CROSS JOIN c0 WHERE b.id <> c0.cid
+)"""
+    ]
+    for r in range(1, k):
+        parts.append(
+            f""",
+c{r} AS (SELECT id AS cid, rel AS crel, qv AS cv, pen AS cpen
+        FROM d{r} ORDER BY rel - pen DESC, id LIMIT 1)"""
+        )
+        if r < k - 1:
+            parts.append(
+                f""",
+d{r + 1} AS (
+  SELECT d.id, d.rel, d.qv,
+         GREATEST(d.pen, {dot('d.qv', f'c{r}.cv')}) AS pen
+  FROM d{r} d CROSS JOIN c{r} WHERE d.id <> c{r}.cid
+)"""
+            )
+    union = "\n  UNION ALL\n".join(
+        f"  SELECT CAST({r} AS BIGINT) AS sel_round, cid AS doc_id,"
+        f" crel AS rel_e6, cpen AS penalty_dot,"
+        f" crel - cpen AS mmr_score FROM c{r}"
+        for r in range(k)
+    )
+    parts.append(f"""
+{union}
+ORDER BY sel_round""")
+    return "".join(parts)
+
+
+@register("selection_mmr_trajectory", oracle=_mmr_oracle())
+def selection_mmr_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein,
+    SIGIR 1998 — the relevance-vs-redundancy greedy behind diverse
+    retrieval and diversity-aware data selection): pick 8 documents
+    maximizing quality MINUS the max similarity to anything already
+    selected (lambda = 1/2; the e6 quality scale and the quantized-dot
+    scale share an order of magnitude, so no reweighting is needed).
+    Round 0 is the pure-quality argmax; each later round re-penalizes
+    the pool with the incremental GREATEST fold. Complements
+    coreset_kcenter_trajectory: k-center optimizes pure coverage, MMR
+    trades coverage against a relevance prior.
+
+    Integer-exact (the k-center discipline): round(x*1000) BIGINT dots,
+    e6 quality, lowest-id tie-breaks — the full selection trajectory
+    (who, when, at what penalty) value-hashes cross-engine.
+
+    Scale: k-1 rounds of scan + single-row struct-max over a persisted
+    (id, rel, qv) projection; pool filters are literal NOT-IN of <=8
+    ids. Driver state: 8 (id, vector) pairs."""
+    from db_writer_redshift_spark.operators.text import quality_score_e6
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    base = (
+        emb.join(docs, emb.vec_id == docs.doc_id)
+        .select(
+            F.col("vec_id").cast("long").alias("id"),
+            quality_score_e6(F.col("text")).alias("rel"),
+            F.expr(
+                "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))"
+            ).alias("qv"),
+        )
+        .persist()
+    )
+    try:
+        first = (
+            base.orderBy(F.col("rel").desc(), "id").limit(1).collect()[0]
+        )
+        selected = [(0, int(first.id), int(first.rel), 0)]
+        cvs = [[int(x) for x in first.qv]]
+
+        def dot_to(c):
+            ce = F.array(*[F.lit(int(x)).cast("long") for x in c])
+            return F.aggregate(
+                F.zip_with(F.col("qv"), ce, lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+
+        for r in range(1, 8):
+            pen = (
+                F.greatest(*[dot_to(c) for c in cvs])
+                if len(cvs) > 1
+                else dot_to(cvs[0])
+            )
+            pool = base.filter(~F.col("id").isin([s[1] for s in selected]))
+            best = (
+                pool.select("id", "rel", "qv", pen.alias("pen"))
+                .select(
+                    F.max(
+                        F.struct(
+                            (F.col("rel") - F.col("pen")).alias("mmr"),
+                            (-F.col("id")).alias("nid"),
+                            F.col("rel").alias("rel"),
+                            F.col("pen").alias("pen"),
+                            F.col("qv").alias("qv"),
+                        )
+                    ).alias("m")
+                )
+                .collect()[0]
+                .m
+            )
+            selected.append((r, int(-best.nid), int(best.rel), int(best.pen)))
+            cvs.append([int(x) for x in best.qv])
+        return spark.createDataFrame(
+            [
+                (r, i, rel, pen, rel - pen)
+                for r, i, rel, pen in selected
+            ],
+            schema="sel_round bigint, doc_id bigint, rel_e6 bigint,"
+            " penalty_dot bigint, mmr_score bigint",
+        )
+    finally:
+        base.unpersist()

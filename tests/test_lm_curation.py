@@ -387,3 +387,32 @@ class TestKnnShapley:
             assert {exact[t] for t in got_ids} == {v for _, v in top_exact} or got_ids == [
                 t for t, _ in top_exact
             ]
+
+
+class TestMMRSelection:
+    def test_round0_is_quality_argmax_and_diversity_binds(self, spark):
+        """Carbonell & Goldstein's recursion re-checked from the output:
+        round 0 is the pure-quality argmax, mmr_score == rel - penalty on
+        every row, selections are distinct, and the redundancy penalty
+        actually changes the outcome (the selected set differs from the
+        pure top-8 quality set — the weight balance is not vacuous)."""
+        from pyspark.sql import functions as F
+
+        from db_writer_redshift_spark.operators.text import quality_score_e6
+
+        rows = sorted(
+            _run(spark, "selection_mmr_trajectory").collect(),
+            key=lambda r: r.sel_round,
+        )
+        assert [r.sel_round for r in rows] == list(range(8))
+        assert len({r.doc_id for r in rows}) == 8
+        for r in rows:
+            assert r.mmr_score == r.rel_e6 - r.penalty_dot
+        assert rows[0].penalty_dot == 0
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id", quality_score_e6(F.col("text")).alias("q")
+        )
+        ordered = d.orderBy(F.col("q").desc(), "doc_id").limit(8).collect()
+        assert rows[0].doc_id == ordered[0].doc_id
+        assert rows[0].rel_e6 == ordered[0].q
+        assert {r.doc_id for r in rows} != {x.doc_id for x in ordered}
