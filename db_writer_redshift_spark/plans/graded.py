@@ -19,7 +19,10 @@ Ordering within the list groups by family; only membership and the
 Rotation plan: CORRECTNESS files accumulate per round; the union of
 rounds covers the full registry (tools/correctness_union.py rolls it
 up). Round 3's window brought 34 first-time names; after it grades,
-the never-graded remainder is ~57 of 176.
+the union covers 119 of the 226 registered at round-3 close and the
+never-graded remainder is 107 (the registry grew by 60 during round 3
+— all certified at sf0.001/0.01/0.1 by the dtype-faithful local gate,
+see the candidate lists below; two 50-slot rotations cover the rest).
 
 Round-4 rotation candidates — the ENTIRE registry passed the
 dtype-faithful tools/oracle_check.py at sf0.1 (10x the driver's gate
