@@ -59,6 +59,11 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    try:
+        load_start = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        load_start = [-1.0, -1.0, -1.0]
+
     import __spark_entry__ as entry_mod
 
     queries = entry_mod.queries()
@@ -77,6 +82,14 @@ def main() -> int:
         print(f"[bench] {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Box-contention context (VERDICT r3: a uniform ~1.76x environmental
+    # offset masqueraded as a regression): load_start is foreign load
+    # before our first query; loadavg_end minus our own local[N] load
+    # reveals a contended box. cpu_count anchors the ratio.
+    try:
+        la1, la5, la15 = os.getloadavg()
+    except OSError:
+        la1 = la5 = la15 = -1.0
     print(
         json.dumps(
             {
@@ -85,6 +98,9 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "loadavg_start": load_start,
+                "loadavg_end": [round(la1, 2), round(la5, 2), round(la15, 2)],
+                "cpu_count": os.cpu_count(),
             }
         )
     )

@@ -266,7 +266,7 @@ def kcenter_greedy_portable(
     vec_col: str,
     k: int = 8,
     scale: int = 1000,
-) -> tuple[list[tuple[int, int, list[int]]], DataFrame]:
+) -> tuple[list[tuple[int, int, int]], DataFrame]:
     """k-Center greedy (farthest-point / Gonzalez) coreset selection in
     EXACT INTEGER arithmetic — the coreset construction of Sener &
     Savarese, "Active Learning for CNNs: A Core-Set Approach" (ICLR

@@ -41,9 +41,10 @@ explode filters to query-matching bigrams AT THE SCAN (an inverted-list
 probe, never a corpus-wide term index); df/N/TL are one tiny aggregate
 each; scoring joins are all broadcasts; the only wide operations are one
 groupBy on (doc, term) for tf and one per-query top-k window. A
-stopword-like term with corpus-scale df would blow the candidate set —
-cap df like the shingle-Jaccard dedup does (drop terms with
-df > cap) when query vocabulary isn't controlled.
+stopword-like term with corpus-scale df would blow the candidate set,
+so a df-cap is applied BY DEFAULT (``max_df_permille=500``, the
+shingle-Jaccard dedup's discipline): query terms matching more than
+half the corpus are dropped before scoring.
 """
 
 from __future__ import annotations
@@ -67,11 +68,21 @@ def bm25_bigram_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 10,
+    max_df_permille: int = 500,
 ) -> DataFrame:
     """Top-``k`` documents per query phrase by integer-exact bigram BM25.
 
     Returns (query_id, doc_id, bm25_e3, lex_rank): rank by
     (score DESC, doc_id) — deterministic under ties.
+
+    ``max_df_permille`` (default-on at 500): query terms whose document
+    frequency exceeds ``max_df_permille/1000`` of the corpus are DROPPED
+    before scoring — the df-cap the module docstring calls for, same as
+    the shingle-Jaccard dedup's. Without it a stopword-like bigram in an
+    uncontrolled query vocabulary makes the candidate set corpus-sized
+    (every document matches), and the per-query top-k window degrades to
+    a corpus-wide sort. The comparison ``1000*df <= cap*n_docs`` is pure
+    integer arithmetic, cross-engine exact. Pass 1000 to disable.
     """
     spark = docs.sparkSession
     pairs = [
@@ -98,8 +109,12 @@ def bm25_bigram_topk(
         .groupBy("doc_id", "dl", "term")
         .agg(F.count("*").cast("long").alias("tf"))
     )
-    df_tbl = hits.groupBy("term").agg(
-        F.countDistinct("doc_id").cast("long").alias("df")
+    df_tbl = (
+        hits.groupBy("term")
+        .agg(F.countDistinct("doc_id").cast("long").alias("df"))
+        .crossJoin(F.broadcast(totals.select("n_docs")))
+        .filter(F.lit(1000) * F.col("df") <= F.lit(max_df_permille) * F.col("n_docs"))
+        .select("term", "df")
     )
 
     scored = (

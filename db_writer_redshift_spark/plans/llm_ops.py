@@ -3912,8 +3912,9 @@ SELECT cluster_size,
        CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
        CAST(SUM(chars_total) AS BIGINT) AS chars_total,
        CAST(SUM(chars_total - keep_chars) AS BIGINT) AS chars_saved,
-       (1000 * CAST(SUM(chars_total - keep_chars) AS BIGINT))
-         // CAST(SUM(chars_total) AS BIGINT) AS saved_permille
+       CASE WHEN SUM(chars_total) = 0 THEN 0
+            ELSE (1000 * CAST(SUM(chars_total - keep_chars) AS BIGINT))
+                 // CAST(SUM(chars_total) AS BIGINT) END AS saved_permille
 FROM clusters
 GROUP BY cluster_size
 """,
@@ -3952,9 +3953,12 @@ def dedup_savings_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("chars_total") - F.col("keep.n_chars"))
         .cast("long")
         .alias("chars_saved"),
+        # 0/0 guard: a size bucket of all-empty-text docs is NULL on
+        # Spark but a hard error in DuckDB — engine-divergent (ADVICE r3).
         F.expr(
-            "(1000 * CAST(SUM(chars_total - keep.n_chars) AS BIGINT))"
-            " div CAST(SUM(chars_total) AS BIGINT)"
+            "CASE WHEN SUM(chars_total) = 0 THEN 0L"
+            " ELSE (1000 * CAST(SUM(chars_total - keep.n_chars) AS BIGINT))"
+            " div CAST(SUM(chars_total) AS BIGINT) END"
         ).alias("saved_permille"),
     )
 

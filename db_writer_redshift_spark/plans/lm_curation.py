@@ -351,8 +351,9 @@ lft AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1, COUNT(*) AS n1f
 rgt AS (SELECT w2, COUNT(*) AS n1b FROM big GROUP BY w2),
 np AS (SELECT COUNT(*) AS npairs FROM big)
 SELECT w1, w2, c12,
-       CAST(((4 * c12 - 3) * npairs + 3 * n1f * n1b) * 1000000
-            // (4 * c1 * npairs) AS BIGINT) AS p_kn_e6,
+       CAST((((4 * c12 - 3)::HUGEINT * npairs + 3::HUGEINT * n1f * n1b)
+             * 1000000)
+            // (4::HUGEINT * c1 * npairs) AS BIGINT) AS p_kn_e6,
        CAST((3 * n1f * 1000000) // (4 * c1) AS BIGINT) AS lambda_e6
 FROM big JOIN lft USING (w1) JOIN rgt USING (w2) CROSS JOIN np
 ORDER BY c12 DESC, w1, w2
@@ -369,10 +370,11 @@ def lm_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ((4*c12 - 3)*Npairs + 3*N1f*N1b) / (4*c1*Npairs); both sides ship
     as a floor-divided e6-scaled BIGINT (plus the backoff mass
     lambda_e6 = 3*N1f/(4*c1) e6-scaled), so the output is pure integer
-    arithmetic — no float division anywhere. Overflow headroom:
-    num*1e6 < 2^63 while 4*c12*Npairs < 9.2e12 — a ~1.5M-token corpus
-    with a fully-skewed head bigram; past that the same expressions run
-    in DECIMAL(38,0) unchanged.
+    arithmetic — no float division anywhere. The numerator is evaluated
+    in DECIMAL(38,0) (DuckDB: HUGEINT) with only the final e6-scaled
+    quotient cast back to BIGINT, so corpus growth can't silently wrap
+    Spark's non-ANSI int64 while DuckDB raises (ADVICE r3): headroom is
+    ~1e38, unreachable at any corpus size.
 
     Scale: one shuffle keyed on the bigram for c12, two bounded
     rollups keyed on w1 / w2 (vocabulary-sized, broadcastable), a
@@ -401,8 +403,9 @@ def lm_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w2",
             "c12",
             F.expr(
-                "CAST(((4 * c12 - 3) * npairs + 3 * n1f * n1b) * 1000000"
-                " div (4 * c1 * npairs) AS BIGINT)"
+                "CAST(((CAST(4 * c12 - 3 AS DECIMAL(38,0)) * npairs"
+                " + CAST(3 AS DECIMAL(38,0)) * n1f * n1b) * 1000000)"
+                " div (CAST(4 AS DECIMAL(38,0)) * c1 * npairs) AS BIGINT)"
             ).alias("p_kn_e6"),
             F.expr("CAST((3 * n1f * 1000000) div (4 * c1) AS BIGINT)").alias(
                 "lambda_e6"
@@ -428,13 +431,14 @@ scored AS (
 per_doc AS (
   SELECT doc_id,
          COUNT(*) AS n_tokens,
-         ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 4) AS avg_lp
+         (CAST(SUM(lp) * -1000000 AS BIGINT) * 1000) // COUNT(*)
+           AS avg_nll_e9
   FROM scored GROUP BY doc_id
 ),
 bucketed AS (
-  SELECT d.lang, p.n_tokens, p.avg_lp,
+  SELECT d.lang, p.n_tokens, p.avg_nll_e9,
          NTILE(3) OVER (PARTITION BY d.lang
-                        ORDER BY p.avg_lp DESC, p.doc_id) AS tercile
+                        ORDER BY p.avg_nll_e9, p.doc_id) AS tercile
   FROM per_doc p JOIN documents d USING (doc_id)
 )
 SELECT lang,
@@ -442,8 +446,8 @@ SELECT lang,
             ELSE 'tail' END AS bucket,
        COUNT(*) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
-       MIN(avg_lp) AS min_avg_lp,
-       MAX(avg_lp) AS max_avg_lp
+       MIN(avg_nll_e9) AS min_avg_nll_e9,
+       MAX(avg_nll_e9) AS max_avg_nll_e9
 FROM bucketed
 GROUP BY lang, bucket
 """,
@@ -456,9 +460,13 @@ def ccnet_logprob_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps head+middle for pretraining and drops or downsamples tail.
 
     Determinism: the per-doc score is the proven text_unigram_logprob
-    chain (per-token lp rounded to 6, decimal sum, avg rounded to 4);
-    tercile assignment is NTILE(3) over a TOTAL order (score desc,
-    doc_id) so ties never flap between engines.
+    chain (per-token lp rounded to 6, exact decimal sum) shipped as an
+    INTEGER — avg_nll_e9 = floor(-sum_lp_e6 * 1000 / n_tokens), a
+    positive-BIGINT floor division identical in Spark div and DuckDB //
+    (ADVICE r3: a ROUND(sum/count, 4) ordering key flaps ~1/500 at the
+    4th decimal across engines); ascending nll = descending avg-lp, and
+    NTILE(3) orders the TOTAL chain (avg_nll_e9, doc_id) so neither the
+    tercile boundary nor the min/max outputs can move between engines.
 
     Scale: vocabulary and totals broadcast (unigram_logprob analysis);
     the NTILE window partitions by language — per-language skew is the
@@ -483,13 +491,15 @@ def ccnet_logprob_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
-            F.round(F.sum("lp").cast("double") / F.count("*"), 4).alias("avg_lp"),
+            F.expr(
+                "(CAST(sum(lp) * -1000000 AS BIGINT) * 1000) div count(*)"
+            ).alias("avg_nll_e9"),
         )
     )
     from pyspark.sql import Window
 
     tercile = F.ntile(3).over(
-        Window.partitionBy("lang").orderBy(F.col("avg_lp").desc(), "doc_id")
+        Window.partitionBy("lang").orderBy(F.col("avg_nll_e9"), "doc_id")
     )
     bucketed = per_doc.join(d.select("doc_id", "lang"), "doc_id").withColumn(
         "tercile", tercile
@@ -503,8 +513,8 @@ def ccnet_logprob_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("sum_tokens"),
-        F.min("avg_lp").alias("min_avg_lp"),
-        F.max("avg_lp").alias("max_avg_lp"),
+        F.min("avg_nll_e9").alias("min_avg_nll_e9"),
+        F.max("avg_nll_e9").alias("max_avg_nll_e9"),
     )
 
 
@@ -1898,11 +1908,17 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return margin_bitext_pairs_portable(xs, ys, "vec_id", "embedding", k=4)
 
 
-def _knn_shapley_oracle(k: int = 4, scale: int = 1000, topv: int = 5) -> str:
+def _knn_shapley_oracle(
+    k: int = 4, scale: int = 1000, topv: int = 5, v: int = 100
+) -> str:
     """DuckDB twin of exact KNN-Shapley. Every quantity is BIGINT: integer
     squared distances, floor-scaled e12 per-rank terms, integer suffix
     sums — floor division of positive BIGINTs is exact and identical in
-    DuckDB (//) and Spark (div), so no rounded-float-division flap."""
+    DuckDB (//) and Spark (div), so no rounded-float-division flap.
+
+    The validation batch is the FIXED ``v`` lowest ids (not a corpus-
+    proportional modulo slice): Jia et al.'s cost is O(v * n log n) with
+    v as the knob, and a fixed eval suite keeps it that way at 100 TB."""
     return f"""
 WITH e AS (
   SELECT CAST(vec_id AS BIGINT) AS id, CAST(label AS BIGINT) AS label,
@@ -1910,8 +1926,10 @@ WITH e AS (
                         x -> CAST(ROUND(x * {scale}) AS BIGINT)) AS qv
   FROM embeddings
 ),
-val AS (SELECT id AS val_id, label AS val_label, qv AS vq FROM e WHERE id % 50 = 0),
-tr  AS (SELECT id AS train_id, label AS tr_label, qv AS tq FROM e WHERE id % 50 <> 0),
+val AS (SELECT id AS val_id, label AS val_label, qv AS vq
+        FROM e ORDER BY id LIMIT {v}),
+tr  AS (SELECT id AS train_id, label AS tr_label, qv AS tq
+        FROM e WHERE id NOT IN (SELECT val_id FROM val)),
 pairs AS (
   SELECT v.val_id, t.train_id,
          CASE WHEN t.tr_label = v.val_label THEN 1 ELSE 0 END AS m,
@@ -1976,11 +1994,12 @@ def knn_shapley_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
     < n * 1e-12 (one ulp per term), asserted against a Fraction-exact
     reference in tests.
 
-    Scale: the validation batch (1-in-50) broadcasts; the per-val_id
-    rank/lead/suffix-sum windows scan each validation point's candidate
-    list once — O(v * n log n), the published algorithm's own cost, so
-    v is the knob (a 100 TB run values against a fixed eval suite, not
-    the corpus)."""
+    Scale: the validation batch is PINNED to the v=100 lowest ids — a
+    fixed eval suite, not a corpus-proportional slice — so it broadcasts
+    at constant size and the per-val_id rank/lead/suffix-sum windows
+    keep the published O(v * n log n) cost with v as a true constant
+    knob at 100 TB (VERDICT r3 #2: the earlier 1-in-50 modulo slice made
+    v = n/50, i.e. O(n^2/50))."""
     from pyspark.sql.window import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1991,12 +2010,14 @@ def knn_shapley_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))"
         ).alias("qv"),
     )
-    val = e.filter(F.col("id") % 50 == 0).select(
+    val = e.orderBy("id").limit(100).select(
         F.col("id").alias("val_id"),
         F.col("label").alias("val_label"),
         F.col("qv").alias("vq"),
     )
-    tr = e.filter(F.col("id") % 50 != 0).select(
+    tr = e.join(
+        F.broadcast(val.select(F.col("val_id").alias("id"))), "id", "left_anti"
+    ).select(
         F.col("id").alias("train_id"),
         F.col("label").alias("tr_label"),
         F.col("qv").alias("tq"),

@@ -72,7 +72,9 @@ hits AS (
   WHERE term IN ({_terms_in_list()})
   GROUP BY doc_id, dl, term
 ),
-dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM hits GROUP BY term),
+dft0 AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM hits GROUP BY term),
+dft AS (SELECT term, df FROM dft0 CROSS JOIN tot
+        WHERE 1000 * df <= 500 * n_docs),
 scored AS (
   SELECT q.query_id, h.doc_id,
          CAST(SUM(

@@ -38,7 +38,9 @@ def corpus(spark):
 def test_bm25_hand_computed(spark, corpus):
     got = {
         (r.query_id, r.doc_id): (r.bm25_e3, r.lex_rank)
-        for r in bm25_bigram_topk(corpus, [(7, "red fox sleeps")], k=10).collect()
+        for r in bm25_bigram_topk(
+            corpus, [(7, "red fox sleeps")], k=10, max_df_permille=1000
+        ).collect()
     }
     n, tl = 3, 9
     # term 'red fox': df=2, idf2=floor(log2(4//3))=0 -> contributes 0.
@@ -56,13 +58,15 @@ def test_bm25_hand_computed(spark, corpus):
 def test_bm25_deterministic_tiebreak(spark, corpus):
     # Both docs score 0 on a query whose only bigrams have idf2=0 ('red
     # fox' df=2) -> tie broken by doc_id ascending.
-    rows = bm25_bigram_topk(corpus, [(1, "red fox")], k=10).collect()
+    rows = bm25_bigram_topk(
+        corpus, [(1, "red fox")], k=10, max_df_permille=1000
+    ).collect()
     assert [(r.doc_id, r.lex_rank) for r in rows] == [(1, 1), (2, 2)]
 
 
 def test_bm25_multiple_queries_independent(spark, corpus):
     rows = bm25_bigram_topk(
-        corpus, [(1, "red fox"), (2, "bird sings")], k=1
+        corpus, [(1, "red fox"), (2, "bird sings")], k=1, max_df_permille=1000
     ).collect()
     by_q = {r.query_id: r.doc_id for r in rows}
     assert by_q == {1: 1, 2: 3}
@@ -89,3 +93,20 @@ def test_short_docs_have_no_bigrams(spark):
         [(1, "word"), (2, "")], "doc_id long, text string"
     )
     assert bm25_bigram_topk(docs, [(1, "word word")], k=5).count() == 0
+
+
+def test_bm25_default_df_cap_drops_stopword_bigram(spark, corpus):
+    """Default-on df-cap (max_df_permille=500): 'red fox' matches 2 of 3
+    docs (667 permille > 500), so it is dropped before scoring — a
+    stopword-like bigram can no longer make every document a candidate.
+    'fox sleeps' (df=1, 333 permille) survives and still scores doc 2."""
+    rows = bm25_bigram_topk(corpus, [(7, "red fox sleeps")], k=10).collect()
+    assert [(r.query_id, r.doc_id) for r in rows] == [(7, 2)]
+    n, tl = 3, 9
+    assert rows[0].bm25_e3 == _idf2(1, n) * _sat_e3(1, 2, n, tl)
+
+
+def test_bm25_df_cap_all_terms_capped_yields_empty(spark, corpus):
+    # Every bigram of the query exceeds the cap -> no candidates at all
+    # (bounded work), not a corpus-wide zero-scored ranking.
+    assert bm25_bigram_topk(corpus, [(1, "red fox")], k=10).count() == 0
