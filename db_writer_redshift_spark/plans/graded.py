@@ -18,144 +18,123 @@ Ordering within the list groups by family; only membership and the
 
 Rotation plan: CORRECTNESS files accumulate per round; the union of
 rounds covers the full registry (tools/correctness_union.py rolls it
-up). Round 3's window brought 34 first-time names; after it grades,
-the union covers 119 of the 226 registered at round-3 close and the
-never-graded remainder is 107 (the registry grew by 60 during round 3
-— all certified at sf0.001/0.01/0.1 by the dtype-faithful local gate,
-see the candidate lists below; two 50-slot rotations cover the rest).
+up). Round 3 graded 50/50 green (union 119/226). The round-4 window
+below seats 36 first-time names — the family-coverage constraint's
+maximum, since 14 families have no never-graded member left — for a
+target union of 155/226 after grading.
 
-Round-4 rotation candidates — the ENTIRE registry passed the
-dtype-faithful tools/oracle_check.py at sf0.1 (10x the driver's gate
-scale) in round 3, so every oracle-bearing name is pre-certified.
-Priorities for the round-4 window, keeping one representative per
-family (test_window_covers_every_family's prefix map is the
-constraint):
-  * published-method curation module (plans/lm_curation.py, added late
-    round 3, certified at sf0.001/0.01/0.1): semdedup_cluster_prune,
-    dsir_importance_weights, lm_kneser_ney_bigram,
-    ccnet_logprob_buckets, gopher_rules_audit, zipf_slope_audit,
-    kn_perplexity_filter, d4_prototype_prune, quality_linear_probe,
-    dsir_resample_topk, softdedup_commonness, mix_unimax_epochs,
-    heaps_vocab_growth, quality_borda_fusion,
-    coreset_kcenter_trajectory, bitext_margin_mining,
-    knn_shapley_valuation, graph_label_propagation,
-    dataset_integrity_manifest, drift_ks_doclen,
-    dedup_savings_curve, mix_two_phase_anneal,
-    quality_mannwhitney_auc, selection_mmr_trajectory;
-  * round-3 additions (new families, never graded): bm25_bigram_topk,
-    retrieval_rrf_fusion, incremental_join_mv_orders,
-    incremental_join_upsert_orders, mix_token_budget_waterfill,
-    ann_recall_audit, ann_ivf_recall_audit, events_ewma_per_user,
-    events_cusum_drift, pipeline_attrition_funnel, graph_triangle_parts,
-    mix_temperature_weights, events_trend_slope, quality_dup_calibration,
-    events_conversion_latency_hist, graph_clustering_coeff_parts,
-    customer_rfm_segments;
-  * never-graded operator reps: dedup_keep_best_quality,
-    dedup_chunk_exact, multimodal_frame_rollup, pack_training_sequences,
-    text_repetition_scores, text_unigram_logprob, text_token_diversity,
-    text_fingerprint, text_rolling_fingerprint_portable,
-    vocab_topk_terms, vocab_topk_bigrams, bpe_pair_merge_stats,
-    tokenizer_fertility_by_lang,
-    chargram_neighbor_pairs, embedding_norm_stats,
-    embedding_lang_centroids, cluster_label_purity,
-    sample_hash_documents, sample_rebalance_uniform,
-    sample_weighted_priority, sample_neyman_allocation,
-    catalog_profile_orders, dq_constraint_report,
-    agg_distinct_per_segment, topk-but-graded-family siblings;
-  * never-graded TPC-H: q4, q7-q17, q19-q22 (15 names — spread over
-    rounds 4-5; all r3-sf0.1-certified);
-  * NOT candidates (oracle=None, rows-only by design — leave to pytest
-    accuracy contracts): agg_approx_percentiles, agg_approx_distinct,
+ROUND-5 WINDOW PLAN (written per VERDICT r3 #8; derive the exact list
+with tools/plan_rotation.py after CORRECTNESS_r04 lands):
+  * keepers (15, families with no fresh member left after round 4):
+    relational-agg, join, merge, window-fn, grouping, set-ops,
+    subquery, scalar-fn, clustering, chunking, udf-udtf, multimodal,
+    temporal-join, tpch-extra, decontam — reuse the round-4 keeper
+    names;
+  * fresh (~35 of the ~62 remaining, family reps first):
+    events_cusum_drift (events rep), dedup_chunk_exact (dedup rep),
+    ann_ivf_recall_audit (ann rep), text_fingerprint (text rep),
+    pipeline_chunked_training_mix (pipelines rep),
+    sample_rebalance_uniform (sampling rep); then the 15 TPC-H shapes
+    (q4, q7-q13, q15-q17, q19-q22), quality_dup_calibration,
+    embedding_norm_stats, text_rolling_fingerprint_portable,
+    text_repetition_scores, pack_training_sequences, vocab_topk_bigrams,
+    text_token_diversity, mix_temperature_weights,
+    chargram_neighbor_pairs, tokenizer_fertility_by_lang,
+    bpe_pair_merge_stats, dedup_keep_best_quality,
+    embedding_lang_centroids;
+  * round 6 closes the registry with the remaining ~27 (events_trend_
+    slope, events_conversion_latency_hist, events_concurrency_peak,
+    events_top_session_paths, graph_clustering_coeff_parts,
+    customer_rfm_segments, assoc_rules_copurchase,
+    dq_benford_order_totals, vocab_topk_terms, sample_weighted_priority,
+    sample_neyman_allocation, sketch_countmin_portable,
+    er_part_name_matches, text_rare_bigram_rate,
+    curriculum_quality_phases, dedup_ppjoin_exact, er_entity_clusters,
+    dedup_span_coverage, pareto_quality_length_frontier,
+    dedup_minhash_recall_audit, text_winnowing_fingerprints,
+    index_posting_gaps, privacy_k_anonymity_customer, cluster_label_
+    purity, lang_confusion_matrix, ...) plus the two documented
+    non-scale baselines (ann_brute_force_topk, dedup_embedding_cosine)
+    last, and any round-4/5 additions;
+  * NOT candidates (oracle=None, rows-only by design — pytest accuracy
+    contracts): agg_approx_percentiles, agg_approx_distinct,
     dedup_minhash_lsh, dedup_simhash_pairs, dedup_embedding_lsh,
     ann_lsh_topk, ann_ivf_topk, text_rolling_fingerprint,
-    kmeans_fit_clusters, embedding_pca_eigvals, hll_partial_union_rollup;
-    plus the two documented non-scale baselines (ann_brute_force_topk,
-    dedup_embedding_cosine) which may be graded last for completeness.
-Keep the four round-2-fixed queries' green rows (no need to re-grade);
-the 16 round-3 keepers can rotate out in round 4 if their family keeps
-a rep.
+    kmeans_fit_clusters, embedding_pca_eigvals, hll_partial_union_rollup.
 """
 
 from __future__ import annotations
 
 GRADED_FIRST: list[str] = [
-    # ---- ROUND-3 WINDOW ----------------------------------------------
-    # Round-2 result: 45/50 green; the 4 hash-fails were one oracle-side
-    # HUGEINT cast bug (VERDICT.md r2), now fixed — those 4 queries STAY
-    # so CORRECTNESS_r03 records them green. agg_approx_percentiles
-    # (no_oracle by design, can never fully pass) is swapped out per
-    # VERDICT r2 #4; its accuracy contract lives in tests/test_approx.py.
-    # Everything else r2-green rotates out for never-graded names,
-    # keeping one representative per family (test_window_covers_every_
-    # family is the constraint). 34 of the 50 names below get their
-    # first driver row this round; union coverage target ≥119/166.
+    # ---- ROUND-4 WINDOW ----------------------------------------------
+    # Round-3 result: 50/50 green (zero fails). Everything green rotates
+    # out except the 14 families with NO never-graded oracle-bearing
+    # member left (test_window_covers_every_family forces one rep each);
+    # those keepers are the only non-first-time slots. 36 of the 50 are
+    # first-time names: the full published-method curation module
+    # (plans/lm_curation.py, VERDICT r3 priority #1), the round-3 new
+    # families (bm25/rrf retrieval, JOIN-view maintenance, recall audit,
+    # ewma, waterfill, triangles), and four fresh family reps. Union
+    # target after grading: 155/226 (119 + 36; 36 is the family-
+    # constraint maximum — VERDICT's 169 assumed 50 fresh slots).
     #
-    # Keepers (16): the 4 cast-fixed queries + the minimum family reps
-    # whose every member already has a driver row (merge, grouping,
-    # join, set, subquery, scalar, ann-portable, kmeans, chunk, udtf,
-    # asof, tpch-extra).
-    "agg_variance_manual",          # FIXED r3: disc_sum_bp cast
-    "events_sessionization",        # FIXED r3: session_id window-SUM cast
-    "pipeline_curated_corpus",      # FIXED r3: total_chars cast
-    "multimodal_features",          # FIXED r3: total_bytes cast
-    "merge_upsert_orders",          # only merge_ query — must stay
-    "grouping_sets_mixed",          # grouping family fully graded
-    "q3_shipping_priority",         # join family fully graded
-    "set_union_high_value_keys",    # set-ops family fully graded
+    # Keepers (14) — every member of these families already has a green
+    # driver row, so the slot re-proves rather than discovers:
+    "agg_variance_manual",          # relational-agg
+    "q3_shipping_priority",         # join
+    "merge_upsert_orders",          # merge (only member)
+    "window_navigation_funcs",      # window-fn
+    "grouping_sets_mixed",          # grouping
+    "set_union_high_value_keys",    # set-ops
     "subquery_correlated_max_per_customer",
-    "scalar_array_funcs",
-    "ann_lsh_portable",             # only oracle-bearing in-window ann tier
-    "kmeans_assign_stats",
-    "chunk_documents_overlap",      # only chunk_ query — must stay
-    "udtf_split_sentences",
-    "asof_join_purchase_attribution",
-    "q2_best_supplier_per_part",
-    # Incoming (34) — never graded before; all carry DuckDB oracles and
-    # passed the dtype-faithful tools/oracle_check.py locally.
-    # Incremental-agg / robust-stats family
-    "robust_stats_order_price",
-    "rollup_reuse_daily_monthly",
-    "incremental_agg_orders",
-    # CDC / versioned-table family
-    "snapshot_diff_orders",
-    "scd2_point_in_time_orders",
-    # Relational never-graded
-    "agg_distinct_two_stage",
-    "window_navigation_funcs",      # window-fn family rep (fresh)
-    "topk_per_group_agg",
-    "hist_equiwidth_order_totals",
-    "skew_key_profile",
-    "q14_promo_revenue",
-    # Events never-graded
-    "events_transition_matrix",
-    "events_hourly_locf",
-    "rolling_active_users_7d",
-    # Dedup / decontam / contrastive
-    "dedup_cc_keep_best",
-    "dedup_normalized_fingerprint",
-    "decontam_minhash_fuzzy",
-    "decontam_embedding_semantic",
-    "contrastive_pairs_minhash",
-    # Text / tokenizer
-    "text_lang_id_ngram",
-    "text_token_stats_by_lang",
-    "bpe_train_merge_rounds",
-    "bpe_tokenize_stats",
-    "token_shift_pools",
-    # Quality / drift / mixing
-    "quality_gate_per_source",
-    "drift_chisq_sources",
-    "source_overlap_matrix",
-    "mix_source_reweighting",
-    # Embedding audits
-    "embedding_truncation_energy",
-    # Sampling / splits
-    "split_by_cluster_root",        # sampling family rep (fresh)
-    "shuffle_epoch_order",
-    # Pipelines / multimodal siblings
-    "pipeline_decontaminated_mix",
-    "multimodal_frame_rollup",
-    "copurchase_part_pairs",
+    "scalar_array_funcs",           # scalar-fn
+    "kmeans_assign_stats",          # clustering
+    "chunk_documents_overlap",      # chunking (only member)
+    "udtf_split_sentences",         # udf-udtf
+    "multimodal_features",          # multimodal
+    "asof_join_purchase_attribution",  # temporal-join
+    "q2_best_supplier_per_part",    # tpch-extra
+    # Incoming (36) — never graded; all passed the dtype-faithful
+    # tools/oracle_check.py at sf0.01 AND sf0.1.
+    # Published-method curation module (plans/lm_curation.py):
+    "semdedup_cluster_prune",
+    "dsir_importance_weights",
+    "dsir_resample_topk",
+    "lm_kneser_ney_bigram",         # r4: DECIMAL(38,0) numerator
+    "kn_perplexity_filter",
+    "ccnet_logprob_buckets",        # r4: exact avg_nll_e9 ordering
+    "gopher_rules_audit",
+    "zipf_slope_audit",
+    "heaps_vocab_growth",
+    "d4_prototype_prune",
+    "quality_linear_probe",
+    "quality_borda_fusion",
+    "softdedup_commonness",
+    "mix_unimax_epochs",
+    "coreset_kcenter_trajectory",
+    "bitext_margin_mining",
+    "knn_shapley_valuation",        # r4: fixed-100 val batch (VERDICT #2)
+    "selection_mmr_trajectory",
+    "graph_label_propagation",
+    "dataset_integrity_manifest",
+    "drift_ks_doclen",
+    "quality_mannwhitney_auc",
+    "dedup_savings_curve",          # dedup family rep; r4: 0/0 guard
+    "mix_two_phase_anneal",
+    # Round-3 new families:
+    "bm25_bigram_topk",             # r4: default-on df-cap
+    "retrieval_rrf_fusion",
+    "incremental_join_mv_orders",
+    "incremental_join_upsert_orders",
+    "mix_token_budget_waterfill",
+    "ann_recall_audit",             # ann family rep
+    "events_ewma_per_user",         # events family rep
+    "graph_triangle_parts",
+    # Fresh family reps:
+    "text_unigram_logprob",         # text family rep
+    "decontam_bloom_prefilter",     # decontam family rep
+    "pipeline_attrition_funnel",    # pipelines family rep
+    "sample_hash_documents",        # sampling family rep
 ]
 
 WINDOW = 50
