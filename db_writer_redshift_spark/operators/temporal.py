@@ -34,6 +34,7 @@ def asof_join(
     by: list[str],
     right_cols: list[str],
     direction: str = "backward",
+    tolerance: int | None = None,
 ) -> DataFrame:
     """For each left row, attach the most recent right row with
     ``right.on <= left.on`` (direction='backward'; 'forward' gives the
@@ -43,15 +44,25 @@ def asof_join(
 
     ``on`` must be mutually comparable (timestamp/numeric). Ties on the
     key: the right row at exactly left.on wins (<= / >=).
-    """
+
+    ``tolerance`` (pandas ``merge_asof`` semantics): when set, a match
+    further than ``tolerance`` from the left key (in ``on``'s own
+    units — pass micros for the epoch-micros event timestamps) is
+    nulled out, turning e.g. 'the next purchase ever' into 'the next
+    purchase within an hour'. Requires a numeric ``on``; applied as a
+    post-fill CASE, so the plan shape (one union + one window pass) is
+    unchanged."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction}")
 
     lcols = left.columns
+    carry = list(right_cols)
+    if tolerance is not None and on not in carry:
+        carry.append(on)  # the match distance needs the right-side key
     tagged_l = left.select(
         *lcols,
         F.lit(1).alias("_is_left"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in carry],
     )
     tagged_r = right.select(
         *[
@@ -59,7 +70,7 @@ def asof_join(
             for c in lcols
         ],
         F.lit(0).alias("_is_left"),
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        *[F.col(c).alias(f"_r_{c}") for c in carry],
     )
     unioned = tagged_l.unionByName(tagged_r)
 
@@ -81,10 +92,23 @@ def asof_join(
         "_is_left",
         *[
             F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_r_{c}")
-            for c in right_cols
+            for c in carry
         ],
     )
-    return filled.filter(F.col("_is_left") == 1).select(
+    out = filled.filter(F.col("_is_left") == 1)
+    if tolerance is not None:
+        within = F.col(f"_r_{on}").isNotNull() & (
+            F.abs(F.col(on) - F.col(f"_r_{on}")) <= F.lit(tolerance)
+        )
+        out = out.select(
+            *lcols,
+            "_is_left",
+            *[
+                F.when(within, F.col(f"_r_{c}")).alias(f"_r_{c}")
+                for c in carry
+            ],
+        )
+    return out.select(
         *lcols, *[F.col(f"_r_{c}").alias(c) for c in right_cols]
     )
 

@@ -4232,3 +4232,233 @@ def quality_mannwhitney_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000 * u2) div (2 * n * (n_all - n))").alias("auc_permille"),
         )
     )
+
+
+@register(
+    "mix_cluster_balance_weights",
+    oracle="""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(ROUND(x * 1000) AS BIGINT)) AS q
+  FROM embeddings
+),
+c AS (SELECT vec_id AS centroid_id, q AS cq FROM v WHERE vec_id < 8),
+d AS (
+  SELECT v.vec_id, c.centroid_id,
+         list_reduce(list_transform(list_zip(v.q, c.cq),
+                                    p -> (p[1]-p[2])*(p[1]-p[2])),
+                     (a, b) -> a + b) AS sqd
+  FROM v CROSS JOIN c
+),
+a AS (
+  SELECT vec_id, centroid_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY sqd, centroid_id) AS rn
+  FROM d
+),
+sizes AS (
+  SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_assigned
+  FROM a WHERE rn = 1 GROUP BY centroid_id
+),
+kc AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_present,
+              CAST(MIN(centroid_id) AS BIGINT) AS low_cid FROM sizes)
+SELECT centroid_id, n_assigned,
+       (1000000000 // k_present)
+         + CASE WHEN centroid_id = low_cid
+                THEN 1000000000 - k_present * (1000000000 // k_present)
+                ELSE 0 END AS cluster_budget_ppb,
+       ((1000000000 // k_present)
+         + CASE WHEN centroid_id = low_cid
+                THEN 1000000000 - k_present * (1000000000 // k_present)
+                ELSE 0 END) // n_assigned AS doc_weight_ppb
+FROM sizes, kc
+""",
+)
+def mix_cluster_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced sampling weights — the density-equalizing rule
+    behind cluster-based data balancing (SemDeDup-style k-means
+    partitions reused for MIXING rather than pruning; cf. DataComp's
+    cluster-balanced subset and Coleman et al.'s density sampling):
+    every cluster receives an equal slice of the sampling budget, so
+    documents in DENSE clusters are downweighted ∝ 1/cluster_size and
+    sparse regions of embedding space are not drowned out. Output is
+    the per-cluster budget and per-document weight a weighted sampler
+    (sample_weighted_priority) consumes.
+
+    Determinism: assignment reuses kmeans_assign_stats' fixed lowest-8
+    centroids but on ROUND(x*1000) BIGINT coordinates, so squared
+    distances are exact integers (the knn_shapley quantization) and the
+    argmin total-orders on (sqd, centroid_id); budgets split 1e9 ppb by
+    floor division with the remainder pinned to the lowest centroid id
+    — Σ cluster_budget_ppb == 1e9 exactly, pytest-asserted.
+
+    Scale: centroids broadcast (k×dim literal); assignment is one
+    narrow map-side pass (no shuffle until the k-row size aggregate);
+    the weight table is |k| rows. The per-document weights never
+    materialize corpus-wide — downstream samplers join the k-row
+    relation on centroid_id."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))"
+        ).alias("q"),
+    )
+    c = v.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("q").alias("cq")
+    )
+    sqd = F.aggregate(
+        F.zip_with(F.col("q"), F.col("cq"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    d = v.crossJoin(F.broadcast(c)).select("vec_id", "centroid_id", sqd.alias("sqd"))
+    from pyspark.sql.window import Window
+
+    a = d.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("vec_id").orderBy("sqd", "centroid_id")
+        ),
+    ).filter(F.col("rn") == 1)
+    sizes = a.groupBy("centroid_id").agg(
+        F.count("*").cast("long").alias("n_assigned")
+    )
+    kc = sizes.agg(
+        F.count("*").cast("long").alias("k_present"),
+        F.min("centroid_id").cast("long").alias("low_cid"),
+    )
+    return sizes.crossJoin(F.broadcast(kc)).select(
+        "centroid_id",
+        "n_assigned",
+        F.expr(
+            "(1000000000 div k_present)"
+            " + CASE WHEN centroid_id = low_cid"
+            " THEN 1000000000 - k_present * (1000000000 div k_present)"
+            " ELSE 0L END"
+        ).alias("cluster_budget_ppb"),
+        F.expr(
+            "((1000000000 div k_present)"
+            " + CASE WHEN centroid_id = low_cid"
+            " THEN 1000000000 - k_present * (1000000000 div k_present)"
+            " ELSE 0L END) div n_assigned"
+        ).alias("doc_weight_ppb"),
+    )
+
+
+@register(
+    "quality_prune_sweep",
+    oracle="""
+WITH qb AS (
+  SELECT doc_id,
+         ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')), 6) AS a6,
+         ROUND(CAST(LENGTH(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / LENGTH(text), 6) AS p6,
+         ROUND(CAST(len(list_filter(string_split(LOWER(text), ' '), x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+               / len(string_split(text, ' ')), 6) AS s6
+  FROM documents
+),
+scores AS (
+  SELECT CAST(ROUND((1.0 - LEAST(1.0, ABS(a6 - 5) / 5) * 0.3
+                         - LEAST(1.0, p6 * 10) * 0.3
+                         - LEAST(1.0, ABS(s6 - 0.4)) * 0.4) * 1000000) AS BIGINT) AS q
+  FROM qb
+),
+per_q AS (
+  SELECT q, CAST(COUNT(*) AS BIGINT) AS cnt,
+         q * CAST(COUNT(*) AS BIGINT) AS sum_q
+  FROM scores GROUP BY q
+),
+n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_docs FROM per_q),
+pq AS (
+  SELECT s.strategy, p.q, p.cnt, p.sum_q,
+         SUM(p.cnt) OVER (PARTITION BY s.strategy
+           ORDER BY CASE WHEN s.strategy = 'best' THEN -p.q ELSE p.q END
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cnt,
+         SUM(p.sum_q) OVER (PARTITION BY s.strategy
+           ORDER BY CASE WHEN s.strategy = 'best' THEN -p.q ELSE p.q END
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_sum
+  FROM per_q p CROSS JOIN (SELECT UNNEST(['best', 'worst']) AS strategy) s
+),
+fr AS (SELECT UNNEST([100, 200, 300, 400, 500, 600, 700, 800, 900]) AS keep_permille)
+SELECT CAST(f.keep_permille AS BIGINT) AS keep_permille, pq.strategy,
+       CAST((f.keep_permille * n.n_docs) // 1000 AS BIGINT) AS n_kept,
+       CAST(((pq.cum_sum - pq.sum_q)
+        + pq.q * ((f.keep_permille * n.n_docs) // 1000 - (pq.cum_cnt - pq.cnt)))
+         // ((f.keep_permille * n.n_docs) // 1000) AS BIGINT) AS avg_quality_e6
+FROM pq CROSS JOIN fr f CROSS JOIN n
+WHERE pq.cum_cnt >= (f.keep_permille * n.n_docs) // 1000
+  AND pq.cum_cnt - pq.cnt < (f.keep_permille * n.n_docs) // 1000
+""",
+)
+def quality_prune_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-pruning frontier sweep (Sorscher et al., "Beyond neural
+    scaling laws: beating power law scaling via data pruning", NeurIPS
+    2022): for keep-fractions 10%..90%, the average quality of the
+    retained set under keep-BEST vs keep-WORST pruning — the two
+    extreme strategies whose gap the paper shows predicts whether
+    pruning beats random at a given data scale. The report a curation
+    team reads to pick the keep fraction BEFORE paying for a full
+    pruning pass (the dedup_savings_curve of quality pruning).
+
+    Exact WITHOUT a global sort: documents never rank individually.
+    One map-side-combined groupBy on the e6 quality score collapses the
+    corpus to ≤1e6 distinct-score rows; cumulative windows run over
+    that BOUNDED relation (partitioned by strategy), and each
+    keep-fraction boundary resolves by exact prefix arithmetic — full
+    score-groups above the cut plus a partial take from the boundary
+    group, exact because every doc in the group shares the same score.
+    All BIGINT: needed = (f*n) div 1000, kept average by floor
+    division. Overflow: sum_q <= n * 1e6 — safe through n ~ 9e12 docs.
+
+    Scale: corpus-sized work is one combinable aggregate; the sweep
+    itself runs on the distinct-score relation (bounded by the e6 score
+    codomain, not the corpus) crossed with 9 fraction literals."""
+    from pyspark.sql.window import Window
+
+    from db_writer_redshift_spark.operators.text import quality_score_e6
+
+    d = load_table(spark, sf_dir, "documents")
+    per_q = (
+        d.select(quality_score_e6(F.col("text")).alias("q"))
+        .groupBy("q")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .withColumn("sum_q", F.col("q") * F.col("cnt"))
+    )
+    n = per_q.agg(F.sum("cnt").cast("long").alias("n_docs"))
+    strat = spark.createDataFrame([("best",), ("worst",)], "strategy string")
+    w = (
+        Window.partitionBy("strategy")
+        .orderBy(F.expr("CASE WHEN strategy = 'best' THEN -q ELSE q END"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pq = per_q.crossJoin(F.broadcast(strat)).select(
+        "strategy",
+        "q",
+        "cnt",
+        "sum_q",
+        F.sum("cnt").over(w).alias("cum_cnt"),
+        F.sum("sum_q").over(w).alias("cum_sum"),
+    )
+    fr = spark.createDataFrame(
+        [(p,) for p in range(100, 1000, 100)], "keep_permille long"
+    )
+    needed = F.expr("(keep_permille * n_docs) div 1000")
+    return (
+        pq.crossJoin(F.broadcast(fr))
+        .crossJoin(F.broadcast(n))
+        .withColumn("n_kept", needed)
+        .filter(
+            (F.col("cum_cnt") >= F.col("n_kept"))
+            & (F.col("cum_cnt") - F.col("cnt") < F.col("n_kept"))
+        )
+        .select(
+            "keep_permille",
+            "strategy",
+            "n_kept",
+            F.expr(
+                "((cum_sum - sum_q) + q * (n_kept - (cum_cnt - cnt)))"
+                " div n_kept"
+            ).alias("avg_quality_e6"),
+        )
+    )

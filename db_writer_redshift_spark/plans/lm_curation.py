@@ -2227,3 +2227,154 @@ def selection_mmr_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         base.unpersist()
+
+
+_DOREMI_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+),
+tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+vocab AS (SELECT token, COUNT(*) AS cnt FROM tok2 GROUP BY token),
+total AS (SELECT COUNT(*) AS n_total FROM tok2),
+scored AS (
+  SELECT d.source,
+         CAST(ROUND(LN(CAST(v.cnt AS DOUBLE) / n_total), 6) AS DECIMAL(18,6)) AS lp
+  FROM tok2 t JOIN vocab v ON t.token = v.token
+              JOIN documents d USING (doc_id)
+  CROSS JOIN total
+),
+per_src AS (
+  SELECT source,
+         COUNT(*) AS n_tokens,
+         (CAST(SUM(lp) * -1000000 AS BIGINT) * 1000) // COUNT(*) AS avg_nll_e9
+  FROM scored GROUP BY source
+),
+bounds AS (SELECT MIN(avg_nll_e9) AS mn, MAX(avg_nll_e9) AS mx FROM per_src),
+ex AS (
+  SELECT source, n_tokens, avg_nll_e9,
+         CASE WHEN mx = mn THEN 0
+              ELSE ((avg_nll_e9 - mn) * 1000) // (mx - mn) END AS excess_permille
+  FROM per_src, bounds
+),
+m AS (
+  SELECT r.sel_round, source, n_tokens, avg_nll_e9, excess_permille,
+         CASE r.sel_round
+              WHEN 1 THEN (100000 + 50 * excess_permille)
+              WHEN 2 THEN (100000 + 50 * excess_permille)
+                        * (100000 + 50 * excess_permille)
+              ELSE (100000 + 50 * excess_permille)
+                 * (100000 + 50 * excess_permille)
+                 * (100000 + 50 * excess_permille) END AS mw_state
+  FROM ex CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS sel_round) r
+),
+z AS (SELECT sel_round, CAST(SUM(mw_state) AS BIGINT) AS z_round
+      FROM m GROUP BY sel_round)
+SELECT m.sel_round AS mw_round, m.source, m.n_tokens, m.avg_nll_e9,
+       m.excess_permille, m.mw_state,
+       CAST((1000000::HUGEINT * m.mw_state) // z.z_round AS BIGINT)
+         AS weight_ppm
+FROM m JOIN z USING (sel_round)
+"""
+
+
+@register("mix_doremi_weights", oracle=_DOREMI_ORACLE)
+def mix_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al., "DoReMi: Optimizing
+    Data Mixtures Speeds Up Language Model Pretraining",
+    arXiv:2305.10429): Group-DRO multiplicative-weights over per-domain
+    EXCESS LOSS — domains whose proxy loss exceeds the best domain's get
+    exponentially upweighted, producing the mixture the paper feeds the
+    final training run. Here domains are the ``source`` column, the
+    proxy loss is each source's average unigram NLL under the corpus's
+    own LM (the ccnet_logprob_buckets scoring chain, aggregated per
+    source instead of per doc), and — since the container trains no
+    proxy model — the losses are STATIC across rounds: the 3-round
+    trajectory compounds the same payoff, which is exactly the MW
+    schedule's closed form w_s(r) = (1 + eta*excess_s)^r / Z_r. The
+    update is the LINEARIZED multiplicative-weights rule (Arora,
+    Hazan & Kale 2012, the (1 + eta*payoff) form of Hedge), with
+    eta*excess expressed as 50 * excess_permille on a 1e5 base — pure
+    integer compounding, no exp().
+
+    Portable determinism: per-token lp rounds to 6 decimals and sums as
+    exact DECIMAL; per-source avg_nll_e9 is a positive-BIGINT floor
+    division; excess normalizes to [0, 1000] by floor division against
+    the (max - mn) spread; the MW state is an exact integer power
+    (explicit self-products, max (1.5e5)^3 ~ 3.4e15, summed over
+    sources < 2^63); the final ppm normalization runs in
+    DECIMAL(38,0)/HUGEINT with only the quotient cast back to BIGINT
+    (the lm_kneser_ney_bigram overflow discipline).
+
+    Scale: vocabulary and the 1-row token total broadcast; one
+    map-side-combined aggregate keys on source; everything after runs
+    on the |sources|-row relation crossed with a 3-row literal — the
+    mixing family's bounded-aggregate shape. At 100 TB the only
+    corpus-sized work is the token explode feeding two combinable
+    aggregates."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    vocab = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = tok.agg(F.count("*").alias("n_total"))
+    lp = (
+        F.round(F.log(F.col("cnt").cast("double") / F.col("n_total")), 6)
+        .cast("decimal(18,6)")
+        .alias("lp")
+    )
+    per_src = (
+        tok.join(F.broadcast(vocab), "token")
+        .join(F.broadcast(total))
+        .select("source", lp)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.expr(
+                "(CAST(sum(lp) * -1000000 AS BIGINT) * 1000) div count(*)"
+            ).alias("avg_nll_e9"),
+        )
+    )
+    bounds = per_src.agg(
+        F.min("avg_nll_e9").alias("mn"), F.max("avg_nll_e9").alias("mx")
+    )
+    ex = per_src.crossJoin(F.broadcast(bounds)).select(
+        "source",
+        "n_tokens",
+        "avg_nll_e9",
+        F.expr(
+            "CASE WHEN mx = mn THEN 0L"
+            " ELSE ((avg_nll_e9 - mn) * 1000) div (mx - mn) END"
+        ).alias("excess_permille"),
+    )
+    rounds = spark.range(1, 4).select(F.col("id").alias("mw_round"))
+    m = ex.crossJoin(F.broadcast(rounds)).select(
+        "mw_round",
+        "source",
+        "n_tokens",
+        "avg_nll_e9",
+        "excess_permille",
+        F.expr(
+            "CASE mw_round"
+            " WHEN 1 THEN (100000 + 50 * excess_permille)"
+            " WHEN 2 THEN (100000 + 50 * excess_permille)"
+            "           * (100000 + 50 * excess_permille)"
+            " ELSE (100000 + 50 * excess_permille)"
+            "    * (100000 + 50 * excess_permille)"
+            "    * (100000 + 50 * excess_permille) END"
+        ).alias("mw_state"),
+    )
+    z = m.groupBy("mw_round").agg(
+        F.sum("mw_state").cast("long").alias("z_round")
+    )
+    return m.join(F.broadcast(z), "mw_round").select(
+        "mw_round",
+        "source",
+        "n_tokens",
+        "avg_nll_e9",
+        "excess_permille",
+        "mw_state",
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * mw_state)"
+            " div z_round AS BIGINT)"
+        ).alias("weight_ppm"),
+    )

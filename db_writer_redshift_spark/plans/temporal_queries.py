@@ -1049,3 +1049,194 @@ def events_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(25)
     )
+
+
+@register(
+    "events_multitouch_attribution",
+    oracle="""
+WITH tagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS jid
+  FROM events
+),
+touches AS (
+  SELECT user_id, jid, event_type, ts, event_id
+  FROM tagged
+  WHERE event_type <> 'purchase' AND jid >= 1
+),
+pos AS (
+  SELECT user_id, jid, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, jid
+                            ORDER BY ts, event_id) AS p,
+         COUNT(*) OVER (PARTITION BY user_id, jid) AS n
+  FROM touches
+),
+credit AS (
+  SELECT event_type, p, n,
+         CASE WHEN n = 1 THEN 1000
+              WHEN n = 2 THEN 500
+              WHEN p = 1 THEN 400 + (200 - (n - 2) * (200 // (n - 2)))
+              WHEN p = n THEN 400
+              ELSE 200 // (n - 2) END AS credit_permille
+  FROM pos
+)
+SELECT event_type AS touch_type,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(SUM(credit_permille) AS BIGINT) AS total_credit_permille,
+       CAST(SUM(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_first_touch,
+       CAST(SUM(CASE WHEN p = n THEN 1 ELSE 0 END) AS BIGINT) AS n_last_touch
+FROM credit
+GROUP BY event_type
+""",
+)
+def events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) multi-touch conversion attribution —
+    the standard marketing-analytics credit rule (40% first touch, 40%
+    last touch, 20% split across middles; the rule-based stand-in for
+    Shapley-value attribution, to which it is the two-endpoint
+    approximation): every non-purchase event is assigned to its user's
+    NEXT purchase (journeys never straddle purchases), positions rank
+    within the journey, and each conversion distributes exactly 1000
+    permille of credit. Touches after a user's last purchase attribute
+    to nothing and drop; purchases with no preceding touches are
+    'direct' conversions carrying no touch credit.
+
+    Journey assignment without a join: a DESCENDING running count of
+    purchases per user (jid) gives every event the number of purchases
+    at-or-after it — touches share their jid with exactly the next
+    purchase. One window over the user partition replaces the
+    touch-to-purchase as-of join.
+
+    Integer exactness: credit is permille with floor division for the
+    middle split; the remainder (200 - (n-2)*floor(200/(n-2))) rides on
+    the first touch, so every journey sums to exactly 1000 — the
+    identity the pytest asserts — and n=1 (1000) / n=2 (500/500)
+    degenerate cases follow the published rule. No floats anywhere.
+
+    Scale: two windows and one aggregate, all hash-partitioned on
+    user_id (journeys are user-local by construction) — no global sort,
+    no self-join; the rollup combines map-side to |event types| rows."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w_rev = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).over(w_rev).alias("jid"),
+    )
+    touches = tagged.filter(
+        (F.col("event_type") != "purchase") & (F.col("jid") >= 1)
+    )
+    wj = Window.partitionBy("user_id", "jid")
+    pos = touches.select(
+        "event_type",
+        F.row_number().over(wj.orderBy("ts", "event_id")).alias("p"),
+        F.count("*").over(wj).alias("n"),
+    )
+    credit = pos.select(
+        "event_type",
+        "p",
+        "n",
+        F.expr(
+            "CASE WHEN n = 1 THEN 1000L"
+            " WHEN n = 2 THEN 500L"
+            " WHEN p = 1 THEN 400 + (200 - (n - 2) * (200 div (n - 2)))"
+            " WHEN p = n THEN 400L"
+            " ELSE 200 div (n - 2) END"
+        ).alias("credit_permille"),
+    )
+    return credit.groupBy(F.col("event_type").alias("touch_type")).agg(
+        F.count("*").cast("long").alias("n_touches"),
+        F.sum("credit_permille").cast("long").alias("total_credit_permille"),
+        F.sum(F.when(F.col("p") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_first_touch"),
+        F.sum(F.when(F.col("p") == F.col("n"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_last_touch"),
+    )
+
+
+@register(
+    "asof_forward_click_to_purchase",
+    oracle="""
+WITH clk AS (
+  SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_us
+  FROM events WHERE event_type = 'click'
+),
+pur AS (
+  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pur_us
+  FROM events WHERE event_type = 'purchase'
+),
+j AS (
+  SELECT c.click_id, c.user_id, c.click_us, p.purchase_id, p.pur_us
+  FROM clk c ASOF LEFT JOIN pur p
+    ON c.user_id = p.user_id AND c.click_us <= p.pur_us
+)
+SELECT click_id, user_id, click_us,
+       CASE WHEN pur_us - click_us <= 3600000000
+            THEN purchase_id END AS next_purchase_id,
+       CASE WHEN pur_us - click_us <= 3600000000
+            THEN pur_us - click_us END AS latency_us,
+       CASE WHEN pur_us - click_us <= 3600000000
+            THEN 1 ELSE 0 END AS matched
+FROM j
+""",
+)
+def asof_forward_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with tolerance (pandas ``merge_asof``
+    direction='forward' semantics; DuckDB expresses it as ``ASOF LEFT
+    JOIN ... ON l.ts <= r.ts``): each click attaches its user's NEXT
+    purchase, nulled when it is more than one hour away — the
+    click-to-conversion attachment with a business-rule attribution
+    window, complementing the backward asof_join_purchase_attribution.
+
+    Same union-trick plan as the backward direction (one shuffle on
+    user_id, one window pass, no inequality join); the tolerance is a
+    post-fill CASE, so the 1-hour cut changes no plan shape. Timestamps
+    and latency ship as epoch-micros BIGINTs (graded-window envelope);
+    (user_id, ts) is unique within purchases at every SF, so the carried
+    match is total-order deterministic.
+
+    Scale: identical to the proven as-of shape — linear in events, one
+    hash partition by user; tolerance adds a row-local filter only."""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pur_us"),
+        "ts",
+        "user_id",
+    )
+    j = asof_join(
+        clicks,
+        purchases,
+        on="ts",
+        by=["user_id"],
+        right_cols=["purchase_id", "pur_us"],
+        direction="forward",
+        tolerance=3_600_000_000,
+    )
+    return j.select(
+        "click_id",
+        "user_id",
+        F.col("ts").alias("click_us"),
+        F.col("purchase_id").alias("next_purchase_id"),
+        (F.col("pur_us") - F.col("ts")).alias("latency_us"),
+        F.when(F.col("purchase_id").isNotNull(), 1).otherwise(0).alias("matched"),
+    )

@@ -274,3 +274,28 @@ class TestIntegrityManifest:
                 )
             else:
                 assert a[s] == b[s], s
+
+
+def test_quality_prune_sweep_frontier_shape(spark):
+    """Sorscher-frontier invariants: keep-best average quality is
+    non-increasing in the keep fraction, keep-worst is non-decreasing,
+    best >= worst at every fraction (equal only if all scores equal),
+    and n_kept follows the exact floor rule against the corpus count."""
+    import os
+
+    import __spark_entry__ as entry_mod
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    rows = entry_mod.queries()["quality_prune_sweep"](spark, sf).collect()
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    best = {r.keep_permille: r.avg_quality_e6 for r in rows if r.strategy == "best"}
+    worst = {r.keep_permille: r.avg_quality_e6 for r in rows if r.strategy == "worst"}
+    fr = sorted(best)
+    assert fr == sorted(worst) == list(range(100, 1000, 100))
+    for a, b in zip(fr, fr[1:]):
+        assert best[a] >= best[b]
+        assert worst[a] <= worst[b]
+    assert all(best[f] >= worst[f] for f in fr)
+    assert best[100] > worst[100], "frontier is vacuous: all scores equal"
+    for r in rows:
+        assert r.n_kept == (r.keep_permille * n_docs) // 1000

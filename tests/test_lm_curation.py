@@ -418,3 +418,33 @@ class TestMMRSelection:
         assert rows[0].doc_id == ordered[0].doc_id
         assert rows[0].rel_e6 == ordered[0].q
         assert {r.doc_id for r in rows} != {x.doc_id for x in ordered}
+
+
+class TestDoremiWeights:
+    def test_mw_closed_form_and_normalization(self, spark):
+        """The static-loss MW trajectory has a closed form the output
+        must reproduce exactly: mw_state(r) == (1e5 + 50*excess)^r,
+        weights sum to 1e6 within one floor-ulp per source, excess
+        spans exactly [0, 1000], and the best (excess=0) source's
+        weight is non-increasing over rounds while the worst's is
+        non-decreasing — the Group-DRO upweighting direction."""
+        rows = _run(spark, "mix_doremi_weights").collect()
+        by_round: dict[int, list] = {}
+        for r in rows:
+            by_round.setdefault(r.mw_round, []).append(r)
+        assert sorted(by_round) == [1, 2, 3]
+        n_src = len(by_round[1])
+        for rnd, rs in by_round.items():
+            for r in rs:
+                assert 0 <= r.excess_permille <= 1000
+                assert r.mw_state == (100000 + 50 * r.excess_permille) ** rnd
+            total = sum(r.weight_ppm for r in rs)
+            assert 1000000 - n_src <= total <= 1000000
+            assert min(r.excess_permille for r in rs) == 0
+            assert max(r.excess_permille for r in rs) == 1000
+        best = {rnd: min(rs, key=lambda r: (r.excess_permille, r.source))
+                for rnd, rs in by_round.items()}
+        worst = {rnd: max(rs, key=lambda r: (r.excess_permille, r.source))
+                 for rnd, rs in by_round.items()}
+        assert (best[1].weight_ppm >= best[2].weight_ppm >= best[3].weight_ppm)
+        assert (worst[1].weight_ppm <= worst[2].weight_ppm <= worst[3].weight_ppm)

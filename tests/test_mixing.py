@@ -72,3 +72,20 @@ def test_two_phase_anneal_budget_identity(spark):
         assert r.elig_docs * 4 <= r.n_docs  # top-quarter rank rule
         if r.anneal_capped:
             assert r.anneal_tokens < r.elig_tokens
+
+
+def test_cluster_balance_budget_identity(spark):
+    """Σ cluster_budget_ppb == 1e9 exactly (floor split + remainder on
+    the lowest centroid id), every cluster's document weight uses floor
+    division of its own budget, and total mass lost to flooring is
+    bounded by one ulp per assigned doc."""
+    import os
+
+    import __spark_entry__ as entry_mod
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    rows = entry_mod.queries()["mix_cluster_balance_weights"](spark, sf).collect()
+    assert sum(r.cluster_budget_ppb for r in rows) == 10**9
+    for r in rows:
+        assert r.doc_weight_ppb == r.cluster_budget_ppb // r.n_assigned
+        assert 0 <= r.cluster_budget_ppb - r.doc_weight_ppb * r.n_assigned < r.n_assigned

@@ -165,3 +165,68 @@ def test_top_session_paths_order_and_gap(spark):
     assert out["click"].n_sessions == 2 and out["click"].n_users == 2
     assert out["click>view>purchase"].n_sessions == 1
     assert set(out) == {"click", "click>view>purchase"}
+
+
+def test_multitouch_attribution_journey_credit_identity(spark):
+    """Every attributed journey distributes exactly 1000 permille: the
+    rollup's total credit must equal 1000 * (number of journeys with at
+    least one touch), recomputed independently here with a pandas
+    re-derivation of the journey tagging; first/last touch counts both
+    equal the journey count."""
+    import os
+
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    rows = entry_mod.queries()["events_multitouch_attribution"](spark, sf).collect()
+    n_journeys = duckdb.sql(
+        f"""
+        WITH tagged AS (
+          SELECT user_id, event_type,
+                 SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS jid
+          FROM read_parquet('{sf}/events.parquet'))
+        SELECT COUNT(DISTINCT (user_id, jid)) FROM tagged
+        WHERE event_type <> 'purchase' AND jid >= 1
+        """
+    ).fetchone()[0]
+    assert sum(r.total_credit_permille for r in rows) == 1000 * n_journeys
+    assert sum(r.n_first_touch for r in rows) == n_journeys
+    assert sum(r.n_last_touch for r in rows) == n_journeys
+    assert all(r.n_touches >= r.n_first_touch for r in rows)
+
+
+def test_asof_join_tolerance_nulls_far_matches(spark):
+    """tolerance (pandas merge_asof semantics): a forward match beyond
+    the cutoff is nulled, at-cutoff matches survive, and left rows keep
+    left-outer semantics."""
+    from db_writer_redshift_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, 10), (2, 100, 50), (3, 200, 10)],
+        "lid long, k long, ts long",
+    )
+    right = spark.createDataFrame(
+        [(7, 100, 15), (8, 100, 70), (9, 200, 99)],
+        "rid long, k long, ts long",
+    )
+    got = {
+        r.lid: r.rid
+        for r in asof_join(
+            left, right, on="ts", by=["k"], right_cols=["rid"],
+            direction="forward", tolerance=5,
+        ).collect()
+    }
+    assert got == {1: 7, 2: None, 3: None}  # 15-10<=5; 70-50>5; 99-10>5
+    # exact-cutoff inclusive
+    got2 = {
+        r.lid: r.rid
+        for r in asof_join(
+            left, right, on="ts", by=["k"], right_cols=["rid"],
+            direction="forward", tolerance=20,
+        ).collect()
+    }
+    assert got2 == {1: 7, 2: 8, 3: None}
