@@ -856,3 +856,75 @@ def span_coverage_stats(
             .alias("dup_ppm"),
         )
     )
+
+
+def shingle_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold_permille: int = 500,
+    max_doc_freq: int = 100,
+) -> DataFrame:
+    """Near-duplicate pairs by Broder CONTAINMENT C(A,B) = |A∩B| / |A|
+    (Broder 1997, "On the resemblance and containment of documents") —
+    the asymmetric companion to Jaccard resemblance: a short document
+    quoted wholesale inside a long one scores near-1000-permille
+    containment while its Jaccard stays low (the union is dominated by
+    the long side), so subset-duplication that resemblance dedup misses
+    is exactly what this catches.
+
+    Same inverted-index plan as shingle_jaccard_pairs (explode distinct
+    shingles → df-cap stop-shingle pruning → ids-only self-join →
+    per-pair common counts): one extra broadcast-joined counts relation,
+    zero new shuffles. Scores are exact integer permille by floor
+    division; the keep test (1000 * n_common >= thr * min(n_a, n_b))
+    is cross-multiplied BIGINT — no float anywhere.
+
+    Output: (doc_a, doc_b, n_common, c_in_a_permille, c_in_b_permille)
+    with doc_a < doc_b, kept when the max-direction containment (the
+    smaller side's) clears ``threshold_permille``.
+    """
+    base = ensure_parallelism(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
+    )
+    sh = base.select("doc_id", F.explode(shingles(F.col("__t"), n)).alias("sh"))
+    rare = (
+        sh.join(
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("df_count"))
+            .filter(F.col("df_count") <= max_doc_freq),
+            "sh",
+        )
+        .select("doc_id", "sh")
+        .persist()
+    )
+    rare.count()
+    counts = rare.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
+    a = rare.alias("a")
+    b = rare.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .filter(
+            F.lit(1000) * F.col("n_common")
+            >= F.lit(threshold_permille) * F.least("n_a", "n_b")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.expr("(1000 * n_common) div n_a").alias("c_in_a_permille"),
+            F.expr("(1000 * n_common) div n_b").alias("c_in_b_permille"),
+        )
+    )

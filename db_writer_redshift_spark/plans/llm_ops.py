@@ -4462,3 +4462,56 @@ def quality_prune_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_quality_e6"),
         )
     )
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle="""
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+  FROM docs, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3
+),
+rare AS (
+  SELECT g.doc_id, g.sh FROM grams g
+  JOIN (SELECT sh FROM grams GROUP BY sh HAVING COUNT(*) <= 100) f USING (sh)
+),
+counts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM rare GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+       (1000 * n_common) // ca.n_sh AS c_in_a_permille,
+       (1000 * n_common) // cb.n_sh AS c_in_b_permille
+FROM pairs
+JOIN counts ca ON ca.doc_id = doc_a
+JOIN counts cb ON cb.doc_id = doc_b
+WHERE 1000 * n_common >= 500 * LEAST(ca.n_sh, cb.n_sh)
+""",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric subset-duplication detection by Broder containment
+    (operators/dedup.shingle_containment_pairs — Broder 1997): pairs
+    where the SMALLER document's rare-shingle set is >=50% contained in
+    the other. Catches quote-inclusion and template-wrapping duplicates
+    whose Jaccard resemblance stays below any sane threshold because
+    the union is dominated by the longer side — the recall gap between
+    this and dedup_shingle_jaccard is the asymmetric-duplication class.
+
+    Plan and scale are the proven shingle inverted-index shape: df-cap
+    stop-shingle pruning bounds bucket fan-out, the self-join carries
+    ids only, and scores are exact integer permille (cross-multiplied
+    BIGINT keep test — no float division)."""
+    from db_writer_redshift_spark.operators.dedup import shingle_containment_pairs
+
+    return shingle_containment_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=3,
+        threshold_permille=500,
+        max_doc_freq=100,
+    )

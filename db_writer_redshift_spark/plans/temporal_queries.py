@@ -1240,3 +1240,57 @@ def asof_forward_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFram
         (F.col("pur_us") - F.col("ts")).alias("latency_us"),
         F.when(F.col("purchase_id").isNotNull(), 1).otherwise(0).alias("matched"),
     )
+
+
+@register(
+    "events_json_props_rollup",
+    oracle="""
+WITH x AS (
+  SELECT event_type,
+         CAST(json_extract(props::JSON, '$.k') AS BIGINT) AS k,
+         CAST(ROUND(CAST(value AS DECIMAL(18,6)) * 100) AS BIGINT) AS value_c
+  FROM events
+)
+SELECT event_type,
+       k // 10 AS k_decile,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(k) AS BIGINT) AS k_min,
+       CAST(MAX(k) AS BIGINT) AS k_max,
+       CAST(SUM(k) AS BIGINT) AS k_sum,
+       CAST(SUM(value_c) AS BIGINT) AS value_cents
+FROM x
+GROUP BY event_type, k // 10
+""",
+)
+def events_json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured property extraction + rollup: pull the typed
+    ``k`` field out of the JSON ``props`` payload (Spark
+    ``get_json_object`` — a codegen'd row-local path evaluation, the
+    JSON-column pattern every event-analytics engine ships) and roll up
+    per (event_type, k-decile) with exact integer stats. The ``value``
+    monetary column rides along as exact cents (DECIMAL round — the
+    registry's exact-SUM contract, never a float sum).
+
+    Scale: JSON extraction is scan-stage and row-local (no shuffle,
+    no UDF — the built-in path evaluator); the rollup is one map-side-
+    combined aggregate over |event_type| x 10 groups. At 100 TB the
+    only cost is the scan-stage parse, which columnar JSON shredding
+    (or promoting hot paths to real columns at ingest, the documented
+    lakehouse move) removes entirely."""
+    e = load_table(spark, sf_dir, "events")
+    x = e.select(
+        "event_type",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
+        F.expr(
+            "CAST(ROUND(CAST(value AS DECIMAL(18,6)) * 100) AS BIGINT)"
+        ).alias("value_c"),
+    )
+    return x.groupBy(
+        "event_type", F.expr("k div 10").alias("k_decile")
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.min("k").cast("long").alias("k_min"),
+        F.max("k").cast("long").alias("k_max"),
+        F.sum("k").cast("long").alias("k_sum"),
+        F.sum("value_c").cast("long").alias("value_cents"),
+    )

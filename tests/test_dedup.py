@@ -360,3 +360,39 @@ def test_savings_curve_identity_and_nonvacuity(spark):
     for s, r in rows.items():
         assert r.n_docs == s * r.n_clusters
         assert 0 <= r.chars_saved < r.chars_total or (s == 1 and r.chars_saved == 0)
+
+
+def test_containment_catches_subset_dup_jaccard_misses(spark):
+    """A short doc quoted wholesale inside a long one: containment of
+    the short side is 1000 permille while Jaccard stays under a 0.5
+    threshold — the asymmetric-duplication class the operator exists
+    for. Hand-computed on a 3-doc corpus."""
+    from db_writer_redshift_spark.operators.dedup import (
+        shingle_containment_pairs,
+        shingle_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon"  # 3 trigrams
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(1, short), (2, short + " " + filler), (3, "zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b): (r.c_in_a_permille, r.c_in_b_permille)
+        for r in shingle_containment_pairs(
+            docs, "doc_id", "text", n=3, threshold_permille=500
+        ).collect()
+    }
+    assert (1, 2) in got
+    assert got[(1, 2)][0] == 1000  # all 3 of doc 1's trigrams contained
+    assert got[(1, 2)][1] < 500    # doc 2 is mostly filler
+    # Jaccard at the same candidate set: 3 common / (3 + 39 - 3) well
+    # under 0.5 — resemblance dedup would keep the duplicate.
+    jac = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in shingle_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.01
+        ).collect()
+    }
+    assert jac[(1, 2)] < 0.5

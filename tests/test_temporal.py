@@ -230,3 +230,20 @@ def test_asof_join_tolerance_nulls_far_matches(spark):
         ).collect()
     }
     assert got2 == {1: 7, 2: 8, 3: None}
+
+
+def test_json_props_rollup_totals(spark):
+    """Extraction is total: per-decile event counts sum to the table
+    count (every props payload parses), deciles partition [0, 9], and
+    k_min/k_max sit inside their decile bounds."""
+    import os
+
+    import __spark_entry__ as entry_mod
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    rows = entry_mod.queries()["events_json_props_rollup"](spark, sf).collect()
+    n = spark.read.parquet(f"{sf}/events.parquet").count()
+    assert sum(r.n_events for r in rows) == n
+    for r in rows:
+        assert 0 <= r.k_decile <= 9
+        assert r.k_decile * 10 <= r.k_min <= r.k_max < (r.k_decile + 1) * 10
