@@ -1294,3 +1294,122 @@ def events_json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").cast("long").alias("k_sum"),
         F.sum("value_c").cast("long").alias("value_cents"),
     )
+
+
+@register(
+    "events_funnel_three_step",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+),
+s1 AS (
+  SELECT user_id, MIN(t) AS t1 FROM ev WHERE event_type = 'view'
+  GROUP BY user_id
+),
+s2 AS (
+  SELECT s1.user_id, s1.t1, MIN(e.t) AS t2
+  FROM s1 JOIN ev e ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.t > s1.t1 AND e.t <= s1.t1 + 86400000000
+  GROUP BY s1.user_id, s1.t1
+),
+s3 AS (
+  SELECT s2.user_id, s2.t1, s2.t2, MIN(e.t) AS t3
+  FROM s2 JOIN ev e ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.t > s2.t2 AND e.t <= s2.t2 + 86400000000
+  GROUP BY s2.user_id, s2.t1, s2.t2
+),
+staged AS (
+  SELECT s1.user_id,
+         CASE WHEN s3.user_id IS NOT NULL THEN 3
+              WHEN s2.user_id IS NOT NULL THEN 2
+              ELSE 1 END AS stage_n,
+         s2.t2 - s1.t1 AS lat12,
+         s3.t3 - s2.t2 AS lat23
+  FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+          LEFT JOIN s3 ON s1.user_id = s3.user_id
+)
+SELECT CASE stage_n WHEN 1 THEN 'viewed_only' WHEN 2 THEN 'clicked'
+            ELSE 'purchased' END AS stage,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(COALESCE(SUM(lat12), 0) AS BIGINT) AS sum_view_to_click_us,
+       CAST(COALESCE(SUM(lat23), 0) AS BIGINT) AS sum_click_to_purchase_us
+FROM staged
+GROUP BY stage_n
+""",
+)
+def events_funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential three-step funnel with per-step timeouts (the
+    Mixpanel/Amplitude funnel semantics): first view, then the FIRST
+    click within 24 hours of it, then the FIRST purchase within 24
+    hours of that click (the fixture's per-user event cadence is hours
+    apart, so day-scale windows keep every stage populated at every
+    SF — the vacuity rule). Users bucket by the deepest stage reached;
+    step latencies sum exactly in integer microseconds. Strict
+    sequencing (each anchor is the MIN qualifying timestamp after the
+    previous anchor) — an out-of-order purchase does not convert.
+
+    Scale: each step collapses to ONE row per user via a MIN aggregate
+    BEFORE the next user-keyed equi-join (the time predicate rides the
+    join, never a nested-loop range join), so the funnel is two
+    broadcast-sized joins on the click/purchase streams plus map-side-
+    combined aggregates — per-user state never exceeds three BIGINTs.
+    Deterministic: MIN anchors, integer micros, no floats."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("t"),
+    )
+    day = 86_400_000_000
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t1"))
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("t").alias("ct")
+    )
+    s2 = (
+        s1.join(
+            clicks,
+            (F.col("user_id") == F.col("cu"))
+            & (F.col("ct") > F.col("t1"))
+            & (F.col("ct") <= F.col("t1") + day),
+        )
+        .groupBy("user_id", "t1")
+        .agg(F.min("ct").alias("t2"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("t").alias("pt")
+    )
+    s3 = (
+        s2.join(
+            purchases,
+            (F.col("user_id") == F.col("pu"))
+            & (F.col("pt") > F.col("t2"))
+            & (F.col("pt") <= F.col("t2") + day),
+        )
+        .groupBy("user_id", "t2")
+        .agg(F.min("pt").alias("t3"))
+    )
+    staged = (
+        s1.join(s2.select("user_id", "t2"), "user_id", "left")
+        .join(s3.select("user_id", "t3"), "user_id", "left")
+        .select(
+            F.when(F.col("t3").isNotNull(), 3)
+            .when(F.col("t2").isNotNull(), 2)
+            .otherwise(1)
+            .alias("stage_n"),
+            (F.col("t2") - F.col("t1")).alias("lat12"),
+            (F.col("t3") - F.col("t2")).alias("lat23"),
+        )
+    )
+    return staged.groupBy(
+        F.expr(
+            "CASE stage_n WHEN 1 THEN 'viewed_only' WHEN 2 THEN 'clicked'"
+            " ELSE 'purchased' END"
+        ).alias("stage")
+    ).agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.coalesce(F.sum("lat12"), F.lit(0)).cast("long").alias("sum_view_to_click_us"),
+        F.coalesce(F.sum("lat23"), F.lit(0)).cast("long").alias("sum_click_to_purchase_us"),
+    )

