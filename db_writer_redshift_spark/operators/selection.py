@@ -135,3 +135,80 @@ def pareto_frontier(
             F.row_number().over(rank_w).cast("long").alias("frontier_rank"),
         )
     )
+
+
+def quantiles_disc_multi(df: DataFrame, col: str, qs: list[float]) -> list[int]:
+    """Exact discrete quantiles for MANY ``q`` values in shared passes.
+
+    Running ``quantile_disc`` per quantile rescans the table ~3 times
+    per target; for an equi-depth histogram's 9 boundaries that is ~27
+    scan-and-agg jobs. This variant advances ALL targets per round with
+    ONE aggregate: every unresolved quantile tracks its own candidate
+    range, ranges are identical-or-disjoint by construction (each is a
+    bucket path of the same initial partition), so one scan groups rows
+    by (range_index, bucket) and the driver narrows every target from
+    the same B×|ranges|-row histogram. Rounds ~ log_B(span) as before,
+    total jobs ~ rounds + 2, independent of |qs|.
+
+    Semantics per target are identical to ``quantile_disc`` (DuckDB
+    ``quantile_disc``: k = ceil(q·n), unique k-th smallest of the
+    integer multiset), so results are bit-equal to the one-at-a-time
+    form — asserted in tests.
+    """
+    import math
+
+    for q in qs:
+        if not (0.0 < q <= 1.0):
+            raise ValueError(f"q must be in (0, 1], got {q}")
+    n = df.filter(F.col(col).isNotNull())
+    total = n.count()
+    if total == 0:
+        raise ValueError("quantiles_disc_multi: no non-null rows")
+    bounds = n.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).collect()[0]
+    glo, ghi = int(bounds.lo), int(bounds.hi)
+    # state per target: [lo, hi, k] with k relative to rows >= lo in range
+    state = [[glo, ghi, max(1, math.ceil(q * total - 1e-9))] for q in qs]
+
+    while True:
+        unresolved = [i for i, (lo, hi, _) in enumerate(state) if lo < hi]
+        if not unresolved:
+            break
+        # identical-or-disjoint ranges — dedupe
+        ranges = sorted({(state[i][0], state[i][1]) for i in unresolved})
+        widths = {r: max(1, -(-(r[1] - r[0] + 1) // _BUCKETS)) for r in ranges}
+        # one aggregate: (range_idx, bucket) -> count
+        ridx = None
+        for j, (lo, hi) in enumerate(ranges):
+            cond = (F.col(col) >= lo) & (F.col(col) <= hi)
+            ridx = F.when(cond, j) if ridx is None else ridx.when(cond, j)
+        bexpr = None
+        for j, r in enumerate(ranges):
+            b = ((F.col(col) - r[0]) / widths[r]).cast("long")
+            bexpr = F.when(ridx == j, b) if bexpr is None else bexpr.when(ridx == j, b)
+        hist = (
+            n.filter(ridx.isNotNull())
+            .groupBy(ridx.alias("r"), bexpr.alias("b"))
+            .agg(F.count("*").alias("c"))
+            .collect()
+        )
+        counts: dict[int, dict[int, int]] = {}
+        for row in hist:
+            counts.setdefault(int(row.r), {})[int(row.b)] = int(row.c)
+        for i in unresolved:
+            lo, hi, k = state[i]
+            j = ranges.index((lo, hi))
+            width = widths[(lo, hi)]
+            running = 0
+            for b in sorted(counts.get(j, {})):
+                c = counts[j][b]
+                if running + c >= k:
+                    state[i] = [
+                        lo + b * width,
+                        min(hi, lo + (b + 1) * width - 1),
+                        k - running,
+                    ]
+                    break
+                running += c
+            else:  # pragma: no cover — k validated against total
+                raise AssertionError("histogram lost the target rank")
+    return [lo for lo, _, _ in state]

@@ -81,3 +81,34 @@ def test_pareto_frontier_dominance_and_ties(spark):
     ranks = {k: v.frontier_rank for k, v in out.items()}
     assert ranks[("a", 9)] == 1 and ranks[("a", 5)] == 2 and ranks[("a", 2)] == 3
     assert ranks[("b", 1)] == 1
+
+
+def test_quantiles_disc_multi_matches_single_probes(spark):
+    """The shared-round multi-quantile quickselect is bit-equal to the
+    one-at-a-time quantile_disc for every target, including duplicate
+    and extreme quantiles."""
+    from db_writer_redshift_spark.operators.selection import (
+        quantile_disc,
+        quantiles_disc_multi,
+    )
+
+    df = spark.createDataFrame(
+        [(v,) for v in [5, 1, 9, 9, 3, 7, 2, 8, 1000000, -4, 0, 9]], "v long"
+    )
+    qs = [0.1, 0.25, 0.5, 0.5, 0.75, 0.9, 1.0]
+    assert quantiles_disc_multi(df, "v", qs) == [
+        quantile_disc(df, "v", q) for q in qs
+    ]
+
+
+def test_quantiles_disc_multi_validates_inputs(spark):
+    import pytest
+
+    from db_writer_redshift_spark.operators.selection import quantiles_disc_multi
+
+    df = spark.createDataFrame([(1,)], "v long")
+    with pytest.raises(ValueError):
+        quantiles_disc_multi(df, "v", [0.0])
+    empty = spark.createDataFrame([], "v long")
+    with pytest.raises(ValueError):
+        quantiles_disc_multi(empty, "v", [0.5])
