@@ -164,10 +164,26 @@ def quantiles_disc_multi(df: DataFrame, col: str, qs: list[float]) -> list[int]:
     total = n.count()
     if total == 0:
         raise ValueError("quantiles_disc_multi: no non-null rows")
+    ks = [max(1, math.ceil(q * total - 1e-9)) for q in qs]
+    return kths_smallest_multi(df, col, ks, _total=total)
+
+
+def kths_smallest_multi(
+    df: DataFrame, col: str, ks: list[int], _total: int | None = None
+) -> list[int]:
+    """Exact k-th smallest for MANY ranks in the same shared rounds as
+    ``quantiles_disc_multi`` (which delegates here after mapping each
+    quantile to its rank). Accepts arbitrary 1-based ranks — e.g. the
+    adjacent order statistics an interpolated quantile needs."""
+    n = df.filter(F.col(col).isNotNull())
+    total = _total if _total is not None else n.count()
+    for k in ks:
+        if not (1 <= k <= total):
+            raise ValueError(f"k={k} out of range for {total} non-null rows")
     bounds = n.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).collect()[0]
     glo, ghi = int(bounds.lo), int(bounds.hi)
     # state per target: [lo, hi, k] with k relative to rows >= lo in range
-    state = [[glo, ghi, max(1, math.ceil(q * total - 1e-9))] for q in qs]
+    state = [[glo, ghi, k] for k in ks]
 
     while True:
         unresolved = [i for i, (lo, hi, _) in enumerate(state) if lo < hi]

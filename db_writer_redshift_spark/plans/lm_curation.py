@@ -2378,3 +2378,91 @@ def mix_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div z_round AS BIGINT)"
         ).alias("weight_ppm"),
     )
+
+
+_MINK_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+),
+tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+vocab AS (SELECT token, COUNT(*) AS cnt FROM tok2 GROUP BY token),
+total AS (SELECT COUNT(*) AS n_total FROM tok2),
+scored AS (
+  SELECT t.doc_id,
+         CAST(CAST(ROUND(LN(CAST(v.cnt AS DOUBLE) / n_total), 6)
+                   AS DECIMAL(18,6)) * -1000000 AS BIGINT) AS nll_e6
+  FROM tok2 t JOIN vocab v ON t.token = v.token CROSS JOIN total
+),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         list_sort(list(nll_e6), 'DESC') AS nlls
+  FROM scored GROUP BY doc_id
+),
+mink AS (
+  SELECT doc_id, n_tokens,
+         GREATEST(1, n_tokens // 5) AS k,
+         CAST(list_sum(nlls[1:GREATEST(1, n_tokens // 5)]) AS BIGINT)
+           AS sum_top_nll_e6
+  FROM per_doc
+)
+SELECT doc_id, n_tokens, k,
+       sum_top_nll_e6 // k AS mink_avg_nll_e6
+FROM mink
+"""
+
+
+@register("decontam_min_k_prob", oracle=_MINK_ORACLE)
+def decontam_min_k_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-K% Prob membership/contamination score (Shi et al.,
+    "Detecting Pretraining Data from Large Language Models", ICLR 2024):
+    a document's score is the mean log-probability of its k% LEAST
+    likely tokens — memorized or previously-seen text has no
+    high-surprisal outlier tokens, so a LOW min-k% surprisal flags
+    suspected training-set membership. The deployed detector runs a
+    real LM; this pipeline-side twin uses the corpus's own unigram LM
+    (the ccnet/doremi scoring chain), which preserves the selection
+    semantics — per-token surprisal, per-doc bottom-k% mean — as an
+    exact-integer relation (k = max(1, n/5), the paper's k=20%).
+
+    Portability: per-token lp rounds to 6 decimals, converts through
+    DECIMAL(18,6), and negate-scales to a positive nll_e6 BIGINT (the
+    decimal hop makes the e6 integer exact — a raw double*1e6 cast
+    truncates on Spark but rounds on DuckDB at a boundary ulp); the per-doc bottom-k% selection is a
+    ROW-LOCAL descending array sort + prefix slice (no window, no
+    second shuffle); the mean is a positive-BIGINT floor division —
+    never a negative div (Spark truncates toward zero while DuckDB
+    floors, the known cross-engine trap).
+
+    Scale: vocabulary + token total broadcast; one doc_id-keyed
+    aggregate collects each doc's nll list (bounded by document length,
+    the same envelope as chunking); sort/slice/sum are row-local."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    vocab = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = tok.agg(F.count("*").alias("n_total"))
+    nll = F.expr(
+        "CAST(CAST(ROUND(LN(CAST(cnt AS DOUBLE) / n_total), 6)"
+        " AS DECIMAL(18,6)) * -1000000 AS BIGINT)"
+    ).alias("nll_e6")
+    per_doc = (
+        tok.join(F.broadcast(vocab), "token")
+        .join(F.broadcast(total))
+        .select("doc_id", nll)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sort_array(F.collect_list("nll_e6"), asc=False).alias("nlls"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        F.expr("GREATEST(1L, n_tokens div 5)").alias("k"),
+        F.expr(
+            "CAST(aggregate(slice(nlls, 1, CAST(GREATEST(1L, n_tokens div 5) AS INT)),"
+            " 0L, (a, x) -> a + x) AS BIGINT)"
+            " div GREATEST(1L, n_tokens div 5)"
+        ).alias("mink_avg_nll_e6"),
+    )

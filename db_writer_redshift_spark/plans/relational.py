@@ -2550,3 +2550,78 @@ def hist_equidepth_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         o.unpersist(blocking=False)
+
+
+@register(
+    "quantiles_cont_order_price",
+    oracle="""
+WITH q AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+o AS (
+  SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn,
+         COUNT(*) OVER () AS n
+  FROM q
+),
+p AS (SELECT UNNEST([50, 90, 99]) AS pct),
+anchor AS (
+  SELECT pct,
+         (pct * (n - 1)) // 100 + 1 AS rn_lo,
+         (pct * (n - 1)) % 100 AS rem
+  FROM p CROSS JOIN (SELECT DISTINCT n FROM o) t
+),
+vals AS (
+  SELECT a.pct, a.rem,
+         MAX(CASE WHEN o.rn = a.rn_lo THEN o.cents END) AS v_lo,
+         MAX(CASE WHEN o.rn = a.rn_lo + 1 THEN o.cents END) AS v_hi
+  FROM anchor a JOIN o ON o.rn IN (a.rn_lo, a.rn_lo + 1)
+  GROUP BY a.pct, a.rem
+)
+SELECT CAST(pct AS BIGINT) AS pct,
+       CAST(v_lo AS BIGINT) AS v_lo_cents,
+       CAST(COALESCE(v_hi, v_lo) AS BIGINT) AS v_hi_cents,
+       CAST(100 * v_lo + rem * (COALESCE(v_hi, v_lo) - v_lo) AS BIGINT)
+         AS interp_cents_e2
+FROM vals
+""",
+)
+def quantiles_cont_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERPOLATED (continuous) quantiles as exact integers — the SQL
+    percentile_cont/quantile_cont semantics without its float result:
+    position pos = p*(n-1)/100 splits into an integer anchor rank and a
+    rational fraction rem/100, the two adjacent order statistics come
+    from SHARED distributed-quickselect rounds
+    (selection.kths_smallest_multi — all six ranks for p50/p90/p99
+    resolve together, no sort), and the interpolated value ships scaled
+    by 100: interp_e2 = 100*v_lo + rem*(v_hi - v_lo), an exact BIGINT
+    both engines compute identically (the float form differs in the
+    last ulp between engines — this is percentile_cont made
+    value-hashable).
+
+    Scale: same as hist_equidepth — per round one 256-bucket histogram
+    exchange over the shrinking candidate ranges; no global sort ever
+    (the oracle's ROW_NUMBER is oracle-side only)."""
+    from db_writer_redshift_spark.operators.selection import kths_smallest_multi
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    o = o.persist()
+    try:
+        n = o.count()
+        pcts = [50, 90, 99]
+        anchors = [(p, (p * (n - 1)) // 100 + 1, (p * (n - 1)) % 100) for p in pcts]
+        ks: list[int] = []
+        for _, rn_lo, rem in anchors:
+            ks.append(rn_lo)
+            ks.append(min(n, rn_lo + 1) if rem else rn_lo)
+        vals = kths_smallest_multi(o, "cents", ks)
+        rows = []
+        for i, (p, _, rem) in enumerate(anchors):
+            v_lo, v_hi = vals[2 * i], vals[2 * i + 1]
+            rows.append((p, v_lo, v_hi, 100 * v_lo + rem * (v_hi - v_lo)))
+        return spark.createDataFrame(
+            rows,
+            schema="pct bigint, v_lo_cents bigint, v_hi_cents bigint,"
+            " interp_cents_e2 bigint",
+        )
+    finally:
+        o.unpersist(blocking=False)

@@ -112,3 +112,40 @@ def test_quantiles_disc_multi_validates_inputs(spark):
     empty = spark.createDataFrame([], "v long")
     with pytest.raises(ValueError):
         quantiles_disc_multi(empty, "v", [0.5])
+
+
+def test_kths_smallest_multi_adjacent_ranks(spark):
+    """Adjacent order statistics (the percentile_cont anchors) resolve
+    correctly in one shared pass, including duplicate ranks and the
+    max rank."""
+    from db_writer_redshift_spark.operators.selection import (
+        kth_smallest,
+        kths_smallest_multi,
+    )
+
+    vals = [5, 1, 9, 9, 3, 7, 2, 8, 0, 4]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    ks = [1, 2, 5, 6, 6, 10]
+    assert kths_smallest_multi(df, "v", ks) == [
+        kth_smallest(df, "v", k) for k in ks
+    ]
+
+
+def test_quantiles_cont_interpolation_identity(spark):
+    """interp_cents_e2 == 100*v_lo + rem*(v_hi - v_lo) with rem from the
+    percentile position, and v_lo <= interp/100 <= v_hi; p50 of an even
+    count sits strictly between distinct middle values."""
+    import os
+
+    import __spark_entry__ as entry_mod
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    rows = entry_mod.queries()["quantiles_cont_order_price"](spark, sf).collect()
+    n = spark.read.parquet(f"{sf}/orders.parquet").count()
+    assert {r.pct for r in rows} == {50, 90, 99}
+    for r in rows:
+        rem = (r.pct * (n - 1)) % 100
+        assert r.interp_cents_e2 == 100 * r.v_lo_cents + rem * (
+            r.v_hi_cents - r.v_lo_cents
+        )
+        assert 100 * r.v_lo_cents <= r.interp_cents_e2 <= 100 * r.v_hi_cents
