@@ -4515,3 +4515,103 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold_permille=500,
         max_doc_freq=100,
     )
+
+
+@register(
+    "drift_tv_source_matrix",
+    oracle="""
+WITH tok AS (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS token FROM documents
+),
+tok2 AS (SELECT source, token FROM tok WHERE token <> ''),
+st AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+       FROM tok2 GROUP BY source, token),
+n AS (SELECT source, CAST(SUM(c) AS BIGINT) AS nt FROM st GROUP BY source),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared_tokens,
+         SUM(LEAST(a.c::HUGEINT * nb.nt, b.c::HUGEINT * na.nt)) AS min_mass
+  FROM st a
+  JOIN st b ON a.token = b.token AND a.source < b.source
+  JOIN n na ON na.source = a.source
+  JOIN n nb ON nb.source = b.source
+  GROUP BY a.source, b.source
+)
+SELECT source_a, source_b, n_shared_tokens,
+       CAST(1000000 - (1000000::HUGEINT * p.min_mass)
+            // (na.nt::HUGEINT * nb.nt) AS BIGINT) AS tv_ppm
+FROM pairs p
+JOIN n na ON na.source = p.source_a
+JOIN n nb ON nb.source = p.source_b
+""",
+)
+def drift_tv_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise TOTAL-VARIATION distance between every two sources'
+    unigram distributions — the distribution-shift MATRIX beside the
+    family's per-source gates (chi-square location, KS shape,
+    Mann-Whitney AUC): which source pairs are interchangeable and which
+    inject genuinely different text, the input a mixture designer reads
+    before merging or reweighting pools.
+
+    Exact by the min-mass identity: TV(p, q) = 1 - Σ_t min(p_t, q_t),
+    which needs only tokens PRESENT IN BOTH sources (min = 0
+    otherwise) — so the pairwise join runs over the matched vocabulary
+    and no full-outer union of per-source vocabularies ever forms. The
+    fraction min(p, q) = min(c_a * N_b, c_b * N_a) / (N_a * N_b)
+    cross-multiplies to integers; the mass sum runs in
+    DECIMAL(38,0)/HUGEINT (c * N can pass 2^63 at corpus scale) and
+    only the final ppm quotient casts back to BIGINT. No logs — the
+    KL/JS alternatives need per-term transcendentals, the known
+    cross-engine flap class; TV is the exact-arithmetic member.
+
+    Scale: one (source, token) count (map-side combined); the self-join
+    is token-keyed with per-token fan-out bounded by C(|sources|, 2);
+    per-source totals broadcast. Output is |sources| choose 2 rows."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    st = tok.groupBy("source", "token").agg(F.count("*").cast("long").alias("c"))
+    n = st.groupBy("source").agg(F.sum("c").cast("long").alias("nt"))
+    a = st.alias("a")
+    b = st.alias("b")
+    na = n.select(F.col("source").alias("source_a"), F.col("nt").alias("na_t"))
+    nb = n.select(F.col("source").alias("source_b"), F.col("nt").alias("nb_t"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            F.col("a.c").alias("ca"),
+            F.col("b.c").alias("cb"),
+        )
+        .join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").cast("long").alias("n_shared_tokens"),
+            F.sum(
+                F.expr(
+                    "least(CAST(ca AS DECIMAL(38,0)) * nb_t,"
+                    " CAST(cb AS DECIMAL(38,0)) * na_t)"
+                )
+            ).alias("min_mass"),
+        )
+    )
+    return (
+        pairs.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared_tokens",
+            F.expr(
+                "CAST(1000000 - (CAST(1000000 AS DECIMAL(38,0)) * min_mass)"
+                " div (CAST(na_t AS DECIMAL(38,0)) * nb_t) AS BIGINT)"
+            ).alias("tv_ppm"),
+        )
+    )

@@ -448,3 +448,50 @@ class TestDoremiWeights:
                  for rnd, rs in by_round.items()}
         assert (best[1].weight_ppm >= best[2].weight_ppm >= best[3].weight_ppm)
         assert (worst[1].weight_ppm <= worst[2].weight_ppm <= worst[3].weight_ppm)
+
+
+class TestTVSourceMatrix:
+    def test_matches_bruteforce_and_bounds(self, spark):
+        """TV via the min-mass identity must equal the brute-force
+        0.5 * sum |p - q| over the FULL vocabulary union (unmatched
+        tokens included), floor-scaled to ppm; all 190 pairs in
+        [0, 1e6]; metric sanity: tv(a,b) respects the triangle
+        inequality against a third source within 2 floor-ulps."""
+        from fractions import Fraction
+
+        import duckdb
+
+        rows = _run(spark, "drift_tv_source_matrix").collect()
+        assert len(rows) == 190
+        for r in rows:
+            assert 0 <= r.tv_ppm <= 1000000
+        counts = duckdb.sql(
+            f"""SELECT source, token, COUNT(*) c FROM (
+                 SELECT source, unnest(string_split(lower(text),' ')) token
+                 FROM '{SF_DIR}/documents.parquet') WHERE token <> ''
+               GROUP BY source, token"""
+        ).fetchall()
+        dist: dict[str, dict[str, int]] = {}
+        for s, t, c in counts:
+            dist.setdefault(s, {})[t] = int(c)
+        tot = {s: sum(d.values()) for s, d in dist.items()}
+
+        def tv_ppm(sa, sb):
+            pa, pb = dist[sa], dist[sb]
+            acc = Fraction(0)
+            for t in set(pa) | set(pb):
+                acc += abs(
+                    Fraction(pa.get(t, 0), tot[sa]) - Fraction(pb.get(t, 0), tot[sb])
+                )
+            # engine: 1e6 - floor(1e6 * sum_min); brute: tv = acc/2
+            return 1000000 - (1000000 * (1 - acc / 2)).__floor__()
+
+        got = {(r.source_a, r.source_b): r.tv_ppm for r in rows}
+        for (sa, sb), v in list(got.items())[:8]:
+            assert v == tv_ppm(sa, sb), (sa, sb)
+        # triangle inequality spot-check on the first triple
+        (a, b) = next(iter(got))
+        third = next(s for s in dist if s not in (a, b))
+        def g(x, y):
+            return got[(min(x, y), max(x, y))]
+        assert g(a, b) <= g(a, third) + g(third, b) + 2
