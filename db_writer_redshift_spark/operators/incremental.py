@@ -144,3 +144,54 @@ def incremental_join_upsert(
         .select(*mv.columns)
     )
     return kept.unionByName(recomputed)
+
+
+# ---------------------------------------------------------------------------
+# Retraction-capable aggregate maintenance (Z-set multiplicities)
+# ---------------------------------------------------------------------------
+
+
+def apply_retraction_delta(
+    summary: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    mult_col: str,
+    sums: dict[str, str],
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Maintain a (count, sums...) aggregate view under a delta stream
+    carrying INSERTS AND DELETES as signed multiplicities — the Z-set /
+    DBSP convention (Budiu et al., "DBSP: automatic incremental view
+    maintenance", VLDB 2023; differential dataflow's linear-operator
+    rule): each delta row contributes ``mult`` (+1 insert, -1 delete,
+    ±k batched) to its group's count and ``mult * value`` to each sum.
+    Groups whose maintained count reaches zero DROP from the view, so
+    a fully-retracted group leaves no tombstone.
+
+    COUNT and SUM are group homomorphisms — retraction is exact
+    subtraction (keep sums in DECIMAL so the incremental and
+    from-scratch paths are bit-equal). MIN/MAX are NOT invertible: a
+    delete can expose an unknown second-best, so views carrying them
+    must rebuild affected groups from the base table (the standard IVM
+    split; see incremental_join_upsert's affected-key rebuild for the
+    pattern).
+
+    ``sums`` maps output column -> delta value column. Plan: one
+    map-side-combined aggregate over the delta keyed on ``keys``, one
+    union + re-aggregate with the summary (merge_agg_state's shape) —
+    refresh cost ∝ |delta| + |summary|, never the base."""
+    aggs = [
+        F.sum(F.col(mult_col)).cast("long").alias(count_col),
+        *[
+            F.sum(F.col(src) * F.col(mult_col)).alias(out)
+            for out, src in sums.items()
+        ],
+    ]
+    delta_state = delta.groupBy(*keys).agg(*aggs)
+    cols = list(keys) + [count_col, *sums]
+    merged = summary.select(*cols).unionByName(delta_state.select(*cols))
+    out = merged.groupBy(*keys).agg(
+        F.sum(count_col).cast("long").alias(count_col),
+        *[F.sum(out_c).alias(out_c) for out_c in sums],
+    )
+    return out.filter(F.col(count_col) > 0)

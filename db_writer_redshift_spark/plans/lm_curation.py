@@ -2466,3 +2466,94 @@ def decontam_min_k_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div GREATEST(1L, n_tokens div 5)"
         ).alias("mink_avg_nll_e6"),
     )
+
+
+_LIFT_ORACLE = f"""
+WITH {_DUCK_BIGRAMS},
+big AS (
+  SELECT string_split(bigram, ' ')[1] AS w1,
+         string_split(bigram, ' ')[2] AS w2,
+         CAST(COUNT(*) AS BIGINT) AS c12
+  FROM grams GROUP BY 1, 2
+),
+nb AS (SELECT CAST(SUM(c12) AS BIGINT) AS n_big FROM big),
+tok AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+),
+uni AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok WHERE token <> '' GROUP BY token),
+nu AS (SELECT CAST(SUM(c) AS BIGINT) AS n_uni FROM uni)
+SELECT w1, w2, c12, u1.c AS c_w1, u2.c AS c_w2,
+       CAST((c12::HUGEINT * n_uni * n_uni * 1000)
+            // (n_big::HUGEINT * u1.c * u2.c) AS BIGINT) AS lift_e3
+FROM big
+JOIN uni u1 ON u1.token = w1
+JOIN uni u2 ON u2.token = w2
+CROSS JOIN nb CROSS JOIN nu
+WHERE c12 >= 5
+ORDER BY lift_e3 DESC, w1, w2
+LIMIT 50
+"""
+
+
+@register("vocab_collocations_lift", oracle=_LIFT_ORACLE)
+def vocab_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by association LIFT — the pointwise-mutual-
+    information criterion of Church & Hanks (1990) with the log dropped
+    (log is monotone, so ranking by lift ranks by PMI) and a min-count
+    floor of 5 (their sample-size guard): which adjacent word pairs
+    co-occur far above the independence baseline, the phrase-discovery
+    primitive behind tokenizer phrase merges and index phrase terms.
+    Complements vocab_topk_bigrams (raw frequency ranks glue phrases;
+    lift ranks ASSOCIATED phrases).
+
+    Exact integers: lift = p(xy) / (p(x)p(y)) cross-multiplies to
+    c12 * Nu^2 * 1000 / (Nb * c_x * c_y), evaluated in
+    DECIMAL(38,0)/HUGEINT (Nu^2 alone passes int64 at ~3e9 tokens) with
+    only the e3 quotient cast back — the kneser-ney overflow
+    discipline. Ranking is total-ordered (lift_e3, w1, w2).
+
+    Scale: one bigram-keyed count + one token-keyed count (both
+    map-side combined); unigram lookups join the bounded vocabulary;
+    1-row totals broadcast; 50-row TakeOrdered."""
+    d = load_table(spark, sf_dir, "documents")
+    big = (
+        _bigrams(d)
+        .select(
+            F.split(F.col("bigram"), " ").getItem(0).alias("w1"),
+            F.split(F.col("bigram"), " ").getItem(1).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c12"))
+        .filter(F.col("c12") >= 5)
+    )
+    nb = (
+        _bigrams(d)
+        .agg(F.count("*").cast("long").alias("n_big"))
+    )
+    tok = d.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    uni = tok.groupBy("token").agg(F.count("*").cast("long").alias("c"))
+    nu = uni.agg(F.sum("c").cast("long").alias("n_uni"))
+    u1 = uni.select(F.col("token").alias("w1"), F.col("c").alias("c_w1"))
+    u2 = uni.select(F.col("token").alias("w2"), F.col("c").alias("c_w2"))
+    return (
+        big.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c_w1",
+            "c_w2",
+            F.expr(
+                "CAST((CAST(c12 AS DECIMAL(38,0)) * n_uni * n_uni * 1000)"
+                " div (CAST(n_big AS DECIMAL(38,0)) * c_w1 * c_w2) AS BIGINT)"
+            ).alias("lift_e3"),
+        )
+        .orderBy(F.col("lift_e3").desc(), "w1", "w2")
+        .limit(50)
+    )

@@ -2625,3 +2625,72 @@ def quantiles_cont_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         o.unpersist(blocking=False)
+
+
+@register(
+    "incremental_agg_retractions",
+    oracle="""
+SELECT EXTRACT(YEAR FROM o_orderdate) AS order_year,
+       o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4)
+         AS total_price
+FROM orders
+WHERE NOT (EXTRACT(YEAR FROM o_orderdate) < 1997 AND o_orderkey % 10 = 0)
+GROUP BY EXTRACT(YEAR FROM o_orderdate), o_orderpriority
+""",
+)
+def incremental_agg_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-view maintenance under DELETES as well as inserts —
+    Z-set signed multiplicities (DBSP, Budiu et al. VLDB 2023;
+    operators/incremental.apply_retraction_delta): the (year, priority)
+    summary bootstraps from pre-1997 history, then ONE delta applies
+    +1 rows for 1997+ inserts and -1 rows retracting every pre-1997
+    order with o_orderkey % 10 == 0 (a CDC delete batch). The oracle is
+    the from-scratch aggregate over the final logical set — incremental
+    and from-scratch paths must be bit-equal, which the DECIMAL sum
+    state guarantees (double sums would differ by accumulation order).
+    Fully-retracted groups drop with no tombstone.
+
+    Scale: refresh cost ∝ |delta| + |summary| — history is never
+    re-scanned; every stage is a map-side-combined hash aggregate.
+    COUNT/SUM retract exactly (group homomorphisms); MIN/MAX would need
+    the affected-group rebuild documented on the operator."""
+    from db_writer_redshift_spark.operators.incremental import (
+        apply_retraction_delta,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"),
+        F.year("o_orderdate").alias("order_year"),
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,4)").alias("price_dec"),
+    )
+    base = o.filter(F.col("order_year") < 1997)
+    summary = base.groupBy("order_year", "o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("price_dec").alias("total_dec"),
+    )
+    inserts = o.filter(F.col("order_year") >= 1997).withColumn(
+        "mult", F.lit(1).cast("long")
+    )
+    deletes = base.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "mult", F.lit(-1).cast("long")
+    )
+    delta = inserts.unionByName(deletes).select(
+        "order_year", "o_orderpriority", "price_dec", "mult"
+    )
+    refreshed = apply_retraction_delta(
+        summary,
+        delta,
+        keys=["order_year", "o_orderpriority"],
+        mult_col="mult",
+        sums={"total_dec": "price_dec"},
+        count_col="n_rows",
+    )
+    return refreshed.select(
+        "order_year",
+        "o_orderpriority",
+        F.col("n_rows").alias("n_orders"),
+        F.round(F.col("total_dec").cast("double"), 4).alias("total_price"),
+    )

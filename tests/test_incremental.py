@@ -135,3 +135,45 @@ def test_join_upsert_handles_deleted_keys(spark):
     affected = spark.createDataFrame([(1,)], "k int")
     refreshed = incremental_join_upsert(mv, a_new, b, affected, ["k"])
     assert _join_canon(refreshed) == [(2, 20, 200)]
+
+
+def test_retraction_delta_equals_from_scratch_and_drops_empty_groups(spark):
+    """Z-set maintenance: random inserts and deletes applied as signed
+    multiplicities must equal the from-scratch aggregate over the final
+    logical set, and a fully-retracted group disappears (no tombstone,
+    no zero-count row)."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from db_writer_redshift_spark.operators.incremental import (
+        apply_retraction_delta,
+    )
+
+    base = spark.createDataFrame(
+        [("a", Decimal("1.50")), ("a", Decimal("2.25")), ("b", Decimal("10.00"))],
+        "g string, v decimal(18,4)",
+    )
+    summary = base.groupBy("g").agg(
+        F.count("*").cast("long").alias("n_rows"), F.sum("v").alias("sv")
+    )
+    delta = spark.createDataFrame(
+        [
+            ("a", Decimal("4.00"), 1),   # insert
+            ("a", Decimal("1.50"), -1),  # delete one of a's rows
+            ("b", Decimal("10.00"), -1),  # fully retract group b
+            ("c", Decimal("7.00"), 1),   # brand-new group
+        ],
+        "g string, v decimal(18,4), mult long",
+    )
+    got = {
+        r.g: (r.n_rows, r.sv)
+        for r in apply_retraction_delta(
+            summary, delta, keys=["g"], mult_col="mult", sums={"sv": "v"}
+        ).collect()
+    }
+    assert got == {
+        "a": (2, Decimal("6.2500")),
+        "c": (1, Decimal("7.0000")),
+    }
+    assert "b" not in got  # fully-retracted group leaves no tombstone

@@ -495,3 +495,37 @@ class TestTVSourceMatrix:
         def g(x, y):
             return got[(min(x, y), max(x, y))]
         assert g(a, b) <= g(a, third) + g(third, b) + 2
+
+
+class TestCollocationsLift:
+    def test_lift_identity_and_floor(self, spark):
+        """Every output row's lift_e3 must equal the exact integer
+        floor of c12 * Nu^2 * 1000 / (Nb * c_x * c_y) recomputed here
+        from raw counts, rows respect the min-count floor, and ranking
+        is by (lift desc, w1, w2)."""
+        import duckdb
+
+        rows = _run(spark, "vocab_collocations_lift").collect()
+        assert 0 < len(rows) <= 50
+        con = duckdb.sql(
+            f"""WITH t AS (SELECT unnest(string_split(lower(text),' ')) tok
+                 FROM '{SF_DIR}/documents.parquet')
+               SELECT tok, COUNT(*) FROM t WHERE tok <> '' GROUP BY tok"""
+        ).fetchall()
+        uni = {t: int(c) for t, c in con}
+        nu = sum(uni.values())
+        nb = duckdb.sql(
+            f"""SELECT COUNT(*) FROM (
+                 SELECT doc_id, string_split(lower(text),' ') w
+                 FROM '{SF_DIR}/documents.parquet') d,
+                 UNNEST(generate_series(1, len(w)-1)) t(i)
+               WHERE len(w) >= 2 AND w[i] <> '' AND w[i+1] <> ''"""
+        ).fetchone()[0]
+        for r in rows:
+            assert r.c12 >= 5
+            assert r.c_w1 == uni[r.w1] and r.c_w2 == uni[r.w2]
+            assert r.lift_e3 == (r.c12 * nu * nu * 1000) // (
+                nb * r.c_w1 * r.c_w2
+            )
+        keys = [(-r.lift_e3, r.w1, r.w2) for r in rows]
+        assert keys == sorted(keys)
