@@ -522,6 +522,71 @@ def incremental_agg_sink(
     )
 
 
+def cdc_retraction_agg_sink(
+    stream_df: DataFrame,
+    table_name: str,
+    keys: list[str],
+    mult_col: str,
+    sums: dict[str, str],
+    checkpoint_dir: str,
+    count_col: str = "n_rows",
+):
+    """Maintain a COUNT/SUM aggregate view over a CDC stream carrying
+    inserts AND deletes as signed multiplicities — the streaming face of
+    ``operators/incremental.apply_retraction_delta`` (Z-set/DBSP rule):
+    each micro-batch's +1/-1 rows merge into the managed summary table,
+    fully-retracted groups drop, and the summary IS the state (restart-
+    safe, queryable mid-stream, one row per live group). Late deletes
+    need no watermark: subtraction is exact whenever they arrive.
+
+    Same crash-safe staging discipline as incremental_agg_sink; replay
+    of an already-applied batch is NOT idempotent for multiplicities
+    (applying a delta twice double-counts), so the checkpoint's
+    exactly-once foreachBatch contract is the idempotency boundary —
+    documented here because the insert-only sinks tolerate replays that
+    this one must rely on the checkpoint to prevent."""
+    from db_writer_redshift_spark.operators.incremental import (
+        apply_retraction_delta,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        from db_writer_redshift_spark.operators import catalog
+        from pyspark.sql import functions as FF
+
+        spark = batch_df.sparkSession
+        if not catalog.table_exists(spark, table_name):
+            empty = (
+                batch_df.groupBy(*keys)
+                .agg(
+                    FF.sum(mult_col).cast("long").alias(count_col),
+                    *[
+                        FF.sum(FF.col(src) * FF.col(mult_col)).alias(out)
+                        for out, src in sums.items()
+                    ],
+                )
+                .filter(FF.col(count_col) > 0)
+            )
+            catalog.overwrite_table(empty, table_name)
+            return
+        summary = spark.table(table_name)
+        refreshed = apply_retraction_delta(
+            summary, batch_df, keys=keys, mult_col=mult_col, sums=sums,
+            count_col=count_col,
+        )
+        tmp = catalog.generate_tmp_name(table_name)
+        catalog.overwrite_table(refreshed, tmp)
+        try:
+            catalog.overwrite_table(spark.table(tmp), table_name)
+        finally:
+            catalog.drop_table(spark, tmp)
+
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+
+
 def near_dup_filter_sink(
     docs_stream: DataFrame,
     corpus_path: str,

@@ -636,3 +636,67 @@ def test_streaming_cusum_matches_integer_model(spark, events_dir, tmp_path):
     # drift really registers: user 200's 4.0-value click sits far above
     # the 1.5 click target
     assert latest[(200, "click")][1] > 0
+
+
+def test_cdc_retraction_agg_sink_applies_deletes(spark, tmp_path):
+    """Signed-multiplicity CDC stream: two micro-batches of +1/-1 rows
+    leave exactly the from-scratch view over the surviving logical set;
+    a fully-retracted group drops from the maintained table."""
+    from decimal import Decimal
+
+    from db_writer_redshift_spark.operators import catalog
+    from db_writer_redshift_spark.streaming.jobs import cdc_retraction_agg_sink
+
+    import glob
+    import shutil
+
+    raw = tmp_path / "cdc_raw"
+    src_dir = tmp_path / "cdc_src"
+    src_dir.mkdir()
+    batch1 = spark.createDataFrame(
+        [
+            ("a", Decimal("1.50"), 1),
+            ("a", Decimal("2.25"), 1),
+            ("b", Decimal("10.00"), 1),
+        ],
+        "g string, v decimal(18,4), mult long",
+    )
+    batch1.coalesce(1).write.parquet(str(raw / "b1"))
+    batch2 = spark.createDataFrame(
+        [
+            ("a", Decimal("1.50"), -1),   # delete
+            ("b", Decimal("10.00"), -1),  # full retraction of b
+            ("c", Decimal("7.00"), 1),    # new group
+        ],
+        "g string, v decimal(18,4), mult long",
+    )
+    batch2.coalesce(1).write.parquet(str(raw / "b2"))
+    # file source wants a flat dir of files, in arrival order
+    for i, f in enumerate(sorted(glob.glob(str(raw / "b*" / "*.parquet")))):
+        shutil.copy(f, src_dir / f"arrival_{i}.parquet")
+    stream = (
+        spark.readStream.schema("g string, v decimal(18,4), mult long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir))
+    )
+    try:
+        q = (
+            cdc_retraction_agg_sink(
+                stream,
+                "cdc_view",
+                keys=["g"],
+                mult_col="mult",
+                sums={"sv": "v"},
+                checkpoint_dir=str(tmp_path / "ck_cdc"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {r.g: (r.n_rows, r.sv) for r in spark.table("cdc_view").collect()}
+        assert got == {
+            "a": (1, Decimal("2.2500")),
+            "c": (1, Decimal("7.0000")),
+        }
+    finally:
+        catalog.drop_table(spark, "cdc_view")
