@@ -4615,3 +4615,109 @@ def drift_tv_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tv_ppm"),
         )
     )
+
+
+@register(
+    "dataset_datasheet_per_source",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, source, lang, text,
+         CAST(LENGTH(text) AS BIGINT) AS n_chars,
+         CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+              AS BIGINT) AS n_tokens,
+         md5(array_to_string(string_split(lower(text), ' ')[1:20], ' ')) AS fp
+  FROM documents
+),
+qb AS (
+  SELECT doc_id,
+         ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')), 6) AS a6,
+         ROUND(CAST(LENGTH(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / LENGTH(text), 6) AS p6,
+         ROUND(CAST(len(list_filter(string_split(LOWER(text), ' '), x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+               / len(string_split(text, ' ')), 6) AS s6
+  FROM documents
+),
+q AS (
+  SELECT doc_id,
+         CAST(ROUND((1.0 - LEAST(1.0, ABS(a6 - 5) / 5) * 0.3
+                         - LEAST(1.0, p6 * 10) * 0.3
+                         - LEAST(1.0, ABS(s6 - 0.4)) * 0.4) * 1000000) AS BIGINT) AS qe6
+  FROM qb
+),
+fam AS (
+  SELECT fp, COUNT(*) AS fam_size FROM base GROUP BY fp
+)
+SELECT b.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(b.n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(b.n_chars) AS BIGINT) AS n_chars,
+       CAST(COUNT(DISTINCT b.lang) AS BIGINT) AS n_langs,
+       CAST(SUM(q.qe6) // COUNT(*) AS BIGINT) AS mean_quality_e6,
+       CAST(SUM(CASE WHEN f.fam_size > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_in_dup_families,
+       CAST((1000 * SUM(CASE WHEN f.fam_size > 1 THEN 1 ELSE 0 END))
+            // COUNT(*) AS BIGINT) AS dup_permille
+FROM base b
+JOIN q USING (doc_id)
+JOIN fam f ON f.fp = b.fp
+GROUP BY b.source
+""",
+)
+def dataset_datasheet_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset DATASHEET — the data-card summary (Gebru et
+    al., "Datasheets for Datasets", CACM 2021, the reporting practice
+    behind Dolma/RedPajama dataset cards) as one exact relation: volume
+    (docs, tokens, chars), language spread, mean quality (e6 floor),
+    and duplicate exposure (members of >1-size 20-word-prefix families,
+    the dedup_savings_curve key). The single table a curation review
+    reads before signing off a source.
+
+    Every column is an exact integer: token counts via the empty-token-
+    filtered split, quality through the proven rounded-ratio composite,
+    dup membership by the md5 prefix family, means/permilles by
+    positive-BIGINT floor division.
+
+    Scale: one scan computes per-doc features; the fp-family size is
+    the dedup aggregate (uniform 128-bit key); the final rollup is one
+    map-side-combined aggregate to |sources| rows. COUNT(DISTINCT lang)
+    is exact but bounded — |langs| per source is a catalog-sized set."""
+    from db_writer_redshift_spark.operators.text import quality_score_e6
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col("text")), " "), lambda x: x != ""
+            )
+        )
+        .cast("long")
+        .alias("n_tokens"),
+        F.md5(
+            F.concat_ws(" ", F.slice(F.split(F.lower(F.col("text")), " "), 1, 20))
+        ).alias("fp"),
+        quality_score_e6(F.col("text")).alias("qe6"),
+    )
+    fam = base.groupBy("fp").agg(F.count("*").alias("fam_size"))
+    return (
+        base.join(fam, "fp")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.expr("CAST(SUM(qe6) div COUNT(*) AS BIGINT)").alias(
+                "mean_quality_e6"
+            ),
+            F.sum(F.when(F.col("fam_size") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_in_dup_families"),
+            F.expr(
+                "CAST((1000 * SUM(CASE WHEN fam_size > 1 THEN 1 ELSE 0 END))"
+                " div COUNT(*) AS BIGINT)"
+            ).alias("dup_permille"),
+        )
+    )

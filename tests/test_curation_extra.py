@@ -299,3 +299,34 @@ def test_quality_prune_sweep_frontier_shape(spark):
     assert best[100] > worst[100], "frontier is vacuous: all scores equal"
     for r in rows:
         assert r.n_kept == (r.keep_permille * n_docs) // 1000
+
+
+def test_datasheet_totals_reconcile_with_corpus(spark):
+    """Datasheet rows must reconcile with corpus-wide ground truth:
+    docs/tokens/chars sum to the corpus totals, dup membership matches
+    an independent fp-family recount, and dup_permille is the exact
+    floor of its own columns."""
+    import os
+
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    rows = entry_mod.queries()["dataset_datasheet_per_source"](spark, sf).collect()
+    total_docs, total_chars, dup_docs = duckdb.sql(
+        f"""WITH b AS (SELECT source, LENGTH(text) nc,
+                 md5(array_to_string(string_split(lower(text),' ')[1:20],' ')) fp
+               FROM '{sf}/documents.parquet'),
+             f AS (SELECT fp, COUNT(*) c FROM b GROUP BY fp)
+           SELECT COUNT(*), SUM(nc),
+                  SUM(CASE WHEN f.c > 1 THEN 1 ELSE 0 END)
+           FROM b JOIN f USING (fp)"""
+    ).fetchone()
+    assert sum(r.n_docs for r in rows) == total_docs
+    assert sum(r.n_chars for r in rows) == total_chars
+    assert sum(r.n_in_dup_families for r in rows) == dup_docs
+    for r in rows:
+        assert r.dup_permille == (1000 * r.n_in_dup_families) // r.n_docs
+        assert 0 < r.mean_quality_e6 <= 1000000
+        assert 1 <= r.n_langs <= 5
