@@ -151,3 +151,55 @@ def test_minhash_cross_contamination_empty_train(spark):
         _empty(spark, "doc_id int, text string"), ev, "doc_id", "text"
     )
     assert out.count() == 0
+
+
+def test_shingle_containment_empty_corpus(spark):
+    from db_writer_redshift_spark.operators import dedup
+
+    out = dedup.shingle_containment_pairs(
+        _empty(spark, "doc_id long, text string"), "doc_id", "text"
+    )
+    assert out.count() == 0
+
+
+def test_retraction_delta_empty_delta_is_identity(spark):
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from db_writer_redshift_spark.operators.incremental import (
+        apply_retraction_delta,
+    )
+
+    base = spark.createDataFrame(
+        [("a", Decimal("1.50"))], "g string, v decimal(18,4)"
+    )
+    summary = base.groupBy("g").agg(
+        F.count("*").cast("long").alias("n_rows"), F.sum("v").alias("sv")
+    )
+    out = apply_retraction_delta(
+        summary,
+        _empty(spark, "g string, v decimal(18,4), mult long"),
+        keys=["g"],
+        mult_col="mult",
+        sums={"sv": "v"},
+    )
+    assert [(r.g, r.n_rows, r.sv) for r in out.collect()] == [
+        ("a", 1, Decimal("1.5000"))
+    ]
+
+
+def test_asof_tolerance_empty_right_keeps_left_outer(spark):
+    from db_writer_redshift_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 1, 10)], "lid long, k long, ts long")
+    out = asof_join(
+        left,
+        _empty(spark, "rid long, k long, ts long"),
+        on="ts",
+        by=["k"],
+        right_cols=["rid"],
+        direction="forward",
+        tolerance=5,
+    ).collect()
+    assert [(r.lid, r.rid) for r in out] == [(1, None)]
