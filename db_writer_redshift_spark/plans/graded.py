@@ -71,15 +71,18 @@ GRADED_FIRST: list[str] = [
     # out except the 14 families with NO never-graded oracle-bearing
     # member left (test_window_covers_every_family forces one rep each);
     # those keepers are the only non-first-time slots. 36 of the 50 are
-    # first-time names: the full published-method curation module
+    # first-time names (37 after the asof swap below): the full
+    # published-method curation module
     # (plans/lm_curation.py, VERDICT r3 priority #1), the round-3 new
     # families (bm25/rrf retrieval, JOIN-view maintenance, recall audit,
     # ewma, waterfill, triangles), and four fresh family reps. Union
     # target after grading: 155/226 (119 + 36; 36 is the family-
     # constraint maximum — VERDICT's 169 assumed 50 fresh slots).
     #
-    # Keepers (14) — every member of these families already has a green
-    # driver row, so the slot re-proves rather than discovers:
+    # Keepers (13) — every member of these families already has a green
+    # driver row, so the slot re-proves rather than discovers
+    # (temporal-join seats the NEW forward-asof query instead, so 37 of
+    # the 50 are first-time rows):
     "agg_variance_manual",          # relational-agg
     "q3_shipping_priority",         # join
     "merge_upsert_orders",          # merge (only member)
@@ -92,7 +95,8 @@ GRADED_FIRST: list[str] = [
     "chunk_documents_overlap",      # chunking (only member)
     "udtf_split_sentences",         # udf-udtf
     "multimodal_features",          # multimodal
-    "asof_join_purchase_attribution",  # temporal-join
+    "asof_forward_click_to_purchase",  # temporal-join rep — round-4 NEW
+                                       # query seats the family fresh
     "q2_best_supplier_per_part",    # tpch-extra
     # Incoming (36) — never graded; all passed the dtype-faithful
     # tools/oracle_check.py at sf0.01 AND sf0.1.
