@@ -19,9 +19,11 @@ Ordering within the list groups by family; only membership and the
 Rotation plan: CORRECTNESS files accumulate per round; the union of
 rounds covers the full registry (tools/correctness_union.py rolls it
 up). Round 3 graded 50/50 green (union 119/226). The round-4 window
-below seats 36 first-time names — the family-coverage constraint's
-maximum, since 14 families have no never-graded member left — for a
-target union of 155/226 after grading.
+below seats 37 first-time names — the family-coverage constraint's
+maximum after round 4's own additions gave temporal-join a fresh rep
+(13 families still have no never-graded member left) — for a target
+union of 156 graded at least once (registry now 242 after this
+round's 16 new queries).
 
 ROUND-5 WINDOW PLAN (written per VERDICT r3 #8; derive the exact list
 with tools/plan_rotation.py after CORRECTNESS_r04 lands):
@@ -134,7 +136,15 @@ GRADED_FIRST: list[str] = [
     "ann_recall_audit",             # ann family rep
     "events_ewma_per_user",         # events family rep
     "graph_triangle_parts",
-    # Fresh family reps:
+    # Fresh family reps (the round-4 additions below are also window
+    # candidates for round 5: mix_doremi_weights, quality_prune_sweep,
+    # decontam_min_k_prob, dedup_containment_pairs,
+    # drift_tv_source_matrix, vocab_collocations_lift,
+    # events_multitouch_attribution, events_json_props_rollup,
+    # events_funnel_three_step, incremental_agg_retractions,
+    # hist_equidepth_order_totals, quantiles_cont_order_price,
+    # mix_cluster_balance_weights, dataset_datasheet_per_source —
+    # all certified at sf0.001/0.01/0.1 this round):
     "text_unigram_logprob",         # text family rep
     "decontam_bloom_prefilter",     # decontam family rep
     "pipeline_attrition_funnel",    # pipelines family rep
