@@ -378,3 +378,95 @@ def test_mannwhitney_u2_matches_brute_force_pairs(spark):
         assert r.n_s == len(a) and r.n_rest == len(b)
         assert r.auc_permille == (1000 * u2) // (2 * len(a) * len(b))
         assert 0 <= r.auc_permille <= 1000
+
+
+@given(
+    base=st.lists(
+        st.tuples(st.sampled_from("abcd"), st.integers(-1000, 1000)),
+        min_size=0,
+        max_size=12,
+    ),
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from("abcde"),
+            st.integers(-1000, 1000),
+            st.sampled_from([1, -1]),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+)
+@settings(**_SETTINGS)
+def test_retraction_delta_equals_multiset_ground_truth(spark, base, ops):
+    """Z-set maintenance vs a Python multiset model: applying any delta
+    (including deletes of rows that exist in the base) must leave
+    exactly the model's per-group (count, sum); groups at count 0 drop.
+    Deletes are only generated for rows present in the model (CDC
+    streams retract what was inserted)."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from db_writer_redshift_spark.operators.incremental import (
+        apply_retraction_delta,
+    )
+
+    model: dict[str, list[int]] = defaultdict(list)
+    for g, v in base:
+        model[g].append(v)
+    delta_rows = []
+    for g, v, mult in ops:
+        if mult == -1:
+            if not model.get(g):
+                continue  # nothing to retract — skip (CDC invariant)
+            v = model[g].pop()
+            delta_rows.append((g, v, -1))
+        else:
+            model[g].append(v)
+            delta_rows.append((g, v, 1))
+    if not delta_rows:
+        return
+    base_df = spark.createDataFrame(
+        [(g, v) for g, v in base], "g string, v long"
+    ) if base else spark.createDataFrame([], "g string, v long")
+    summary = base_df.groupBy("g").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("v").cast("long").alias("sv"),
+    )
+    delta = spark.createDataFrame(delta_rows, "g string, v long, mult long")
+    got = {
+        r.g: (r.n_rows, r.sv)
+        for r in apply_retraction_delta(
+            summary, delta, keys=["g"], mult_col="mult", sums={"sv": "v"}
+        ).collect()
+    }
+    want = {
+        g: (len(vs), sum(vs)) for g, vs in model.items() if vs
+    }
+    assert got == want
+
+
+@given(
+    vals=st.lists(st.integers(-10**9, 10**9), min_size=1, max_size=30),
+    qs=st.lists(
+        st.integers(1, 100).map(lambda p: p / 100), min_size=1, max_size=5
+    ),
+)
+@settings(**_SETTINGS)
+def test_quantiles_disc_multi_matches_sorted_reference(spark, vals, qs):
+    """quantile_disc semantics vs the sorted-list model: the q-quantile
+    is sorted(vals)[ceil(q*n) - 1] for every q, any value distribution
+    (duplicates, negatives, huge spreads)."""
+    import math
+
+    from db_writer_redshift_spark.operators.selection import (
+        quantiles_disc_multi,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = quantiles_disc_multi(df, "v", qs)
+    ordered = sorted(vals)
+    want = [
+        ordered[max(1, math.ceil(q * len(vals) - 1e-9)) - 1] for q in qs
+    ]
+    assert got == want
