@@ -4721,3 +4721,93 @@ def dataset_datasheet_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_permille"),
         )
     )
+
+
+@register(
+    "text_term_burstiness",
+    oracle="""
+WITH d AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+),
+per_doc AS (
+  SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS x
+  FROM tok WHERE token <> '' GROUP BY token, doc_id
+),
+stats AS (
+  SELECT token,
+         CAST(SUM(x) AS BIGINT) AS total_count,
+         CAST(COUNT(*) AS BIGINT) AS doc_freq,
+         CAST(SUM(x * x) AS BIGINT) AS sum_sq
+  FROM per_doc GROUP BY token
+),
+ranked AS (
+  SELECT token, total_count, doc_freq, sum_sq,
+         ROW_NUMBER() OVER (ORDER BY total_count DESC, token) AS freq_rank
+  FROM stats
+)
+SELECT token, total_count, doc_freq, CAST(freq_rank AS BIGINT) AS freq_rank,
+       CAST((1000000::HUGEINT * (n_docs::HUGEINT * sum_sq
+                                 - total_count::HUGEINT * total_count))
+            // (n_docs::HUGEINT * total_count) AS BIGINT) AS vmr_e6
+FROM ranked CROSS JOIN d
+WHERE freq_rank <= 25
+""",
+)
+def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness via the variance-to-mean ratio of per-document
+    counts (Church & Gale, "Poisson mixtures", 1995): counting zeros
+    over all D documents, VMR = (D*Σx² - T²) / (D*T) — exactly 1 under
+    a Poisson (function-word) process, ≫1 for bursty content words that
+    pile into few documents. The lexical-statistics complement to
+    zipf_slope_audit (rank-frequency shape) and token_shift_pools
+    (cross-pool drift): burstiness is the signal keyword extractors and
+    stopword inducers threshold on.
+
+    Exact integers: the zero-inclusive variance folds into corpus-wide
+    sums (Σx² over OCCURRING docs only — zeros contribute nothing), so
+    no per-doc dense vector ever materializes; the VMR cross-multiplies
+    in DECIMAL(38,0)/HUGEINT (T² passes int64 at ~3e9 total count) with
+    the e6 quotient cast back. Top-25 by (total_count, token) — a
+    total order.
+
+    Scale: one (token, doc) map-side-combined count, one token-keyed
+    rollup over the vocabulary, a 25-row TakeOrdered (the rank window
+    runs over those 25 rows only); the 1-row doc count broadcasts."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.agg(F.count("*").cast("long").alias("n_docs"))
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    per_doc = tok.groupBy("token", "doc_id").agg(
+        F.count("*").cast("long").alias("x")
+    )
+    stats = per_doc.groupBy("token").agg(
+        F.sum("x").cast("long").alias("total_count"),
+        F.count("*").cast("long").alias("doc_freq"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sum_sq"),
+    )
+    from pyspark.sql.window import Window
+
+    # top-25 extraction is a TakeOrdered (per-partition top-k, driver
+    # merges 25 rows); the rank window then runs over the 25-row result
+    # only — never a corpus- or vocabulary-wide single-partition sort.
+    top = stats.orderBy(F.col("total_count").desc(), "token").limit(25)
+    ranked = top.withColumn(
+        "freq_rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("total_count").desc(), "token"))
+        .cast("long"),
+    )
+    return ranked.crossJoin(F.broadcast(n_docs)).select(
+        "token",
+        "total_count",
+        "doc_freq",
+        "freq_rank",
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0))"
+            " * (CAST(n_docs AS DECIMAL(38,0)) * sum_sq"
+            "    - CAST(total_count AS DECIMAL(38,0)) * total_count))"
+            " div (CAST(n_docs AS DECIMAL(38,0)) * total_count) AS BIGINT)"
+        ).alias("vmr_e6"),
+    )

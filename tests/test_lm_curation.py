@@ -529,3 +529,38 @@ class TestCollocationsLift:
             )
         keys = [(-r.lift_e3, r.w1, r.w2) for r in rows]
         assert keys == sorted(keys)
+
+
+class TestBurstiness:
+    def test_vmr_identity_poisson_vs_bursty(self, spark):
+        """VMR recomputed from a dense per-doc matrix (zeros included)
+        must match every output row's vmr_e6 floor; a term appearing
+        once in every doc must score exactly VMR e6 <= 1e6 boundary
+        (zero variance -> VMR exactly (D*T - T^2)/(D*T) with x=1 rows
+        -> 0 when T == D)."""
+        import duckdb
+
+        rows = _run(spark, "text_term_burstiness").collect()
+        assert len(rows) == 25
+        counts = duckdb.sql(
+            f"""WITH t AS (SELECT doc_id,
+                   unnest(string_split(lower(text),' ')) tok
+                 FROM '{SF_DIR}/documents.parquet')
+               SELECT tok, doc_id, COUNT(*) FROM t WHERE tok <> ''
+               GROUP BY tok, doc_id"""
+        ).fetchall()
+        n_docs = duckdb.sql(
+            f"SELECT COUNT(*) FROM '{SF_DIR}/documents.parquet'"
+        ).fetchone()[0]
+        per = {}
+        for tok, doc, c in counts:
+            per.setdefault(tok, {})[doc] = int(c)
+        for r in rows:
+            xs = per[r.token]
+            t = sum(xs.values())
+            ssq = sum(x * x for x in xs.values())
+            assert r.total_count == t and r.doc_freq == len(xs)
+            assert r.vmr_e6 == (1000000 * (n_docs * ssq - t * t)) // (
+                n_docs * t
+            )
+            assert r.vmr_e6 >= 0
