@@ -228,3 +228,58 @@ def kths_smallest_multi(
             else:  # pragma: no cover — k validated against total
                 raise AssertionError("histogram lost the target rank")
     return [lo for lo, _, _ in state]
+
+
+def kth_weighted_smallest(df: DataFrame, col: str, weight_col: str, k: int) -> int:
+    """Exact WEIGHTED k-th smallest: the smallest value v such that the
+    total weight of rows with value <= v reaches ``k`` (1 <= k <= total
+    weight, integer weights >= 1). Same iterative-histogram plan as
+    ``kth_smallest`` with SUM(weight) per bucket instead of COUNT —
+    per round one map-side-combined aggregate, a B-row exchange, no
+    sort. The weighted quantile every size-aware percentile needs
+    (docs weighted by tokens, files by bytes, orders by value)."""
+    n = df.filter(F.col(col).isNotNull() & (F.col(weight_col) > 0))
+    total = n.agg(F.sum(weight_col).cast("long")).collect()[0][0] or 0
+    if not (1 <= k <= total):
+        raise ValueError(f"k={k} out of range for total weight {total}")
+    bounds = n.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).collect()[0]
+    lo, hi = int(bounds.lo), int(bounds.hi)
+    while lo < hi:
+        span = hi - lo + 1
+        width = max(1, -(-span // _BUCKETS))
+        hist = (
+            n.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+            .groupBy(((F.col(col) - lo) / width).cast("long").alias("b"))
+            .agg(F.sum(weight_col).cast("long").alias("w"))
+            .collect()
+        )
+        weights = {int(r.b): int(r.w) for r in hist}
+        running = 0
+        for b in sorted(weights):
+            if running + weights[b] >= k:
+                k -= running
+                lo, hi = lo + b * width, min(hi, lo + (b + 1) * width - 1)
+                break
+            running += weights[b]
+        else:  # pragma: no cover — k validated above
+            raise AssertionError("weighted histogram lost the target rank")
+    return lo
+
+
+def weighted_quantile_disc(
+    df: DataFrame, col: str, weight_col: str, q: float
+) -> int:
+    """Weighted discrete quantile: smallest value whose cumulative
+    WEIGHT reaches q of the total (k = ceil(q * W))."""
+    if not (0.0 < q <= 1.0):
+        raise ValueError(f"q must be in (0, 1], got {q}")
+    import math
+
+    total = (
+        df.filter(F.col(col).isNotNull() & (F.col(weight_col) > 0))
+        .agg(F.sum(weight_col).cast("long"))
+        .collect()[0][0]
+        or 0
+    )
+    k = max(1, math.ceil(q * total - 1e-9))
+    return kth_weighted_smallest(df, col, weight_col, k)

@@ -4811,3 +4811,74 @@ def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (CAST(n_docs AS DECIMAL(38,0)) * total_count) AS BIGINT)"
         ).alias("vmr_e6"),
     )
+
+
+@register(
+    "weighted_quantiles_doclen",
+    oracle="""
+WITH d AS (
+  SELECT CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+              AS BIGINT) AS n_tokens
+  FROM documents
+),
+v AS (SELECT n_tokens AS len_tokens, CAST(SUM(n_tokens) AS BIGINT) AS w
+      FROM d WHERE n_tokens > 0 GROUP BY n_tokens),
+tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM v),
+cum AS (
+  SELECT len_tokens,
+         SUM(w) OVER (ORDER BY len_tokens
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+  FROM v
+),
+p AS (SELECT UNNEST([25, 50, 75, 90]) AS pct)
+SELECT CAST(pct AS BIGINT) AS pct,
+       CAST(MIN(len_tokens) AS BIGINT) AS len_at_pct
+FROM p CROSS JOIN tot JOIN cum
+  ON cum.cw >= (pct * tw + 99) // 100
+GROUP BY pct, tw
+""",
+)
+def weighted_quantiles_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-WEIGHTED document-length quantiles — 'the median TOKEN
+    lives in a document this long', the size-aware percentile a
+    sequence-length/packing policy needs (an unweighted doc median
+    underweights the long documents that dominate the token budget;
+    cf. the length statistics in Gopher/MassiveText reporting). Each
+    document weights its length by its own token count; quantiles are
+    exact via WEIGHTED distributed quickselect
+    (operators/selection.kth_weighted_smallest — SUM(weight) histogram
+    buckets instead of COUNT, one map-side-combined aggregate per
+    round, no sort).
+
+    Weighted quantile_disc semantics: smallest length whose cumulative
+    token mass reaches ceil(q * total_tokens) — pure integers, so the
+    DuckDB cumulative-window twin matches bit-for-bit.
+
+    Scale: per round a 256-row histogram exchange over the shrinking
+    candidate range; the oracle's global cumulative window is
+    oracle-side only."""
+    from db_writer_redshift_spark.operators.selection import (
+        weighted_quantile_disc,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.size(
+            F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+        )
+        .cast("long")
+        .alias("n_tokens")
+    )
+    w = d.filter(F.col("n_tokens") > 0).select(
+        F.col("n_tokens").alias("len_tokens"), F.col("n_tokens").alias("w")
+    )
+    w = w.persist()
+    try:
+        rows = [
+            (p, weighted_quantile_disc(w, "len_tokens", "w", p / 100))
+            for p in (25, 50, 75, 90)
+        ]
+        return spark.createDataFrame(
+            rows, schema="pct bigint, len_at_pct bigint"
+        )
+    finally:
+        w.unpersist(blocking=False)

@@ -149,3 +149,35 @@ def test_quantiles_cont_interpolation_identity(spark):
             r.v_hi_cents - r.v_lo_cents
         )
         assert 100 * r.v_lo_cents <= r.interp_cents_e2 <= 100 * r.v_hi_cents
+
+
+def test_weighted_kth_matches_expanded_multiset(spark):
+    """Weighted k-th smallest == unweighted k-th over the weight-expanded
+    multiset, for every k in range."""
+    from db_writer_redshift_spark.operators.selection import (
+        kth_smallest,
+        kth_weighted_smallest,
+    )
+
+    rows = [(10, 3), (20, 1), (5, 2), (40, 4)]
+    df = spark.createDataFrame(rows, "v long, w long")
+    expanded = sorted(v for v, w in rows for _ in range(w))
+    flat = spark.createDataFrame([(v,) for v in expanded], "v long")
+    for k in (1, 2, 3, 5, 6, 10):
+        assert (
+            kth_weighted_smallest(df, "v", "w", k)
+            == kth_smallest(flat, "v", k)
+            == expanded[k - 1]
+        )
+
+
+def test_weighted_quantile_validates(spark):
+    import pytest
+
+    from db_writer_redshift_spark.operators.selection import (
+        weighted_quantile_disc,
+    )
+
+    df = spark.createDataFrame([(1, 1)], "v long, w long")
+    with pytest.raises(ValueError):
+        weighted_quantile_disc(df, "v", "w", 0.0)
