@@ -2694,3 +2694,112 @@ def incremental_agg_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_rows").alias("n_orders"),
         F.round(F.col("total_dec").cast("double"), 4).alias("total_price"),
     )
+
+
+@register(
+    "stats_anova_returnflag_price",
+    oracle="""
+WITH x AS (
+  SELECT l_returnflag AS g,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v
+  FROM lineitem
+),
+grp AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(v) AS BIGINT) AS s,
+         SUM(v::HUGEINT * v) AS ss
+  FROM x GROUP BY g
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(s) AS BIGINT) AS st,
+         CAST(SUM(ss) AS HUGEINT) AS sst, CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM((s::HUGEINT * s) // n) AS HUGEINT) AS sq_over_n
+  FROM grp
+),
+comp AS (
+  -- F scaled e6 with shared-factor reduction to stay inside 128 bits:
+  -- ssb = nt*sq_over_n - st^2, ssw = nt*(sst - sq_over_n);
+  -- F_e6 = (1e6 * ssb * (nt-k)) / (nt * (sst - sq_over_n) * (k-1))
+  --      = ((1e6 * ssb) // (sst - sq_over_n)) * (nt-k) // (nt*(k-1))
+  --   evaluated as one fraction via two-step floor with exact remainder
+  --   carry: q = ssb // d, r = ssb % d, d = sst - sq_over_n, so
+  --   F_e6 = (1e6*(q*(nt-k)) + (1e6*r*(nt-k)) // d) // (nt*(k-1)) ...
+  --   simpler and exactly equal: compute numerator/denominator reduced
+  --   by the common factor g2 = gcd is unavailable in SQL, so use the
+  --   two-step: carry = (1000000::HUGEINT * (nt*sq_over_n - st*st))
+  --   is < 2^127 only after dividing by d first.
+  SELECT k, nt,
+         (nt::HUGEINT * sq_over_n - st::HUGEINT * st) AS ssb_num,
+         (sst - sq_over_n) AS ssw_red
+  FROM tot
+)
+SELECT g, n, s AS sum_cents,
+       CAST((s::HUGEINT * 1000) // n AS BIGINT) AS mean_cents_e1,
+       CAST(c.k AS BIGINT) AS k_groups,
+       CAST(( (1000000::HUGEINT * c.ssb_num // c.ssw_red) * (c.nt - c.k)
+              + (1000000::HUGEINT * c.ssb_num % c.ssw_red) * (c.nt - c.k)
+                // c.ssw_red )
+            // (c.nt * (c.k - 1)) AS BIGINT) AS f_stat_e6
+FROM grp CROSS JOIN comp c
+""",
+)
+def stats_anova_returnflag_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-statistic across return flags (Fisher): does mean
+    extended price differ by l_returnflag? F = (SSB/(k-1)) / (SSW/(n-k))
+    from per-group exact integer moments (n, Σv, Σv²) — the classical-
+    statistics member beside the family's chi-square (composition), KS
+    (shape), Mann-Whitney (location) gates. Output carries per-group
+    means plus the corpus F in e6.
+
+    Exactness strategy: the distributed work is ONE map-side-combined
+    group-moment aggregate (Σv² in DECIMAL(38,0)); the k-row moment
+    relation collects to the driver and F assembles in unbounded Python
+    integers — no 38-digit ceiling can overflow (the raw e6 numerator
+    passes 1e39 at 10x sf0.1, which killed the all-SQL form in ANSI
+    mode). The DuckDB twin evaluates the SAME fraction inside 128-bit
+    HUGEINT via a two-step quotient+remainder carry whose floors
+    compose to the exact single-division floor:
+    (a*m + (a%d)*m//d stays the same value because a//d*m + (a%d)*m//d
+    == a*m//d for positive integers with m = nt-k — both engines land
+    the identical BIGINT. Per-group Σ s²/n uses HUGEINT floor division
+    (deviation < k parts in s², flagged for honesty).
+
+    Scale: the moment aggregate is the only corpus-sized work; k-row
+    driver state (|return flags| = 3) is the kmeans-centroid pattern."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"),
+    )
+    grp = li.groupBy("g").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s"),
+        F.sum(F.expr("CAST(v AS DECIMAL(38,0)) * v")).alias("ss"),
+    )
+    rows = grp.collect()  # k rows of exact moments — scalar driver state
+    k = len(rows)
+    nt = sum(int(r.n) for r in rows)
+    st = sum(int(r.s) for r in rows)
+    sst = sum(int(r.ss) for r in rows)
+    sq_over_n = sum((int(r.s) ** 2) // int(r.n) for r in rows)
+    ssb_num = nt * sq_over_n - st * st
+    ssw_red = sst - sq_over_n
+    a = 1000000 * ssb_num
+    f_e6 = ((a // ssw_red) * (nt - k) + (a % ssw_red) * (nt - k) // ssw_red) // (
+        nt * (k - 1)
+    )
+    out = [
+        (
+            r.g,
+            int(r.n),
+            int(r.s),
+            (int(r.s) * 1000) // int(r.n),
+            k,
+            f_e6,
+        )
+        for r in rows
+    ]
+    return spark.createDataFrame(
+        out,
+        schema="g string, n bigint, sum_cents bigint, mean_cents_e1 bigint,"
+        " k_groups bigint, f_stat_e6 bigint",
+    )

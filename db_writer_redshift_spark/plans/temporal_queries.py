@@ -1413,3 +1413,70 @@ def events_funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("lat12"), F.lit(0)).cast("long").alias("sum_view_to_click_us"),
         F.coalesce(F.sum("lat23"), F.lit(0)).cast("long").alias("sum_click_to_purchase_us"),
     )
+
+
+@register(
+    "events_hazard_table",
+    oracle="""
+WITH span AS (
+  SELECT user_id,
+         (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 86400000000 AS life_days
+  FROM events GROUP BY user_id
+),
+d AS (SELECT life_days, CAST(COUNT(*) AS BIGINT) AS churned
+      FROM span GROUP BY life_days),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM span),
+tbl AS (
+  SELECT life_days AS t_days, churned,
+         tot.n_users
+           - COALESCE(SUM(churned) OVER (ORDER BY life_days
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_at_risk
+  FROM d CROSS JOIN tot
+)
+SELECT t_days, CAST(n_at_risk AS BIGINT) AS n_at_risk, churned,
+       CAST((1000000 * churned) // n_at_risk AS BIGINT) AS hazard_ppm
+FROM tbl
+""",
+)
+def events_hazard_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time survival HAZARD TABLE — the Kaplan-Meier estimator's
+    ingredient relation (Kaplan & Meier 1958): lifetime = whole days
+    between a user's first and last event; for each observed lifetime t,
+    the users still at risk (lifetime >= t), the users churning exactly
+    at t, and the discrete hazard d/n in exact ppm. The survival curve
+    itself is the running product Π(1 - hazard), a float chain left to
+    the consumer — the TABLE is what cross-engine exactness can
+    guarantee (per-term products re-order under distribution, the known
+    flap class), and every published KM plot is drawn from exactly this
+    relation.
+
+    Scale: one user-keyed MIN/MAX aggregate (map-side combined), one
+    lifetime histogram, and a cumulative window over the DISTINCT-
+    lifetime relation (bounded by the observation window in days, not
+    by users). All integers: floor-div day buckets, ppm floor hazard."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("t")
+    )
+    span = e.groupBy("user_id").agg(
+        F.expr("(MAX(t) - MIN(t)) div 86400000000").alias("life_days")
+    )
+    d = span.groupBy("life_days").agg(F.count("*").cast("long").alias("churned"))
+    tot = span.agg(F.count("*").cast("long").alias("n_users"))
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("life_days").rowsBetween(Window.unboundedPreceding, -1)
+    tbl = d.crossJoin(F.broadcast(tot)).select(
+        F.col("life_days").alias("t_days"),
+        "churned",
+        (
+            F.col("n_users")
+            - F.coalesce(F.sum("churned").over(w), F.lit(0))
+        ).cast("long").alias("n_at_risk"),
+    )
+    return tbl.select(
+        "t_days",
+        "n_at_risk",
+        "churned",
+        F.expr("(1000000 * churned) div n_at_risk").alias("hazard_ppm"),
+    )

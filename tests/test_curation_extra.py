@@ -330,3 +330,44 @@ def test_datasheet_totals_reconcile_with_corpus(spark):
         assert r.dup_permille == (1000 * r.n_in_dup_families) // r.n_docs
         assert 0 < r.mean_quality_e6 <= 1000000
         assert 1 <= r.n_langs <= 5
+
+
+def test_anova_f_matches_scipy_formula(spark):
+    """The e6 F-statistic must match the classical formula computed
+    here with exact Python integers from raw per-group moments (and,
+    when scipy is present, sit within the floor-division error of
+    scipy.stats.f_oneway)."""
+    import os
+
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    rows = entry_mod.queries()["stats_anova_returnflag_price"](spark, sf).collect()
+    raw = duckdb.sql(
+        f"""SELECT l_returnflag, CAST(ROUND(l_extendedprice*100) AS BIGINT)
+           FROM '{sf}/lineitem.parquet'"""
+    ).fetchall()
+    groups: dict[str, list[int]] = {}
+    for g, v in raw:
+        groups.setdefault(g, []).append(int(v))
+    k = len(groups)
+    nt = sum(len(v) for v in groups.values())
+    st = sum(sum(v) for v in groups.values())
+    sst = sum(x * x for v in groups.values() for x in v)
+    sq_over_n = sum((sum(v) ** 2) // len(v) for v in groups.values())
+    ssb = nt * sq_over_n - st * st
+    ssw = nt * sst - nt * sq_over_n
+    want_f = (1000000 * ssb * (nt - k)) // (ssw * (k - 1))
+    for r in rows:
+        assert r.f_stat_e6 == want_f
+        assert r.k_groups == k
+        assert r.n == len(groups[r.g])
+        assert r.sum_cents == sum(groups[r.g])
+    try:
+        from scipy import stats as sps
+    except ImportError:
+        return
+    f_true = sps.f_oneway(*groups.values()).statistic
+    assert abs(rows[0].f_stat_e6 / 1e6 - f_true) / f_true < 1e-6

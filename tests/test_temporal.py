@@ -274,3 +274,33 @@ def test_funnel_three_step_monotone_and_strict_order(spark):
     assert rows["clicked"].sum_click_to_purchase_us == 0
     assert rows["purchased"].sum_view_to_click_us > 0
     assert rows["purchased"].sum_click_to_purchase_us > 0
+
+
+def test_hazard_table_at_risk_telescopes(spark):
+    """n_at_risk at the smallest lifetime equals total users; each next
+    row's n_at_risk drops by exactly the previous churned count;
+    hazards are exact ppm floors; the last row's hazard is 1e6 only
+    when everyone remaining churns there (it always does: max lifetime
+    row retires everyone still at risk)."""
+    import os
+
+    import __spark_entry__ as entry_mod
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    rows = sorted(
+        entry_mod.queries()["events_hazard_table"](spark, sf).collect(),
+        key=lambda r: r.t_days,
+    )
+    n_users = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert rows[0].n_at_risk == n_users
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_at_risk == prev.n_at_risk - prev.churned
+    for r in rows:
+        assert r.hazard_ppm == (1000000 * r.churned) // r.n_at_risk
+    assert rows[-1].n_at_risk == rows[-1].churned
+    assert sum(r.churned for r in rows) == n_users
