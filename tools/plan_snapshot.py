@@ -70,6 +70,19 @@ SHOWCASE = [
     ("pareto_quality_length_frontier", "skyline: prefix-max window over (lang, score) pre-aggregates, no dominance join"),
     ("text_winnowing_fingerprints", "winnowing: integer-packed rightmost-min sliding window, per-document partitions"),
     ("index_posting_gaps", "posting compression: one (term,doc) shuffle, per-term LAG, 10-group rollup"),
+    # round-4 additions
+    ("mix_doremi_weights", "DoReMi MW: token explode -> two combinable aggs; trajectory on |sources|x3 literal rows"),
+    ("quality_prune_sweep", "pruning frontier: corpus collapses to distinct-score rows; windows + 9-fraction sweep on the bounded relation"),
+    ("decontam_min_k_prob", "min-k% prob: broadcast unigram LM, doc-keyed collect, row-local sort/slice"),
+    ("dedup_containment_pairs", "containment dedup: df-capped inverted index, ids-only self-join, integer permille"),
+    ("events_multitouch_attribution", "attribution: descending purchase running count replaces the touch-to-purchase join"),
+    ("asof_forward_click_to_purchase", "forward as-of with tolerance: union+window, row-local 1h CASE"),
+    ("events_funnel_three_step", "3-step funnel: MIN anchor per step before each user-keyed equi-join"),
+    ("hist_equidepth_order_totals", "equi-depth hist: 9 boundaries from SHARED quickselect rounds, one bucketing agg"),
+    ("drift_tv_source_matrix", "TV matrix: token-keyed pair join bounded by C(|sources|,2) per token"),
+    ("incremental_agg_retractions", "Z-set retraction: signed delta through the same combine aggregate"),
+    ("weighted_quantiles_doclen", "weighted quickselect: SUM(weight) histogram rounds, no sort"),
+    ("events_hazard_table", "hazard table: user MIN/MAX agg, lifetime histogram, window over distinct lifetimes"),
 ]
 
 
