@@ -143,8 +143,11 @@ GRADED_FIRST: list[str] = [
     # events_multitouch_attribution, events_json_props_rollup,
     # events_funnel_three_step, incremental_agg_retractions,
     # hist_equidepth_order_totals, quantiles_cont_order_price,
-    # mix_cluster_balance_weights, dataset_datasheet_per_source —
-    # all certified at sf0.001/0.01/0.1 this round):
+    # mix_cluster_balance_weights, dataset_datasheet_per_source,
+    # text_term_burstiness, weighted_quantiles_doclen,
+    # events_hazard_table, stats_anova_returnflag_price,
+    # vocab_collocations_lift — all certified at sf0.001/0.01/0.1 this
+    # round):
     "text_unigram_logprob",         # text family rep
     "decontam_bloom_prefilter",     # decontam family rep
     "pipeline_attrition_funnel",    # pipelines family rep
