@@ -169,17 +169,35 @@ def quantiles_disc_multi(df: DataFrame, col: str, qs: list[float]) -> list[int]:
 
 
 def kths_smallest_multi(
-    df: DataFrame, col: str, ks: list[int], _total: int | None = None
+    df: DataFrame,
+    col: str,
+    ks: list[int],
+    _total: int | None = None,
+    weight_col: str | None = None,
 ) -> list[int]:
     """Exact k-th smallest for MANY ranks in the same shared rounds as
     ``quantiles_disc_multi`` (which delegates here after mapping each
     quantile to its rank). Accepts arbitrary 1-based ranks — e.g. the
-    adjacent order statistics an interpolated quantile needs."""
+    adjacent order statistics an interpolated quantile needs.
+
+    With ``weight_col``, ranks are WEIGHT ranks (1 <= k <= total
+    weight) and every histogram aggregates SUM(weight) instead of
+    COUNT — the shared-round form of ``kth_weighted_smallest``."""
     n = df.filter(F.col(col).isNotNull())
-    total = _total if _total is not None else n.count()
+    if weight_col is not None:
+        n = n.filter(F.col(weight_col) > 0)
+        wexpr = F.sum(weight_col).cast("long")
+    else:
+        wexpr = F.count("*").cast("long")
+    if _total is not None:
+        total = _total
+    elif weight_col is not None:
+        total = int(n.agg(F.sum(weight_col).cast("long")).collect()[0][0] or 0)
+    else:
+        total = n.count()
     for k in ks:
         if not (1 <= k <= total):
-            raise ValueError(f"k={k} out of range for {total} non-null rows")
+            raise ValueError(f"k={k} out of range for total {total}")
     bounds = n.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).collect()[0]
     glo, ghi = int(bounds.lo), int(bounds.hi)
     # state per target: [lo, hi, k] with k relative to rows >= lo in range
@@ -204,7 +222,7 @@ def kths_smallest_multi(
         hist = (
             n.filter(ridx.isNotNull())
             .groupBy(ridx.alias("r"), bexpr.alias("b"))
-            .agg(F.count("*").alias("c"))
+            .agg(wexpr.alias("c"))
             .collect()
         )
         counts: dict[int, dict[int, int]] = {}
@@ -271,15 +289,29 @@ def weighted_quantile_disc(
 ) -> int:
     """Weighted discrete quantile: smallest value whose cumulative
     WEIGHT reaches q of the total (k = ceil(q * W))."""
-    if not (0.0 < q <= 1.0):
-        raise ValueError(f"q must be in (0, 1], got {q}")
+    return weighted_quantiles_disc_multi(df, col, weight_col, [q])[0]
+
+
+def weighted_quantiles_disc_multi(
+    df: DataFrame, col: str, weight_col: str, qs: list[float]
+) -> list[int]:
+    """Weighted discrete quantiles for MANY ``q`` in SHARED rounds —
+    the weighted twin of ``quantiles_disc_multi``: all targets advance
+    from one SUM(weight) histogram per round."""
     import math
 
+    for q in qs:
+        if not (0.0 < q <= 1.0):
+            raise ValueError(f"q must be in (0, 1], got {q}")
     total = (
         df.filter(F.col(col).isNotNull() & (F.col(weight_col) > 0))
         .agg(F.sum(weight_col).cast("long"))
         .collect()[0][0]
         or 0
     )
-    k = max(1, math.ceil(q * total - 1e-9))
-    return kth_weighted_smallest(df, col, weight_col, k)
+    if total == 0:
+        raise ValueError("weighted_quantiles_disc_multi: zero total weight")
+    ks = [max(1, math.ceil(q * total - 1e-9)) for q in qs]
+    return kths_smallest_multi(
+        df, col, ks, _total=total, weight_col=weight_col
+    )

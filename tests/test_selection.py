@@ -181,3 +181,22 @@ def test_weighted_quantile_validates(spark):
     df = spark.createDataFrame([(1, 1)], "v long, w long")
     with pytest.raises(ValueError):
         weighted_quantile_disc(df, "v", "w", 0.0)
+
+
+def test_weighted_multi_matches_single_probes(spark):
+    from db_writer_redshift_spark.operators.selection import (
+        kth_weighted_smallest,
+        weighted_quantiles_disc_multi,
+    )
+    import math
+
+    rows = [(10, 3), (20, 1), (5, 2), (40, 4)]
+    df = spark.createDataFrame(rows, "v long, w long")
+    total = sum(w for _, w in rows)
+    qs = [0.1, 0.5, 0.5, 0.9, 1.0]
+    got = weighted_quantiles_disc_multi(df, "v", "w", qs)
+    want = [
+        kth_weighted_smallest(df, "v", "w", max(1, math.ceil(q * total - 1e-9)))
+        for q in qs
+    ]
+    assert got == want
