@@ -25,6 +25,12 @@ maximum after round 4's own additions gave temporal-join a fresh rep
 union of 156 graded at least once (registry now 242 after this
 round's 16 new queries).
 
+Round-4 close certification: the ENTIRE 245-name registry passed the
+dtype-faithful tools/oracle_check.py at BOTH sf0.01 (the driver's gate
+scale, 240/240 at mid-round + the 5 later additions individually) and
+sf0.1 (245/245 in one run), so every round-5/6 candidate below is
+pre-certified at 10x the gate scale.
+
 ROUND-5 WINDOW PLAN (written per VERDICT r3 #8; derive the exact list
 with tools/plan_rotation.py after CORRECTNESS_r04 lands):
   * keepers (15, families with no fresh member left after round 4):
