@@ -6,52 +6,32 @@ the 51 relational queries first, so all LLM-pipeline, temporal,
 sampling/graph, and extra-TPC-H queries fell outside the window and got
 no correctness row (VERDICT.md round 1, finding #1).
 
-``GRADED_FIRST`` pins the window to one representative per operator
-family — every LLM-pipeline op family, the temporal joins, the
-sampling/graph track, and the relational families — and
-``plans/__init__.py`` reorders the registry so these names come first.
-``tests/test_graded_window.py`` locks the ordering against regressions:
-new registrations land AFTER the window unless this list changes too.
-
-Ordering within the list groups by family; only membership and the
-50-item prefix matter to the driver.
+``GRADED_FIRST`` pins the window; ``plans/__init__.py`` reorders the
+registry so these names come first, and ``tests/test_graded_window.py``
+locks the ordering against regressions: new registrations land AFTER
+the window unless this list changes too.
 
 Rotation plan: CORRECTNESS files accumulate per round; the union of
 rounds covers the full registry (tools/correctness_union.py rolls it
-up). Round 3 graded 50/50 green (union 119/226). The round-4 window
-below seats 37 first-time names — the family-coverage constraint's
-maximum after round 4's own additions gave temporal-join a fresh rep
-(13 families still have no never-graded member left) — for a target
-union of 156 graded at least once (registry now 242 after this
-round's 16 new queries).
+up). Round 4 graded 50/50 green (union 156/245, zero fails across all
+four rounds). Since round 5 the family-coverage invariant is enforced
+over the UNION of past driver rounds plus the current window (every
+family already holds at least one green driver row, so per-round
+keeper slots would only re-prove old work while 89 names still lacked
+any row). That frees all 50 slots for first-time names.
 
 Round-4 close certification: the ENTIRE 245-name registry passed the
 dtype-faithful tools/oracle_check.py at BOTH sf0.01 (the driver's gate
-scale, 240/240 at mid-round + the 5 later additions individually) and
-sf0.1 (245/245 in one run), so every round-5/6 candidate below is
-pre-certified at 10x the gate scale.
+scale) and sf0.1 (245/245 in one run), so every name below is
+pre-certified at 10x the gate scale; re-certified at round-5 close.
 
-ROUND-5 WINDOW PLAN (written per VERDICT r3 #8; derive the exact list
-with tools/plan_rotation.py after CORRECTNESS_r04 lands):
-  * keepers (15, families with no fresh member left after round 4):
-    relational-agg, join, merge, window-fn, grouping, set-ops,
-    subquery, scalar-fn, clustering, chunking, udf-udtf, multimodal,
-    temporal-join, tpch-extra, decontam — reuse the round-4 keeper
-    names;
-  * fresh (~35 of the ~62 remaining, family reps first):
-    events_cusum_drift (events rep), dedup_chunk_exact (dedup rep),
-    ann_ivf_recall_audit (ann rep), text_fingerprint (text rep),
-    pipeline_chunked_training_mix (pipelines rep),
-    sample_rebalance_uniform (sampling rep); then the 15 TPC-H shapes
-    (q4, q7-q13, q15-q17, q19-q22), quality_dup_calibration,
-    embedding_norm_stats, text_rolling_fingerprint_portable,
-    text_repetition_scores, pack_training_sequences, vocab_topk_bigrams,
-    text_token_diversity, mix_temperature_weights,
-    chargram_neighbor_pairs, tokenizer_fertility_by_lang,
-    bpe_pair_merge_stats, dedup_keep_best_quality,
-    embedding_lang_centroids;
-  * round 6 closes the registry with the remaining ~27 (events_trend_
-    slope, events_conversion_latency_hist, events_concurrency_peak,
+ROUND-6 CLOSE-OUT WINDOW (closes the registry at 245/245 graded at
+least once; 39 never-graded names remain after round 5, leaving 11
+slots for keepers / re-proves of anything round 5 flags):
+  * the 30 oracle-bearing names deferred from round 5:
+    mix_doremi_weights, quality_prune_sweep, vocab_collocations_lift,
+    cluster_label_purity, lang_confusion_matrix, events_trend_slope,
+    events_conversion_latency_hist, events_concurrency_peak,
     events_top_session_paths, graph_clustering_coeff_parts,
     customer_rfm_segments, assoc_rules_copurchase,
     dq_benford_order_totals, vocab_topk_terms, sample_weighted_priority,
@@ -59,105 +39,85 @@ with tools/plan_rotation.py after CORRECTNESS_r04 lands):
     er_part_name_matches, text_rare_bigram_rate,
     curriculum_quality_phases, dedup_ppjoin_exact, er_entity_clusters,
     dedup_span_coverage, pareto_quality_length_frontier,
-    dedup_minhash_recall_audit, text_winnowing_fingerprints,
-    index_posting_gaps, privacy_k_anonymity_customer, cluster_label_
-    purity, lang_confusion_matrix, ...) plus the two documented
-    non-scale baselines (ann_brute_force_topk, dedup_embedding_cosine)
-    last, and any round-4/5 additions;
-  * NOT candidates (oracle=None, rows-only by design — pytest accuracy
-    contracts): agg_approx_percentiles, agg_approx_distinct,
-    dedup_minhash_lsh, dedup_simhash_pairs, dedup_embedding_lsh,
-    ann_lsh_topk, ann_ivf_topk, text_rolling_fingerprint,
-    kmeans_fit_clusters, embedding_pca_eigvals, hll_partial_union_rollup.
+    dedup_minhash_recall_audit (sample contract enforced in code as of
+    round 5), text_winnowing_fingerprints, index_posting_gaps,
+    privacy_k_anonymity_customer, plus the two documented non-scale
+    baselines dedup_embedding_cosine and ann_brute_force_topk;
+  * the 9 oracle=None names (rows-only by design — pytest accuracy
+    contracts): dedup_minhash_lsh, dedup_simhash_pairs,
+    dedup_embedding_lsh, ann_lsh_topk, ann_ivf_topk,
+    text_rolling_fingerprint, kmeans_fit_clusters,
+    embedding_pca_eigvals, hll_partial_union_rollup;
+  * any round-5 additions (e.g. streaming_near_dup_batch_twin), then
+    keepers / re-proves in the remaining slots.
 """
 
 from __future__ import annotations
 
 GRADED_FIRST: list[str] = [
-    # ---- ROUND-4 WINDOW ----------------------------------------------
-    # Round-3 result: 50/50 green (zero fails). Everything green rotates
-    # out except the 14 families with NO never-graded oracle-bearing
-    # member left (test_window_covers_every_family forces one rep each);
-    # those keepers are the only non-first-time slots. 36 of the 50 are
-    # first-time names (37 after the asof swap below): the full
-    # published-method curation module
-    # (plans/lm_curation.py, VERDICT r3 priority #1), the round-3 new
-    # families (bm25/rrf retrieval, JOIN-view maintenance, recall audit,
-    # ewma, waterfill, triangles), and four fresh family reps. Union
-    # target after grading: 155/226 (119 + 36; 36 is the family-
-    # constraint maximum — VERDICT's 169 assumed 50 fresh slots).
+    # ---- ROUND-5 WINDOW ----------------------------------------------
+    # Round-4 result: 50/50 green (zero fails across four rounds). All
+    # 50 slots seat FIRST-TIME names — the family invariant moved to
+    # union semantics (see module docstring), so no slot re-proves a
+    # green row. Every name passed tools/oracle_check.py at sf0.01 and
+    # sf0.1 at the round-4 close and was re-certified this round.
     #
-    # Keepers (13) — every member of these families already has a green
-    # driver row, so the slot re-proves rather than discovers
-    # (temporal-join seats the NEW forward-asof query instead, so 37 of
-    # the 50 are first-time rows):
-    "agg_variance_manual",          # relational-agg
-    "q3_shipping_priority",         # join
-    "merge_upsert_orders",          # merge (only member)
-    "window_navigation_funcs",      # window-fn
-    "grouping_sets_mixed",          # grouping
-    "set_union_high_value_keys",    # set-ops
-    "subquery_correlated_max_per_customer",
-    "scalar_array_funcs",           # scalar-fn
-    "kmeans_assign_stats",          # clustering
-    "chunk_documents_overlap",      # chunking (only member)
-    "udtf_split_sentences",         # udf-udtf
-    "multimodal_features",          # multimodal
-    "asof_forward_click_to_purchase",  # temporal-join rep — round-4 NEW
-                                       # query seats the family fresh
-    "q2_best_supplier_per_part",    # tpch-extra
-    # Incoming (36) — never graded; all passed the dtype-faithful
-    # tools/oracle_check.py at sf0.01 AND sf0.1.
-    # Published-method curation module (plans/lm_curation.py):
-    "semdedup_cluster_prune",
-    "dsir_importance_weights",
-    "dsir_resample_topk",
-    "lm_kneser_ney_bigram",         # r4: DECIMAL(38,0) numerator
-    "kn_perplexity_filter",
-    "ccnet_logprob_buckets",        # r4: exact avg_nll_e9 ordering
-    "gopher_rules_audit",
-    "zipf_slope_audit",
-    "heaps_vocab_growth",
-    "d4_prototype_prune",
-    "quality_linear_probe",
-    "quality_borda_fusion",
-    "softdedup_commonness",
-    "mix_unimax_epochs",
-    "coreset_kcenter_trajectory",
-    "bitext_margin_mining",
-    "knn_shapley_valuation",        # r4: fixed-100 val batch (VERDICT #2)
-    "selection_mmr_trajectory",
-    "graph_label_propagation",
-    "dataset_integrity_manifest",
-    "drift_ks_doclen",
-    "quality_mannwhitney_auc",
-    "dedup_savings_curve",          # dedup family rep; r4: 0/0 guard
-    "mix_two_phase_anneal",
-    # Round-3 new families:
-    "bm25_bigram_topk",             # r4: default-on df-cap
-    "retrieval_rrf_fusion",
-    "incremental_join_mv_orders",
-    "incremental_join_upsert_orders",
-    "mix_token_budget_waterfill",
-    "ann_recall_audit",             # ann family rep
-    "events_ewma_per_user",         # events family rep
-    "graph_triangle_parts",
-    # Fresh family reps (the round-4 additions below are also window
-    # candidates for round 5: mix_doremi_weights, quality_prune_sweep,
-    # decontam_min_k_prob, dedup_containment_pairs,
-    # drift_tv_source_matrix, vocab_collocations_lift,
-    # events_multitouch_attribution, events_json_props_rollup,
-    # events_funnel_three_step, incremental_agg_retractions,
-    # hist_equidepth_order_totals, quantiles_cont_order_price,
-    # mix_cluster_balance_weights, dataset_datasheet_per_source,
-    # text_term_burstiness, weighted_quantiles_doclen,
-    # events_hazard_table, stats_anova_returnflag_price,
-    # vocab_collocations_lift — all certified at sf0.001/0.01/0.1 this
-    # round):
-    "text_unigram_logprob",         # text family rep
-    "decontam_bloom_prefilter",     # decontam family rep
-    "pipeline_attrition_funnel",    # pipelines family rep
-    "sample_hash_documents",        # sampling family rep
+    # The 15 never-graded TPC-H shapes (VERDICT r4 priority #1):
+    "q4_order_priority_checking",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q10_returned_items",
+    "q11_part_value_concentration",
+    "q12_priority_by_linestatus",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_filter",
+    "q20_excess_volume_suppliers",
+    "q21_waiting_suppliers",
+    "q22_global_sales_opportunity",
+    # Fresh family representatives (never-graded members of families
+    # that previously consumed keeper slots):
+    "events_cusum_drift",           # events
+    "dedup_chunk_exact",            # dedup
+    "ann_ivf_recall_audit",         # ann
+    "text_lang_id",                 # text
+    "pipeline_chunked_training_mix",  # pipelines
+    "sample_rebalance_uniform",     # sampling
+    "decontam_min_k_prob",          # decontam
+    # Round-4 additions (certified at sf0.001/0.01/0.1 at round-4 close;
+    # judge spot-checked several at sf0.01 — all PASS):
+    "hist_equidepth_order_totals",
+    "quantiles_cont_order_price",
+    "weighted_quantiles_doclen",
+    "incremental_agg_retractions",
+    "stats_anova_returnflag_price",
+    "dedup_containment_pairs",
+    "drift_tv_source_matrix",
+    "dataset_datasheet_per_source",
+    "text_term_burstiness",
+    "events_multitouch_attribution",
+    "events_json_props_rollup",
+    "events_funnel_three_step",
+    "events_hazard_table",
+    "mix_cluster_balance_weights",
+    # Remaining never-graded text / vocab / mixing / quality names:
+    "quality_dup_calibration",
+    "embedding_norm_stats",
+    "text_fingerprint",
+    "text_rolling_fingerprint_portable",
+    "text_repetition_scores",
+    "pack_training_sequences",
+    "vocab_topk_bigrams",
+    "text_token_diversity",
+    "mix_temperature_weights",
+    "chargram_neighbor_pairs",
+    "tokenizer_fertility_by_lang",
+    "bpe_pair_merge_stats",
+    "dedup_keep_best_quality",
+    "embedding_lang_centroids",
 ]
 
 WINDOW = 50

@@ -89,18 +89,19 @@ def propose() -> tuple[list[str], dict[str, str]]:
     window: list[str] = []
     # 1. failing previously-graded names must re-prove their fix
     window += [n for n in eligible if status[n] in ("fail", "err")]
-    # 2. one rep per family — prefer an already-green member (cheap slot
-    #    only when the family has no never-graded member left)
+    # 2. family coverage is a UNION invariant (round-5 policy, mirrored
+    #    in tests/test_graded_window.py): seat a family rep only when NO
+    #    round has ever graded a member — otherwise the slot re-proves
+    #    green work while never-graded names wait.
     for fam, prefixes in FAMILIES.items():
         members = [
-            n for n in eligible if any(n.startswith(p) for p in prefixes)
+            n for n in registry if any(n.startswith(p) for p in prefixes)
         ]
+        if any(status.get(m, "ungraded") != "ungraded" for m in members):
+            continue  # family already graded in some round's union
         if any(m in window for m in members):
             continue
-        fresh = [m for m in members if status[m] == "ungraded"]
-        pick = fresh[0] if fresh else next(
-            (m for m in members if status[m] == "green"), members[0] if members else None
-        )
+        pick = next((m for m in members if m in eligible), None)
         if pick:
             window.append(pick)
     # 3. fill with never-graded in registry order
