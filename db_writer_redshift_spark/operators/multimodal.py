@@ -1,12 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched pandas stages.
 
-The container has no image/audio codecs, so the decode step is STUBBED
-(deterministic fake features, or NotImplementedError when real decoding is
-demanded) — but the Spark-side plumbing is real and tested: schema shape,
-binary payload handling, mapInPandas batch iteration, partition-preserving
-feature extraction. Swapping the stub for PIL/librosa is a one-function
-change that touches no plan shape.
+The container has no codec libraries, so decode is REAL only for the two
+image formats whose specs are implementable dependency-free — BMP
+(24-bit uncompressed BI_RGB) and binary PPM (P6), both encode and decode
+(encode_bmp/encode_ppm/decode_image) — and STUBBED for everything else
+(deterministic fake features; NotImplementedError for PNG/JPEG/audio/
+video, the documented codec boundary). The Spark-side plumbing is real
+and tested throughout: schema shape, binary payload handling, mapInPandas
+batch iteration, partition-preserving feature extraction. Swapping in
+PIL/librosa for the remaining formats is a one-function change that
+touches no plan shape.
 
 Scale notes: payloads stay in executor memory only batch-at-a-time
 (mapInPandas is an iterator over Arrow batches — never a full-partition
@@ -29,7 +33,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
-REAL_DECODERS_AVAILABLE = False  # flip when PIL/librosa exist in the image
+REAL_DECODERS_AVAILABLE = False  # PNG/JPEG/audio/video: flip when PIL/librosa exist
+REAL_IMAGE_FORMATS = ("bmp", "ppm")  # decoded for real, dependency-free
 
 MEDIA_SCHEMA = StructType(
     [
@@ -47,8 +52,12 @@ FEATURE_SCHEMA = StructType(
         StructField("media_type", StringType(), False),
         StructField("n_bytes", LongType(), True),
         StructField("checksum", LongType(), True),  # stub "feature"
-        StructField("width", LongType(), True),  # stub decode metadata
+        StructField("width", LongType(), True),  # real for BMP/PPM, else stub
         StructField("height", LongType(), True),
+        # real-decode-only columns (NULL on the stub path):
+        StructField("n_pixels", LongType(), True),
+        StructField("px_sum", LongType(), True),
+        StructField("px_mean_e6", LongType(), True),
     ]
 )
 
@@ -72,6 +81,45 @@ def synthesize_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def synthesize_bmp_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Manufacture REAL BMP image payloads from text (the corpus ships no
+    media): a ``(4 + id%5) × (3 + id%3)`` grayscale image whose pixel k is
+    the code point of ``text[k mod len(text)]`` mod 256. The bytes are a
+    well-formed 24-bit BI_RGB BMP any viewer opens, so downstream
+    extract_features exercises the REAL decode path end-to-end — and an
+    oracle can compute the expected pixel statistics from the text alone.
+
+    Runs as an iterator mapInPandas stage (batch-bounded memory), emitting
+    the MEDIA_SCHEMA shape every downstream op consumes."""
+    src = df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.col(text_col).alias("_text"),
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["_text"]):
+                w = 4 + int(doc_id) % 5
+                h = 3 + int(doc_id) % 3
+                if text:
+                    px = [ord(text[k % len(text)]) % 256 for k in range(w * h)]
+                else:
+                    px = [0] * (w * h)
+                payloads.append(encode_bmp(px, w, h))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": ["image"] * len(pdf),
+                    "payload": payloads,
+                    "mime": ["image/bmp"] * len(pdf),
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return src.mapInPandas(encode, schema=MEDIA_SCHEMA)
+
+
 def _stub_decode(payload: bytes, media_type: str) -> dict:
     """Deterministic fake decode. A real implementation would dispatch to
     PIL (image), soundfile (audio), or a frame sampler (video)."""
@@ -89,11 +137,142 @@ def _stub_decode(payload: bytes, media_type: str) -> dict:
     }
 
 
+def encode_bmp(pixels: list[int], width: int, height: int) -> bytes:
+    """Real, dependency-free 24-bit BI_RGB BMP writer.
+
+    ``pixels`` is ``width*height`` grayscale values (0-255), row-major
+    top-down; each becomes an RGB triple. Emits the standard bottom-up
+    pixel array with rows padded to 4 bytes — i.e. bytes any image
+    viewer opens.
+    """
+    import struct
+
+    assert len(pixels) == width * height, (len(pixels), width, height)
+    row_len = (3 * width + 3) // 4 * 4
+    img_size = row_len * height
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    rows = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for x in range(width):
+            v = pixels[y * width + x] & 0xFF
+            row += bytes((v, v, v))  # BGR == RGB for grayscale
+        row += b"\x00" * (row_len - len(row))
+        rows += row
+    return bytes(header + rows)
+
+
+def encode_ppm(pixels: list[int], width: int, height: int) -> bytes:
+    """Real binary PPM (P6) writer over grayscale values, RGB triples."""
+    assert len(pixels) == width * height
+    body = bytearray()
+    for v in pixels:
+        body += bytes((v & 0xFF,) * 3)
+    return f"P6\n{width} {height}\n255\n".encode("ascii") + bytes(body)
+
+
+def decode_image(payload: bytes) -> dict:
+    """Real, dependency-free image decode for the two formats whose specs
+    fit in a page: BMP (24-bit uncompressed BI_RGB, the format encode_bmp
+    writes and any editor can export) and binary PPM (P6). Returns exact
+    pixel geometry and channel-sum statistics; raises ValueError when the
+    payload is not a well-formed image of either format (callers use that
+    to fall back to the stub path) and NotImplementedError for recognized
+    but unsupported encodings (compressed BMP, PNG/JPEG — real codecs
+    aren't in this container).
+    """
+    import struct
+
+    if payload is None or len(payload) < 2:
+        raise ValueError("not an image payload")
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" or payload[:3] == b"\xff\xd8\xff":
+        raise NotImplementedError(
+            "PNG/JPEG decoding requires a real codec library, not present "
+            "in this environment"
+        )
+    if payload[:2] == b"BM":
+        if len(payload) < 54:
+            raise ValueError("truncated BMP header")
+        file_size, _, _, px_off = struct.unpack("<IHHI", payload[2:14])
+        hdr_size, width, height, planes, bpp, compression = struct.unpack(
+            "<IiiHHI", payload[14:34]
+        )
+        if file_size != len(payload) or hdr_size < 40 or planes != 1:
+            raise ValueError("malformed BMP header")
+        if compression != 0 or bpp != 24:
+            raise NotImplementedError(
+                f"BMP variant unsupported (bpp={bpp}, compression={compression})"
+            )
+        bottom_up = height > 0
+        height = abs(height)
+        row_len = (3 * width + 3) // 4 * 4
+        if px_off + row_len * height > len(payload):
+            raise ValueError("truncated BMP pixel array")
+        total = r_sum = g_sum = b_sum = 0
+        for row_idx in range(height):
+            y = height - 1 - row_idx if bottom_up else row_idx
+            base = px_off + y * row_len
+            for x in range(width):
+                b, g, r = payload[base + 3 * x : base + 3 * x + 3]
+                b_sum += b
+                g_sum += g
+                r_sum += r
+        total = r_sum + g_sum + b_sum
+    elif payload[:2] == b"P6":
+        parts: list[int] = []
+        pos = 2
+        while len(parts) < 3:
+            while pos < len(payload) and payload[pos : pos + 1].isspace():
+                pos += 1
+            if payload[pos : pos + 1] == b"#":  # comment line
+                pos = payload.index(b"\n", pos) + 1
+                continue
+            end = pos
+            while end < len(payload) and not payload[end : end + 1].isspace():
+                end += 1
+            parts.append(int(payload[pos:end]))
+            pos = end
+        pos += 1  # single whitespace after maxval
+        width, height, maxval = parts
+        if maxval != 255:
+            raise NotImplementedError("16-bit PPM unsupported")
+        if pos + 3 * width * height > len(payload):
+            raise ValueError("truncated PPM pixel array")
+        r_sum = g_sum = b_sum = 0
+        for k in range(width * height):
+            r, g, b = payload[pos + 3 * k : pos + 3 * k + 3]
+            r_sum += r
+            g_sum += g
+            b_sum += b
+        total = r_sum + g_sum + b_sum
+    else:
+        raise ValueError("unrecognized image magic")
+    n_px = width * height
+    return {
+        "width": width,
+        "height": height,
+        "n_pixels": n_px,
+        "px_sum": total,
+        "px_mean_e6": (1_000_000 * total) // (3 * n_px) if n_px else None,
+    }
+
+
 def decode_real(payload: bytes, media_type: str):
-    """The genuine decode path — unavailable in this container."""
+    """The genuine decode path. Real for BMP/PPM images (decode_image);
+    NotImplementedError for every format that needs a codec library."""
+    if media_type == "image" and payload is not None:
+        try:
+            return decode_image(payload)
+        except ValueError:
+            pass  # not BMP/PPM — fall through to the codec boundary
     raise NotImplementedError(
-        "real media decoding requires PIL/soundfile/ffmpeg, not present in "
-        "this environment; use extract_features (stub decode) instead"
+        "real media decoding beyond BMP/PPM requires PIL/soundfile/ffmpeg, "
+        "not present in this environment; use extract_features (stub "
+        "decode) instead"
     )
 
 
@@ -105,10 +284,28 @@ def extract_features(media_df: DataFrame, batch_hint: int = 1024) -> DataFrame:
     property that keeps this viable when payloads are MBs each.
     """
 
+    def _decode_one(payload, media_type: str) -> dict:
+        # Real decode first: BMP/PPM payloads (magic + strict header
+        # validation — a text payload can't satisfy the NUL-bearing BMP
+        # size fields) yield exact pixel geometry and channel sums.
+        if media_type == "image" and payload is not None:
+            try:
+                real = decode_image(bytes(payload))
+                stub = _stub_decode(payload, media_type)
+                return {**stub, **real}
+            except (ValueError, NotImplementedError):
+                pass
+        return {
+            **_stub_decode(payload, media_type),
+            "n_pixels": None,
+            "px_sum": None,
+            "px_mean_e6": None,
+        }
+
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                _stub_decode(p, m) for p, m in zip(pdf["payload"], pdf["media_type"])
+                _decode_one(p, m) for p, m in zip(pdf["payload"], pdf["media_type"])
             ]
             yield pd.DataFrame(
                 {
@@ -118,6 +315,15 @@ def extract_features(media_df: DataFrame, batch_hint: int = 1024) -> DataFrame:
                     "checksum": [f["checksum"] for f in feats],
                     "width": [f["width"] for f in feats],
                     "height": [f["height"] for f in feats],
+                    "n_pixels": pd.array(
+                        [f["n_pixels"] for f in feats], dtype="Int64"
+                    ),
+                    "px_sum": pd.array(
+                        [f["px_sum"] for f in feats], dtype="Int64"
+                    ),
+                    "px_mean_e6": pd.array(
+                        [f["px_mean_e6"] for f in feats], dtype="Int64"
+                    ),
                 }
             )
 

@@ -1502,6 +1502,51 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_image_decode",
+    oracle=r"""
+SELECT doc_id,
+       width, height, n_pixels,
+       3 * gray_sum AS px_sum,
+       (1000000 * 3 * gray_sum) // (3 * n_pixels) AS px_mean_e6
+FROM (
+  SELECT doc_id, width, height, width * height AS n_pixels,
+         CASE WHEN len(text) = 0 THEN 0
+              ELSE list_reduce(
+                list_transform(range(0, width * height),
+                               k -> (ord(text[(k % len(text)) + 1]) % 256)::BIGINT),
+                (a, b) -> a + b)
+         END AS gray_sum
+  FROM (SELECT doc_id, text,
+               4 + doc_id % 5 AS width,
+               3 + doc_id % 3 AS height
+        FROM documents)
+)
+""",
+)
+def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: synthesize a well-formed 24-bit BMP
+    per document (pixels derived from the text — operators/multimodal.
+    synthesize_bmp_media), then extract_features PARSES the actual BMP
+    bytes (header geometry, bottom-up padded pixel array) and reports
+    exact width/height/pixel-channel statistics. The oracle computes the
+    EXPECTED statistics from the construction alone, so a hash match
+    proves the encoder and decoder agree byte-for-byte on the BMP spec —
+    the round-5 upgrade of the multimodal lane from stubbed to real for
+    the formats implementable without codec libraries (BMP/PPM; PNG/JPEG
+    remain the documented NotImplementedError boundary).
+
+    Scale: both stages are iterator mapInPandas (batch-bounded memory,
+    no shuffle — partitioning inherited from the scan); per-row output
+    is 6 scalar BIGINTs regardless of image size."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_bmp_media(docs, "doc_id", "text")
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "doc_id", "width", "height", "n_pixels", "px_sum", "px_mean_e6"
+    )
+
+
+@register(
     "dedup_normalized_fingerprint",
     oracle="""
 SELECT fingerprint, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
