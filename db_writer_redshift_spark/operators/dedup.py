@@ -928,3 +928,109 @@ def shingle_containment_pairs(
             F.expr("(1000 * n_common) div n_b").alias("c_in_b_permille"),
         )
     )
+
+
+def near_dup_fold(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    batch_col: str,
+    batch_values: list | None = None,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    portable: bool = False,
+) -> DataFrame:
+    """Batch twin of streaming.near_dup_filter_sink: replay the
+    accumulated-bucket-store admission fold over explicit micro-batch
+    boundaries, as one deterministic relation.
+
+    Semantics (identical to the sink, per micro-batch in ``batch_values``
+    order): a doc is REJECTED iff any of its LSH band buckets collides
+    with (a) the store of buckets accumulated from ADMITTED docs of
+    earlier batches, or (b) a lower-id batchmate (first-seen wins —
+    regardless of whether that batchmate itself survives, matching the
+    sink's pre-filter self-join at streaming/jobs.py near_dup_filter_sink).
+    Only admitted docs' buckets enter the store.
+
+    Returns (doc_id, batch_id, admitted) for EVERY input doc — richer
+    than the sink's survivor corpus (the rejected rows carry admitted=0),
+    and value-hash oracle-able with ``portable=True`` (md5-affine hash
+    family; see plans/llm_ops.py streaming_near_dup_batch_twin).
+
+    Scale: signatures and band rows are computed ONCE over the whole
+    input (one shuffle), then each fold step is a (band, bucket) ids-only
+    equi-join of one batch against the accumulated store — the same
+    per-batch cost profile as the sink. The fold is sequential in the
+    NUMBER OF BATCHES only (bounded, driver-side loop over
+    ``batch_values``); every step is fully distributed. ``batch_values``
+    None ⇒ collected from the data — only safe when the batch domain is
+    known-small (micro-batch replay windows), so callers at scale pass it
+    explicitly.
+    """
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("__t"),
+        F.col(batch_col).cast("long").alias("batch_id"),
+    )
+    if batch_values is None:
+        batch_values = sorted(
+            r["batch_id"] for r in d.select("batch_id").distinct().collect()
+        )
+    sig = minhash_signatures(d, "doc_id", "__t", n, num_hashes, seed, portable)
+    bb_all = (
+        band_rows(sig, num_hashes, bands, portable)
+        .join(d.select("doc_id", "batch_id"), "doc_id")
+        .persist()
+    )
+    bb_all.count()
+    store: DataFrame | None = None
+    verdicts: list[DataFrame] = []
+    for bv in batch_values:
+        bb = bb_all.filter(F.col("batch_id") == bv)
+        other = bb.select(
+            F.col("band").alias("o_band"),
+            F.col("bucket").alias("o_bucket"),
+            F.col("doc_id").alias("o_doc"),
+        )
+        dups = bb.join(
+            other,
+            (F.col("band") == F.col("o_band"))
+            & (F.col("bucket") == F.col("o_bucket"))
+            & (F.col("o_doc") < F.col("doc_id")),
+        ).select("doc_id")
+        if store is not None:
+            dups = dups.unionByName(
+                bb.join(store, ["band", "bucket"], "left_semi").select("doc_id")
+            )
+        dups = dups.distinct()
+        batch_docs = d.filter(F.col("batch_id") == bv).select("doc_id", "batch_id")
+        verdict = batch_docs.join(
+            dups.withColumn("__dup", F.lit(1)), "doc_id", "left"
+        ).select(
+            "doc_id",
+            "batch_id",
+            F.when(F.col("__dup").isNull(), F.lit(1)).otherwise(F.lit(0))
+            .cast("int")
+            .alias("admitted"),
+        )
+        # Materialize the per-batch verdict so each fold step runs once;
+        # the store is a union of these bounded ids-only band relations.
+        verdict = verdict.localCheckpoint(eager=True)
+        verdicts.append(verdict)
+        admitted_bands = bb.join(
+            verdict.filter(F.col("admitted") == 1).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        ).select("band", "bucket")
+        store = (
+            admitted_bands
+            if store is None
+            else store.unionByName(admitted_bands)
+        )
+    bb_all.unpersist()
+    out = verdicts[0]
+    for v in verdicts[1:]:
+        out = out.unionByName(v)
+    return out

@@ -651,6 +651,137 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _near_dup_fold_oracle(
+    n_batches: int = 3, num_hashes: int = 64, bands: int = 16, seed: int = 42
+) -> str:
+    """DuckDB twin of the streaming near-dup admission fold
+    (streaming_near_dup_batch_twin): same md5-affine signatures and band
+    keys as _minhash_portable_oracle, with the sequential micro-batch
+    fold UNROLLED over the fixed batch domain doc_id % n_batches — per
+    batch, a doc is rejected iff a band bucket collides with an ADMITTED
+    earlier-batch doc's bucket or with a lower-id batchmate; only
+    admitted docs feed the store. All-integer verdicts."""
+    from db_writer_redshift_spark.operators.dedup import _MERSENNE_P, _hash_params
+
+    params = _hash_params(num_hashes, seed)
+    rows = num_hashes // bands
+    mins = ",\n         ".join(
+        f"MIN(({a} * h0 + {b}) % {_MERSENNE_P}) AS s{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_selects = "\n  UNION ALL\n  ".join(
+        "SELECT doc_id, {b} AS band, {key} AS bucket FROM sig".format(
+            b=b,
+            key=" || ',' || ".join(
+                f"CAST(s{b * rows + j} AS VARCHAR)" for j in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    # Unrolled fold: dup_k / surv_k / store up-to-k for each batch k.
+    fold_ctes = []
+    for k in range(n_batches):
+        store_probe = (
+            f"""OR EXISTS (SELECT 1 FROM store{k - 1} s
+               WHERE s.band = a.band AND s.bucket = a.bucket)"""
+            if k > 0
+            else ""
+        )
+        fold_ctes.append(
+            f"""dup{k} AS (
+  SELECT DISTINCT a.doc_id FROM bb a
+  WHERE a.batch_id = {k}
+    AND (EXISTS (SELECT 1 FROM bb b
+                 WHERE b.batch_id = {k} AND b.band = a.band
+                   AND b.bucket = a.bucket AND b.doc_id < a.doc_id)
+         {store_probe})
+),
+surv{k} AS (
+  SELECT doc_id FROM docs
+  WHERE batch_id = {k} AND doc_id NOT IN (SELECT doc_id FROM dup{k})
+),
+store{k} AS (
+  {"SELECT band, bucket FROM store" + str(k - 1) + " UNION ALL" if k > 0 else ""}
+  SELECT b.band, b.bucket FROM bb b
+  WHERE b.batch_id = {k}
+    AND b.doc_id IN (SELECT doc_id FROM surv{k})
+)"""
+        )
+    dups_union = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id FROM dup{k}" for k in range(n_batches)
+    )
+    return f"""
+WITH raw AS (SELECT doc_id, doc_id % {n_batches} AS batch_id,
+                    string_split(text, ' ') AS w
+             FROM documents),
+docs AS (SELECT doc_id, CAST(batch_id AS BIGINT) AS batch_id, w FROM raw),
+grams AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+  FROM docs, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3
+),
+hx AS (
+  SELECT doc_id,
+         list_reduce(list_transform(string_split_regex(substr(md5(sh), 1, 8), ''),
+                                    c -> CAST(strpos('0123456789abcdef', c) AS BIGINT) - 1),
+                     (a, b) -> a * 16 + b) % {_MERSENNE_P} AS h0
+  FROM grams
+),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM hx GROUP BY doc_id
+),
+bands AS (
+  {band_selects}
+),
+bb AS (
+  SELECT b.doc_id, d.batch_id, b.band, b.bucket
+  FROM bands b JOIN docs d ON b.doc_id = d.doc_id
+),
+{",".join(fold_ctes)},
+dups AS (
+  {dups_union}
+)
+SELECT d.doc_id, d.batch_id,
+       CAST(CASE WHEN d.doc_id IN (SELECT doc_id FROM dups)
+                 THEN 0 ELSE 1 END AS INTEGER) AS admitted
+FROM docs d
+"""
+
+
+@register("streaming_near_dup_batch_twin", oracle=_near_dup_fold_oracle())
+def streaming_near_dup_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming near-dup curation sink
+    (streaming/jobs.py near_dup_filter_sink): the accumulated-bucket-store
+    admission fold replayed over THREE deterministic micro-batches
+    (batch_id = doc_id % 3), emitting the full (doc_id, batch_id,
+    admitted) verdict relation. A doc is rejected iff a band bucket
+    collides with an admitted earlier-batch doc or a lower-id batchmate;
+    only admitted docs' buckets enter the store — exactly the sink's
+    first-seen-wins semantics, which tests/test_streaming_twin.py proves
+    bit-identical against the real foreachBatch sink on shared buckets.
+
+    This gives the last un-oracled streaming behavior a value-hash
+    driver row (the CDC retraction sink already has
+    incremental_agg_retractions as its batch twin).
+
+    Scale: signatures/band rows computed once; each fold step is an
+    ids-only (band, bucket) equi-join of one micro-batch against the
+    store — sequential only in the bounded batch count, like the sink
+    itself."""
+    return dedup.near_dup_fold(
+        load_table(spark, sf_dir, "documents").withColumn(
+            "batch", F.col("doc_id") % 3
+        ),
+        "doc_id",
+        "text",
+        "batch",
+        batch_values=[0, 1, 2],
+        portable=True,
+    )
+
+
 def _simhash_portable_oracle(max_hamming: int = 6) -> str:
     """DuckDB twin of the portable 60-bit SimHash near-dup pairs: same
     md5-derived token hashes, bit-sums, chunk blocking, and hamming
