@@ -1,12 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched pandas stages.
 
-The container has no codec libraries, so decode is REAL only for the two
-image formats whose specs are implementable dependency-free — BMP
-(24-bit uncompressed BI_RGB) and binary PPM (P6), both encode and decode
-(encode_bmp/encode_ppm/decode_image) — and STUBBED for everything else
-(deterministic fake features; NotImplementedError for PNG/JPEG/audio/
-video, the documented codec boundary). The Spark-side plumbing is real
+The container has no codec libraries, so decode is REAL only for the
+formats whose specs are implementable dependency-free — BMP (24-bit
+uncompressed BI_RGB) and binary PPM (P6) images
+(encode_bmp/encode_ppm/decode_image) and mono 16-bit PCM WAV audio
+(encode_wav/decode_wav) — and STUBBED for everything else
+(deterministic fake features; NotImplementedError for PNG/JPEG/
+compressed audio/video, the documented codec boundary). The Spark-side plumbing is real
 and tested throughout: schema shape, binary payload handling, mapInPandas
 batch iteration, partition-preserving feature extraction. Swapping in
 PIL/librosa for the remaining formats is a one-function change that
@@ -35,6 +36,7 @@ from pyspark.sql.types import (
 
 REAL_DECODERS_AVAILABLE = False  # PNG/JPEG/audio/video: flip when PIL/librosa exist
 REAL_IMAGE_FORMATS = ("bmp", "ppm")  # decoded for real, dependency-free
+REAL_AUDIO_FORMATS = ("wav",)  # mono 16-bit PCM RIFF, decoded for real
 
 MEDIA_SCHEMA = StructType(
     [
@@ -394,3 +396,169 @@ def frame_sample_stub(
             yield pd.DataFrame(rows)
 
     return media_df.mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("n_bytes", LongType(), True),
+        StructField("sample_rate", LongType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("peak_abs", LongType(), True),
+        StructField("amp_sum", LongType(), True),
+        StructField("amp_sumsq", LongType(), True),
+    ]
+)
+
+
+def encode_wav(samples: list[int], sample_rate: int = 8000) -> bytes:
+    """Real, dependency-free mono 16-bit PCM WAV (RIFF) writer.
+
+    ``samples`` are signed int16 values. Emits the canonical 44-byte
+    RIFF/fmt/data layout — bytes any audio player opens."""
+    import struct
+
+    n = len(samples)
+    data = struct.pack(f"<{n}h", *samples)
+    byte_rate = sample_rate * 2  # mono, 16-bit
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, byte_rate, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Real, dependency-free WAV decode: walks RIFF chunks, validates the
+    PCM fmt chunk, and computes exact sample statistics (peak amplitude,
+    signed sum, sum of squares — all integer, so oracle-checkable).
+    Raises ValueError for non-WAV bytes (callers fall back to the stub
+    path) and NotImplementedError for recognized-but-compressed encodings
+    (non-PCM format tags, bit depths other than 16)."""
+    import struct
+
+    if payload is None or len(payload) < 12 or payload[:4] != b"RIFF":
+        raise ValueError("not a RIFF payload")
+    if payload[8:12] != b"WAVE":
+        raise ValueError("RIFF but not WAVE")
+    (riff_size,) = struct.unpack("<I", payload[4:8])
+    if riff_size + 8 != len(payload):
+        raise ValueError("RIFF size mismatch")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (csz,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + csz]
+        if len(body) != csz:
+            raise ValueError("truncated chunk")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + csz + (csz & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    tag, channels, rate, _, _, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if tag != 1:
+        raise NotImplementedError(
+            f"compressed WAV (format tag {tag}) needs a codec library"
+        )
+    if bits != 16 or channels != 1:
+        raise NotImplementedError(
+            f"only mono 16-bit PCM implemented (got {channels}ch/{bits}-bit)"
+        )
+    n = len(data) // 2
+    samples = struct.unpack(f"<{n}h", data[: 2 * n])
+    peak = max((abs(s) for s in samples), default=0)
+    amp_sum = sum(samples)
+    amp_sumsq = sum(s * s for s in samples)
+    return {
+        "sample_rate": rate,
+        "n_samples": n,
+        "duration_ms": (1000 * n) // rate if rate else None,
+        "peak_abs": peak,
+        "amp_sum": amp_sum,
+        "amp_sumsq": amp_sumsq,
+    }
+
+
+def synthesize_wav_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Manufacture REAL mono 16-bit PCM WAV payloads from text: sample k is
+    ``(codepoint(text[k mod len]) mod 256 - 128) * 256`` (int16), length
+    ``40 + id % 50`` samples at 8 kHz — so an oracle can compute the exact
+    expected amplitude statistics from the text alone, and decode_wav
+    exercises the REAL RIFF parse end-to-end. Iterator mapInPandas,
+    MEDIA_SCHEMA shape."""
+    src = df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.col(text_col).alias("_text"),
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["_text"]):
+                n = 40 + int(doc_id) % 50
+                if text:
+                    s = [
+                        (ord(text[k % len(text)]) % 256 - 128) * 256
+                        for k in range(n)
+                    ]
+                else:
+                    s = [0] * n
+                payloads.append(encode_wav(s, 8000))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": ["audio"] * len(pdf),
+                    "payload": payloads,
+                    "mime": ["audio/wav"] * len(pdf),
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return src.mapInPandas(encode, schema=MEDIA_SCHEMA)
+
+
+def extract_audio_features(media_df: DataFrame) -> DataFrame:
+    """mapInPandas audio feature extraction: real decode_wav over WAV
+    payloads; rows whose payload is not well-formed PCM WAV surface as
+    NULL features (the stub/codec boundary), never as task failures."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for p in pdf["payload"]:
+                try:
+                    feats.append(decode_wav(bytes(p)))
+                except (ValueError, NotImplementedError):
+                    feats.append(
+                        dict.fromkeys(
+                            (
+                                "sample_rate",
+                                "n_samples",
+                                "duration_ms",
+                                "peak_abs",
+                                "amp_sum",
+                                "amp_sumsq",
+                            )
+                        )
+                    )
+            out = {"doc_id": pdf["doc_id"], "n_bytes": pdf["n_bytes"]}
+            for k in (
+                "sample_rate",
+                "n_samples",
+                "duration_ms",
+                "peak_abs",
+                "amp_sum",
+                "amp_sumsq",
+            ):
+                out[k] = pd.array([f[k] for f in feats], dtype="Int64")
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(extract, schema=AUDIO_FEATURE_SCHEMA)

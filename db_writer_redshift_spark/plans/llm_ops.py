@@ -1678,6 +1678,63 @@ def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_audio_decode",
+    oracle=r"""
+WITH base AS (
+  SELECT doc_id, text, 40 + doc_id % 50 AS n_samples FROM documents
+),
+s AS (
+  SELECT doc_id, n_samples,
+         CASE WHEN len(text) = 0
+              THEN list_transform(range(0, n_samples), k -> 0::BIGINT)
+              ELSE list_transform(range(0, n_samples),
+                     k -> ((ord(text[(k % len(text)) + 1]) % 256 - 128) * 256)::BIGINT)
+         END AS samples
+  FROM base
+)
+SELECT doc_id,
+       44 + 2 * n_samples AS n_bytes,
+       8000 AS sample_rate,
+       n_samples,
+       (1000 * n_samples) // 8000 AS duration_ms,
+       CAST(list_aggregate(list_transform(samples, v -> abs(v)), 'max') AS BIGINT) AS peak_abs,
+       CAST(list_aggregate(samples, 'sum') AS BIGINT) AS amp_sum,
+       CAST(list_aggregate(list_transform(samples, v -> v * v), 'sum') AS BIGINT) AS amp_sumsq
+FROM s
+""",
+)
+def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: synthesize a well-formed mono 16-bit
+    PCM WAV per document (samples derived from the text —
+    operators/multimodal.synthesize_wav_media), then extract_audio_features
+    PARSES the actual RIFF bytes (chunk walk, fmt validation, int16 LE
+    samples) and reports exact amplitude statistics. The oracle computes
+    the EXPECTED statistics from the construction alone, so a hash match
+    proves encoder and decoder agree byte-for-byte on the WAV spec —
+    extending the round-5 real-decode upgrade (BMP/PPM images) to the
+    audio lane; compressed codecs (MP3/FLAC/non-PCM tags) remain the
+    documented NotImplementedError boundary.
+
+    Scale: both stages are iterator mapInPandas (batch-bounded memory, no
+    shuffle); per-row output is 8 scalar BIGINTs regardless of clip
+    length. All-integer statistics (peak, signed sum, sum of squares) —
+    fully value-hash-checkable."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_wav_media(docs, "doc_id", "text")
+    feats = multimodal.extract_audio_features(media)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "sample_rate",
+        "n_samples",
+        "duration_ms",
+        "peak_abs",
+        "amp_sum",
+        "amp_sumsq",
+    )
+
+
+@register(
     "dedup_normalized_fingerprint",
     oracle="""
 SELECT fingerprint, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs

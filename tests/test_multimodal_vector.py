@@ -155,3 +155,82 @@ class TestRealImageDecode:
         assert rows[2].px_sum == 0 and rows[2].px_mean_e6 == 0
         # stub path columns stay NULL-free for n_bytes/checksum
         assert all(r.checksum is not None for r in rows.values())
+
+
+class TestRealWavDecode:
+    """decode_wav parses actual RIFF/PCM bytes; stats proven by hand."""
+
+    def test_known_wav_exact_stats(self):
+        samples = [0, 256, -256, 32767, -32768, 1000]
+        payload = multimodal.encode_wav(samples, 8000)
+        assert len(payload) == 44 + 2 * len(samples)
+        got = multimodal.decode_wav(payload)
+        assert got["sample_rate"] == 8000
+        assert got["n_samples"] == 6
+        assert got["peak_abs"] == 32768
+        assert got["amp_sum"] == sum(samples)
+        assert got["amp_sumsq"] == sum(s * s for s in samples)
+
+    def test_wav_chunk_walk_skips_extra_chunks(self):
+        import struct
+
+        base = multimodal.encode_wav([100, -100], 8000)
+        # splice a LIST chunk between fmt and data (players tolerate this)
+        fmt_end = 12 + 8 + 16
+        extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+        spliced = base[:fmt_end] + extra + base[fmt_end:]
+        spliced = (
+            spliced[:4]
+            + struct.pack("<I", len(spliced) - 8)
+            + spliced[8:]
+        )
+        got = multimodal.decode_wav(spliced)
+        assert got["n_samples"] == 2 and got["amp_sum"] == 0
+
+    def test_wav_codec_boundary(self):
+        import struct
+
+        good = multimodal.encode_wav([1, 2, 3], 8000)
+        # format tag 85 (MP3) -> recognized but needs a codec
+        mp3ish = bytearray(good)
+        mp3ish[20:22] = struct.pack("<H", 85)
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_wav(bytes(mp3ish))
+        with pytest.raises(ValueError):
+            multimodal.decode_wav(b"plain text, not audio at all")
+        with pytest.raises(ValueError):
+            multimodal.decode_wav(b"RIFF\x00\x00\x00\x00JUNK")
+
+    def test_extract_audio_features_in_spark(self, spark):
+        df = spark.createDataFrame(
+            [(1, "abc"), (2, "")], "doc_id long, text string"
+        )
+        media = multimodal.synthesize_wav_media(df, "doc_id", "text")
+        rows = {
+            r.doc_id: r
+            for r in multimodal.extract_audio_features(media).collect()
+        }
+        n1 = 40 + 1 % 50
+        exp = [(ord("abc"[k % 3]) % 256 - 128) * 256 for k in range(n1)]
+        assert rows[1].n_samples == n1
+        assert rows[1].amp_sum == sum(exp)
+        assert rows[1].amp_sumsq == sum(s * s for s in exp)
+        assert rows[2].peak_abs == 0 and rows[2].amp_sum == 0
+
+    def test_extract_audio_features_bad_payload_null_row(self, spark):
+        from pyspark.sql import Row
+
+        media = spark.createDataFrame(
+            [
+                Row(
+                    doc_id=1,
+                    media_type="audio",
+                    payload=b"not a wav",
+                    mime="audio/wav",
+                    n_bytes=9,
+                )
+            ],
+            multimodal.MEDIA_SCHEMA,
+        )
+        (row,) = multimodal.extract_audio_features(media).collect()
+        assert row.n_samples is None and row.amp_sum is None
