@@ -86,3 +86,63 @@ def waterfill_allocation(per_src: DataFrame, budget: Column) -> DataFrame:
         .cast("long")
         .alias("is_capped"),
     )
+
+
+def token_budget_gate_fold(
+    docs: DataFrame,
+    id_col: str,
+    source_col: str,
+    tokens_col: str,
+    budget: int,
+) -> DataFrame:
+    """Batch twin of streaming.stream_token_budget_gate: per-source
+    LIFETIME token-budget admission, replayed as one deterministic
+    relation. Docs are scanned in ``id_col`` order within each source
+    (the gate's own tie-break — it sorts each micro-batch by doc_id);
+    a doc is ADMITTED iff the source's running total of ADMITTED tokens
+    plus its own stays within ``budget``. Rejected docs do NOT consume
+    budget, and scanning continues — a smaller later doc may still fit
+    (the gate's exact skip semantics), which is why this is a
+    conditional fold, not a windowed cumsum with a cutoff.
+
+    Returns (doc_id, source, n_tokens, admitted, used_after) for every
+    input doc; used_after is the post-decision running total, making the
+    state trajectory itself value-hash-checkable.
+
+    Scale: applyInPandas keyed by source — embarrassingly parallel
+    ACROSS sources, sequential within one (inherent to the semantics:
+    it IS the streaming gate's per-key state scan). Source groups are
+    bounded by per-source corpus size; at the scale where one source's
+    rows exceed executor memory, run the streaming gate (bounded
+    ValueState) instead — the two are proven equivalent in
+    tests/test_budget_gate_twin.py."""
+    import pandas as pd
+
+    src = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(source_col).alias("source"),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+    )
+
+    def gate(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        used = 0
+        admitted, used_after = [], []
+        for n in pdf["n_tokens"]:
+            if used + int(n) <= budget:
+                used += int(n)
+                admitted.append(1)
+            else:
+                admitted.append(0)
+            used_after.append(used)
+        pdf["admitted"] = pd.array(admitted, dtype="int32")
+        pdf["used_after"] = pd.array(used_after, dtype="int64")
+        return pdf
+
+    return src.groupBy("source").applyInPandas(
+        gate,
+        schema=(
+            "doc_id long, source string, n_tokens long, "
+            "admitted int, used_after long"
+        ),
+    )

@@ -5115,3 +5115,116 @@ def weighted_quantiles_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         w.unpersist(blocking=False)
+
+
+@register(
+    "text_ngram_novelty",
+    oracle="""
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS g
+  FROM docs, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+  WHERE len(w) >= 5
+),
+firsts AS (SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g)
+SELECT doc_id,
+       COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       (1000 * CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT))
+         // COUNT(*) AS novelty_permille
+FROM grams JOIN firsts USING (g)
+GROUP BY doc_id
+""",
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY in corpus order — the fraction of a
+    doc's distinct word 5-grams whose FIRST occurrence (min doc_id) is
+    this doc. The signal behind training-data novelty curves (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better"):
+    low-novelty documents are mostly re-statements of earlier corpus
+    content even when no single near-duplicate pair exists, so the
+    metric catches diffuse boilerplate that pairwise dedup tiers miss.
+
+    Scale: distinct-gram explode → one groupBy(gram) MIN (uniform key —
+    word 5-grams have no meaningful skew at this n), an ids-only gram
+    equi-join back (linear in gram occurrences, never pairwise), and a
+    map-side-combined per-doc rollup. Integer permille output — exact
+    value-hash."""
+    from db_writer_redshift_spark.functions.text import shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.explode(shingles(F.col("text"), 5)).alias("g")
+    )
+    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    ).cast("long")
+    return (
+        grams.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            novel.alias("n_novel"),
+            F.expr(
+                "(1000 * CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)) div COUNT(*)"
+            ).alias("novelty_permille"),
+        )
+    )
+
+
+@register(
+    "streaming_token_budget_batch_twin",
+    oracle="""
+WITH RECURSIVE docs AS (
+  SELECT doc_id, source, n_chars AS n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+),
+fold AS (
+  SELECT source, rn, doc_id, n_tokens,
+         CASE WHEN n_tokens <= 4000 THEN 1 ELSE 0 END AS admitted,
+         CAST(CASE WHEN n_tokens <= 4000 THEN n_tokens ELSE 0 END AS BIGINT) AS used_after
+  FROM docs WHERE rn = 1
+  UNION ALL
+  SELECT d.source, d.rn, d.doc_id, d.n_tokens,
+         CASE WHEN f.used_after + d.n_tokens <= 4000 THEN 1 ELSE 0 END,
+         f.used_after + CASE WHEN f.used_after + d.n_tokens <= 4000
+                             THEN d.n_tokens ELSE 0 END
+  FROM fold f JOIN docs d ON d.source = f.source AND d.rn = f.rn + 1
+)
+SELECT doc_id, source, n_tokens,
+       CAST(admitted AS INTEGER) AS admitted, used_after
+FROM fold
+""",
+)
+def streaming_token_budget_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the transformWithStateInPandas token-budget gate
+    (streaming/jobs.py stream_token_budget_gate): per-source lifetime
+    budget admission in doc_id order, with skip-and-continue semantics
+    (a rejected doc consumes no budget; smaller later docs may still
+    fit). Budget = 4000 chars per source; n_chars stands in for the
+    token count. Emits the full verdict + running-state relation.
+
+    This matters doubly here: the streaming gate's pytest is
+    environment-gated (transformWithStateInPandas needs protobuf, absent
+    in this container), so the batch twin is the only EXECUTABLE,
+    oracle-checked form of the budget-gate semantics — the DuckDB twin
+    is a per-source recursive-CTE fold, one of the few operators whose
+    oracle genuinely needs recursion (conditional folds are not
+    window-expressible).
+
+    Scale: applyInPandas keyed by source — parallel across sources,
+    sequential within one (the semantics ARE a per-key state scan; the
+    streaming gate is the bounded-memory path when one source outgrows
+    an executor)."""
+    from db_writer_redshift_spark.operators.mixing import token_budget_gate_fold
+
+    return token_budget_gate_fold(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "source",
+        "n_chars",
+        budget=4000,
+    )
