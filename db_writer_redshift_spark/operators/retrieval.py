@@ -186,3 +186,37 @@ def rrf_rerank_topk(
         fused.withColumn("fused_rank", F.row_number().over(wf))
         .filter(F.col("fused_rank") <= k)
     )
+
+
+def query_term_hits(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, doc_id, term, tf): the inverted-list probe of query
+    bigrams against the corpus, WITHOUT the df-cap — relevance judgments
+    (e.g. the nDCG audit's term-coverage grades) must see every query
+    term even when scoring drops corpus-hot ones. Same scan shape as
+    bm25_bigram_topk's hits stage: the literal term list filters at the
+    explode, qterms broadcasts."""
+    spark = docs.sparkSession
+    pairs = [
+        (qid, f"{a} {b}")
+        for qid, phrase in queries
+        for a, b in zip(phrase.lower().split(), phrase.lower().split()[1:])
+    ]
+    qterms = spark.createDataFrame(pairs, "query_id long, term string")
+    term_set = sorted({t for _, t in pairs})
+    hits = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(_bigram_positions(F.col(text_col))).alias("term"),
+        )
+        .filter(F.col("term").isin(term_set))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    return hits.join(F.broadcast(qterms), "term").select(
+        "query_id", "doc_id", "term", "tf"
+    )

@@ -5228,3 +5228,68 @@ def streaming_token_budget_batch_twin(spark: SparkSession, sf_dir: str) -> DataF
         "n_chars",
         budget=4000,
     )
+
+
+@register(
+    "pack_padding_efficiency_sweep",
+    oracle="""
+WITH widths AS (SELECT UNNEST([32, 64, 128, 1048576]) AS bucket_width),
+assigned AS (
+  SELECT w.bucket_width, d.n_chars, d.n_chars // w.bucket_width AS bucket
+  FROM documents d CROSS JOIN widths w
+),
+per_bucket AS (
+  SELECT bucket_width, bucket,
+         COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS chars_real,
+         MAX(n_chars) AS pad_to
+  FROM assigned GROUP BY bucket_width, bucket
+)
+SELECT bucket_width,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(chars_real) AS BIGINT) AS chars_real,
+       CAST(SUM(n_docs * pad_to) AS BIGINT) AS chars_padded,
+       (1000 * (CAST(SUM(n_docs * pad_to) AS BIGINT) - CAST(SUM(chars_real) AS BIGINT)))
+         // CAST(SUM(n_docs * pad_to) AS BIGINT) AS waste_permille
+FROM per_bucket
+GROUP BY bucket_width
+""",
+)
+def pack_padding_efficiency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching efficiency sweep: for each candidate
+    bucket WIDTH (docs grouped by n_chars div width; every doc pads to
+    its bucket's max), the total padded volume and the padding-waste
+    permille. The curve this traces — waste falling as buckets narrow,
+    bucket count (scheduling overhead) rising — is how a training
+    pipeline picks its sequence-bucketing granularity before packing
+    batches; 1048576 is the degenerate single-bucket baseline (pad
+    everything to corpus max).
+
+    Scale: a 4-way width explode (constant fan-out) into two map-side-
+    combined aggregations keyed by (width, bucket) then width — no
+    joins, no windows, no sort. All-integer output."""
+    d = load_table(spark, sf_dir, "documents").select("n_chars")
+    widths = F.array(*[F.lit(w) for w in (32, 64, 128, 1048576)])
+    assigned = d.select(
+        "n_chars", F.explode(widths).alias("bucket_width")
+    ).withColumn("bucket", F.expr("n_chars div bucket_width"))
+    per_bucket = assigned.groupBy("bucket_width", "bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars_real"),
+        F.max("n_chars").alias("pad_to"),
+    )
+    return (
+        per_bucket.groupBy("bucket_width")
+        .agg(
+            F.count("*").cast("long").alias("n_buckets"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("chars_real").cast("long").alias("chars_real"),
+            F.sum(F.col("n_docs") * F.col("pad_to")).cast("long").alias("chars_padded"),
+            F.expr(
+                "(1000 * (CAST(SUM(n_docs * pad_to) AS BIGINT)"
+                " - CAST(SUM(chars_real) AS BIGINT)))"
+                " div CAST(SUM(n_docs * pad_to) AS BIGINT)"
+            ).alias("waste_permille"),
+        )
+    )

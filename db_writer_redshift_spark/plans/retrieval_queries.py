@@ -170,3 +170,110 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", quality_score_e6(F.col("text")).alias("prior_e6")
     )
     return retrieval.rrf_rerank_topk(cand, prior, k=10, rrf_k=60)
+
+# Fixed nDCG@10 discount weights: round(1e6 / log2(rank+1)) for rank 1..10.
+# Generated once and hardcoded as LITERALS in both engines, so the one
+# transcendental (log2) never executes at query time on either side.
+NDCG_W_E6: list[int] = [
+    1000000, 630930, 500000, 430677, 386853,
+    356207, 333333, 315465, 301030, 289065,
+]
+
+
+def _ndcg_oracle() -> str:
+    wt_rows = ", ".join(f"({r + 1}, {w})" for r, w in enumerate(NDCG_W_E6))
+    return (
+        _bm25_cte_prefix()
+        + f""",
+wt(rk, w_e6) AS (VALUES {wt_rows}),
+rel AS (
+  SELECT q.query_id, h.doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms
+  FROM hits h JOIN qterms q USING (term)
+  GROUP BY q.query_id, h.doc_id
+),
+topk AS (
+  SELECT l.query_id, l.doc_id, l.lex_rank,
+         POWER(2, r.n_terms)::BIGINT - 1 AS gain
+  FROM lexranked l JOIN rel r
+    ON r.query_id = l.query_id AND r.doc_id = l.doc_id
+  WHERE l.lex_rank <= 10
+),
+ideal AS (
+  SELECT query_id, gain,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY gain DESC, doc_id) AS ideal_rank
+  FROM topk
+),
+dcg AS (
+  SELECT t.query_id,
+         CAST(SUM(t.gain * w.w_e6) AS BIGINT) AS dcg_e6
+  FROM topk t JOIN wt w ON w.rk = t.lex_rank
+  GROUP BY t.query_id
+),
+idcg AS (
+  SELECT i.query_id,
+         CAST(SUM(i.gain * w.w_e6) AS BIGINT) AS idcg_e6
+  FROM ideal i JOIN wt w ON w.rk = i.ideal_rank
+  GROUP BY i.query_id
+)
+SELECT d.query_id, d.dcg_e6, i.idcg_e6,
+       CASE WHEN i.idcg_e6 > 0
+            THEN (1000 * d.dcg_e6) // i.idcg_e6 ELSE 0 END AS ndcg_permille
+FROM dcg d JOIN idcg i USING (query_id)
+"""
+    )
+
+
+@register("retrieval_ndcg_audit", oracle=_ndcg_oracle())
+def retrieval_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality audit: nDCG@10 of the BM25 top-10 per query,
+    against graded term-coverage relevance (gain = 2^n_matching_bigrams
+    - 1 — the standard exponential gain over a 0..3 graded scale). The
+    completion of the retrieval family's eval story: ann_recall_audit
+    grades the dense tiers, this grades the lexical tier — BM25 ranks
+    high-coverage docs first, so nDCG < 1000 exposes queries where
+    df-capped or length-normalized scoring inverts the coverage order.
+
+    Numerics: the per-rank discounts 1/log2(rank+1) are PRECOMPUTED
+    integer-e6 literals (NDCG_W_E6) shared by both engines, so no
+    transcendental executes at query time and every product/sum/floor-
+    division is exact BIGINT — full value-hash despite nDCG's textbook
+    definition being float.
+
+    Scale: candidates are the existing top-10-per-query relation
+    (bounded: 10 rows × #queries); relevance joins the same broadcast
+    query-term hits used for scoring; ideal re-ranking windows over ≤10
+    rows per query. Nothing corpus-wide beyond the BM25 scan itself."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    topk = retrieval.bm25_bigram_topk(docs, PHRASES, k=10)
+    hits = retrieval.query_term_hits(docs, PHRASES)
+    rel = hits.groupBy("query_id", "doc_id").agg(
+        F.count("*").cast("long").alias("n_terms")
+    )
+    wts = F.array(*[F.lit(w) for w in NDCG_W_E6])
+    scored = (
+        topk.join(rel, ["query_id", "doc_id"])
+        .withColumn("gain", F.expr("CAST(POWER(2, n_terms) AS BIGINT) - 1"))
+        .withColumn("w_lex", F.element_at(wts, F.col("lex_rank").cast("int")))
+    )
+    iw = Window.partitionBy("query_id").orderBy(
+        F.col("gain").desc(), F.col("doc_id")
+    )
+    ideal = scored.withColumn("ideal_rank", F.row_number().over(iw)).withColumn(
+        "w_ideal", F.element_at(wts, F.col("ideal_rank").cast("int"))
+    )
+    per_q = ideal.groupBy("query_id").agg(
+        F.sum(F.col("gain") * F.col("w_lex")).cast("long").alias("dcg_e6"),
+        F.sum(F.col("gain") * F.col("w_ideal")).cast("long").alias("idcg_e6"),
+    )
+    return per_q.select(
+        "query_id",
+        "dcg_e6",
+        "idcg_e6",
+        F.expr(
+            "CASE WHEN idcg_e6 > 0 THEN (1000 * dcg_e6) div idcg_e6"
+            " ELSE CAST(0 AS BIGINT) END"
+        ).alias("ndcg_permille"),
+    )
