@@ -25,9 +25,10 @@ dtype-faithful tools/oracle_check.py at BOTH sf0.01 (the driver's gate
 scale) and sf0.1 (245/245 in one run), so every name below is
 pre-certified at 10x the gate scale; re-certified at round-5 close.
 
-ROUND-6 CLOSE-OUT WINDOW (closes the registry at 245/245 graded at
-least once; 39 never-graded names remain after round 5, leaving 11
-slots for keepers / re-proves of anything round 5 flags):
+ROUND-6 CLOSE-OUT WINDOW (closes the registry at 252/252 graded at
+least once; 46 never-graded names remain after round 5 — the 39
+deferred names plus round 5's seven additions — leaving 4 slots for
+keepers / re-proves of anything round 5 flags):
   * the 30 oracle-bearing names deferred from round 5:
     mix_doremi_weights, quality_prune_sweep, vocab_collocations_lift,
     cluster_label_purity, lang_confusion_matrix, events_trend_slope,
@@ -48,8 +49,12 @@ slots for keepers / re-proves of anything round 5 flags):
     dedup_embedding_lsh, ann_lsh_topk, ann_ivf_topk,
     text_rolling_fingerprint, kmeans_fit_clusters,
     embedding_pca_eigvals, hll_partial_union_rollup;
-  * any round-5 additions (e.g. streaming_near_dup_batch_twin), then
-    keepers / re-proves in the remaining slots.
+  * the round-5 additions (all certified at sf0.001/0.01 this round,
+    several at sf0.1): streaming_near_dup_batch_twin,
+    streaming_token_budget_batch_twin, multimodal_audio_decode,
+    multimodal_image_decode, text_ngram_novelty,
+    pack_padding_efficiency_sweep, retrieval_ndcg_audit;
+  * then keepers / re-proves in the remaining ~4 slots.
 """
 
 from __future__ import annotations

@@ -470,3 +470,71 @@ def test_quantiles_disc_multi_matches_sorted_reference(spark, vals, qs):
         ordered[max(1, math.ceil(q * len(vals) - 1e-9)) - 1] for q in qs
     ]
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# _sql_str / _bpe_merge_expr under adversarial symbol alphabets (VERDICT r4
+# optional hardening #8): quotes, backslashes, unicode, regex metachars —
+# everything except '|' (excluded from BPE vocabularies at build time) and
+# NUL (not a text character).
+# --------------------------------------------------------------------------
+
+_adversarial_sym = st.text(
+    alphabet=st.one_of(
+        st.characters(min_codepoint=32, max_codepoint=126, exclude_characters="|"),
+        st.sampled_from("'\"\\`’é漢.*[](){}^$%_\n\t"),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _ref_bpe_merge(syms: list[str], left: str, right: str) -> list[str]:
+    """Greedy left-to-right non-overlapping pair merge (the Sennrich
+    rule) — the Python model _bpe_merge_expr must reproduce."""
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+@given(s=_adversarial_sym)
+@settings(**_SETTINGS)
+def test_sql_str_round_trips_any_symbol(spark, s):
+    from pyspark.sql import functions as F
+
+    from db_writer_redshift_spark.operators.text import _sql_str
+
+    (row,) = spark.range(1).select(F.expr(_sql_str(s)).alias("v")).collect()
+    assert row.v == s
+
+
+@given(
+    syms=st.lists(_adversarial_sym, min_size=1, max_size=7),
+    pair=st.tuples(_adversarial_sym, _adversarial_sym),
+)
+@settings(**_SETTINGS)
+def test_bpe_merge_expr_matches_python_model(spark, syms, pair):
+    """The SQL fold merges exactly the pairs the Python model merges —
+    including when (left, right) actually occur in syms (hypothesis
+    rarely collides 6-char random symbols, so force half the runs to
+    embed the pair explicitly)."""
+    from pyspark.sql import functions as F
+
+    from db_writer_redshift_spark.operators.text import _bpe_merge_expr
+
+    left, right = pair
+    # force occurrences: prepend/append the pair so merges actually fire
+    syms = [left, right] + syms + [left, right, right, left]
+    expected = "|".join(_ref_bpe_merge(syms, left, right))
+    df = spark.createDataFrame([("|".join(syms),)], "s string")
+    (row,) = df.select(
+        F.expr(_bpe_merge_expr("s", left, right)).alias("m")
+    ).collect()
+    assert row.m == expected

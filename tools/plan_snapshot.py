@@ -83,6 +83,13 @@ SHOWCASE = [
     ("incremental_agg_retractions", "Z-set retraction: signed delta through the same combine aggregate"),
     ("weighted_quantiles_doclen", "weighted quickselect: SUM(weight) histogram rounds, no sort"),
     ("events_hazard_table", "hazard table: user MIN/MAX agg, lifetime histogram, window over distinct lifetimes"),
+    # round-5 additions
+    ("streaming_near_dup_batch_twin", "streaming fold twin: one signature/banding pass, per-batch ids-only store semi-joins"),
+    ("streaming_token_budget_batch_twin", "budget gate twin: applyInPandas per source, parallel across sources"),
+    ("multimodal_audio_decode", "real WAV decode: two iterator mapInPandas stages, zero exchanges"),
+    ("text_ngram_novelty", "novelty: one uniform gram shuffle + ids-only join back, per-doc rollup"),
+    ("pack_padding_efficiency_sweep", "padding sweep: constant 4-way explode, two map-side-combined aggs"),
+    ("retrieval_ndcg_audit", "nDCG audit: bounded top-10 relation, broadcast hits, <=10-row ideal windows"),
 ]
 
 
