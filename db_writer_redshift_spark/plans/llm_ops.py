@@ -5293,3 +5293,146 @@ def pack_padding_efficiency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("waste_permille"),
         )
     )
+
+
+@register(
+    "stats_spearman_quality_len",
+    oracle="""
+WITH base AS (
+  SELECT lang, n_chars,
+         ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')), 6) AS a6,
+         ROUND(CAST(LENGTH(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / LENGTH(text), 6) AS p6,
+         ROUND(CAST(len(list_filter(string_split(LOWER(text), ' '), x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+               / len(string_split(text, ' ')), 6) AS s6
+  FROM documents
+),
+scored AS (
+  SELECT lang, n_chars AS y,
+         CAST(ROUND((1.0 - LEAST(1.0, ABS(a6 - 5) / 5) * 0.3
+                         - LEAST(1.0, p6 * 10) * 0.3
+                         - LEAST(1.0, ABS(s6 - 0.4)) * 0.4) * 1000000) AS BIGINT) AS q
+  FROM base
+),
+cx AS (SELECT lang, q, CAST(COUNT(*) AS BIGINT) AS c FROM scored GROUP BY lang, q),
+rx AS (
+  SELECT lang, q,
+         2 * CAST(COALESCE(SUM(c) OVER (PARTITION BY lang ORDER BY q
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           + c + 1 AS x2
+  FROM cx
+),
+cy AS (SELECT lang, y, CAST(COUNT(*) AS BIGINT) AS c FROM scored GROUP BY lang, y),
+ry AS (
+  SELECT lang, y,
+         2 * CAST(COALESCE(SUM(c) OVER (PARTITION BY lang ORDER BY y
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           + c + 1 AS y2
+  FROM cy
+),
+ranked AS (
+  SELECT s.lang, rx.x2, ry.y2
+  FROM scored s
+  JOIN rx ON rx.lang = s.lang AND rx.q = s.q
+  JOIN ry ON ry.lang = s.lang AND ry.y = s.y
+),
+m AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x2::HUGEINT) AS sx, SUM(y2::HUGEINT) AS sy,
+         SUM(x2::HUGEINT * x2) AS sxx, SUM(y2::HUGEINT * y2) AS syy,
+         SUM(x2::HUGEINT * y2) AS sxy
+  FROM ranked GROUP BY lang
+),
+f AS (
+  SELECT lang, n,
+         n::HUGEINT * sxy - sx * sy AS num,
+         n::HUGEINT * sxx - sx * sx AS varx,
+         n::HUGEINT * syy - sy * sy AS vary
+  FROM m
+)
+SELECT lang, n AS n_docs,
+       CAST(CASE WHEN varx = 0 OR vary = 0 THEN 0
+                 WHEN num < 0
+                 THEN -((1000000::HUGEINT * num * num) // (varx * vary))
+                 ELSE (1000000::HUGEINT * num * num) // (varx * vary)
+            END AS BIGINT) AS rho2_signed_ppm
+FROM f
+""",
+)
+def stats_spearman_quality_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (Spearman 1904, tie-aware Pearson-on-
+    midranks form) between the quality score and document length, per
+    language — the MONOTONE-association member completing the classical
+    test family: chi-square (composition), KS (shape), Mann-Whitney
+    (location), ANOVA (means), Spearman (rank association). A strong
+    |rho| here warns that a "quality" gate is largely a length gate —
+    the calibration check run before trusting a filter.
+
+    Reported as SIGNED rho² in ppm (rho² = num²/(varx·vary) is exactly
+    rational in integer midranks; taking the square root would force
+    cross-engine floats). Midranks come from the Mann-Whitney machinery:
+    per-(lang, value) counts, cumulative windows over DISTINCT VALUES
+    (bounded by the e6 score scale / max doc length, and partitioned by
+    lang), doubled to stay integer under ties (2·avg-rank = 2·below +
+    ties + 1).
+
+    Exactness strategy (the ANOVA discipline): the distributed work is
+    one map-side-combined moment aggregate per lang (products summed in
+    DECIMAL(38,0)); the |langs|-row relation collects and the fraction
+    assembles in unbounded Python ints. The DuckDB twin evaluates the
+    same fraction in HUGEINT (1e6·num² stays under 2^127 through
+    per-lang n ≈ 1e7; the engine side has no ceiling at all)."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "lang",
+        F.col("n_chars").alias("y"),
+        text.quality_score_e6(F.col("text")).alias("q"),
+    )
+    def midranks(col: str, out: str) -> DataFrame:
+        cnt = scored.groupBy("lang", col).agg(
+            F.count("*").cast("long").alias("c")
+        )
+        w = (
+            Window.partitionBy("lang")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return cnt.select(
+            "lang",
+            col,
+            (
+                F.lit(2) * F.coalesce(F.sum("c").over(w), F.lit(0))
+                + F.col("c")
+                + F.lit(1)
+            ).cast("long").alias(out),
+        )
+
+    ranked = scored.join(midranks("q", "x2"), ["lang", "q"]).join(
+        midranks("y", "y2"), ["lang", "y"]
+    )
+    dec = "decimal(38,0)"
+    m = ranked.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("x2").cast(dec)).alias("sx"),
+        F.sum(F.col("y2").cast(dec)).alias("sy"),
+        F.sum(F.col("x2").cast(dec) * F.col("x2")).alias("sxx"),
+        F.sum(F.col("y2").cast(dec) * F.col("y2")).alias("syy"),
+        F.sum(F.col("x2").cast(dec) * F.col("y2")).alias("sxy"),
+    )
+    rows = []
+    for r in m.collect():  # |langs| rows of driver state, ANOVA-style
+        n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+        sxx, syy, sxy = int(r["sxx"]), int(r["syy"]), int(r["sxy"])
+        num = n * sxy - sx * sy
+        varx = n * sxx - sx * sx
+        vary = n * syy - sy * sy
+        if varx == 0 or vary == 0:
+            rho2 = 0
+        else:
+            mag = (1_000_000 * num * num) // (varx * vary)
+            rho2 = -mag if num < 0 else mag
+        rows.append((r["lang"], n, rho2))
+    return spark.createDataFrame(
+        rows, schema="lang string, n_docs bigint, rho2_signed_ppm bigint"
+    )
