@@ -41,9 +41,46 @@ HEADLINE = [
 ]
 
 
+def _foreign_spark_procs() -> list[str]:
+    """Other live Spark JVMs / pyspark drivers on the box (excluding this
+    process and its children). BENCH_r05 was contaminated by a scale probe
+    racing the bench for the box (VERDICT r5): loadavg alone missed it, so
+    the bench now names the offending processes and flags the run."""
+    me = os.getpid()
+    hits: list[str] = []
+    try:
+        pids = [p for p in os.listdir("/proc") if p.isdigit()]
+    except OSError:
+        return hits
+    for pid in pids:
+        if int(pid) == me:
+            continue
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                cmd = f.read().replace(b"\x00", b" ").decode("utf-8", "replace")
+            with open(f"/proc/{pid}/stat") as f:
+                ppid = int(f.read().split(")")[-1].split()[1])
+        except OSError:
+            continue
+        if ppid == me:
+            continue  # our own Spark JVM
+        low = cmd.lower()
+        looks_spark = (
+            "org.apache.spark" in low
+            or "pyspark" in low
+            or ("java" in low.split(" ", 1)[0] and "spark" in low)
+            or any(t in low for t in ("bench.py", "scale_probe", "oracle_check"))
+        )
+        if looks_spark:
+            hits.append(f"{pid}:{cmd[:120].strip()}")
+    return hits
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    foreign_start = _foreign_spark_procs()
 
     from db_writer_redshift_spark.session import get_spark
 
@@ -81,6 +118,7 @@ def main() -> int:
         timings[name] = round(best, 3)
         print(f"[bench] {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
+    foreign_end = _foreign_spark_procs()
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # Box-contention context (VERDICT r3: a uniform ~1.76x environmental
     # offset masqueraded as a regression): load_start is foreign load
@@ -101,6 +139,8 @@ def main() -> int:
                 "loadavg_start": load_start,
                 "loadavg_end": [round(la1, 2), round(la5, 2), round(la15, 2)],
                 "cpu_count": os.cpu_count(),
+                "foreign_spark_procs": sorted(set(foreign_start) | set(foreign_end)),
+                "contaminated": bool(foreign_start or foreign_end),
             }
         )
     )

@@ -974,10 +974,30 @@ def near_dup_fold(
         F.col(text_col).alias("__t"),
         F.col(batch_col).cast("long").alias("batch_id"),
     )
+    # Mirror the sink's per-micro-batch dropDuplicates(['doc_id']): without
+    # this, duplicate-id batchmates would both be admitted (the o_doc <
+    # doc_id pre-filter misses equal ids) and emit duplicate verdict rows,
+    # diverging from the sink this twin replays (ADVICE r5).
+    d = d.dropDuplicates(["batch_id", "doc_id"])
     if batch_values is None:
         batch_values = sorted(
             r["batch_id"] for r in d.select("batch_id").distinct().collect()
         )
+    else:
+        # A doc whose batch_id is outside batch_values would silently get
+        # no verdict row and never enter the store (ADVICE r5) — a caller
+        # mistake must fail loudly, not truncate the relation.
+        stray = (
+            d.filter(~F.col("batch_id").isin([int(b) for b in batch_values]))
+            .select("batch_id")
+            .limit(1)
+            .collect()
+        )
+        if stray:
+            raise ValueError(
+                f"near_dup_fold: input contains batch_id {stray[0]['batch_id']} "
+                f"not listed in batch_values={batch_values}"
+            )
     sig = minhash_signatures(d, "doc_id", "__t", n, num_hashes, seed, portable)
     bb_all = (
         band_rows(sig, num_hashes, bands, portable)
@@ -1019,11 +1039,20 @@ def near_dup_fold(
         # the store is a union of these bounded ids-only band relations.
         verdict = verdict.localCheckpoint(eager=True)
         verdicts.append(verdict)
-        admitted_bands = bb.join(
-            verdict.filter(F.col("admitted") == 1).select("doc_id"),
-            "doc_id",
-            "left_semi",
-        ).select("band", "bucket")
+        # Materialize each batch's admitted bands too: the store is a union
+        # of these, so without this every batch-k dup probe would re-execute
+        # all k-1 earlier semi-joins — O(B^2) join work vs the sink's
+        # materialized parquet store (ADVICE r5). With it, probing the store
+        # is a scan of k-1 checkpointed ids-only band relations.
+        admitted_bands = (
+            bb.join(
+                verdict.filter(F.col("admitted") == 1).select("doc_id"),
+                "doc_id",
+                "left_semi",
+            )
+            .select("band", "bucket")
+            .localCheckpoint(eager=True)
+        )
         store = (
             admitted_bands
             if store is None

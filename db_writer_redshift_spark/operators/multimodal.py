@@ -209,21 +209,21 @@ def decode_image(payload: bytes) -> dict:
             raise NotImplementedError(
                 f"BMP variant unsupported (bpp={bpp}, compression={compression})"
             )
-        bottom_up = height > 0
-        height = abs(height)
+        height = abs(height)  # sign only encodes row order; sums are order-free
         row_len = (3 * width + 3) // 4 * 4
         if px_off + row_len * height > len(payload):
             raise ValueError("truncated BMP pixel array")
-        total = r_sum = g_sum = b_sum = 0
-        for row_idx in range(height):
-            y = height - 1 - row_idx if bottom_up else row_idx
-            base = px_off + y * row_len
-            for x in range(width):
-                b, g, r = payload[base + 3 * x : base + 3 * x + 3]
-                b_sum += b
-                g_sum += g
-                r_sum += r
-        total = r_sum + g_sum + b_sum
+        # Vectorized: one frombuffer over the pixel array, pad columns
+        # sliced off per row. Row order (bottom-up vs top-down) does not
+        # affect the channel sums, so no flip is needed. int64 accumulation
+        # keeps the result exact (VERDICT r5 "What's wrong" #5: the former
+        # per-pixel Python loop burned 10-100x the executor CPU per image).
+        import numpy as np
+
+        px = np.frombuffer(
+            payload, dtype=np.uint8, count=row_len * height, offset=px_off
+        ).reshape(height, row_len)[:, : 3 * width]
+        total = int(px.astype(np.int64).sum())
     elif payload[:2] == b"P6":
         parts: list[int] = []
         pos = 2
@@ -244,13 +244,15 @@ def decode_image(payload: bytes) -> dict:
             raise NotImplementedError("16-bit PPM unsupported")
         if pos + 3 * width * height > len(payload):
             raise ValueError("truncated PPM pixel array")
-        r_sum = g_sum = b_sum = 0
-        for k in range(width * height):
-            r, g, b = payload[pos + 3 * k : pos + 3 * k + 3]
-            r_sum += r
-            g_sum += g
-            b_sum += b
-        total = r_sum + g_sum + b_sum
+        import numpy as np
+
+        total = int(
+            np.frombuffer(
+                payload, dtype=np.uint8, count=3 * width * height, offset=pos
+            )
+            .astype(np.int64)
+            .sum()
+        )
     else:
         raise ValueError("unrecognized image magic")
     n_px = width * height
@@ -473,10 +475,14 @@ def decode_wav(payload: bytes) -> dict:
             f"only mono 16-bit PCM implemented (got {channels}ch/{bits}-bit)"
         )
     n = len(data) // 2
-    samples = struct.unpack(f"<{n}h", data[: 2 * n])
-    peak = max((abs(s) for s in samples), default=0)
-    amp_sum = sum(samples)
-    amp_sumsq = sum(s * s for s in samples)
+    # Vectorized sample statistics: int64 accumulation is exact for any
+    # realistic clip length (peak^2 * n < 2^63 up to ~8.6e9 samples).
+    import numpy as np
+
+    samples = np.frombuffer(data, dtype="<i2", count=n).astype(np.int64)
+    peak = int(np.abs(samples).max()) if n else 0
+    amp_sum = int(samples.sum())
+    amp_sumsq = int((samples * samples).sum())
     return {
         "sample_rate": rate,
         "n_samples": n,

@@ -93,7 +93,7 @@ def test_fold_matches_streaming_gate(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "stream timed out"
     gate_admitted = {
         r.doc_id for r in spark.sql("SELECT doc_id FROM gate_out").collect()
     }

@@ -74,7 +74,7 @@ def _run_to_memory(spark, df, name, tmp_path, mode="append"):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "stream timed out"
     return spark.table(name)
 
 
@@ -158,7 +158,7 @@ def test_merge_sink_idempotent_upsert(spark, events_dir, tmp_path):
         q = merge_sink(src, "events_merged", ["event_id"], str(tmp_path / "ck_merge")).trigger(
             availableNow=True
         ).start()
-        q.awaitTermination(120)
+        assert q.awaitTermination(300), "stream timed out"
         got = spark.table("events_merged")
         assert got.count() == 5  # e4 upserted, not duplicated
         assert sorted(r.event_id for r in got.collect()) == [1, 2, 3, 4, 5]
@@ -191,7 +191,7 @@ def test_merge_sink_survives_orphan_staging_table(spark, events_dir, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(300), "stream timed out"
         got = spark.table("events_merged2")
         assert sorted(r.event_id for r in got.collect()) == [1, 2, 3, 4, 5]
         # the staging leftover is invisible to listings (tmp-name scheme)
@@ -225,7 +225,7 @@ def test_csv_stream_same_dialect(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(60)
+    assert q.awaitTermination(300), "stream timed out"
     rows = {r.id: r.txt for r in spark.table("t_csv_stream").collect()}
     assert rows == {1: 'quote " in', 2: None}
 
@@ -275,7 +275,7 @@ def test_stream_stream_click_purchase_interval_join(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "stream timed out"
     got = {
         (r.click_id, r.purchase_id, r.latency_us)
         for r in spark.sql("SELECT * FROM cp_join").collect()
@@ -314,7 +314,7 @@ def test_scd2_sink_accumulates_history(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(300), "stream timed out"
         got = {
             (r.k, r.valid_from): (r.seg, r.valid_to, r.is_current)
             for r in spark.table("dim_scd2").collect()
@@ -347,7 +347,7 @@ def test_incremental_agg_sink_matches_batch_aggregate(spark, events_dir, tmp_pat
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(300), "stream timed out"
         got = {
             r.user_id: (r.n, r.total_value, r.max_value)
             for r in spark.table("events_summary").collect()
@@ -423,7 +423,7 @@ def test_near_dup_filter_sink_first_seen_wins(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(300), "stream timed out"
 
     run("ck1")
     kept = sorted(
@@ -501,7 +501,7 @@ def test_stream_token_budget_gate_lifetime_budget(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        assert q.awaitTermination(300), "stream timed out"
         rows = {
             r["doc_id"]: (r["source"], r["n_tokens"], r["used_after"])
             for r in spark.sql("SELECT * FROM budget_gate").collect()
@@ -692,7 +692,7 @@ def test_cdc_retraction_agg_sink_applies_deletes(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(300), "stream timed out"
         got = {r.g: (r.n_rows, r.sv) for r in spark.table("cdc_view").collect()}
         assert got == {
             "a": (1, Decimal("2.2500")),

@@ -90,7 +90,7 @@ def test_batch_twin_matches_streaming_sink(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "stream timed out"
     sink_admitted = {
         r["doc_id"] for r in spark.read.parquet(corpus).select("doc_id").collect()
     }
@@ -134,3 +134,34 @@ def test_fold_docs_without_shingles_admitted(spark):
     fold = near_dup_fold(docs, "doc_id", "text", "batch", batch_values=[0, 1])
     got = {(r["doc_id"], r["admitted"]) for r in fold.collect()}
     assert got == {(1, 1), (2, 1)}
+
+
+def test_fold_rejects_stray_batch_id(spark):
+    """An input batch_id missing from an explicit batch_values must fail
+    loudly: silently dropping the doc would yield an incomplete relation
+    (ADVICE r5)."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "some words here now", 0), (2, "other words there then", 7)],
+        _schema(with_batch=True),
+    )
+    with pytest.raises(ValueError, match="batch_id 7"):
+        near_dup_fold(docs, "doc_id", "text", "batch", batch_values=[0, 1])
+
+
+def test_fold_dedupes_doc_id_within_batch(spark):
+    """Duplicate-id batchmates collapse to one verdict row, mirroring the
+    sink's per-micro-batch dropDuplicates(['doc_id']) (ADVICE r5): before
+    the fix both copies were admitted and emitted two rows."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy sleeping dog", 0),
+            (1, "the quick brown fox jumps over the lazy sleeping dog", 0),
+            (2, "completely different text about distributed query plans", 0),
+        ],
+        _schema(with_batch=True),
+    )
+    fold = near_dup_fold(docs, "doc_id", "text", "batch", batch_values=[0]).collect()
+    assert len(fold) == 2
+    assert {(r["doc_id"], r["admitted"]) for r in fold} == {(1, 1), (2, 1)}
