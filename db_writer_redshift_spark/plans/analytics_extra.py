@@ -1,0 +1,1174 @@
+"""Round-6 analytics additions: graph core decomposition, A/B testing,
+corpus diversity, seasonal anomaly detection, Good-Turing LM smoothing,
+SimHash threshold calibration, and product-quantization auditing.
+
+Each query follows the repo's portability discipline (integer-exact or
+IEEE-deterministic outputs, value-hash DuckDB oracles, df-capped joins)
+and the graded-envelope rules (scalar non-temporal columns only).
+
+Reference scope note: the reference (keboola/db-writer-redshift,
+`src/Keboola/DbWriter/Writer/Redshift.php`) delegates every analytical
+capability to the warehouse; these operators implement the analytics
+surface its users would run downstream, Spark-first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from db_writer_redshift_spark.plans.registry import load_table, register
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (iterative peel) over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 8  # > the 5 peel rounds sf0.1 needs; convergence is visible
+#                    in the output (trailing rows equal), and the semantics
+#                    are the R-round peel itself, so both engines agree even
+#                    if a larger graph hasn't converged by round R.
+
+# Every peel CTE is MATERIALIZED: DuckDB inlines plain CTEs at each
+# reference, and e{r} references e{r-1} three times — unmaterialized,
+# the expansion is 3^R scans of lineitem (observed as a too-many-open-
+# files error at R=8). Materialization also mirrors the Spark plan's
+# per-round localCheckpoint.
+_KCORE_EDGES_SQL = """
+eraw AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+e0 AS MATERIALIZED (SELECT u, v FROM eraw GROUP BY u, v HAVING COUNT(*) >= 2)"""
+
+
+def _kcore_oracle() -> str:
+    ctes = [_KCORE_EDGES_SQL]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        ctes.append(
+            f"""
+n{r} AS MATERIALIZED (
+  SELECT node FROM (SELECT u AS node FROM e{r - 1} UNION ALL SELECT v FROM e{r - 1})
+  GROUP BY node HAVING COUNT(*) >= {_KCORE_K}
+),
+e{r} AS MATERIALIZED (
+  SELECT u, v FROM e{r - 1}
+  WHERE u IN (SELECT node FROM n{r}) AND v IN (SELECT node FROM n{r})
+)"""
+        )
+    stats = "\nUNION ALL\n".join(
+        f"""SELECT CAST({r} AS BIGINT) AS round,
+       CAST(COUNT(DISTINCT node) AS BIGINT) AS n_nodes,
+       COUNT(*) // 2 AS n_edges
+FROM (SELECT u AS node FROM e{r} UNION ALL SELECT v FROM e{r})
+HAVING COUNT(*) > 0"""
+        for r in range(_KCORE_ROUNDS + 1)
+    )
+    return f"WITH {','.join(ctes)}\n{stats}"
+
+
+@register("graph_kcore_copurchase", oracle=_kcore_oracle())
+def graph_kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (Seidman 1983; Batagelj-Zaversnik peel) of the
+    weight>=2 part co-purchase graph: iteratively delete nodes of degree
+    < k until the k-core remains, emitting the (round, n_nodes, n_edges)
+    peel trajectory — the graph-sparsification primitive behind community
+    mining and influence analysis, and a different fixpoint family from
+    the repo's existing label-propagation / PageRank / triangle queries
+    (those iterate VALUES to stability; the peel iterates the VERTEX SET).
+
+    The relation is the R-round peel (R=8, > the 5 rounds sf0.1 needs):
+    deterministic whether or not the peel has converged, with convergence
+    visible as trailing equal rows. Rounds whose graph is empty emit no
+    row in either engine.
+
+    Scale: each round is one map-side-combinable degree aggregate over
+    the current edge set plus two ids-only semi-joins; `localCheckpoint`
+    per round truncates lineage so round N never re-executes rounds
+    1..N-1 (the connected_components / near_dup_fold discipline). The
+    peel only ever SHRINKS the edge relation, so round cost is
+    monotonically decreasing; the driver loop is bounded by the constant
+    R, never by data size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+    per_round = [
+        edges.select(
+            F.lit(0).cast("long").alias("round"),
+            F.explode(F.array("u", "v")).alias("node"),
+        )
+    ]
+    e = edges
+    for r in range(1, _KCORE_ROUNDS + 1):
+        keep = (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= _KCORE_K)
+            .select("node")
+        )
+        e = (
+            e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        per_round.append(
+            e.select(
+                F.lit(r).cast("long").alias("round"),
+                F.explode(F.array("u", "v")).alias("node"),
+            )
+        )
+    nodes = per_round[0]
+    for p in per_round[1:]:
+        nodes = nodes.unionAll(p)
+    return nodes.groupBy("round").agg(
+        F.countDistinct("node").cast("long").alias("n_nodes"),
+        F.expr("count(*) div 2").cast("long").alias("n_edges"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-proportion A/B test over event conversions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_two_proportion_ab",
+    oracle="""
+WITH per_user AS (
+  SELECT event_type, user_id, user_id % 2 AS variant,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2, 3
+),
+tot AS (
+  SELECT event_type,
+         CAST(SUM(cnt) AS BIGINT) AS total_cnt,
+         CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM per_user GROUP BY 1
+),
+conv AS (
+  SELECT p.event_type, p.variant,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN p.cnt * t.n_users > t.total_cnt THEN 1 ELSE 0 END)
+              AS BIGINT) AS c
+  FROM per_user p JOIN tot t ON p.event_type = t.event_type
+  GROUP BY 1, 2
+),
+wide AS (
+  SELECT a.event_type,
+         a.n AS n_a, a.c AS conv_a, b.n AS n_b, b.c AS conv_b
+  FROM conv a JOIN conv b
+    ON a.event_type = b.event_type AND a.variant = 0 AND b.variant = 1
+)
+SELECT event_type, n_a, conv_a, n_b, conv_b,
+       (1000000 * conv_a) // n_a AS rate_a_ppm,
+       (1000000 * conv_b) // n_b AS rate_b_ppm,
+       (n_a + n_b) * (conv_a * n_b - conv_b * n_a) * (conv_a * n_b - conv_b * n_a)
+         AS chi2_num,
+       n_a * n_b * (conv_a + conv_b) * (n_a + n_b - conv_a - conv_b) AS chi2_den,
+       CAST(CASE
+         WHEN n_a * n_b * (conv_a + conv_b) * (n_a + n_b - conv_a - conv_b) = 0
+           THEN 0
+         WHEN CAST((n_a + n_b) * (conv_a * n_b - conv_b * n_a)
+                   * (conv_a * n_b - conv_b * n_a) AS DOUBLE)
+              / CAST(n_a * n_b * (conv_a + conv_b)
+                     * (n_a + n_b - conv_a - conv_b) AS DOUBLE) >= 3.841459
+           THEN 1
+         ELSE 0
+       END AS BIGINT) AS significant_95
+FROM wide
+""",
+)
+def stats_two_proportion_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B z-test (pooled; z^2 = Pearson chi-square on the
+    2x2 table) per event type: variant = user_id % 2, conversion = the
+    user's count of that event type strictly above the all-users mean
+    (an integer cross-multiplication, so the cohort split is exact).
+    Emits the 2x2 counts, exact ppm rates, the chi-square statistic as an
+    exact integer fraction (chi2_num / chi2_den), and the 95% significance
+    verdict — the experimentation primitive behind data-driven rollouts.
+
+    Cross-engine determinism: chi2_num <= (n_a+n_b) * (c*n)^2 stays under
+    2^53 at any tested SF, so BOTH the bigint arithmetic and the final
+    double division are bit-exact IEEE in Spark and DuckDB — the verdict
+    can't flap. Degenerate margins (no converters or all converters)
+    define significant_95 = 0.
+
+    Scale: two map-side-combinable aggregates (per-user counts, then the
+    2x2 roll-up) and a 5-row broadcast self-join; no per-event shuffle
+    beyond the first groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy(
+        "event_type",
+        "user_id",
+        (F.col("user_id") % 2).alias("variant"),
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    tot = per_user.groupBy("event_type").agg(
+        F.sum("cnt").cast("long").alias("total_cnt"),
+        F.count("*").cast("long").alias("n_users"),
+    )
+    conv = (
+        per_user.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type", "variant")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(
+                F.when(
+                    F.col("cnt") * F.col("n_users") > F.col("total_cnt"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("c"),
+        )
+    )
+    a = conv.filter(F.col("variant") == 0).select(
+        "event_type", F.col("n").alias("n_a"), F.col("c").alias("conv_a")
+    )
+    b = conv.filter(F.col("variant") == 1).select(
+        "event_type", F.col("n").alias("n_b"), F.col("c").alias("conv_b")
+    )
+    wide = a.join(F.broadcast(b), "event_type")
+    delta = F.col("conv_a") * F.col("n_b") - F.col("conv_b") * F.col("n_a")
+    num = ((F.col("n_a") + F.col("n_b")) * delta * delta).cast("long")
+    den = (
+        F.col("n_a")
+        * F.col("n_b")
+        * (F.col("conv_a") + F.col("conv_b"))
+        * (F.col("n_a") + F.col("n_b") - F.col("conv_a") - F.col("conv_b"))
+    ).cast("long")
+    return wide.select(
+        "event_type",
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.expr("(1000000 * conv_a) div n_a").cast("long").alias("rate_a_ppm"),
+        F.expr("(1000000 * conv_b) div n_b").cast("long").alias("rate_b_ppm"),
+        num.alias("chi2_num"),
+        den.alias("chi2_den"),
+        F.when(den == 0, F.lit(0))
+        .when(num.cast("double") / den.cast("double") >= 3.841459, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("significant_95"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Char-bigram Gini-Simpson diversity per language
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_chargram_gini",
+    oracle="""
+WITH bg AS (
+  SELECT lang,
+         unnest(list_transform(range(1, LENGTH(lower(text))),
+                               i -> substr(lower(text), i, 2))) AS g
+  FROM documents WHERE LENGTH(lower(text)) >= 2
+),
+f AS (SELECT lang, g, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2)
+SELECT lang,
+       CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(MAX(c) AS BIGINT) AS max_freq,
+       1000000 - (1000000 * CAST(SUM(c * c) AS BIGINT))
+                 // (CAST(SUM(c) AS BIGINT) * CAST(SUM(c) AS BIGINT))
+         AS gini_ppm
+FROM f GROUP BY lang
+""",
+)
+def text_chargram_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram Gini-Simpson diversity per language: 1 - sum(f^2)
+    / N^2 over the bigram frequency distribution — the integer-exact
+    diversity index this repo prefers over Shannon entropy (per-member
+    ln() terms flap across engines; squared integer frequencies cannot).
+    Low diversity flags templated/boilerplate-heavy slices the way
+    text_repetition_scores flags single documents; this is the
+    corpus-level complement.
+
+    Scale: explode to (lang, bigram) then two map-side-combinable
+    aggregates; the frequency relation is capped by |langs| x alphabet^2,
+    not by corpus size. sum(f^2) <= N^2 keeps the ppm numerator under
+    2^63 up to ~3e6 bigrams per language; beyond that the same query
+    runs with DECIMAL accumulators."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.lower(F.col("text"))
+    bg = (
+        d.filter(F.length(t) >= 2)
+        .select(
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(lower(text)) - 1),"
+                    " i -> substring(lower(text), i, 2))"
+                )
+            ).alias("g"),
+        )
+    )
+    f = bg.groupBy("lang", "g").agg(F.count("*").cast("long").alias("c"))
+    return f.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n_bigrams"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.max("c").cast("long").alias("max_freq"),
+        (
+            F.lit(1_000_000)
+            - F.expr("(1000000 * sum(c * c)) div (sum(c) * sum(c))")
+        )
+        .cast("long")
+        .alias("gini_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week seasonal anomaly audit over events
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_seasonal_dow_anomaly",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(isodow(ts::DATE) AS BIGINT) AS dow, ts::DATE AS d,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+st AS (
+  SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_days, CAST(SUM(c) AS BIGINT) AS s
+  FROM daily GROUP BY 1
+)
+SELECT d.dow AS dow,
+       MIN(st.n_days) AS n_days,
+       MIN(st.s) AS n_events,
+       MAX(d.c) AS max_day_events,
+       MIN(d.c) AS min_day_events,
+       CAST(SUM(CASE WHEN d.c * st.n_days > st.s THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_above_mean,
+       CAST(SUM(CASE WHEN 2 * d.c * st.n_days > 3 * st.s THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_spikes
+FROM daily d JOIN st ON d.dow = st.dow
+GROUP BY 1
+""",
+)
+def events_seasonal_dow_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal anomaly audit: daily event counts compared to
+    their own weekday's mean (the seasonal-naive baseline behind traffic
+    monitoring — Mondays compare to Mondays, never to the global mean the
+    existing z-score query uses). Per weekday (ISO, Monday=1) it reports
+    the day count, totals, extremes, and two exact threshold counts —
+    days above the weekday mean (c*n > S) and spike days at 1.5x the mean
+    (2*c*n > 3*S) — all integer cross-multiplications, no division.
+
+    Scale: the daily roll-up is one map-side-combinable aggregate that
+    shrinks events to <= |days| rows; everything after joins against a
+    7-row broadcast relation."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        (F.weekday(F.col("ts")) + 1).cast("long").alias("dow"),
+        F.to_date("ts").alias("d"),
+    ).agg(F.count("*").cast("long").alias("c"))
+    st = daily.groupBy("dow").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("c").cast("long").alias("s"),
+    )
+    return (
+        daily.join(F.broadcast(st), "dow")
+        .groupBy("dow")
+        .agg(
+            F.min("n_days").alias("n_days"),
+            F.min("s").alias("n_events"),
+            F.max("c").alias("max_day_events"),
+            F.min("c").alias("min_day_events"),
+            F.sum(
+                F.when(F.col("c") * F.col("n_days") > F.col("s"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_above_mean"),
+            F.sum(
+                F.when(
+                    2 * F.col("c") * F.col("n_days") > 3 * F.col("s"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_spikes"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Good-Turing count-of-counts per language
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lm_good_turing_counts",
+    oracle="""
+WITH d AS (SELECT lang, string_split(LOWER(text), ' ') AS w FROM documents),
+toks AS (
+  SELECT lang, w[i] || ' ' || w[i + 1] AS tok
+  FROM d, UNNEST(generate_series(1, len(w) - 1)) t(i)
+  WHERE len(w) >= 2
+),
+tc AS (
+  SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS r
+  FROM toks GROUP BY 1, 2
+),
+cc AS (SELECT lang, r, CAST(COUNT(*) AS BIGINT) AS n_r FROM tc GROUP BY 1, 2)
+SELECT a.lang AS lang, a.r AS r, a.n_r AS n_r,
+       (1000000 * (a.r + 1) * COALESCE(b.n_r, 0)) // a.n_r AS rstar_ppm
+FROM cc a LEFT JOIN cc b ON a.lang = b.lang AND b.r = a.r + 1
+WHERE a.r <= 10
+""",
+)
+def lm_good_turing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency-of-frequencies per language (Good 1953; the
+    smoothing Katz backoff and the repo's Kneser-Ney query build on):
+    for each token-BIGRAM count r <= 10, how many types occur exactly r
+    times (n_r) and the Turing-discounted count r* = (r+1) * n_{r+1} /
+    n_r in exact ppm. n_1/N estimates unseen mass — the statistic behind
+    vocabulary-coverage and corpus-saturation decisions during tokenizer
+    and LM data prep (heaps_vocab_growth tracks GROWTH; this measures the
+    count spectrum at a point). Bigrams, not unigrams: the synthetic
+    corpus's closed unigram vocabulary saturates past r=10 at sf0.1
+    (every word occurs >= 32 times — a 0-row relation), while the bigram
+    spectrum keeps a small-count tail at every SF, which is exactly the
+    regime Good-Turing smoothing exists for.
+
+    Scale: two map-side-combinable aggregates (bigram counts, then the
+    count histogram) collapse the corpus to <= |langs| x max_r rows; the
+    r+1 lookup is a broadcast self-join on that tiny relation. All
+    integer."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.lower(F.col("text")), " ")
+    toks = (
+        d.select("lang", w.alias("w"))
+        .filter(F.size("w") >= 2)
+        .select(
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+                )
+            ).alias("tok"),
+        )
+    )
+    tc = toks.groupBy("lang", "tok").agg(F.count("*").cast("long").alias("r"))
+    cc = tc.groupBy("lang", "r").agg(F.count("*").cast("long").alias("n_r"))
+    a = cc.alias("a").filter(F.col("r") <= 10)
+    b = cc.select(
+        F.col("lang").alias("b_lang"),
+        F.col("r").alias("b_r"),
+        F.col("n_r").alias("b_n_r"),
+    )
+    return (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.lang") == F.col("b_lang")) & (F.col("b_r") == F.col("a.r") + 1),
+            "left",
+        )
+        .select(
+            F.col("a.lang").alias("lang"),
+            F.col("a.r").alias("r"),
+            F.col("a.n_r").alias("n_r"),
+            F.expr("(1000000 * (r + 1) * coalesce(b_n_r, 0)) div n_r")
+            .cast("long")
+            .alias("rstar_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash Hamming-distance histogram (near-dup threshold calibration)
+# ---------------------------------------------------------------------------
+
+
+def _simhash_hamming_hist_oracle() -> str:
+    from db_writer_redshift_spark.plans.llm_ops import _simhash_portable_oracle
+
+    inner = _simhash_portable_oracle(max_hamming=60)
+    return f"""
+SELECT CAST(hamming AS BIGINT) AS hamming, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM ({inner})
+GROUP BY 1
+"""
+
+
+@register("dedup_simhash_hamming_hist", oracle=_simhash_hamming_hist_oracle())
+def dedup_simhash_hamming_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-distance histogram of the portable SimHash's BLOCKED
+    candidate pairs — the calibration curve for picking the near-dup
+    threshold (Manku et al. 2007 pick hamming <= 3 on 64 bits from
+    exactly this spectrum; quality_dup_calibration calibrates MinHash
+    similarity the same way). The candidate set is the deterministic
+    chunk + one-bit-probe blocking relation (complete for hamming <= 6,
+    a fixed blocked sample above), so the histogram is value-hash exact.
+
+    Scale: inherits dedup_simhash_portable's plan — fingerprints are one
+    map-side bit-sum aggregate, candidates an ids-only chunk equi-join —
+    plus one 60-row histogram aggregate."""
+    from db_writer_redshift_spark.operators import dedup
+
+    pairs = dedup.simhash_pairs_portable(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=60
+    )
+    return pairs.groupBy(F.col("hamming").cast("long").alias("hamming")).agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization audit over embeddings
+# ---------------------------------------------------------------------------
+
+_PQ_SUBSPACES = 4
+_PQ_SUBDIM = 16  # 64-dim embeddings / 4
+_PQ_K = 8
+_PQ_SCALE = 1000
+
+
+def _pq_oracle() -> str:
+    return f"""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(ROUND(x * {_PQ_SCALE}) AS BIGINT)) AS ve
+  FROM embeddings
+),
+anch AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, ve AS ae
+  FROM (SELECT vec_id, ve FROM v ORDER BY vec_id LIMIT {_PQ_K})
+),
+d AS (
+  SELECT v.vec_id, s.s AS subspace, a.code,
+         list_reduce(
+           list_transform(
+             list_zip(v.ve[s.s * {_PQ_SUBDIM} + 1 : s.s * {_PQ_SUBDIM} + {_PQ_SUBDIM}],
+                      a.ae[s.s * {_PQ_SUBDIM} + 1 : s.s * {_PQ_SUBDIM} + {_PQ_SUBDIM}]),
+             p -> (p[1] - p[2]) * (p[1] - p[2])),
+           (x, y) -> x + y) AS dist
+  FROM v
+  CROSS JOIN (SELECT unnest(range(0, {_PQ_SUBSPACES})) AS s) s
+  CROSS JOIN anch a
+),
+best AS (
+  SELECT vec_id, subspace, code, dist,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+                            ORDER BY dist, code) AS rn
+  FROM d
+)
+SELECT CAST(subspace AS BIGINT) AS subspace, CAST(code AS BIGINT) AS code,
+       CAST(COUNT(*) AS BIGINT) AS n_assigned, CAST(SUM(dist) AS BIGINT) AS sse
+FROM best WHERE rn = 1
+GROUP BY 1, 2
+"""
+
+
+@register("embedding_pq_quantization", oracle=_pq_oracle())
+def embedding_pq_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization audit (Jegou et al. 2011, the PQ half of
+    IVF-PQ): split each 64-dim embedding into 4 x 16-dim subvectors,
+    assign every subvector to its nearest of 8 codebook anchors (the 8
+    lowest vec_ids — a fixed, portable codebook; training the codebook is
+    kmeans_fit_clusters' job), and report per (subspace, code) the
+    assignment census and the exact integer SSE in x1000-quantized units.
+    The SSE per subspace is precisely the reconstruction error a PQ index
+    trades for its 64x memory compression — the audit run before shipping
+    a compressed ANN index.
+
+    Portability: the x{_PQ_SCALE} integer quantization makes every
+    distance an exact BIGINT (the quantized_planes trick), so argmin ties
+    break identically (lowest code) in both engines.
+
+    Scale: the codebook is {_PQ_K} rows broadcast as literals; assignment
+    is row-local arithmetic ({_PQ_SUBSPACES * _PQ_K} zip-dots per vector,
+    no join, no shuffle); the census is one map-side-combinable aggregate
+    over {_PQ_SUBSPACES * _PQ_K} groups."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * _PQ_SCALE).cast("bigint"),
+        ).alias("ve"),
+    )
+    anchors = [
+        [int(x) for x in r["ve"]]
+        for r in emb.orderBy("vec_id").limit(_PQ_K).collect()
+    ]
+    subspace_structs = []
+    for s in range(_PQ_SUBSPACES):
+        sub = F.slice(F.col("ve"), s * _PQ_SUBDIM + 1, _PQ_SUBDIM)
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        sub,
+                        F.array(
+                            *[
+                                F.lit(v)
+                                for v in a[s * _PQ_SUBDIM : (s + 1) * _PQ_SUBDIM]
+                            ]
+                        ),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x,
+                )
+                for a in anchors
+            ]
+        )
+        subspace_structs.append(
+            F.struct(
+                F.lit(s).cast("long").alias("subspace"),
+                (F.array_position(dists, F.array_min(dists)) - 1)
+                .cast("long")
+                .alias("code"),
+                F.array_min(dists).cast("long").alias("sse1"),
+            )
+        )
+    assigned = emb.select(
+        F.explode(F.array(*subspace_structs)).alias("a")
+    ).select("a.subspace", "a.code", "a.sse1")
+    return assigned.groupBy("subspace", "code").agg(
+        F.count("*").cast("long").alias("n_assigned"),
+        F.sum("sse1").cast("long").alias("sse"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PQ asymmetric-distance (ADC) recall audit
+# ---------------------------------------------------------------------------
+
+
+def _pq_adc_recall_oracle() -> str:
+    return f"""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(ROUND(x * {_PQ_SCALE}) AS BIGINT)) AS ve
+  FROM embeddings
+),
+anch AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, ve AS ae
+  FROM (SELECT vec_id, ve FROM v ORDER BY vec_id LIMIT {_PQ_K})
+),
+dists AS (
+  SELECT v.vec_id, s.s AS subspace, a.code,
+         list_reduce(
+           list_transform(
+             list_zip(v.ve[s.s * {_PQ_SUBDIM} + 1 : s.s * {_PQ_SUBDIM} + {_PQ_SUBDIM}],
+                      a.ae[s.s * {_PQ_SUBDIM} + 1 : s.s * {_PQ_SUBDIM} + {_PQ_SUBDIM}]),
+             p -> (p[1] - p[2]) * (p[1] - p[2])),
+           (x, y) -> x + y) AS dist
+  FROM v
+  CROSS JOIN (SELECT unnest(range(0, {_PQ_SUBSPACES})) AS s) s
+  CROSS JOIN anch a
+),
+codes AS (
+  SELECT vec_id, subspace, code FROM (
+    SELECT vec_id, subspace, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+                              ORDER BY dist, code) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id, ve FROM v WHERE vec_id % 50 = 0),
+partial AS (
+  SELECT q.vec_id AS query_id, d.subspace, d.code, d.dist
+  FROM q JOIN dists d ON d.vec_id = q.vec_id
+),
+adc AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id, SUM(p.dist) AS adc_dist
+  FROM codes c
+  JOIN partial p ON p.subspace = c.subspace AND p.code = c.code
+  WHERE c.vec_id <> p.query_id
+  GROUP BY 1, 2
+),
+adc_topk AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist, neighbor_id) AS nn_rank
+  FROM adc
+),
+exact AS (
+  SELECT q.vec_id AS query_id, cv.vec_id AS neighbor_id,
+         list_reduce(list_transform(list_zip(q.ve, cv.ve),
+                                    p -> (p[1] - p[2]) * (p[1] - p[2])),
+                     (x, y) -> x + y) AS l2
+  FROM q JOIN v cv ON q.vec_id <> cv.vec_id
+),
+exact_topk AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY l2, neighbor_id) AS exact_rank
+  FROM exact
+),
+joined AS (
+  SELECT e.query_id, a.nn_rank AS approx_rank
+  FROM (SELECT * FROM exact_topk WHERE exact_rank <= 5) e
+  LEFT JOIN (SELECT * FROM adc_topk WHERE nn_rank <= 5) a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+)
+SELECT query_id,
+       COUNT(*) AS n_exact,
+       COUNT(approx_rank) AS n_hit,
+       CAST(COALESCE(MIN(approx_rank), 0) AS BIGINT) AS first_hit_rank,
+       CAST(COALESCE(1000000 // MIN(approx_rank), 0) AS BIGINT) AS mrr_e6
+FROM joined
+GROUP BY query_id
+"""
+
+
+@register("ann_pq_adc_recall", oracle=_pq_adc_recall_oracle())
+def ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ sibling of ann_recall_audit / ann_ivf_recall_audit: recall@5 +
+    MRR of asymmetric-distance (ADC) search over the PQ codes from
+    embedding_pq_quantization, versus the exact integer-L2 top-5 on the
+    same quantized vectors — completing the measurable-accuracy story for
+    all three ANN index shapes (LSH, IVF, PQ). ADC is how a PQ index
+    actually answers queries (Jegou et al. 2011 §III): the query stays
+    un-quantized, each candidate's distance is the sum of 4 precomputed
+    query-to-anchor subspace distances selected by the candidate's codes.
+
+    Scale: the ADC leg NEVER touches candidate vectors — candidates carry
+    only (id, subspace, code), and the join is an equi-join on
+    (subspace, code) against the query sample's {_PQ_SUBSPACES}x{_PQ_K}
+    partial-distance table (broadcast). The exact leg is evaluation-only
+    on the 1-in-50 query sample, same as the LSH/IVF audits. All
+    distances are exact BIGINTs, so ranks can't flap."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * _PQ_SCALE).cast("bigint"),
+        ).alias("ve"),
+    )
+    emb = emb.persist()
+    anchors = [
+        [int(x) for x in r["ve"]]
+        for r in emb.orderBy("vec_id").limit(_PQ_K).collect()
+    ]
+
+    def sub_dists(s: int):
+        sub = F.slice(F.col("ve"), s * _PQ_SUBDIM + 1, _PQ_SUBDIM)
+        return [
+            F.aggregate(
+                F.zip_with(
+                    sub,
+                    F.array(
+                        *[F.lit(v) for v in a[s * _PQ_SUBDIM : (s + 1) * _PQ_SUBDIM]]
+                    ),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            )
+            for a in anchors
+        ]
+
+    # Candidate codes: per (vec_id, subspace) the argmin anchor.
+    code_structs = []
+    partial_structs = []
+    for s in range(_PQ_SUBSPACES):
+        dists = F.array(*sub_dists(s))
+        code_structs.append(
+            F.struct(
+                F.lit(s).cast("long").alias("subspace"),
+                (F.array_position(dists, F.array_min(dists)) - 1)
+                .cast("long")
+                .alias("code"),
+            )
+        )
+        partial_structs.extend(
+            F.struct(
+                F.lit(s).cast("long").alias("subspace"),
+                F.lit(c).cast("long").alias("code"),
+                d.cast("bigint").alias("dist"),
+            )
+            for c, d in enumerate(sub_dists(s))
+        )
+    codes = emb.select(
+        F.col("vec_id"), F.explode(F.array(*code_structs)).alias("a")
+    ).select("vec_id", "a.subspace", "a.code")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    partial = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(F.array(*partial_structs)).alias("p"),
+    ).select("query_id", "p.subspace", "p.code", "p.dist")
+    adc = (
+        codes.join(F.broadcast(partial), ["subspace", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("dist").alias("adc_dist"))
+    )
+    from pyspark.sql.window import Window
+
+    w_adc = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    adc_topk = (
+        adc.withColumn("nn_rank", F.row_number().over(w_adc))
+        .filter(F.col("nn_rank") <= 5)
+        .select("query_id", "neighbor_id", "nn_rank")
+    )
+    qv = q.select(F.col("vec_id").alias("query_id"), F.col("ve").alias("qve"))
+    exact = (
+        F.broadcast(qv)
+        .join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), "ve"),
+            F.col("query_id") != F.col("neighbor_id"),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.zip_with(F.col("qve"), F.col("ve"), lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("l2"),
+        )
+    )
+    w_ex = Window.partitionBy("query_id").orderBy("l2", "neighbor_id")
+    exact_topk = (
+        exact.withColumn("exact_rank", F.row_number().over(w_ex))
+        .filter(F.col("exact_rank") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    joined = exact_topk.join(
+        F.broadcast(adc_topk), ["query_id", "neighbor_id"], "left"
+    )
+    return joined.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_exact"),
+        F.count("nn_rank").cast("long").alias("n_hit"),
+        F.coalesce(F.min("nn_rank"), F.lit(0)).cast("long").alias("first_hit_rank"),
+        F.coalesce(
+            F.expr("1000000 div min(nn_rank)"), F.lit(0)
+        )
+        .cast("long")
+        .alias("mrr_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# t-closeness privacy audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "privacy_t_closeness_customer",
+    oracle="""
+WITH cells AS (
+  SELECT c_nationkey AS nation,
+         CAST(FLOOR(c_acctbal / 100) AS BIGINT) AS bal_bucket,
+         c_mktsegment AS seg,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM customer GROUP BY 1, 2, 3
+),
+cell_tot AS (
+  SELECT nation, bal_bucket, CAST(SUM(cnt) AS BIGINT) AS n_cell
+  FROM cells GROUP BY 1, 2
+),
+gseg AS (
+  SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS g,
+         CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS n_total
+  FROM customer GROUP BY 1
+),
+full_grid AS (
+  SELECT ct.nation, ct.bal_bucket, ct.n_cell, gl.seg, gl.g, gl.n_total,
+         COALESCE(c.cnt, 0) AS cnt
+  FROM cell_tot ct
+  CROSS JOIN gseg gl
+  LEFT JOIN cells c
+    ON c.nation = ct.nation AND c.bal_bucket = ct.bal_bucket AND c.seg = gl.seg
+),
+tv AS (
+  SELECT nation, bal_bucket,
+         CAST((1000000 * SUM(ABS(cnt * n_total - g * n_cell)))
+              // (2 * MIN(n_cell) * MIN(n_total)) AS BIGINT) AS tv_ppm
+  FROM full_grid GROUP BY 1, 2
+)
+SELECT t.nation AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(ct.n_cell) AS BIGINT) AS n_rows,
+       MAX(t.tv_ppm) AS max_tv_ppm,
+       CAST(SUM(t.tv_ppm) // COUNT(*) AS BIGINT) AS avg_tv_ppm
+FROM tv t JOIN cell_tot ct ON t.nation = ct.nation AND t.bal_bucket = ct.bal_bucket
+GROUP BY 1
+""",
+)
+def privacy_t_closeness_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian ICDE 2007): for each
+    quasi-identifier cell — same (nation, balance-bucket) cells as the
+    k-anonymity audit — the total-variation distance between the cell's
+    sensitive-attribute (market segment) distribution and the global one,
+    in exact ppm via cross-multiplied integer counts (TV is the
+    variational distance the paper itself uses for categorical
+    attributes). Rolled up per nation: worst and average cell closeness —
+    high tv means the cell leaks segment information even when its k is
+    healthy, the attack l-diversity misses when frequencies are skewed.
+
+    Scale: the cell x segment grid is QI-cells x |segments| (catalog-
+    bounded), built from two map-side-combinable aggregates and a 5-row
+    broadcast cross join; zero corpus-sized joins."""
+    c = load_table(spark, sf_dir, "customer")
+    cells = c.groupBy(
+        F.col("c_nationkey").alias("nation"),
+        F.floor(F.col("c_acctbal") / 100).cast("long").alias("bal_bucket"),
+        F.col("c_mktsegment").alias("seg"),
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    cell_tot = cells.groupBy("nation", "bal_bucket").agg(
+        F.sum("cnt").cast("long").alias("n_cell")
+    )
+    from pyspark.sql.window import Window
+
+    glob = (
+        c.groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(F.count("*").cast("long").alias("g"))
+        .withColumn("n_total", F.sum("g").over(Window.partitionBy()).cast("long"))
+    )
+    grid = (
+        cell_tot.join(F.broadcast(glob))
+        .join(cells, ["nation", "bal_bucket", "seg"], "left")
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
+    )
+    tv = grid.groupBy("nation", "bal_bucket").agg(
+        F.expr(
+            "(1000000 * sum(abs(cnt * n_total - g * n_cell)))"
+            " div (2 * min(n_cell) * min(n_total))"
+        )
+        .cast("long")
+        .alias("tv_ppm"),
+        F.min("n_cell").alias("n_cell"),
+    )
+    return tv.groupBy("nation").agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum("n_cell").cast("long").alias("n_rows"),
+        F.max("tv_ppm").alias("max_tv_ppm"),
+        F.expr("sum(tv_ppm) div count(*)").cast("long").alias("avg_tv_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend over daily event counts
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_theil_sen_trend",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, ts::DATE AS d, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+slopes AS (
+  SELECT a.event_type,
+         ((b.c - a.c) * 1000000) // CAST(date_diff('day', a.d, b.d) AS BIGINT)
+           AS slope_e6
+  FROM daily a JOIN daily b ON a.event_type = b.event_type AND a.d < b.d
+),
+ranked AS (
+  SELECT event_type, slope_e6,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope_e6) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_pairs
+  FROM slopes
+)
+SELECT event_type,
+       CAST(MIN(n_pairs) AS BIGINT) AS n_pairs,
+       MIN(slope_e6) AS min_slope_e6,
+       MAX(slope_e6) AS max_slope_e6,
+       CAST(MIN(CASE WHEN rn = (n_pairs + 1) // 2 THEN slope_e6 END) AS BIGINT)
+         AS median_slope_e6
+FROM ranked
+GROUP BY 1
+""",
+)
+def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimator (Theil 1950; Sen 1968) per event
+    type: the median of all pairwise slopes between daily counts — up to
+    ~29% of days can be corrupted (outages, logging bugs) before the
+    estimate moves, unlike the least-squares events_trend_slope whose
+    breakdown point is zero. Slopes are exact integers (delta-count x 1e6
+    truncated-divided by day gap — both engines truncate toward zero, so
+    negative slopes agree), and the median is the deterministic lower
+    median by row_number, so the whole relation value-hashes.
+
+    Scale: daily counts collapse events map-side to |days| rows per type;
+    the pair self-join is C(|days|, 2) per type — bounded by the
+    OBSERVATION WINDOW (30 days -> 435 pairs), never by event volume; the
+    median window runs over those bounded pair relations."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    a = daily.select(
+        "event_type", F.col("d").alias("d1"), F.col("c").alias("c1")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et2"),
+        F.col("d").alias("d2"),
+        F.col("c").alias("c2"),
+    )
+    slopes = (
+        a.join(
+            F.broadcast(b),
+            (F.col("event_type") == F.col("et2")) & (F.col("d1") < F.col("d2")),
+        )
+        .select(
+            "event_type",
+            F.expr("((c2 - c1) * 1000000) div datediff(d2, d1)")
+            .cast("long")
+            .alias("slope_e6"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy("slope_e6")
+    wc = Window.partitionBy("event_type")
+    ranked = slopes.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_pairs", F.count("*").over(wc)
+    )
+    return ranked.groupBy("event_type").agg(
+        F.min("n_pairs").cast("long").alias("n_pairs"),
+        F.min("slope_e6").alias("min_slope_e6"),
+        F.max("slope_e6").alias("max_slope_e6"),
+        F.min(
+            F.when(
+                F.col("rn") == F.expr("(n_pairs + 1) div 2"), F.col("slope_e6")
+            )
+        )
+        .cast("long")
+        .alias("median_slope_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog register relation + estimate vs truth
+# ---------------------------------------------------------------------------
+
+_HLL_M = 64  # 2^6 registers
+_HLL_REST_BITS = 54  # 60-bit md5 fold minus 6 register bits
+
+
+@register(
+    "sketch_hll_registers_portable",
+    oracle=f"""
+WITH dk AS (SELECT DISTINCT l_returnflag AS grp, l_partkey AS k FROM lineitem),
+h AS (
+  SELECT grp,
+         list_reduce(list_transform(string_split_regex(
+             substr(md5(CAST(k AS VARCHAR)), 1, 15), ''),
+             c -> CAST(strpos('0123456789abcdef', c) AS BIGINT) - 1),
+           (a, b) -> a * 16 + b) AS h,
+         k
+  FROM dk
+),
+regs AS (
+  SELECT grp, h % {_HLL_M} AS reg,
+         CASE WHEN h // {_HLL_M} = 0 THEN {_HLL_REST_BITS + 1}
+              ELSE {_HLL_REST_BITS + 1} - LENGTH(bin(h // {_HLL_M})) END AS rho
+  FROM h
+),
+maxreg AS (SELECT grp, reg, CAST(MAX(rho) AS BIGINT) AS max_rho FROM regs GROUP BY 1, 2),
+agg AS (
+  SELECT grp,
+         CAST(COUNT(*) AS BIGINT) AS n_occupied,
+         CAST({_HLL_M} - COUNT(*) AS BIGINT) AS n_zero,
+         CAST(SUM(1::BIGINT << ({_HLL_REST_BITS + 1} - max_rho)) AS BIGINT)
+           + CAST(({_HLL_M} - COUNT(*)) AS BIGINT) * (1::BIGINT << {_HLL_REST_BITS + 1})
+           AS z_scaled
+  FROM maxreg GROUP BY 1
+),
+truth AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS true_distinct FROM dk GROUP BY 1)
+SELECT a.grp AS grp, a.n_occupied, a.n_zero, a.z_scaled, t.true_distinct,
+       CAST(FLOOR(0.709 * {_HLL_M * _HLL_M}
+                  * CAST(1::BIGINT << {_HLL_REST_BITS + 1} AS DOUBLE)
+                  / CAST(a.z_scaled AS DOUBLE)) AS BIGINT) AS est_distinct
+FROM agg a JOIN truth t ON a.grp = t.grp
+""",
+)
+def sketch_hll_registers_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog (Flajolet et al. 2007) with the register state
+    itself as the relation: 64 registers over a 60-bit md5 fold of
+    l_partkey per l_returnflag group — register = low 6 bits, rho = 1 +
+    leading zeros of the remaining 54 bits (computed EXACTLY via binary
+    string length, no log2 float). Emits per group the occupied-register
+    census, the indicator sum Z scaled by 2^55 as an exact BIGINT, the
+    alpha_64 * m^2 / Z estimate (single-path IEEE double from exact
+    integers — deterministic cross-engine), and the TRUE distinct count,
+    so sketch error is a visible, oracle-checked quantity. This gives the
+    HLL family a full value-hash row beside the rows-only
+    hll_partial_union_rollup (whose registers live inside Spark's opaque
+    sketch bytes).
+
+    Scale: registers are mergeable max-aggregates — the whole sketch is
+    one map-side-combinable (grp, reg) MAX, 64 rows per group in the
+    shuffle regardless of cardinality; the exact leg (one COUNT DISTINCT)
+    exists only to make the audit self-contained."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dk = li.select(
+        F.col("l_returnflag").alias("grp"), F.col("l_partkey").alias("k")
+    ).distinct()
+    h = dk.select(
+        "grp",
+        F.expr(
+            "cast(conv(substring(md5(cast(k as string)), 1, 15), 16, 10) as bigint)"
+        ).alias("h"),
+    )
+    rest = F.expr(f"h div {_HLL_M}")
+    regs = h.select(
+        "grp",
+        (F.col("h") % _HLL_M).alias("reg"),
+        F.when(rest == 0, F.lit(_HLL_REST_BITS + 1))
+        .otherwise(F.lit(_HLL_REST_BITS + 1) - F.length(F.bin(rest)))
+        .cast("long")
+        .alias("rho"),
+    )
+    maxreg = regs.groupBy("grp", "reg").agg(F.max("rho").alias("max_rho"))
+    agg = maxreg.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_occupied"),
+        (F.lit(_HLL_M) - F.count("*")).cast("long").alias("n_zero"),
+        (
+            F.sum(F.expr(f"shiftleft(1L, {_HLL_REST_BITS + 1} - max_rho)"))
+            + (F.lit(_HLL_M) - F.count("*"))
+            * F.lit(1 << (_HLL_REST_BITS + 1))
+        )
+        .cast("long")
+        .alias("z_scaled"),
+    )
+    truth = dk.groupBy("grp").agg(
+        F.count("*").cast("long").alias("true_distinct")
+    )
+    return (
+        agg.join(F.broadcast(truth), "grp")
+        .select(
+            "grp",
+            "n_occupied",
+            "n_zero",
+            "z_scaled",
+            "true_distinct",
+            F.floor(
+                F.lit(0.709)
+                * F.lit(float(_HLL_M * _HLL_M))
+                * F.lit(float(1 << (_HLL_REST_BITS + 1)))
+                / F.col("z_scaled").cast("double")
+            )
+            .cast("long")
+            .alias("est_distinct"),
+        )
+    )

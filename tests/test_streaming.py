@@ -74,7 +74,30 @@ def _run_to_memory(spark, df, name, tmp_path, mode="append"):
         .trigger(availableNow=True)
         .start()
     )
-    assert q.awaitTermination(300), "stream timed out"
+    # Stateless availableNow queries terminate on their own; the
+    # applyInPandasWithState jobs with processing-time timeouts keep
+    # scheduling timer batches and never do (the old unchecked
+    # awaitTermination(120) silently burned 2 minutes per test on them,
+    # and processAllAvailable() blocks forever on the timer loop). Poll
+    # for a drained source instead: termination, or any committed batch
+    # with zero input rows (timer/idle batches run only after the file
+    # source is exhausted) — and fail LOUDLY on timeout or stream error.
+    import time
+
+    deadline = time.time() + 300
+    drained = False
+    while time.time() < deadline:
+        if q.exception() is not None:
+            raise q.exception()
+        if not q.isActive:
+            drained = True
+            break
+        if any(p["numInputRows"] == 0 for p in q.recentProgress):
+            drained = True
+            break
+        time.sleep(1)
+    assert drained, "stream did not drain its source within 300s"
+    q.stop()
     return spark.table(name)
 
 

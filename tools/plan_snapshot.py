@@ -90,6 +90,12 @@ SHOWCASE = [
     ("text_ngram_novelty", "novelty: one uniform gram shuffle + ids-only join back, per-doc rollup"),
     ("pack_padding_efficiency_sweep", "padding sweep: constant 4-way explode, two map-side-combined aggs"),
     ("retrieval_ndcg_audit", "nDCG audit: bounded top-10 relation, broadcast hits, <=10-row ideal windows"),
+    # round-6 additions
+    ("graph_kcore_copurchase", "k-core peel: per-round degree agg + two ids-only semi-joins over checkpointed edges"),
+    ("embedding_pq_quantization", "PQ audit: row-local integer zip-dots against 8 broadcast codebook literals, zero joins"),
+    ("stats_two_proportion_ab", "A/B test: per-user combinable agg, 5-row broadcast 2x2 roll-up"),
+    ("ann_pq_adc_recall", "PQ-ADC recall: codes equi-join broadcast partial-distance table, vectors never ship"),
+    ("sketch_hll_registers_portable", "portable HLL: one map-side-combinable (grp, reg) MAX, 64 rows/group shuffle"),
 ]
 
 
