@@ -42,37 +42,64 @@ HEADLINE = [
 
 
 def _foreign_spark_procs() -> list[str]:
-    """Other live Spark JVMs / pyspark drivers on the box (excluding this
-    process and its children). BENCH_r05 was contaminated by a scale probe
-    racing the bench for the box (VERDICT r5): loadavg alone missed it, so
-    the bench now names the offending processes and flags the run."""
+    """Other live Spark JVMs / Spark-driving Python processes on the box,
+    EXCLUDING this bench's own process tree (ancestors — the shell that
+    launched us — and descendants — our JVM and its pyspark.daemon
+    workers). BENCH_r05 was contaminated by a scale probe racing the
+    bench for the box (VERDICT r5): loadavg alone missed it, so the bench
+    names the offending processes and flags the run. The match is
+    deliberately tight (exact executable markers, not substrings of
+    arbitrary argv text) so wrapper shells and unrelated long command
+    lines that merely MENTION spark don't false-positive."""
     me = os.getpid()
-    hits: list[str] = []
     try:
-        pids = [p for p in os.listdir("/proc") if p.isdigit()]
+        pids = [int(p) for p in os.listdir("/proc") if p.isdigit()]
     except OSError:
-        return hits
+        return []
+    ppid_of: dict[int, int] = {}
+    cmd_of: dict[int, str] = {}
     for pid in pids:
-        if int(pid) == me:
-            continue
         try:
-            with open(f"/proc/{pid}/cmdline", "rb") as f:
-                cmd = f.read().replace(b"\x00", b" ").decode("utf-8", "replace")
             with open(f"/proc/{pid}/stat") as f:
-                ppid = int(f.read().split(")")[-1].split()[1])
+                ppid_of[pid] = int(f.read().split(")")[-1].split()[1])
+            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                cmd_of[pid] = (
+                    f.read().replace(b"\x00", b" ").decode("utf-8", "replace").strip()
+                )
         except OSError:
             continue
-        if ppid == me:
-            continue  # our own Spark JVM
-        low = cmd.lower()
-        looks_spark = (
-            "org.apache.spark" in low
-            or "pyspark" in low
-            or ("java" in low.split(" ", 1)[0] and "spark" in low)
-            or any(t in low for t in ("bench.py", "scale_probe", "oracle_check"))
+    # Own subtree: descendants of THIS process only (our JVM and its
+    # pyspark.daemon workers). Ancestors (wrapper shells) are excluded
+    # individually — but NOT their other descendants, which is exactly
+    # where a concurrent probe launched by the same harness shell lives.
+    own = {me}
+    grew = True
+    while grew:
+        grew = False
+        for pid, pp in ppid_of.items():
+            if pp in own and pid not in own:
+                own.add(pid)
+                grew = True
+    p = me
+    while p in ppid_of and ppid_of[p] > 0 and ppid_of[p] not in own:
+        p = ppid_of[p]
+        own.add(p)  # the ancestor chain itself (shells wrapping bench.py)
+    hits: list[str] = []
+    for pid, cmd in cmd_of.items():
+        if pid in own or not cmd:
+            continue
+        argv = cmd.split()
+        exe = os.path.basename(argv[0])
+        is_spark_jvm = exe.startswith("java") and "org.apache.spark" in cmd
+        is_pyspark_worker = "-m pyspark.daemon" in cmd or "pyspark.worker" in cmd
+        is_spark_driver_py = exe.startswith("python") and any(
+            os.path.basename(a) in ("bench.py", "scale_probe.py", "oracle_check.py",
+                                    "plan_snapshot.py")
+            or a in ("pytest",)
+            for a in argv[1:4]
         )
-        if looks_spark:
-            hits.append(f"{pid}:{cmd[:120].strip()}")
+        if is_spark_jvm or is_pyspark_worker or is_spark_driver_py:
+            hits.append(f"{pid}:{cmd[:120]}")
     return hits
 
 
