@@ -1016,6 +1016,13 @@ def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
         F.count("*").cast("long").alias("c")
     )
+    return _theil_sen_from_daily(daily)
+
+
+def _theil_sen_from_daily(daily: DataFrame) -> DataFrame:
+    """Theil-Sen median-of-pairwise-slopes over an (event_type, d, c)
+    daily-count relation — split out so tests can feed synthetic
+    (known-slope, corrupted) series through the exact production plan."""
     a = daily.select(
         "event_type", F.col("d").alias("d1"), F.col("c").alias("c1")
     )
