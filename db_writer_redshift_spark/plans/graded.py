@@ -63,8 +63,24 @@ snapshot commit after that plan text was written), plus 3 keepers:
     green r2/r3/r4), and q1_pricing_summary (the flagship TPC-H
     shape, green r2).
 
-After this window every one of the 253 registered queries has a driver
-row in some round: union = 253/253.
+After this window every one of the 253 round-5 registered queries has a
+driver row in some round: union = 253/253 of that registry.
+
+ROUND-6 ADDITIONS (registered after this window was seated; certified
+264/264 at BOTH sf0.01 and sf0.1 at round-6 close): the 11 new
+analytics operators in plans/analytics_extra.py — graph_kcore_copurchase,
+stats_two_proportion_ab, text_chargram_gini, events_seasonal_dow_anomaly,
+lm_good_turing_counts, dedup_simhash_hamming_hist,
+embedding_pq_quantization, ann_pq_adc_recall,
+privacy_t_closeness_customer, events_theil_sen_trend,
+sketch_hll_registers_portable.
+
+ROUND-7 WINDOW PLAN: seat those 11 never-graded names first, then fill
+the remaining 39 slots with keepers re-proving the highest-value
+families across the union (the TPC-H flagships, merge/upsert, the
+portable LSH tiers, the streaming twins, and anything round 6's verdict
+flags). tools/plan_rotation.py computes the concrete proposal from the
+CORRECTNESS files present at round-7 open.
 """
 
 from __future__ import annotations
