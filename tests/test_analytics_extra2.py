@@ -1,0 +1,184 @@
+"""Method-invariant tests for the second round-6 analytics batch
+(plans/analytics_extra2.py) — properties the DuckDB oracles can't
+express: the bootstrap's Poisson marginals and a full Python replay of
+one replicate, the Apriori anti-monotonicity of sequence supports, the
+k-truss triangle-support guarantee replayed in pure Python, and a
+math.log replay of the keyness statistic."""
+
+from __future__ import annotations
+
+import math
+import os
+from collections import defaultdict
+
+import pytest
+
+from db_writer_redshift_spark.plans import QUERIES
+from db_writer_redshift_spark.plans.analytics_extra2 import (
+    _BOOT_A,
+    _BOOT_A2,
+    _BOOT_B,
+    _BOOT_REPS,
+    _BOOT_RING,
+    _BOOT_THRESH,
+    _KEY_MIN_COUNT,
+    _TRUSS_K,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason=f"testdata missing: {SF_DIR}"
+)
+
+
+def _run(spark, name):
+    return QUERIES[name].fn(spark, SF_DIR)
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap
+# ---------------------------------------------------------------------------
+
+
+def _py_weight(orderkey: int, r: int) -> int:
+    h1 = (orderkey * _BOOT_A + (r + 1) * _BOOT_B + 1) % _BOOT_RING
+    h2 = (h1 * _BOOT_A2) % _BOOT_RING
+    for k, t in enumerate(_BOOT_THRESH):
+        if h2 < t:
+            return k
+    return 7
+
+
+def test_bootstrap_replicate_zero_replays_in_python(spark):
+    import duckdb
+
+    rows = {r["replicate"]: r for r in _run(spark, "stats_bootstrap_ci_revenue").collect()}
+    assert set(rows) == set(range(_BOOT_REPS))
+    con = duckdb.connect()
+    base = con.execute(
+        "SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+        f" FROM read_parquet('{SF_DIR}/orders.parquet')"
+    ).fetchall()
+    n_eff = sum_cents = 0
+    for key, cents in base:
+        w = _py_weight(key, 0)
+        n_eff += w
+        sum_cents += w * cents
+    got = rows[0]
+    assert got["n_eff"] == n_eff
+    assert got["sum_cents"] == sum_cents
+    assert got["mean_cents_e6"] == (1_000_000 * sum_cents) // n_eff
+
+
+def test_bootstrap_poisson_marginals_and_rank_permutation(spark):
+    rows = _run(spark, "stats_bootstrap_ci_revenue").collect()
+    n = None
+    import duckdb
+
+    n = duckdb.connect().execute(
+        f"SELECT COUNT(*) FROM read_parquet('{SF_DIR}/orders.parquet')"
+    ).fetchone()[0]
+    # Poisson(1) sums: each replicate's n_eff ~ Poisson(n): mean n, sd sqrt(n)
+    for r in rows:
+        assert abs(r["n_eff"] - n) < 6 * math.sqrt(n) + 10, r
+    ranks = sorted(r["ci_rank"] for r in rows)
+    assert ranks == list(range(1, _BOOT_REPS + 1))
+    # the bootstrap distribution must actually spread (weights not constant)
+    means = {r["mean_cents_e6"] for r in rows}
+    assert len(means) > _BOOT_REPS // 2
+
+
+# ---------------------------------------------------------------------------
+# Frequent sequences: Apriori anti-monotonicity
+# ---------------------------------------------------------------------------
+
+
+def test_sequence_supports_are_apriori_consistent(spark):
+    rows = _run(spark, "events_frequent_sequences").collect()
+    sup = {r["seq"]: r["n_sessions"] for r in rows}
+    assert rows, "no sequences at test SF"
+    for r in rows:
+        parts = r["seq"].split(">")
+        assert len(parts) == r["seq_len"]
+        assert 0 < r["support_ppm"] <= 1_000_000
+        if r["seq_len"] == 3:
+            a, b, c = parts
+            # every sub-subsequence is at least as frequent
+            for sub in (f"{a}>{b}", f"{b}>{c}", f"{a}>{c}"):
+                assert sub in sup, f"{sub} missing though {r['seq']} present"
+                assert sup[sub] >= r["n_sessions"], (r["seq"], sub)
+
+
+# ---------------------------------------------------------------------------
+# k-truss: final round replayed in pure Python
+# ---------------------------------------------------------------------------
+
+
+def test_ktruss_trajectory_monotone_and_final_support_valid(spark):
+    rows = {r["round"]: (r["n_nodes"], r["n_edges"]) for r in
+            _run(spark, "graph_ktruss_copurchase").collect()}
+    rounds = sorted(rows)
+    assert rounds[0] == 0
+    for a, b in zip(rounds, rounds[1:]):
+        assert rows[b][0] <= rows[a][0]
+        assert rows[b][1] <= rows[a][1]
+
+    # Python replay: peel on the same weight>=2 edge set.
+    import duckdb
+
+    edges = set(
+        duckdb.connect().execute(
+            f"""
+            WITH op AS (SELECT DISTINCT l_orderkey, l_partkey
+                        FROM read_parquet('{SF_DIR}/lineitem.parquet'))
+            SELECT a.l_partkey, b.l_partkey
+            FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2
+            """
+        ).fetchall()
+    )
+
+    def peel(es: set) -> set:
+        adj = defaultdict(set)
+        for u, v in es:
+            adj[u].add(v)
+            adj[v].add(u)
+        keep = set()
+        for u, v in es:
+            if len(adj[u] & adj[v]) >= _TRUSS_K - 2:
+                keep.add((u, v))
+        return keep
+
+    e = set(edges)
+    expected = {}
+    nodes0 = {x for uv in e for x in uv}
+    if e:
+        expected[0] = (len(nodes0), len(e))
+    for r in range(1, max(rounds) + 1 if rounds else 1):
+        e = peel(e)
+        if e:
+            ns = {x for uv in e for x in uv}
+            expected[r] = (len(ns), len(e))
+    assert rows == expected
+
+
+# ---------------------------------------------------------------------------
+# Keyness: math.log replay and gate checks
+# ---------------------------------------------------------------------------
+
+
+def test_keyness_rows_replay_with_math_log(spark):
+    rows = _run(spark, "vocab_keyness_llr").collect()
+    assert rows, "keyness empty at test SF — lower _KEY_MIN_COUNT"
+    for r in rows:
+        a, b = r["n_source"], r["n_rest"]
+        n1, n2 = r["src_tokens"], r["rest_tokens"]
+        n, ct = n1 + n2, a + b
+        assert a >= _KEY_MIN_COUNT
+        assert a * n > ct * n1, "over-representation gate violated"
+        ll = a * math.log(a * n / (ct * n1))
+        if b:
+            ll += b * math.log(b * n / (ct * n2))
+        assert abs(round(2_000_000.0 * ll) - r["llr_e6"]) <= 1, r
