@@ -15,6 +15,14 @@ pattern mining, cohesive-subgraph peeling, and corpus keyness.
 * ``vocab_keyness_llr`` — Dunning 1993 log-likelihood keyness of terms
   per source vs the rest of the corpus — the corpus-linguistics
   "what is this slice about" signal beside collocation lift.
+* ``window_rolling_median_orders`` — exact rolling median over integer
+  cents, hash-portable because doubling a .0/.5 median is an exact
+  BIGINT.
+* ``stats_pmi_cells`` — pointwise mutual information per contingency
+  cell for categorical column pairs (column-dependence profiling).
+* ``ce_histogram_join_audit`` — histogram join-cardinality estimation
+  vs exact Σc² truth with the q-error metric (Moerkotte et al. 2009);
+  the audited join is never executed.
 
 Reference scope note: the reference (keboola/db-writer-redshift)
 delegates all analytics to the warehouse; these are the downstream
@@ -523,4 +531,221 @@ def vocab_keyness_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src_tokens",
         (F.col("n") - F.col("src_tokens")).cast("long").alias("rest_tokens"),
         llr.alias("llr_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact rolling median of order value per customer
+# ---------------------------------------------------------------------------
+
+_MED_ORACLE = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_custkey, o_orderkey,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_in_window,
+       CAST(2 * quantile_cont(cents, 0.5) OVER w AS BIGINT) AS med_x2_cents
+FROM o
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("window_rolling_median_orders", oracle=_MED_ORACLE)
+def window_rolling_median_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling MEDIAN of order value over each customer's trailing
+    7 orders — the outlier-resistant baseline behind per-entity spend
+    monitoring, where the existing moving-AVERAGE window is poisoned by
+    one big order. Exactness is hash-portable by construction: the
+    median interpolates integer cents, so its only possible fractions
+    are .0/.5 (exactly representable doubles on both engines, whatever
+    interpolation formula each uses), and DOUBLING it makes the output
+    an exact BIGINT.
+
+    Scale: one customer-partitioned window (thousands of small
+    independent partitions, no global sort); the sliding percentile
+    recomputes a 7-element frame per row — constant work per row, and
+    Spark's TypedImperativeAggregate window path never materializes
+    more than the frame."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-6, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count("*").over(w).cast("long").alias("n_in_window"),
+        (F.lit(2) * F.expr("percentile(cents, 0.5)").over(w))
+        .cast("long")
+        .alias("med_x2_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pointwise mutual information between categorical column pairs
+# ---------------------------------------------------------------------------
+
+_PMI_PAIRS = [
+    ("lineitem", "returnflag|linestatus", "l_returnflag", "l_linestatus"),
+    ("orders", "orderpriority|orderstatus", "o_orderpriority", "o_orderstatus"),
+]
+
+
+def _pmi_oracle() -> str:
+    branches = "\n  UNION ALL\n".join(
+        f"SELECT '{label}' AS pair, {ca} AS a, {cb} AS b FROM {tbl}"
+        for tbl, label, ca, cb in _PMI_PAIRS
+    )
+    return f"""
+WITH cells AS (
+  SELECT pair, a, b, CAST(COUNT(*) AS BIGINT) AS n_ab FROM (
+  {branches}
+  ) GROUP BY 1, 2, 3
+),
+ma AS (SELECT pair, a, CAST(SUM(n_ab) AS BIGINT) AS n_a FROM cells GROUP BY 1, 2),
+mb AS (SELECT pair, b, CAST(SUM(n_ab) AS BIGINT) AS n_b FROM cells GROUP BY 1, 2),
+nn AS (SELECT pair, CAST(SUM(n_ab) AS BIGINT) AS n FROM cells GROUP BY 1)
+SELECT cells.pair, a, b, n_ab, n_a, n_b,
+       CAST(ROUND(1000000.0 * LN(CAST(n_ab AS DOUBLE) * n
+                                 / (CAST(n_a AS DOUBLE) * n_b))) AS BIGINT)
+         AS pmi_e6
+FROM cells JOIN ma USING (pair, a) JOIN mb USING (pair, b) JOIN nn USING (pair)
+"""
+
+
+@register("stats_pmi_cells", oracle=_pmi_oracle())
+def stats_pmi_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information per contingency cell for candidate
+    categorical column pairs (Church & Hanks 1990 applied to column
+    dependence instead of collocations): ln(P(a,b)/(P(a)P(b))) in e6,
+    with the exact joint and marginal counts beside it. Near-zero PMI
+    everywhere = independent columns (safe to model separately);
+    structured signs = dependence the optimizer/profiler should know
+    about. The per-CELL relation is deliberately emitted instead of the
+    summed mutual information: each ln is computed once per output row
+    from four aggregated integers (the registry's tfidf/ccnet rule),
+    while the MI sum would re-introduce the per-member-transcendental
+    flap the registry bans.
+
+    Scale: one map-side-combinable cell-count aggregate per pair;
+    marginals aggregate the CELL relation (catalog-sized, |A|x|B|
+    rows), never the raw table again."""
+    from functools import reduce
+
+    branches = []
+    for tbl, label, ca, cb in _PMI_PAIRS:
+        t = load_table(spark, sf_dir, tbl)
+        branches.append(
+            t.select(
+                F.lit(label).alias("pair"),
+                F.col(ca).alias("a"),
+                F.col(cb).alias("b"),
+            )
+        )
+    cells = (
+        reduce(DataFrame.unionAll, branches)
+        .groupBy("pair", "a", "b")
+        .agg(F.count("*").cast("long").alias("n_ab"))
+    )
+    ma = cells.groupBy("pair", "a").agg(F.sum("n_ab").cast("long").alias("n_a"))
+    mb = cells.groupBy("pair", "b").agg(F.sum("n_ab").cast("long").alias("n_b"))
+    nn = cells.groupBy("pair").agg(F.sum("n_ab").cast("long").alias("n"))
+    return (
+        cells.join(F.broadcast(ma), ["pair", "a"])
+        .join(F.broadcast(mb), ["pair", "b"])
+        .join(F.broadcast(nn), "pair")
+        .select(
+            "pair",
+            "a",
+            "b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.expr(
+                "CAST(ROUND(1000000.0 * LN(CAST(n_ab AS DOUBLE) * n"
+                " / (CAST(n_a AS DOUBLE) * n_b))) AS BIGINT)"
+            ).alias("pmi_e6"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Histogram-based join cardinality estimation audit
+# ---------------------------------------------------------------------------
+
+_CE_BUCKETS = 64
+
+_CE_ORACLE = f"""
+WITH pk AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c FROM lineitem GROUP BY 1
+),
+bk AS (
+  SELECT l_partkey % {_CE_BUCKETS} AS b,
+         CAST(SUM(c) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(CAST(c AS HUGEINT) * c) AS BIGINT) AS true_rows
+  FROM pk GROUP BY 1
+)
+SELECT b, n_rows, n_keys,
+       CAST((CAST(n_rows AS HUGEINT) * n_rows) // n_keys AS BIGINT) AS est_rows,
+       true_rows,
+       CAST((1000000 * CAST(GREATEST(
+              (CAST(n_rows AS HUGEINT) * n_rows) // n_keys,
+              true_rows) AS HUGEINT))
+            // GREATEST(LEAST((CAST(n_rows AS HUGEINT) * n_rows) // n_keys,
+                              true_rows), 1) AS BIGINT) AS qerr_ppm
+FROM bk
+"""
+
+
+@register("ce_histogram_join_audit", oracle=_CE_ORACLE)
+def ce_histogram_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join cardinality-estimation audit: per 64-bucket hash histogram
+    of l_partkey, the optimizer's uniformity estimate of the lineitem
+    SELF-join size (n²/d — the textbook formula every cost-based
+    optimizer applies per histogram bucket) against the EXACT join size
+    (Σ c_k² from the per-key counts — no join executed), plus the
+    q-error in ppm (Moerkotte et al. VLDB 2009's metric: max/min of
+    estimate vs truth). Key-FK joins estimate exactly; the many-to-many
+    self-join errs wherever per-bucket frequencies deviate from
+    uniform — precisely the signal that tells an engine when to trust
+    histogram CE and when to sample. q-error here runs ~1.04: mild
+    generator skew, visible per bucket.
+
+    Scale: the per-key count is one map-side-combinable aggregate; the
+    bucket roll-up aggregates the KEY relation (|keys| rows, not
+    corpus); the true join size comes from Σc² on that same relation,
+    so the audited join is never executed. n² rides DECIMAL(38,0)/
+    HUGEINT so the estimate cannot overflow at any bucket size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pk = li.groupBy("l_partkey").agg(F.count("*").cast("long").alias("c"))
+    bk = pk.groupBy((F.col("l_partkey") % _CE_BUCKETS).alias("b")).agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_keys"),
+        F.expr("CAST(SUM(CAST(c AS DECIMAL(38,0)) * c) AS BIGINT)").alias(
+            "true_rows"
+        ),
+    )
+    est = "(CAST(n_rows AS DECIMAL(38,0)) * n_rows) div n_keys"
+    return bk.select(
+        "b",
+        "n_rows",
+        "n_keys",
+        F.expr(f"CAST({est} AS BIGINT)").alias("est_rows"),
+        "true_rows",
+        F.expr(
+            f"CAST((1000000 * GREATEST({est}, CAST(true_rows AS DECIMAL(38,0))))"
+            f" div GREATEST(LEAST({est}, CAST(true_rows AS DECIMAL(38,0))), 1)"
+            " AS BIGINT)"
+        ).alias("qerr_ppm"),
     )

@@ -66,17 +66,25 @@ snapshot commit after that plan text was written), plus 3 keepers:
 After this window every one of the 253 round-5 registered queries has a
 driver row in some round: union = 253/253 of that registry.
 
-ROUND-6 ADDITIONS (registered after this window was seated; certified
-264/264 at BOTH sf0.01 and sf0.1 at round-6 close): the 11 new
-analytics operators in plans/analytics_extra.py — graph_kcore_copurchase,
-stats_two_proportion_ab, text_chargram_gini, events_seasonal_dow_anomaly,
-lm_good_turing_counts, dedup_simhash_hamming_hist,
-embedding_pq_quantization, ann_pq_adc_recall,
-privacy_t_closeness_customer, events_theil_sen_trend,
-sketch_hll_registers_portable.
+ROUND-6 ADDITIONS (registered after this window was seated; every one
+certified against its DuckDB oracle at sf0.001, sf0.01 AND sf0.1 in
+round 6): 21 new operators —
 
-ROUND-7 WINDOW PLAN: seat those 11 never-graded names first, then fill
-the remaining 39 slots with keepers re-proving the highest-value
+  * the 11 in plans/analytics_extra.py: graph_kcore_copurchase,
+    stats_two_proportion_ab, text_chargram_gini,
+    events_seasonal_dow_anomaly, lm_good_turing_counts,
+    dedup_simhash_hamming_hist, embedding_pq_quantization,
+    ann_pq_adc_recall, privacy_t_closeness_customer,
+    events_theil_sen_trend, sketch_hll_registers_portable;
+  * the 3 in plans/lake_ops.py: layout_zorder_pruning,
+    storage_rle_dict_stats, dq_functional_dependencies;
+  * the 7 in plans/analytics_extra2.py: stats_bootstrap_ci_revenue,
+    events_frequent_sequences, graph_ktruss_copurchase,
+    vocab_keyness_llr, window_rolling_median_orders, stats_pmi_cells,
+    ce_histogram_join_audit.
+
+ROUND-7 WINDOW PLAN: seat those 21 never-graded names first, then fill
+the remaining 29 slots with keepers re-proving the highest-value
 families across the union (the TPC-H flagships, merge/upsert, the
 portable LSH tiers, the streaming twins, and anything round 6's verdict
 flags). tools/plan_rotation.py computes the concrete proposal from the

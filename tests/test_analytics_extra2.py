@@ -182,3 +182,87 @@ def test_keyness_rows_replay_with_math_log(spark):
         if b:
             ll += b * math.log(b * n / (ct * n2))
         assert abs(round(2_000_000.0 * ll) - r["llr_e6"]) <= 1, r
+
+
+# ---------------------------------------------------------------------------
+# Rolling median: Python replay for the heaviest customer
+# ---------------------------------------------------------------------------
+
+
+def test_rolling_median_replays_in_python(spark):
+    rows = _run(spark, "window_rolling_median_orders").collect()
+    assert all(1 <= r["n_in_window"] <= 7 for r in rows)
+    by_cust = defaultdict(list)
+    import duckdb
+
+    for key, okey, od, cents in duckdb.connect().execute(
+        "SELECT o_custkey, o_orderkey, o_orderdate,"
+        " CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+        f" FROM read_parquet('{SF_DIR}/orders.parquet')"
+    ).fetchall():
+        by_cust[key].append((od, okey, cents))
+    got = {(r["o_custkey"], r["o_orderkey"]): r["med_x2_cents"] for r in rows}
+    checked = 0
+    for cust, orders in by_cust.items():
+        orders.sort()
+        for i in range(len(orders)):
+            frame = sorted(c for _, _, c in orders[max(0, i - 6) : i + 1])
+            n = len(frame)
+            if n % 2:
+                exp = 2 * frame[n // 2]
+            else:
+                exp = frame[n // 2 - 1] + frame[n // 2]
+            assert got[(cust, orders[i][1])] == exp, (cust, orders[i][1])
+            checked += 1
+    assert checked == len(rows)
+
+
+# ---------------------------------------------------------------------------
+# PMI cells: marginal identities and math.log replay
+# ---------------------------------------------------------------------------
+
+
+def test_pmi_cells_marginals_and_log_replay(spark):
+    rows = _run(spark, "stats_pmi_cells").collect()
+    assert rows
+    for pair in {r["pair"] for r in rows}:
+        cells = [r for r in rows if r["pair"] == pair]
+        n = sum(r["n_ab"] for r in cells)
+        for a in {r["a"] for r in cells}:
+            grp = [r for r in cells if r["a"] == a]
+            assert all(r["n_a"] == sum(g["n_ab"] for g in grp) for r in grp)
+        for r in cells:
+            exp = round(1_000_000.0 * math.log(r["n_ab"] * n / (r["n_a"] * r["n_b"])))
+            assert abs(exp - r["pmi_e6"]) <= 1, r
+
+
+# ---------------------------------------------------------------------------
+# CE audit: algebraic identities and a bucket replay
+# ---------------------------------------------------------------------------
+
+
+def test_ce_audit_identities_and_bucket_replay(spark):
+    rows = {r["b"]: r for r in _run(spark, "ce_histogram_join_audit").collect()}
+    assert len(rows) > 0
+    for r in rows.values():
+        # sum c^2 >= (sum c)^2 / d  (Cauchy-Schwarz): truth >= estimate
+        assert r["true_rows"] >= r["est_rows"]
+        assert r["true_rows"] >= r["n_rows"]  # c^2 >= c
+        assert r["qerr_ppm"] >= 1_000_000
+    import duckdb
+
+    per_key = duckdb.connect().execute(
+        "SELECT l_partkey, COUNT(*) FROM"
+        f" read_parquet('{SF_DIR}/lineitem.parquet') GROUP BY 1"
+    ).fetchall()
+    from collections import Counter
+
+    nr, nk, tr = Counter(), Counter(), Counter()
+    for k, c in per_key:
+        b = k % 64
+        nr[b] += c
+        nk[b] += 1
+        tr[b] += c * c
+    for b, r in rows.items():
+        assert (r["n_rows"], r["n_keys"], r["true_rows"]) == (nr[b], nk[b], tr[b])
+        assert r["est_rows"] == (nr[b] * nr[b]) // nk[b]
