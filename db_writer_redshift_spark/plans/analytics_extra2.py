@@ -23,6 +23,16 @@ pattern mining, cohesive-subgraph peeling, and corpus keyness.
 * ``ce_histogram_join_audit`` — histogram join-cardinality estimation
   vs exact Σc² truth with the q-error metric (Moerkotte et al. 2009);
   the audited join is never executed.
+* ``drift_psi_doclen`` — Population Stability Index contributions per
+  bin (the model-monitoring drift score), per-row ln only.
+* ``privacy_recursive_cl_diversity`` — Machanavajjhala et al. 2006
+  recursive (c,l)-diversity, the skew-aware member completing the
+  k-anonymity / t-closeness structural-privacy trio.
+* ``dq_referential_integrity`` — exact orphan accounting across all six
+  FK edges of the star schema, keys-relation joins only.
+* ``events_interarrival_cv`` — point-process burstiness (inter-arrival
+  coefficient of variation) with an all-integer variance ratio and a
+  correctly-rounded sqrt as the only float op.
 
 Reference scope note: the reference (keboola/db-writer-redshift)
 delegates all analytics to the warehouse; these are the downstream
@@ -748,4 +758,343 @@ def ce_histogram_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" div GREATEST(LEAST({est}, CAST(true_rows AS DECIMAL(38,0))), 1)"
             " AS BIGINT)"
         ).alias("qerr_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Population stability index (PSI) per source over doc-length buckets
+# ---------------------------------------------------------------------------
+
+_PSI_BUCKETS = 10
+
+_PSI_ORACLE = f"""
+WITH ext AS (SELECT MIN(n_chars) AS lo, MAX(n_chars) AS hi FROM documents),
+b AS (
+  SELECT source,
+         LEAST(((n_chars - lo) * {_PSI_BUCKETS}) // (hi - lo + 1),
+               {_PSI_BUCKETS - 1}) AS bucket
+  FROM documents, ext
+),
+src AS (SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n_src
+        FROM b GROUP BY 1, 2),
+tot AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_all FROM b GROUP BY 1),
+st AS (SELECT source, CAST(SUM(n_src) AS BIGINT) AS src_tot
+       FROM src GROUP BY 1),
+gt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM b)
+SELECT src.source, src.bucket, n_src, (n_all - n_src) AS n_rest,
+       src_tot, (n - src_tot) AS rest_tot,
+       CAST(ROUND(1000000000.0
+            * (CAST(n_src AS DOUBLE) / src_tot
+               - CAST(n_all - n_src AS DOUBLE) / (n - src_tot))
+            * LN((CAST(n_src AS DOUBLE) * (n - src_tot))
+                 / (CAST(n_all - n_src AS DOUBLE) * src_tot)))
+         AS BIGINT) AS psi_e9
+FROM src JOIN tot USING (bucket) JOIN st USING (source) CROSS JOIN gt
+WHERE n_all - n_src > 0 AND n_src > 0
+"""
+
+
+@register("drift_psi_doclen", oracle=_PSI_ORACLE)
+def drift_psi_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index contributions per (source, doc-length
+    bucket) — the model-monitoring industry's standard drift score
+    ((p-q)·ln(p/q) summed over bins; >0.25 = act), emitted per BIN so
+    each ln is one per-row computation from four aggregated integers
+    (the registry's no-summed-transcendentals rule; the consumer adds
+    the ≤10 contributions). Completes the drift suite: chi-square
+    (composition), KS (shape), TV (exact mass), PSI (the score risk
+    teams actually alert on). Buckets are integer equi-width cells of
+    the GLOBAL length range, so every source is measured against the
+    same grid; empty-on-either-side cells are gated out exactly as the
+    zero-count epsilon rule.
+
+    Scale: one extents all-reduce broadcast onto the scan, one
+    (source, bucket) combinable aggregate; the per-bucket totals
+    aggregate the CELL relation (|sources| x 10 rows). No joins touch
+    raw rows."""
+    d = load_table(spark, sf_dir, "documents")
+    ext = d.agg(F.min("n_chars").alias("lo"), F.max("n_chars").alias("hi"))
+    b = d.crossJoin(F.broadcast(ext)).select(
+        "source",
+        F.least(
+            F.expr(f"((n_chars - lo) * {_PSI_BUCKETS}) div (hi - lo + 1)"),
+            F.lit(_PSI_BUCKETS - 1),
+        ).alias("bucket"),
+    )
+    src = b.groupBy("source", "bucket").agg(
+        F.count("*").cast("long").alias("n_src")
+    )
+    tot = src.groupBy("bucket").agg(F.sum("n_src").cast("long").alias("n_all"))
+    st = src.groupBy("source").agg(F.sum("n_src").cast("long").alias("src_tot"))
+    gt = src.agg(F.sum("n_src").cast("long").alias("n"))
+    return (
+        src.join(F.broadcast(tot), "bucket")
+        .join(F.broadcast(st), "source")
+        .crossJoin(F.broadcast(gt))
+        .filter((F.col("n_all") - F.col("n_src") > 0) & (F.col("n_src") > 0))
+        .select(
+            "source",
+            "bucket",
+            "n_src",
+            (F.col("n_all") - F.col("n_src")).cast("long").alias("n_rest"),
+            "src_tot",
+            (F.col("n") - F.col("src_tot")).cast("long").alias("rest_tot"),
+            F.expr(
+                "CAST(ROUND(1000000000.0"
+                " * (CAST(n_src AS DOUBLE) / src_tot"
+                "    - CAST(n_all - n_src AS DOUBLE) / (n - src_tot))"
+                " * LN((CAST(n_src AS DOUBLE) * (n - src_tot))"
+                "      / (CAST(n_all - n_src AS DOUBLE) * src_tot)))"
+                " AS BIGINT)"
+            ).alias("psi_e9"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Recursive (c,l)-diversity over the k-anonymity QI cells
+# ---------------------------------------------------------------------------
+
+_CL_ORACLE = """
+WITH sc AS (
+  SELECT c_nationkey AS nation,
+         CAST(FLOOR(c_acctbal / 100) AS BIGINT) AS bal_bucket,
+         c_mktsegment AS s, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM customer GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT nation, bal_bucket, cnt,
+         ROW_NUMBER() OVER (PARTITION BY nation, bal_bucket
+                            ORDER BY cnt DESC, s) AS rk
+  FROM sc
+),
+cell AS (
+  SELECT nation, bal_bucket,
+         CAST(SUM(cnt) AS BIGINT) AS k,
+         CAST(COUNT(*) AS BIGINT) AS l_distinct,
+         CAST(MAX(CASE WHEN rk = 1 THEN cnt END) AS BIGINT) AS r1,
+         CAST(SUM(CASE WHEN rk >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS tail2
+  FROM ranked GROUP BY 1, 2
+)
+SELECT nation,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(k) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN r1 < 2 * tail2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS cells_pass_c2l2,
+       CAST(SUM(CASE WHEN r1 < 3 * tail2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS cells_pass_c3l2,
+       CAST(SUM(CASE WHEN r1 < 2 * tail2 THEN 0 ELSE k END) AS BIGINT)
+         AS rows_at_risk,
+       MIN(l_distinct) AS min_l
+FROM cell GROUP BY 1
+"""
+
+
+@register("privacy_recursive_cl_diversity", oracle=_CL_ORACLE)
+def privacy_recursive_cl_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive (c,l)-diversity audit (Machanavajjhala et al. 2006,
+    Def. 4.3) over the same QI cells as privacy_k_anonymity_customer:
+    a cell passes (c,2)-diversity when its most common sensitive value
+    is rarer than c times the rest combined (r1 < c·Σ tail) — the
+    skew-aware criterion that catches cells where distinct-l looks
+    healthy but one segment dominates, i.e. an attacker's best guess is
+    nearly certain. Completes the structural-privacy trio: k-anonymity
+    (cell size), t-closeness (distribution distance), recursive
+    (c,l)-diversity (within-cell skew). Pure integer
+    cross-multiplications at c=2 and c=3; rows_at_risk totals the
+    population in failing cells per nation.
+
+    Scale: two nested map-side-combinable aggregates ((QI, sensitive)
+    cell counts, then per-QI rank/max/sum — the rank window partitions
+    by QI cell, thousands of tiny partitions); the nation roll-up
+    aggregates the cell relation."""
+    c = load_table(spark, sf_dir, "customer")
+    sc = c.groupBy(
+        F.col("c_nationkey").alias("nation"),
+        F.floor(F.col("c_acctbal") / 100).cast("long").alias("bal_bucket"),
+        F.col("c_mktsegment").alias("s"),
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    w = Window.partitionBy("nation", "bal_bucket").orderBy(
+        F.col("cnt").desc(), "s"
+    )
+    ranked = sc.withColumn("rk", F.row_number().over(w))
+    cell = ranked.groupBy("nation", "bal_bucket").agg(
+        F.sum("cnt").cast("long").alias("k"),
+        F.count("*").cast("long").alias("l_distinct"),
+        F.max(F.when(F.col("rk") == 1, F.col("cnt"))).cast("long").alias("r1"),
+        F.sum(F.when(F.col("rk") >= 2, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("tail2"),
+    )
+    return cell.groupBy("nation").agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum("k").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("r1") < 2 * F.col("tail2"), 1).otherwise(0))
+        .cast("long")
+        .alias("cells_pass_c2l2"),
+        F.sum(F.when(F.col("r1") < 3 * F.col("tail2"), 1).otherwise(0))
+        .cast("long")
+        .alias("cells_pass_c3l2"),
+        F.sum(F.when(F.col("r1") < 2 * F.col("tail2"), 0).otherwise(F.col("k")))
+        .cast("long")
+        .alias("rows_at_risk"),
+        F.min("l_distinct").cast("long").alias("min_l"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit across the schema's FK edges
+# ---------------------------------------------------------------------------
+
+_RI_EDGES = [
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def _ri_oracle() -> str:
+    branches = "\nUNION ALL\n".join(
+        f"""SELECT '{label}' AS fk_edge,
+       CAST(SUM(c) AS BIGINT) AS child_rows,
+       CAST(COUNT(*) AS BIGINT) AS child_keys,
+       CAST(SUM(CASE WHEN hit = 0 THEN c ELSE 0 END) AS BIGINT) AS orphan_rows,
+       CAST(SUM(CASE WHEN hit = 0 THEN 1 ELSE 0 END) AS BIGINT) AS orphan_keys
+FROM (
+  SELECT k.{ck} AS key, k.c,
+         CASE WHEN p.{pk} IS NULL THEN 0 ELSE 1 END AS hit
+  FROM (SELECT {ck}, CAST(COUNT(*) AS BIGINT) AS c FROM {ct} GROUP BY 1) k
+  LEFT JOIN (SELECT DISTINCT {pk} FROM {pt}) p ON k.{ck} = p.{pk}
+)"""
+        for label, ct, ck, pt, pk in _RI_EDGES
+    )
+    return branches
+
+
+@register("dq_referential_integrity", oracle=_ri_oracle())
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over every FK edge in the star
+    schema: per edge, the child row/key volume and the exact orphan
+    counts (child keys with no parent) — the first data-quality gate a
+    warehouse load runs, and the validation behind the repo's merge/
+    retention cascade semantics (retention_sweep_orders deletes
+    children BECAUSE these edges hold). Zero orphans everywhere is the
+    expected PASS on the generated data; the relation proves it
+    per-edge instead of assuming it.
+
+    Scale: each edge first collapses the child side to its KEY relation
+    (map-side-combinable count), then left-joins the parent's distinct
+    keys — the join carries |keys| rows, never child rows, and parent
+    key sets of dimension tables broadcast. Adding an edge adds one
+    two-column scan."""
+    from functools import reduce
+
+    outs = []
+    for label, ct, ck, pt, pk in _RI_EDGES:
+        child = load_table(spark, sf_dir, ct)
+        parent = load_table(spark, sf_dir, pt)
+        k = child.groupBy(F.col(ck).alias("key")).agg(
+            F.count("*").cast("long").alias("c")
+        )
+        p = parent.select(F.col(pk).alias("pkey")).distinct()
+        j = k.join(p, k.key == p.pkey, "left").select(
+            "c", F.when(F.col("pkey").isNull(), 0).otherwise(1).alias("hit")
+        )
+        outs.append(
+            j.agg(
+                F.lit(label).alias("fk_edge"),
+                F.sum("c").cast("long").alias("child_rows"),
+                F.count("*").cast("long").alias("child_keys"),
+                F.sum(F.when(F.col("hit") == 0, F.col("c")).otherwise(0))
+                .cast("long")
+                .alias("orphan_rows"),
+                F.sum(F.when(F.col("hit") == 0, 1).otherwise(0))
+                .cast("long")
+                .alias("orphan_keys"),
+            )
+        )
+    return reduce(DataFrame.unionAll, outs)
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival coefficient of variation per event type (point-process
+# burstiness)
+# ---------------------------------------------------------------------------
+
+_IA_ORACLE = """
+WITH g AS (
+  SELECT event_type,
+         (epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+            PARTITION BY event_type, user_id ORDER BY ts, event_id))
+           // 60000000 AS gap_m
+  FROM events
+),
+m AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         CAST(SUM(gap_m) AS BIGINT) AS sum_m,
+         CAST(SUM(gap_m * gap_m) AS BIGINT) AS sum_m2
+  FROM g WHERE gap_m IS NOT NULL GROUP BY 1
+)
+SELECT event_type, n_gaps, sum_m, sum_m2,
+       CAST(((CAST(n_gaps AS HUGEINT) * sum_m2 - CAST(sum_m AS HUGEINT) * sum_m)
+             * 1000000000000)
+            // (CAST(sum_m AS HUGEINT) * sum_m) AS BIGINT) AS var_ratio_e12,
+       CAST(ROUND(SQRT(CAST(
+         ((CAST(n_gaps AS HUGEINT) * sum_m2 - CAST(sum_m AS HUGEINT) * sum_m)
+          * 1000000000000)
+         // (CAST(sum_m AS HUGEINT) * sum_m) AS BIGINT))) AS BIGINT) AS cv_e6
+FROM m
+"""
+
+
+@register("events_interarrival_cv", oracle=_IA_ORACLE)
+def events_interarrival_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival coefficient of variation per event type — the
+    point-process burstiness test (CV = 1 for Poisson arrivals, > 1
+    bursty, < 1 regular), the per-STREAM complement of the per-TERM
+    variance-to-mean text_term_burstiness. Gaps are consecutive
+    same-user deltas floor-divided to whole MINUTES so the squared sum
+    stays in BIGINT (seconds² overflowed the sf0.1 certification);
+    the variance RATIO (n·s2 − s1²)·1e12 / s1² is an exact integer
+    through the DECIMAL(38,0)/HUGEINT lane, small enough (< 2^53) that
+    its double conversion is exact — and cv_e6 = round(sqrt(ratio))
+    uses only sqrt, which IEEE rounds correctly, so unlike ln this
+    float path CANNOT flap cross-engine.
+
+    Scale: one (event_type, user_id)-partitioned lag window (small
+    independent partitions), then a combinable 3-moment aggregate to
+    |event types| rows."""
+    e = load_table(spark, sf_dir, "events")
+    g = e.select(
+        "event_type",
+        F.expr(
+            "(unix_micros(CAST(ts AS TIMESTAMP_LTZ)) - lag(unix_micros("
+            "CAST(ts AS TIMESTAMP_LTZ))) OVER ("
+            "PARTITION BY event_type, user_id ORDER BY ts, event_id))"
+            " div 60000000"
+        ).alias("gap_m"),
+    )
+    m = g.filter(F.col("gap_m").isNotNull()).groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.sum("gap_m").cast("long").alias("sum_m"),
+        F.sum(F.col("gap_m") * F.col("gap_m")).cast("long").alias("sum_m2"),
+    )
+    ratio = (
+        "((CAST(n_gaps AS DECIMAL(38,0)) * sum_m2"
+        " - CAST(sum_m AS DECIMAL(38,0)) * sum_m)"
+        " * CAST(1000000000000 AS DECIMAL(38,0)))"
+        " div (CAST(sum_m AS DECIMAL(38,0)) * sum_m)"
+    )
+    return m.select(
+        "event_type",
+        "n_gaps",
+        "sum_m",
+        "sum_m2",
+        F.expr(f"CAST({ratio} AS BIGINT)").alias("var_ratio_e12"),
+        F.expr(
+            f"CAST(ROUND(SQRT(CAST({ratio} AS BIGINT))) AS BIGINT)"
+        ).alias("cv_e6"),
     )

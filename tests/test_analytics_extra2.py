@@ -266,3 +266,121 @@ def test_ce_audit_identities_and_bucket_replay(spark):
     for b, r in rows.items():
         assert (r["n_rows"], r["n_keys"], r["true_rows"]) == (nr[b], nk[b], tr[b])
         assert r["est_rows"] == (nr[b] * nr[b]) // nk[b]
+
+
+# ---------------------------------------------------------------------------
+# PSI buckets: math.log replay and gating
+# ---------------------------------------------------------------------------
+
+
+def test_psi_rows_replay_with_math_log(spark):
+    rows = _run(spark, "drift_psi_doclen").collect()
+    assert rows
+    for r in rows:
+        assert r["n_src"] > 0 and r["n_rest"] > 0, "zero-cell gate violated"
+        p = r["n_src"] / r["src_tot"]
+        q = r["n_rest"] / r["rest_tot"]
+        exp = round(1e9 * (p - q) * math.log((r["n_src"] * r["rest_tot"]) /
+                                             (r["n_rest"] * r["src_tot"])))
+        assert abs(exp - r["psi_e9"]) <= 1, r
+        # each contribution is non-negative: (p-q) and ln(p/q) share sign
+        assert r["psi_e9"] >= 0
+
+
+# ---------------------------------------------------------------------------
+# Recursive (c,l)-diversity: Python replay over the QI cells
+# ---------------------------------------------------------------------------
+
+
+def test_recursive_cl_diversity_replays_in_python(spark):
+    import duckdb
+    from collections import Counter
+
+    rows = {r["nation"]: r for r in
+            _run(spark, "privacy_recursive_cl_diversity").collect()}
+    cells = defaultdict(Counter)
+    for nat, bb, seg in duckdb.connect().execute(
+        "SELECT c_nationkey, CAST(FLOOR(c_acctbal / 100) AS BIGINT),"
+        f" c_mktsegment FROM read_parquet('{SF_DIR}/customer.parquet')"
+    ).fetchall():
+        cells[(nat, bb)][seg] += 1
+    per_nation = defaultdict(lambda: [0, 0, 0, 0, 0, 99])
+    for (nat, _bb), cnt in cells.items():
+        counts = sorted(cnt.values(), reverse=True)
+        r1, tail = counts[0], sum(counts[1:])
+        agg = per_nation[nat]
+        agg[0] += 1
+        agg[1] += sum(counts)
+        agg[2] += 1 if r1 < 2 * tail else 0
+        agg[3] += 1 if r1 < 3 * tail else 0
+        agg[4] += 0 if r1 < 2 * tail else sum(counts)
+        agg[5] = min(agg[5], len(counts))
+    for nat, r in rows.items():
+        exp = per_nation[nat]
+        assert (r["n_cells"], r["n_rows"], r["cells_pass_c2l2"],
+                r["cells_pass_c3l2"], r["rows_at_risk"], r["min_l"]) == tuple(exp)
+
+
+# ---------------------------------------------------------------------------
+# Referential integrity: generated data is clean, identities hold
+# ---------------------------------------------------------------------------
+
+
+def test_referential_integrity_clean_and_consistent(spark):
+    rows = {r["fk_edge"]: r for r in
+            _run(spark, "dq_referential_integrity").collect()}
+    assert len(rows) == 6
+    for r in rows.values():
+        assert r["child_keys"] <= r["child_rows"]
+        assert r["orphan_keys"] <= r["child_keys"]
+        assert r["orphan_rows"] == 0 and r["orphan_keys"] == 0, (
+            "generated star schema should be referentially clean", r)
+    # replay one edge exactly
+    import duckdb
+
+    con = duckdb.connect()
+    li = con.execute(
+        f"SELECT l_orderkey, COUNT(*) FROM read_parquet('{SF_DIR}/lineitem.parquet') GROUP BY 1"
+    ).fetchall()
+    okeys = {k for (k,) in con.execute(
+        f"SELECT DISTINCT o_orderkey FROM read_parquet('{SF_DIR}/orders.parquet')"
+    ).fetchall()}
+    r = rows["lineitem.l_orderkey->orders"]
+    assert r["child_rows"] == sum(c for _, c in li)
+    assert r["child_keys"] == len(li)
+    assert r["orphan_rows"] == sum(c for k, c in li if k not in okeys)
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival CV: full Python replay
+# ---------------------------------------------------------------------------
+
+
+def test_interarrival_cv_replays_in_python(spark):
+    import duckdb
+
+    rows = {r["event_type"]: r for r in
+            _run(spark, "events_interarrival_cv").collect()}
+    per_stream = defaultdict(list)
+    for et, uid, us, eid in duckdb.connect().execute(
+        "SELECT event_type, user_id, epoch_us(ts), event_id"
+        f" FROM read_parquet('{SF_DIR}/events.parquet')"
+    ).fetchall():
+        per_stream[(et, uid)].append((us, eid))
+    mom = defaultdict(lambda: [0, 0, 0])
+    for (et, _uid), evs in per_stream.items():
+        evs.sort()
+        for (a, _), (b, _) in zip(evs, evs[1:]):
+            g = (b - a) // 60_000_000
+            m = mom[et]
+            m[0] += 1
+            m[1] += g
+            m[2] += g * g
+    for et, r in rows.items():
+        n, s1, s2 = mom[et]
+        assert (r["n_gaps"], r["sum_m"], r["sum_m2"]) == (n, s1, s2)
+        ratio = ((n * s2 - s1 * s1) * 10**12) // (s1 * s1)
+        assert r["var_ratio_e12"] == ratio
+        assert r["cv_e6"] == round(math.sqrt(ratio))
+        # arrivals are bursty-or-Poisson, never metronomic at corpus level
+        assert r["cv_e6"] > 300_000
