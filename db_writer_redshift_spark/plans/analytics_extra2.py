@@ -33,6 +33,12 @@ pattern mining, cohesive-subgraph peeling, and corpus keyness.
 * ``events_interarrival_cv`` — point-process burstiness (inter-arrival
   coefficient of variation) with an all-integer variance ratio and a
   correctly-rounded sqrt as the only float op.
+* ``embedding_isotropy_by_label`` — Ethayarajh 2019 anisotropy score
+  |Σv|²/(n·Σ|v|²) in exact ppm over quantized coordinates.
+* ``events_autocorr_weekly`` — lag-7 Pearson autocorrelation of daily
+  volume from exact BIGINT moments (sqrt-only float finish).
+* ``vocab_trigram_coverage_sweep`` — exact vocabulary-budget coverage
+  curve over word trigrams (windows over the vocabulary relation).
 
 Reference scope note: the reference (keboola/db-writer-redshift)
 delegates all analytics to the warehouse; these are the downstream
@@ -1097,4 +1103,237 @@ def events_interarrival_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             f"CAST(ROUND(SQRT(CAST({ratio} AS BIGINT))) AS BIGINT)"
         ).alias("cv_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding isotropy (anisotropy score) per label
+# ---------------------------------------------------------------------------
+
+_ISO_ORACLE = """
+WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT label, t.i AS d, CAST(ROUND(e[t.i] * 1000) AS BIGINT) AS qv
+      FROM v, UNNEST(generate_series(1, len(e))) AS t(i)),
+sd AS (SELECT label, d, CAST(SUM(qv) AS BIGINT) AS s,
+              CAST(SUM(qv * qv) AS BIGINT) AS t2
+       FROM q GROUP BY 1, 2),
+n AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+      FROM embeddings GROUP BY 1)
+SELECT sd.label, MIN(n_vecs) AS n_vecs, CAST(COUNT(*) AS BIGINT) AS dims,
+       CAST(SUM(CAST(s AS HUGEINT) * s) AS BIGINT) AS mean_sq_num,
+       CAST(SUM(t2) AS BIGINT) AS energy,
+       CAST((1000000 * SUM(CAST(s AS HUGEINT) * s))
+            // (MIN(n_vecs) * CAST(SUM(t2) AS HUGEINT)) AS BIGINT)
+         AS anisotropy_ppm
+FROM sd JOIN n ON sd.label = n.label GROUP BY 1
+"""
+
+
+@register("embedding_isotropy_by_label", oracle=_ISO_ORACLE)
+def embedding_isotropy_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anisotropy score per label: |Σv|² / (n·Σ|v|²) in exact ppm over
+    1e3-quantized coordinates — the Ethayarajh (2019) "embeddings
+    occupy a narrow cone" diagnostic (≈ the average pairwise cosine
+    for unit vectors; 0 = perfectly isotropic). High anisotropy breaks
+    cosine-based dedup/ANN thresholds, so this is the calibration
+    check a pipeline runs before trusting the similarity lanes. The
+    numerator Σ_d S_d² rides the DECIMAL(38,0)/HUGEINT lane.
+
+    Scale: one coordinate explode into a (label, dim) combinable
+    aggregate (|labels|×dims rows — catalog-sized); the per-label
+    roll-up and count join touch only that relation. Same plan family
+    as embedding_dim_stats / embedding_lang_centroids."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("d", "x"),
+    ).select(
+        "label", "d", F.expr("CAST(ROUND(x * 1000) AS BIGINT)").alias("qv")
+    )
+    sd = q.groupBy("label", "d").agg(
+        F.sum("qv").cast("long").alias("s"),
+        F.sum(F.col("qv") * F.col("qv")).cast("long").alias("t2"),
+    )
+    n = emb.groupBy("label").agg(F.count("*").cast("long").alias("n_vecs"))
+    return (
+        sd.join(F.broadcast(n), "label")
+        .groupBy("label")
+        .agg(
+            F.min("n_vecs").alias("n_vecs"),
+            F.count("*").cast("long").alias("dims"),
+            F.expr(
+                "CAST(SUM(CAST(s AS DECIMAL(38,0)) * s) AS BIGINT)"
+            ).alias("mean_sq_num"),
+            F.sum("t2").cast("long").alias("energy"),
+            F.expr(
+                "CAST((1000000 * SUM(CAST(s AS DECIMAL(38,0)) * s))"
+                " div (MIN(n_vecs) * CAST(SUM(t2) AS DECIMAL(38,0)))"
+                " AS BIGINT)"
+            ).alias("anisotropy_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weekly autocorrelation of daily event volume per type
+# ---------------------------------------------------------------------------
+
+_AC_ORACLE = """
+WITH daily AS (
+  SELECT event_type, ts::DATE AS d, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+p AS (
+  SELECT a.event_type, a.c AS x, b.c AS y
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND b.d = a.d + 7
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(x) AS BIGINT) AS s_x, CAST(SUM(y) AS BIGINT) AS s_y,
+       CAST(SUM(x * x) AS BIGINT) AS s_xx, CAST(SUM(y * y) AS BIGINT) AS s_yy,
+       CAST(SUM(x * y) AS BIGINT) AS s_xy,
+       CAST(ROUND(1000000.0 * (COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+            / SQRT(CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE)
+                   * CAST(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y) AS DOUBLE)))
+         AS BIGINT) AS corr7_e6
+FROM p GROUP BY 1
+"""
+
+
+@register("events_autocorr_weekly", oracle=_AC_ORACLE)
+def events_autocorr_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-7 autocorrelation of daily event volume per type — the
+    periodicity detector that tells monitoring whether weekly
+    seasonality exists BEFORE the seasonal-naive baseline
+    (events_seasonal_dow_anomaly) is the right comparison. Pearson r
+    from exact BIGINT moments of the (day, day+7) pair relation; the
+    finish divides by sqrt of exact integers — IEEE-correctly-rounded
+    conversions and sqrt, no libm-dependent ops, so corr7_e6 cannot
+    flap cross-engine.
+
+    Scale: the daily roll-up collapses events map-side to ≤|days| rows
+    per type; the lag join and moment aggregate touch only that
+    relation."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count("*").cast("long").alias("c"))
+    a, b = daily.alias("a"), daily.alias("b")
+    p = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("b.d") == F.date_add(F.col("a.d"), 7)),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.c").alias("x"),
+        F.col("b.c").alias("y"),
+    )
+    return p.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("x").cast("long").alias("s_x"),
+        F.sum("y").cast("long").alias("s_y"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("s_xx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("s_yy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("s_xy"),
+        F.expr(
+            "CAST(ROUND(1000000.0 * (COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))"
+            " / SQRT(CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE)"
+            "        * CAST(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y) AS DOUBLE)))"
+            " AS BIGINT)"
+        ).alias("corr7_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary-budget coverage sweep over word trigrams
+# ---------------------------------------------------------------------------
+
+_COV_BUDGETS = [500, 1000, 2000, 4000, 8000]
+
+_COV_ORACLE = f"""
+WITH w AS (SELECT string_split(lower(text), ' ') AS ws FROM documents),
+g AS (
+  SELECT ws[t.i] || ' ' || ws[t.i + 1] || ' ' || ws[t.i + 2] AS gram
+  FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+),
+tf AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS c FROM g GROUP BY 1),
+r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, gram) AS rk FROM tf),
+cum AS (SELECT rk, CAST(SUM(c) OVER (ORDER BY rk ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS cum_c FROM r),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v
+        FROM tf)
+SELECT k.k AS vocab_budget, MIN(v) AS vocab_total, MIN(n) AS corpus_grams,
+       CAST(MAX(CASE WHEN rk <= k.k THEN cum_c ELSE 0 END) AS BIGINT)
+         AS covered_grams,
+       (1000000 * CAST(MAX(CASE WHEN rk <= k.k THEN cum_c ELSE 0 END)
+                       AS BIGINT)) // MIN(n) AS coverage_ppm
+FROM cum, tot, (SELECT unnest({_COV_BUDGETS}) AS k) k
+GROUP BY 1
+"""
+
+
+@register("vocab_trigram_coverage_sweep", oracle=_COV_ORACLE)
+def vocab_trigram_coverage_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-budget coverage curve over word trigrams: for each
+    candidate budget K, the exact fraction of corpus trigram tokens
+    covered by the K most frequent types (ties broken by gram — a
+    total order, so the curve is engine-agnostic). This is the
+    boilerplate-detection / cache-sizing complement of
+    heaps_vocab_growth (how fast the vocabulary grows) and the
+    budget-planning curve a phrase-table or n-gram-LM pruning step
+    reads; word UNIGRAMS would be vacuous here (31 types saturate any
+    budget), trigrams give a 16k-type distribution.
+
+    Scale: the gram count is one map-side-combinable aggregate; the
+    rank and cumulative windows run over the VOCABULARY relation
+    (bounded by distinct trigrams, the quality_prune_sweep precedent),
+    never over corpus rows; the 5-budget probe is a constant cross
+    join against the cumulative relation."""
+    d = load_table(spark, sf_dir, "documents")
+    g = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(split(lower(text), ' ')) - 2, 0)),"
+                " i -> concat_ws(' ', split(lower(text), ' ')[i - 1],"
+                " split(lower(text), ' ')[i], split(lower(text), ' ')[i + 1]))"
+            )
+        ).alias("gram")
+    )
+    tf = g.groupBy("gram").agg(F.count("*").cast("long").alias("c"))
+    r = tf.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), "gram"))
+        .alias("rk"),
+    )
+    cum = r.select(
+        "rk",
+        F.sum("c")
+        .over(Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cum_c"),
+    )
+    tot = tf.agg(
+        F.sum("c").cast("long").alias("n"), F.count("*").cast("long").alias("v")
+    )
+    ks = spark.range(0).sparkSession.createDataFrame(
+        [(k,) for k in _COV_BUDGETS], "k long"
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ks))
+        .groupBy(F.col("k").alias("vocab_budget"))
+        .agg(
+            F.min("v").alias("vocab_total"),
+            F.min("n").alias("corpus_grams"),
+            F.max(F.when(F.col("rk") <= F.col("k"), F.col("cum_c")).otherwise(0))
+            .cast("long")
+            .alias("covered_grams"),
+            F.expr(
+                "(1000000 * MAX(CASE WHEN rk <= k THEN cum_c ELSE 0 END))"
+                " div MIN(n)"
+            )
+            .cast("long")
+            .alias("coverage_ppm"),
+        )
     )

@@ -384,3 +384,107 @@ def test_interarrival_cv_replays_in_python(spark):
         assert r["cv_e6"] == round(math.sqrt(ratio))
         # arrivals are bursty-or-Poisson, never metronomic at corpus level
         assert r["cv_e6"] > 300_000
+
+
+# ---------------------------------------------------------------------------
+# Isotropy: numpy replay
+# ---------------------------------------------------------------------------
+
+
+def test_isotropy_replays_with_numpy(spark):
+    import duckdb
+    import numpy as np
+
+    rows = {r["label"]: r for r in
+            _run(spark, "embedding_isotropy_by_label").collect()}
+    data = duckdb.connect().execute(
+        f"SELECT label, embedding FROM read_parquet('{SF_DIR}/embeddings.parquet')"
+    ).fetchall()
+    by_label = defaultdict(list)
+    for lab, emb in data:
+        by_label[lab].append(np.round(np.array(emb, dtype=np.float64) * 1000))
+    for lab, vecs in by_label.items():
+        q = np.array(vecs, dtype=object)  # exact integer arithmetic
+        qi = [[int(x) for x in v] for v in vecs]
+        dims = len(qi[0])
+        s = [sum(v[d] for v in qi) for d in range(dims)]
+        num = sum(x * x for x in s)
+        energy = sum(x * x for v in qi for x in v)
+        r = rows[lab]
+        assert r["n_vecs"] == len(qi) and r["dims"] == dims
+        assert r["mean_sq_num"] == num
+        assert r["energy"] == energy
+        assert r["anisotropy_ppm"] == (1_000_000 * num) // (len(qi) * energy)
+        assert 0 <= r["anisotropy_ppm"] < 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# Weekly autocorrelation: moment replay, |r| <= 1
+# ---------------------------------------------------------------------------
+
+
+def test_autocorr_weekly_moment_replay(spark):
+    import duckdb
+
+    rows = {r["event_type"]: r for r in
+            _run(spark, "events_autocorr_weekly").collect()}
+    daily = defaultdict(dict)
+    for et, d, c in duckdb.connect().execute(
+        "SELECT event_type, ts::DATE, COUNT(*) FROM"
+        f" read_parquet('{SF_DIR}/events.parquet') GROUP BY 1, 2"
+    ).fetchall():
+        daily[et][d] = c
+    import datetime
+
+    for et, r in rows.items():
+        pairs = [
+            (c, daily[et][d + datetime.timedelta(days=7)])
+            for d, c in daily[et].items()
+            if d + datetime.timedelta(days=7) in daily[et]
+        ]
+        n = len(pairs)
+        sx = sum(x for x, _ in pairs)
+        sy = sum(y for _, y in pairs)
+        sxy = sum(x * y for x, y in pairs)
+        sxx = sum(x * x for x, _ in pairs)
+        syy = sum(y * y for _, y in pairs)
+        assert (r["n_pairs"], r["s_x"], r["s_y"], r["s_xx"], r["s_yy"],
+                r["s_xy"]) == (n, sx, sy, sxx, syy, sxy)
+        exp = round(1e6 * (n * sxy - sx * sy) /
+                    math.sqrt(float(n * sxx - sx * sx) * float(n * syy - sy * sy)))
+        assert r["corr7_e6"] == exp
+        assert abs(r["corr7_e6"]) <= 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# Coverage sweep: monotone, Counter replay
+# ---------------------------------------------------------------------------
+
+
+def test_coverage_sweep_monotone_and_counter_replay(spark):
+    import duckdb
+    from collections import Counter
+
+    rows = sorted(
+        _run(spark, "vocab_trigram_coverage_sweep").collect(),
+        key=lambda r: r["vocab_budget"],
+    )
+    assert [r["vocab_budget"] for r in rows] == [500, 1000, 2000, 4000, 8000]
+    cov = [r["coverage_ppm"] for r in rows]
+    assert cov == sorted(cov), "coverage must be monotone in budget"
+    texts = duckdb.connect().execute(
+        f"SELECT lower(text) FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchall()
+    tf = Counter()
+    for (t,) in texts:
+        ws = t.split(" ")
+        for i in range(len(ws) - 2):
+            tf[" ".join(ws[i : i + 3])] += 1
+    ranked = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(tf.values())
+    for r in rows:
+        covered = sum(c for _, c in ranked[: r["vocab_budget"]])
+        assert r["vocab_total"] == len(tf)
+        assert r["corpus_grams"] == total
+        assert r["covered_grams"] == covered
+        assert r["coverage_ppm"] == (1_000_000 * covered) // total

@@ -96,6 +96,13 @@ SHOWCASE = [
     ("stats_two_proportion_ab", "A/B test: per-user combinable agg, 5-row broadcast 2x2 roll-up"),
     ("ann_pq_adc_recall", "PQ-ADC recall: codes equi-join broadcast partial-distance table, vectors never ship"),
     ("sketch_hll_registers_portable", "portable HLL: one map-side-combinable (grp, reg) MAX, 64 rows/group shuffle"),
+    # round-6 second wave
+    ("layout_zorder_pruning", "z-order audit: extents broadcast onto the scan, codegen bit interleave, 64-cell aggs, no global sort"),
+    ("graph_ktruss_copurchase", "k-truss peel: edge-iterator support via row-local adjacency-array intersects, only the |V|-row adjacency build shuffles"),
+    ("ce_histogram_join_audit", "CE audit: per-key counts -> bucket roll-up; the audited self-join never executes"),
+    ("stats_bootstrap_ci_revenue", "Poisson bootstrap: constant 32-way explode into a 32-group combinable agg, no RNG state"),
+    ("window_rolling_median_orders", "rolling median: customer-partitioned window, constant 7-element percentile frames"),
+    ("dq_referential_integrity", "FK audit: child collapsed to keys map-side, dimension parents broadcast"),
 ]
 
 
