@@ -39,6 +39,10 @@ pattern mining, cohesive-subgraph peeling, and corpus keyness.
   volume from exact BIGINT moments (sqrt-only float finish).
 * ``vocab_trigram_coverage_sweep`` — exact vocabulary-budget coverage
   curve over word trigrams (windows over the vocabulary relation).
+* ``er_trigram_cosine_pairs`` — pg_trgm-style trigram-cosine similarity
+  join (integer cross-multiplied threshold, df-capped blocking).
+* ``sketch_bloom_fpp_audit`` — portable Bloom false-positive audit with
+  the filter state as a value-hash-oracled relation.
 
 Reference scope note: the reference (keboola/db-writer-redshift)
 delegates all analytics to the warehouse; these are the downstream
@@ -1335,5 +1339,238 @@ def vocab_trigram_coverage_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("long")
             .alias("coverage_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trigram-cosine similarity join over part names (pg_trgm-style ER)
+# ---------------------------------------------------------------------------
+
+_TRGM_DF_CAP = 50  # drop trigrams shared by more names than this (df-cap rule)
+_TRGM_COS2_NUM, _TRGM_COS2_DEN = 64, 100  # cosine^2 >= 0.64  <=>  cos >= 0.8
+
+_TRGM_ORACLE = f"""
+WITH names AS (SELECT DISTINCT lower(p_name) AS nm FROM part),
+tg AS (
+  SELECT nm, substr(nm, t.i, 3) AS g, CAST(COUNT(*) AS BIGINT) AS c
+  FROM names, UNNEST(generate_series(1, LENGTH(nm) - 2)) AS t(i)
+  GROUP BY 1, 2
+),
+norm AS (SELECT nm, CAST(SUM(c * c) AS BIGINT) AS n2 FROM tg GROUP BY 1),
+df AS (SELECT g, COUNT(*) AS d FROM tg GROUP BY 1),
+tgf AS (SELECT tg.* FROM tg JOIN df USING (g) WHERE d <= {_TRGM_DF_CAP}),
+cand AS (
+  SELECT a.nm AS nm_a, b.nm AS nm_b, CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+  FROM tgf a JOIN tgf b ON a.g = b.g AND a.nm < b.nm
+  GROUP BY 1, 2
+)
+SELECT nm_a, nm_b, dot, na.n2 AS n2_a, nb.n2 AS n2_b
+FROM cand JOIN norm na ON na.nm = cand.nm_a JOIN norm nb ON nb.nm = cand.nm_b
+WHERE {_TRGM_COS2_DEN} * dot * dot >= {_TRGM_COS2_NUM} * na.n2 * nb.n2
+"""
+
+
+@register("er_trigram_cosine_pairs", oracle=_TRGM_ORACLE)
+def er_trigram_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pg_trgm-style similarity join over part names: character-trigram
+    count vectors, cosine >= 0.8 tested as the integer cross-
+    multiplication 100·dot² >= 64·|a|²·|b|² — no float division
+    anywhere. The trigram family catches transposition/affix variants
+    ("cold widget" ~ "old widget") that the head-noun-blocked
+    Levenshtein matcher (er_part_name_matches) skips when the head
+    itself differs, and the inverted-index blocking differs from the
+    SymSpell deletion neighborhoods of chargram_neighbor_pairs.
+
+    Scale: pair space scales with the name VOCABULARY (distinct
+    aggregate first); the candidate join is an ids-carrying inverted-
+    index self-join whose hot trigrams are dropped by the df <= 50 cap
+    BEFORE the join (the repo's df-cap discipline) — never all-pairs."""
+    p = load_table(spark, sf_dir, "part")
+    names = p.select(F.lower(F.col("p_name")).alias("nm")).distinct()
+    tg = (
+        names.select(
+            "nm",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(length(nm) - 2, 0)),"
+                    " i -> substring(nm, i, 3))"
+                )
+            ).alias("g"),
+        )
+        .groupBy("nm", "g")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    norm = tg.groupBy("nm").agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("n2")
+    )
+    df_ = tg.groupBy("g").agg(F.count("*").alias("d"))
+    tgf = tg.join(df_.filter(F.col("d") <= _TRGM_DF_CAP).select("g"), "g")
+    a, b = tgf.alias("a"), tgf.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.nm") < F.col("b.nm")),
+        )
+        .groupBy(
+            F.col("a.nm").alias("nm_a"), F.col("b.nm").alias("nm_b")
+        )
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).cast("long").alias("dot"))
+    )
+    na = norm.select(F.col("nm").alias("nm_a"), F.col("n2").alias("n2_a"))
+    nb = norm.select(F.col("nm").alias("nm_b"), F.col("n2").alias("n2_b"))
+    return (
+        cand.join(F.broadcast(na), "nm_a")
+        .join(F.broadcast(nb), "nm_b")
+        .filter(
+            F.lit(_TRGM_COS2_DEN) * F.col("dot") * F.col("dot")
+            >= F.lit(_TRGM_COS2_NUM) * F.col("n2_a") * F.col("n2_b")
+        )
+        .select("nm_a", "nm_b", "dot", "n2_a", "n2_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Portable Bloom-filter false-positive-rate audit (k sweep)
+# ---------------------------------------------------------------------------
+
+_BLOOM_M_BITS = 16384  # 2^14 cells; positions are the TOP 14 bits of the
+#                        second-round 32-bit product — a power-of-two MODULUS
+#                        would keep the affine low-bit structure of the ring
+#                        (measured: ZERO collisions and zero FP on consecutive
+#                        keys) while the high bits mix under multiplication
+_BLOOM_KS = [2, 4, 6]
+_BLOOM_POS = (
+    "((((key * (2654435761 + 2 * i) + i * 2246822519 + 1) % 4294967296)"
+    " * 1540483477) % 4294967296) div 262144"
+)  # >> 18: keep top 14 of 32 bits; per-hash multiplier A+2i decorrelates
+#    the k hash functions (a shared multiplier makes them affine shifts)
+
+_BLOOM_ORACLE = f"""
+WITH ks AS (SELECT unnest({_BLOOM_KS}) AS kv),
+hs AS (SELECT unnest(range({max(_BLOOM_KS)})) AS i),
+mem AS (SELECT c_custkey AS key FROM customer),
+mpos AS (SELECT i, {_BLOOM_POS.replace('div 262144', '// 262144')} AS pos
+         FROM mem, hs),
+bits AS (
+  SELECT kv, pos FROM (SELECT DISTINCT i, pos FROM mpos), ks WHERE i < kv
+  GROUP BY 1, 2
+),
+probes AS (
+  SELECT key + off AS key FROM mem,
+       (SELECT unnest([10000000, 20000000, 30000000]) AS off)
+),
+ppos AS (SELECT key AS pkey, i, {_BLOOM_POS.replace('div 262144', '// 262144')} AS pos
+         FROM probes, hs),
+hits AS (
+  SELECT ks.kv, p.pkey,
+         CAST(SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS nhit
+  FROM ks JOIN ppos p ON p.i < ks.kv
+  LEFT JOIN bits b ON b.kv = ks.kv AND b.pos = p.pos
+  GROUP BY 1, 2
+),
+bc AS (SELECT kv, CAST(COUNT(*) AS BIGINT) AS bits_set FROM bits GROUP BY 1),
+nm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_members FROM mem)
+SELECT h.kv AS k, MIN(n_members) AS n_members,
+       CAST({_BLOOM_M_BITS} AS BIGINT) AS m_bits,
+       MIN(bits_set) AS bits_set,
+       CAST(COUNT(*) AS BIGINT) AS n_probes,
+       CAST(SUM(CASE WHEN nhit = h.kv THEN 1 ELSE 0 END) AS BIGINT)
+         AS false_positives,
+       (1000000 * CAST(SUM(CASE WHEN nhit = h.kv THEN 1 ELSE 0 END) AS BIGINT))
+         // COUNT(*) AS fpp_ppm
+FROM hits h JOIN bc ON bc.kv = h.kv CROSS JOIN nm
+GROUP BY 1
+"""
+
+
+@register("sketch_bloom_fpp_audit", oracle=_BLOOM_ORACLE)
+def sketch_bloom_fpp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Bloom-filter false-positive audit: build the filter over
+    customer keys at k ∈ {2,4,6} hash functions (m = 2^14 cells), probe
+    with three disjoint non-member key ranges, and report the measured
+    FPP beside the exact fill count — the calibration run that picks k
+    before trusting bloom pre-filters (decontam_bloom_prefilter) at
+    scale. The filter state is an ids-only RELATION of set positions,
+    so the audit is fully value-hash-oracled (the sketch_hll_registers
+    trick applied to Bloom). Measured fill tracks m(1-e^{{-kn/m}})
+    within ~5%; the pytest asserts the theory envelope.
+
+    Hash design notes (measured, not theoretical): positions take the
+    TOP 14 bits of a two-round 32-bit product — a power-of-two modulus
+    preserves the ring's affine low-bit structure (zero collisions AND
+    zero false positives on consecutive keys — a uselessly 'perfect'
+    filter that would lie about production FPP), and each of the k
+    functions gets its own multiplier A+2i (a shared multiplier makes
+    them constant shifts of each other, collapsing k-of-k to 1-of-1).
+
+    Scale: member positions are a row-local map + one distinct
+    aggregate bounded by m; probes join the m-bounded bits relation
+    (broadcastable); the per-probe hit count is map-side combinable.
+    No stage touches more than (rows × k) position tuples."""
+    from functools import reduce
+
+    c = load_table(spark, sf_dir, "customer")
+    mem = c.select(F.col("c_custkey").alias("key"))
+    hs = spark.range(max(_BLOOM_KS)).select(F.col("id").alias("i"))
+    ks = spark.createDataFrame([(k,) for k in _BLOOM_KS], "kv long")
+    mpos = mem.crossJoin(F.broadcast(hs)).select(
+        "i", F.expr(_BLOOM_POS).alias("pos")
+    )
+    bits = (
+        mpos.distinct()
+        .crossJoin(F.broadcast(ks))
+        .filter(F.col("i") < F.col("kv"))
+        .select("kv", "pos")
+        .distinct()
+    )
+    offs = spark.createDataFrame(
+        [(10_000_000,), (20_000_000,), (30_000_000,)], "off long"
+    )
+    probes = mem.crossJoin(F.broadcast(offs)).select(
+        (F.col("key") + F.col("off")).alias("key")
+    )
+    ppos = probes.crossJoin(F.broadcast(hs)).select(
+        F.col("key").alias("pkey"), "i", F.expr(_BLOOM_POS).alias("pos")
+    )
+    # hit test: left join probe positions against the (kv, pos) bit set
+    j = (
+        ppos.crossJoin(F.broadcast(ks))
+        .filter(F.col("i") < F.col("kv"))
+        .join(
+            bits.withColumnRenamed("pos", "bpos").withColumnRenamed(
+                "kv", "bkv"
+            ),
+            (F.col("kv") == F.col("bkv")) & (F.col("pos") == F.col("bpos")),
+            "left",
+        )
+        .groupBy("kv", "pkey")
+        .agg(
+            F.sum(F.when(F.col("bpos").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("nhit")
+        )
+    )
+    bc = bits.groupBy("kv").agg(F.count("*").cast("long").alias("bits_set"))
+    nm = mem.agg(F.count("*").cast("long").alias("n_members"))
+    return (
+        j.join(F.broadcast(bc), "kv")
+        .crossJoin(F.broadcast(nm))
+        .groupBy(F.col("kv").alias("k"))
+        .agg(
+            F.min("n_members").alias("n_members"),
+            F.lit(_BLOOM_M_BITS).cast("long").alias("m_bits"),
+            F.min("bits_set").alias("bits_set"),
+            F.count("*").cast("long").alias("n_probes"),
+            F.sum(F.when(F.col("nhit") == F.col("kv"), 1).otherwise(0))
+            .cast("long")
+            .alias("false_positives"),
+            F.expr(
+                "(1000000 * SUM(CASE WHEN nhit = kv THEN 1 ELSE 0 END))"
+                " div COUNT(*)"
+            )
+            .cast("long")
+            .alias("fpp_ppm"),
         )
     )

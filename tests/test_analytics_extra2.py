@@ -488,3 +488,89 @@ def test_coverage_sweep_monotone_and_counter_replay(spark):
         assert r["corpus_grams"] == total
         assert r["covered_grams"] == covered
         assert r["coverage_ppm"] == (1_000_000 * covered) // total
+
+
+# ---------------------------------------------------------------------------
+# Trigram cosine ER: brute-force replay over the name vocabulary
+# ---------------------------------------------------------------------------
+
+
+def test_trigram_cosine_pairs_match_bruteforce(spark):
+    import duckdb
+    from collections import Counter
+
+    rows = {(r["nm_a"], r["nm_b"]): r for r in
+            _run(spark, "er_trigram_cosine_pairs").collect()}
+    assert rows, "no similar name pairs at test SF"
+    names = [n for (n,) in duckdb.connect().execute(
+        f"SELECT DISTINCT lower(p_name) FROM read_parquet('{SF_DIR}/part.parquet')"
+    ).fetchall()]
+    vecs = {n: Counter(n[i:i + 3] for i in range(len(n) - 2)) for n in names}
+    dfc = Counter(g for v in vecs.values() for g in v)
+    expected = {}
+    for i, a in enumerate(sorted(names)):
+        for b in sorted(names)[i + 1:]:
+            va = {g: c for g, c in vecs[a].items() if dfc[g] <= 50}
+            vb = {g: c for g, c in vecs[b].items() if dfc[g] <= 50}
+            dot = sum(c * vb[g] for g, c in va.items() if g in vb)
+            if dot == 0:
+                continue
+            n2a = sum(c * c for c in vecs[a].values())
+            n2b = sum(c * c for c in vecs[b].values())
+            if 100 * dot * dot >= 64 * n2a * n2b:
+                expected[(a, b)] = (dot, n2a, n2b)
+    assert set(rows) == set(expected)
+    for k, (dot, n2a, n2b) in expected.items():
+        r = rows[k]
+        assert (r["dot"], r["n2_a"], r["n2_b"]) == (dot, n2a, n2b)
+
+
+# ---------------------------------------------------------------------------
+# Bloom FPP audit: theory envelope and hash replay
+# ---------------------------------------------------------------------------
+
+
+def _bloom_pos(key: int, i: int) -> int:
+    h1 = (key * (2654435761 + 2 * i) + i * 2246822519 + 1) % 4294967296
+    return ((h1 * 1540483477) % 4294967296) >> 18
+
+
+def test_bloom_fpp_tracks_theory(spark):
+    rows = {r["k"]: r for r in _run(spark, "sketch_bloom_fpp_audit").collect()}
+    assert set(rows) == {2, 4, 6}
+    m = 16384
+    for k, r in rows.items():
+        n = r["n_members"]
+        assert r["m_bits"] == m
+        # fill factor within 10% of m(1 - e^{-kn/m})
+        exp_bits = m * (1 - math.exp(-k * n / m))
+        assert abs(r["bits_set"] - exp_bits) < 0.1 * exp_bits + 20, (k, r)
+        assert r["bits_set"] <= min(k * n, m)
+        # measured FPP within a loose Poisson envelope of theory
+        theory = (1 - math.exp(-k * n / m)) ** k
+        expected_fp = theory * r["n_probes"]
+        assert r["false_positives"] <= 5 * expected_fp + 10, (k, r)
+        assert r["fpp_ppm"] == (1_000_000 * r["false_positives"]) // r["n_probes"]
+    # more hashes at this fill level means fewer false positives
+    assert rows[6]["false_positives"] <= rows[2]["false_positives"]
+
+
+def test_bloom_positions_replay_in_python(spark):
+    import duckdb
+
+    rows = {r["k"]: r for r in _run(spark, "sketch_bloom_fpp_audit").collect()}
+    keys = [k for (k,) in duckdb.connect().execute(
+        f"SELECT c_custkey FROM read_parquet('{SF_DIR}/customer.parquet')"
+    ).fetchall()]
+    for kv in (2, 4, 6):
+        bits = {_bloom_pos(key, i) for key in keys for i in range(kv)}
+        fp = 0
+        probes = 0
+        for off in (10_000_000, 20_000_000, 30_000_000):
+            for key in keys:
+                probes += 1
+                if all(_bloom_pos(key + off, i) in bits for i in range(kv)):
+                    fp += 1
+        r = rows[kv]
+        assert r["bits_set"] == len(bits)
+        assert (r["n_probes"], r["false_positives"]) == (probes, fp)
