@@ -721,9 +721,15 @@ def ppjoin_exact_pairs(
     shingles — the filter is self-tuning toward small buckets. The
     verify join touches candidate pairs only.
     """
-    g = ensure_parallelism(
-        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
-    ).select("doc_id", F.explode(shingles(F.col("__t"), n)).alias("sh"))
+    # g feeds df-counts, sizes, the ranked prefix AND both verify legs —
+    # persist so the shingle explode runs once (measured ~2x at sf0.1)
+    g = (
+        ensure_parallelism(
+            df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
+        )
+        .select("doc_id", F.explode(shingles(F.col("__t"), n)).alias("sh"))
+        .persist()
+    )
     from pyspark.sql.window import Window
 
     sizes = g.groupBy("doc_id").agg(F.count("*").cast("long").alias("sz"))
@@ -764,13 +770,29 @@ def ppjoin_exact_pairs(
         )
         .distinct()
     )
-    ga = g.select(F.col("doc_id").alias("doc_a"), "sh")
-    gb = g.select(F.col("doc_id").alias("doc_b"), "sh")
+    # Verify via row-local set intersection of the two docs' shingle
+    # arrays (exact — shingles() is array_distinct, so set semantics):
+    # the per-occurrence join form shuffled |cand| x avg_doc_shingles
+    # rows (measured 31M rows / 6.4s at sf0.1 vs 2 doc-keyed joins of
+    # the 600k-pair candidate relation here). Arrays are bounded by
+    # doc shingle counts, never corpus size.
+    arr = g.groupBy("doc_id").agg(F.collect_list("sh").alias("ss"))
     inter = (
-        cand.join(ga, "doc_a")
-        .join(gb, ["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
-        .agg(F.count("*").cast("long").alias("inter"))
+        cand.join(
+            arr.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("ss_a")),
+            "doc_a",
+        )
+        .join(
+            arr.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("ss_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "sz_a",
+            "sz_b",
+            F.size(F.array_intersect("ss_a", "ss_b")).cast("long").alias("inter"),
+        )
     )
     un = F.col("sz_a") + F.col("sz_b") - F.col("inter")
     return (
