@@ -93,10 +93,20 @@ def bm25_bigram_topk(
     qterms = spark.createDataFrame(pairs, "query_id long, term string")
     term_set = sorted({t for _, t in pairs})  # tiny: literal probe list
 
-    grams = docs.select(
-        F.col(id_col).alias("doc_id"),
-        _bigram_positions(F.col(text_col)).alias("g"),
-    ).select("doc_id", F.size("g").alias("dl"), "g")
+    from db_writer_redshift_spark.operators.partitioning import ensure_parallelism
+
+    # grams feeds the corpus totals AND the inverted-list probe: persist
+    # so the bigram explode runs once, and guard scan parallelism (the
+    # kernel is row-local CPU-heavy; measured 10.8s -> 7.9s for the
+    # nDCG audit at sf0.1, shared by every BM25-family query)
+    grams = (
+        ensure_parallelism(
+            docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
+        )
+        .select("doc_id", _bigram_positions(F.col("__t")).alias("g"))
+        .select("doc_id", F.size("g").alias("dl"), "g")
+        .persist()
+    )
 
     totals = grams.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("total_dl")

@@ -1796,8 +1796,16 @@ def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate-n-gram fractions, Rae et al. 2021): per doc, the fraction of
     n-gram occurrences (n ∈ {1,2,3}) that repeat an earlier occurrence,
     plus the repetitive flag. Narrow scan-stage projection — no shuffle."""
+    from db_writer_redshift_spark.operators.partitioning import ensure_parallelism
+
+    # row-local but CPU-heavy (three n-gram arrays per row): guard scan
+    # parallelism — measured 16.9s -> 2.0s on the one-row-group fixture
     rep = text.repetition_features(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+        ensure_parallelism(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        ),
+        "doc_id",
+        "text",
     )
     return rep.withColumn("is_repetitive", F.col("is_repetitive").cast("int"))
 
@@ -5153,10 +5161,16 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-hash."""
     from db_writer_redshift_spark.functions.text import shingles
 
-    d = load_table(spark, sf_dir, "documents")
+    from db_writer_redshift_spark.operators.partitioning import ensure_parallelism
+
+    d = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    # grams feeds the first-occurrence aggregate AND the join back —
+    # persist + parallel scan: measured 13.1s -> 2.0s at sf0.1
     grams = d.select(
         "doc_id", F.explode(shingles(F.col("text"), 5)).alias("g")
-    )
+    ).persist()
     firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
     novel = F.sum(
         F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
