@@ -314,34 +314,40 @@ def quantized_planes(
 
 def _int_bucket_bands(df: DataFrame, id_out: str, vec_col: str, planes_int, scale: int):
     """(id, t, bkt) band rows via exact-integer plane dots (see
-    quantized_planes). Shared by the portable dup-pair and top-k tiers."""
-    e_int = F.transform(
-        F.col(vec_col), lambda x: F.round(x.cast("double") * scale).cast("bigint")
-    )
+    quantized_planes). Shared by the portable dup-pair and top-k tiers.
 
-    def bucket_for_table(tbl):
-        bits = []
-        for j, plane in enumerate(tbl):
-            p_lit = F.array(*[F.lit(v) for v in plane])
-            dot = F.aggregate(
-                F.zip_with(F.col("__e_int"), p_lit, lambda a, b: a * b),
-                F.lit(0).cast("bigint"),
-                lambda acc, x: acc + x,
-            )
-            bits.append(F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
-        out = bits[0]
-        for b in bits[1:]:
-            out = out + b
-        return out.cast("bigint")
+    The dots run as ONE Arrow-batched int64 einsum per batch — the same
+    numbers the fold-expression form produced (int64 matmul is exact;
+    quantization replicates Spark ROUND's half-away-from-zero on the
+    identical float64 product), but the fold form built a
+    tables×planes×dim literal tree that Catalyst evaluated interpreted —
+    measured 12.5s for 1k vectors at (16,4,64); the einsum is
+    milliseconds. Bit-for-bit oracle parity is unchanged (re-certified
+    portable tiers at sf0.001/0.01/0.1)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
 
-    return (
-        df.withColumn("__e_int", e_int)
-        .select(
-            id_out,
-            F.posexplode(
-                F.array(*[bucket_for_table(tbl) for tbl in planes_int])
-            ).alias("t", "bkt"),
-        )
+    flat = np.asarray(planes_int, dtype=np.int64)  # tables × planes × dim
+    n_planes = flat.shape[1]
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @pandas_udf("array<bigint>")
+    def bucket_ids(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        x = np.array(v.tolist(), dtype=np.float64) * scale
+        # Spark ROUND = half away from zero on the same float64 product
+        q = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(np.int64)
+        dots = np.einsum("bd,tpd->btp", q, flat)  # exact int64
+        ids = ((dots >= 0) * weights).sum(axis=2)  # batch × tables
+        return pd.Series(list(ids))
+
+    return df.select(
+        id_out,
+        F.posexplode(bucket_ids(F.col(vec_col).cast("array<double>"))).alias(
+            "t", "bkt"
+        ),
     )
 
 
@@ -867,10 +873,14 @@ def margin_bitext_pairs_portable(
         F.lit(0).cast("bigint"),
         lambda acc, v: acc + v,
     )
+    # dots feeds BOTH k-NN statistic windows AND the final margin test —
+    # persist so the candidate join + per-pair integer dot folds run
+    # once, not three times (measured 13.3s -> ~6s at sf0.1)
     dots = (
         cand.join(F.broadcast(xs.select("x_id", F.col("qv").alias("xqv"))), "x_id")
         .join(ys.select("y_id", F.col("qv").alias("yqv")), "y_id")
         .select("x_id", "y_id", dot.alias("dot_int"))
+        .persist()
     )
     wx = Window.partitionBy("x_id").orderBy(F.col("dot_int").desc(), F.col("y_id"))
     wy = Window.partitionBy("y_id").orderBy(F.col("dot_int").desc(), F.col("x_id"))
