@@ -43,6 +43,10 @@ pattern mining, cohesive-subgraph peeling, and corpus keyness.
   join (integer cross-multiplied threshold, df-capped blocking).
 * ``sketch_bloom_fpp_audit`` — portable Bloom false-positive audit with
   the filter state as a value-hash-oracled relation.
+* ``events_binary_segmentation`` — offline change-point (AMOC split by
+  exact SSE-reduction argmax from prefix sums).
+* ``stats_kendall_tau_daily`` — Kendall tau-b from exact pair
+  concordance counts, completing the correlation triple.
 
 Reference scope note: the reference (keboola/db-writer-redshift)
 delegates all analytics to the warehouse; these are the downstream
@@ -1573,4 +1577,214 @@ def sketch_bloom_fpp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("fpp_ppm"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Offline change-point detection: best single split per event type
+# ---------------------------------------------------------------------------
+
+_BSEG_ORACLE = """
+WITH daily AS (
+  SELECT event_type, ts::DATE AS d, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+pre AS (
+  SELECT event_type, d, c,
+         CAST(SUM(c) OVER w AS BIGINT) AS sl,
+         CAST(COUNT(*) OVER w AS BIGINT) AS nl,
+         CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS s,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY d ROWS UNBOUNDED PRECEDING)
+),
+gains AS (
+  SELECT event_type, d, sl, nl, s, n,
+         CAST(sl * n - s * nl AS HUGEINT) AS dev,
+         nl * (n - nl) AS den_part
+  FROM pre WHERE nl < n
+),
+best AS (
+  SELECT event_type, d, nl, n, sl, s,
+         CAST((dev * dev * 1000000) // (CAST(den_part AS HUGEINT) * n)
+              AS BIGINT) AS gain_e6,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY (dev * dev * 1000000)
+                                     // (CAST(den_part AS HUGEINT) * n) DESC,
+                                     d) AS rk
+  FROM gains
+)
+SELECT event_type,
+       CAST(CAST(d AS DATE) - DATE '1970-01-01' AS BIGINT) AS split_epoch_day,
+       nl AS n_left, (n - nl) AS n_right,
+       sl AS sum_left, (s - sl) AS sum_right,
+       CAST((1000000 * sl) // nl AS BIGINT) AS mean_left_e6,
+       CAST((1000000 * (s - sl)) // (n - nl) AS BIGINT) AS mean_right_e6,
+       gain_e6
+FROM best WHERE rk = 1
+"""
+
+
+@register("events_binary_segmentation", oracle=_BSEG_ORACLE)
+def events_binary_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline change-point detection by binary segmentation (Scott &
+    Knott 1974; the AMOC step every multi-change-point segmenter
+    recurses on): per event type, the single day split of the daily
+    series maximizing the exact SSE reduction, via the identity
+    gain = (S_L·n − S·n_L)² / (n·n_L·n_R) — pure prefix sums, no
+    per-split re-aggregation, no means materialized. The OFFLINE
+    complement of the registry's online CUSUM drift statistic: CUSUM
+    asks "is it drifting now", this asks "where did the level shift".
+    Deviation squares ride the DECIMAL(38,0)/HUGEINT lane (count² units
+    overflow int64 at extreme daily volumes); ties break on the
+    earlier day.
+
+    Scale: the daily roll-up collapses events map-side to ≤|days| rows
+    per type; the prefix window, the argmax window, and the gain
+    arithmetic all run on that bounded relation."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    wp = Window.partitionBy("event_type")
+    wcum = wp.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    pre = daily.select(
+        "event_type",
+        "d",
+        F.sum("c").over(wcum).cast("long").alias("sl"),
+        F.count("*").over(wcum).cast("long").alias("nl"),
+        F.sum("c").over(wp).cast("long").alias("s"),
+        F.count("*").over(wp).cast("long").alias("n"),
+    ).filter(F.col("nl") < F.col("n"))
+    gain = (
+        "((CAST(sl AS DECIMAL(38,0)) * n - CAST(s AS DECIMAL(38,0)) * nl)"
+        " * (CAST(sl AS DECIMAL(38,0)) * n - CAST(s AS DECIMAL(38,0)) * nl)"
+        " * 1000000)"
+        " div (CAST(nl AS DECIMAL(38,0)) * (n - nl) * n)"
+    )
+    best = pre.withColumn("gain_e6", F.expr(f"CAST({gain} AS BIGINT)")).withColumn(
+        "rk",
+        F.row_number().over(wp.orderBy(F.col("gain_e6").desc(), "d")),
+    )
+    return best.filter(F.col("rk") == 1).select(
+        "event_type",
+        F.datediff(F.col("d"), F.lit("1970-01-01")).cast("long").alias(
+            "split_epoch_day"
+        ),
+        F.col("nl").alias("n_left"),
+        (F.col("n") - F.col("nl")).alias("n_right"),
+        F.col("sl").alias("sum_left"),
+        (F.col("s") - F.col("sl")).alias("sum_right"),
+        F.expr("CAST((1000000 * sl) div nl AS BIGINT)").alias("mean_left_e6"),
+        F.expr("CAST((1000000 * (s - sl)) div (n - nl) AS BIGINT)").alias(
+            "mean_right_e6"
+        ),
+        "gain_e6",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b between daily click and purchase volume
+# ---------------------------------------------------------------------------
+
+_TAU_ORACLE = """
+WITH daily AS (
+  SELECT ts::DATE AS d,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+pairs AS (
+  SELECT CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END AS conc,
+         CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END AS disc,
+         CASE WHEN a.x = b.x AND a.y <> b.y THEN 1 ELSE 0 END AS tie_x,
+         CASE WHEN a.y = b.y AND a.x <> b.x THEN 1 ELSE 0 END AS tie_y,
+         CASE WHEN a.x = b.x AND a.y = b.y THEN 1 ELSE 0 END AS tie_xy
+  FROM daily a JOIN daily b ON a.d < b.d
+)
+SELECT CAST(SUM(conc) AS BIGINT) AS n_conc,
+       CAST(SUM(disc) AS BIGINT) AS n_disc,
+       CAST(SUM(tie_x) AS BIGINT) AS ties_x,
+       CAST(SUM(tie_y) AS BIGINT) AS ties_y,
+       CAST(SUM(tie_xy) AS BIGINT) AS ties_both,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(ROUND(1000000.0 * (SUM(conc) - SUM(disc))
+            / SQRT(CAST((COUNT(*) - SUM(tie_x) - SUM(tie_xy)) AS DOUBLE)
+                   * CAST((COUNT(*) - SUM(tie_y) - SUM(tie_xy)) AS DOUBLE)))
+         AS BIGINT) AS tau_b_e6
+FROM pairs
+"""
+
+
+@register("stats_kendall_tau_daily", oracle=_TAU_ORACLE)
+def stats_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b between daily click and purchase volume — the
+    concordance-based member completing the correlation triple (Pearson
+    = events_autocorr_weekly's moments, Spearman =
+    stats_spearman_quality_len's midranks, Kendall = exact pair
+    concordance counts with the full tie-correction denominator).
+    Tau's 0.77 breakdown-point robustness and direct probabilistic
+    reading (P(concordant) − P(discordant)) make it the agreement
+    metric for monotone-but-nonlinear relations. Only float op: one
+    sqrt of exact integers (IEEE-correctly-rounded — cannot flap).
+
+    Scale: the daily roll-up collapses events map-side to |days| rows;
+    the C(|days|,2) pair join is calendar-bounded (4k pairs per
+    quarter), never event-volume-bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(b, F.col("a.d") < F.col("b.d")).select(
+        (
+            F.when(
+                (F.col("a.x") - F.col("b.x")) * (F.col("a.y") - F.col("b.y"))
+                > 0,
+                1,
+            ).otherwise(0)
+        ).alias("conc"),
+        (
+            F.when(
+                (F.col("a.x") - F.col("b.x")) * (F.col("a.y") - F.col("b.y"))
+                < 0,
+                1,
+            ).otherwise(0)
+        ).alias("disc"),
+        F.when(
+            (F.col("a.x") == F.col("b.x")) & (F.col("a.y") != F.col("b.y")), 1
+        )
+        .otherwise(0)
+        .alias("tie_x"),
+        F.when(
+            (F.col("a.y") == F.col("b.y")) & (F.col("a.x") != F.col("b.x")), 1
+        )
+        .otherwise(0)
+        .alias("tie_y"),
+        F.when(
+            (F.col("a.x") == F.col("b.x")) & (F.col("a.y") == F.col("b.y")), 1
+        )
+        .otherwise(0)
+        .alias("tie_xy"),
+    )
+    return pairs.agg(
+        F.sum("conc").cast("long").alias("n_conc"),
+        F.sum("disc").cast("long").alias("n_disc"),
+        F.sum("tie_x").cast("long").alias("ties_x"),
+        F.sum("tie_y").cast("long").alias("ties_y"),
+        F.sum("tie_xy").cast("long").alias("ties_both"),
+        F.count("*").cast("long").alias("n_pairs"),
+        F.expr(
+            "CAST(ROUND(1000000.0 * (SUM(conc) - SUM(disc))"
+            " / SQRT(CAST((COUNT(*) - SUM(tie_x) - SUM(tie_xy)) AS DOUBLE)"
+            "        * CAST((COUNT(*) - SUM(tie_y) - SUM(tie_xy)) AS DOUBLE)))"
+            " AS BIGINT)"
+        ).alias("tau_b_e6"),
     )

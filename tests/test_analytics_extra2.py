@@ -574,3 +574,83 @@ def test_bloom_positions_replay_in_python(spark):
         r = rows[kv]
         assert r["bits_set"] == len(bits)
         assert (r["n_probes"], r["false_positives"]) == (probes, fp)
+
+
+# ---------------------------------------------------------------------------
+# Binary segmentation: brute-force SSE replay
+# ---------------------------------------------------------------------------
+
+
+def test_binary_segmentation_matches_bruteforce_sse(spark):
+    import duckdb
+    from fractions import Fraction
+
+    rows = {r["event_type"]: r for r in
+            _run(spark, "events_binary_segmentation").collect()}
+    daily = defaultdict(list)
+    for et, d, c in duckdb.connect().execute(
+        "SELECT event_type, ts::DATE, COUNT(*) FROM"
+        f" read_parquet('{SF_DIR}/events.parquet') GROUP BY 1, 2"
+    ).fetchall():
+        daily[et].append((d, c))
+    import datetime
+
+    for et, series in daily.items():
+        series.sort()
+        cs = [c for _, c in series]
+        n, s = len(cs), sum(cs)
+        best = None
+        for i in range(1, n):  # split after position i-1 (left size i)
+            sl = sum(cs[:i])
+            gain = Fraction((sl * n - s * i) ** 2, i * (n - i) * n)
+            key = (gain, -i)  # max gain, earliest day wins
+            if best is None or key > best[0]:
+                best = (key, i, sl)
+        _, i, sl = best
+        r = rows[et]
+        assert r["n_left"] == i and r["sum_left"] == sl, (et, r)
+        exp_day = (series[i - 1][0] - datetime.date(1970, 1, 1)).days
+        assert r["split_epoch_day"] == exp_day
+        gain_e6 = ((sl * n - s * i) ** 2 * 10**6) // (i * (n - i) * n)
+        assert r["gain_e6"] == gain_e6
+        # split means actually differ (a real change point at test data)
+        assert r["mean_left_e6"] != r["mean_right_e6"]
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau: scipy-free brute-force replay, bounds
+# ---------------------------------------------------------------------------
+
+
+def test_kendall_tau_matches_bruteforce(spark):
+    import duckdb
+
+    r = _run(spark, "stats_kendall_tau_daily").collect()[0]
+    daily = duckdb.connect().execute(
+        "SELECT ts::DATE AS d,"
+        " SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END),"
+        " SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)"
+        f" FROM read_parquet('{SF_DIR}/events.parquet') GROUP BY 1"
+    ).fetchall()
+    conc = disc = tx = ty = txy = 0
+    for i in range(len(daily)):
+        for j in range(i + 1, len(daily)):
+            dx = daily[i][1] - daily[j][1]
+            dy = daily[i][2] - daily[j][2]
+            if dx * dy > 0:
+                conc += 1
+            elif dx * dy < 0:
+                disc += 1
+            elif dx == 0 and dy == 0:
+                txy += 1
+            elif dx == 0:
+                tx += 1
+            else:
+                ty += 1
+    n_pairs = len(daily) * (len(daily) - 1) // 2
+    assert (r["n_conc"], r["n_disc"], r["ties_x"], r["ties_y"],
+            r["ties_both"], r["n_pairs"]) == (conc, disc, tx, ty, txy, n_pairs)
+    exp = round(1e6 * (conc - disc) /
+                math.sqrt(float(n_pairs - tx - txy) * float(n_pairs - ty - txy)))
+    assert r["tau_b_e6"] == exp
+    assert abs(r["tau_b_e6"]) <= 1_000_000
