@@ -568,3 +568,124 @@ def extract_audio_features(media_df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media_df.mapInPandas(extract, schema=AUDIO_FEATURE_SCHEMA)
+
+
+def decode_gray_matrix(payload: bytes):
+    """Top-down grayscale pixel matrix from a BMP/PPM payload — the
+    spatial complement of decode_image's order-free channel sums:
+    patch/tile statistics NEED orientation, so the BMP bottom-up pixel
+    array is flipped back to image coordinates here. Grayscale means
+    taking one channel (the encoders write equal RGB triples; asserting
+    that would cost a pass, so the R/B channel is taken as-is).
+
+    Raises like decode_image: ValueError for malformed payloads,
+    NotImplementedError for recognized-but-unsupported encodings."""
+    import struct
+
+    import numpy as np
+
+    if payload is None or len(payload) < 2:
+        raise ValueError("not an image payload")
+    if payload[:2] == b"BM":
+        if len(payload) < 54:
+            raise ValueError("truncated BMP header")
+        file_size, _, _, px_off = struct.unpack("<IHHI", payload[2:14])
+        hdr_size, width, height, planes, bpp, compression = struct.unpack(
+            "<IiiHHI", payload[14:34]
+        )
+        if file_size != len(payload) or hdr_size < 40 or planes != 1:
+            raise ValueError("malformed BMP header")
+        if compression != 0 or bpp != 24:
+            raise NotImplementedError("BMP variant unsupported")
+        bottom_up = height > 0
+        height = abs(height)
+        row_len = (3 * width + 3) // 4 * 4
+        if px_off + row_len * height > len(payload):
+            raise ValueError("truncated BMP pixel array")
+        px = np.frombuffer(
+            payload, dtype=np.uint8, count=row_len * height, offset=px_off
+        ).reshape(height, row_len)[:, : 3 * width : 3]
+        return np.flipud(px) if bottom_up else px
+    if payload[:2] == b"P6":
+        parts: list[int] = []
+        pos = 2
+        while len(parts) < 3:
+            while pos < len(payload) and payload[pos : pos + 1].isspace():
+                pos += 1
+            if payload[pos : pos + 1] == b"#":
+                pos = payload.index(b"\n", pos) + 1
+                continue
+            end = pos
+            while end < len(payload) and not payload[end : end + 1].isspace():
+                end += 1
+            parts.append(int(payload[pos:end]))
+            pos = end
+        pos += 1
+        width, height, maxval = parts
+        if maxval != 255:
+            raise NotImplementedError("16-bit PPM unsupported")
+        if pos + 3 * width * height > len(payload):
+            raise ValueError("truncated PPM pixel array")
+        return (
+            np.frombuffer(
+                payload, dtype=np.uint8, count=3 * width * height, offset=pos
+            )
+            .reshape(height, 3 * width)[:, ::3]
+        )
+    raise ValueError("unrecognized image magic")
+
+
+PATCH_SCHEMA = (
+    "doc_id long, patch_row long, patch_col long, n_px long, "
+    "gray_sum long, gray_mean_e6 long"
+)
+
+
+def extract_patch_features(media_df: DataFrame, grid: int = 2) -> DataFrame:
+    """ViT-style patch-grid statistics over REAL decoded images: cut each
+    image into a ``grid × grid`` tile grid (floor boundaries — tile (0,*)
+    gets h//grid rows, the last tile the remainder, the standard uneven
+    split for non-divisible dims) and emit exact integer gray sums and
+    floor-e6 means per tile. This is the patch-embedding preprocessing
+    shape (decode → orient → tile → per-tile reduce) with the model-side
+    projection left to the consumer.
+
+    Scale: iterator mapInPandas — batch-bounded memory, no shuffle,
+    grid² scalar rows per image regardless of resolution; the numpy
+    slicing is vectorized per tile."""
+    import numpy as np
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: []
+                for k in (
+                    "doc_id",
+                    "patch_row",
+                    "patch_col",
+                    "n_px",
+                    "gray_sum",
+                    "gray_mean_e6",
+                )
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                m = decode_gray_matrix(bytes(payload)).astype(np.int64)
+                h, w = m.shape
+                rb = [i * h // grid for i in range(grid)] + [h]
+                cb = [j * w // grid for j in range(grid)] + [w]
+                for pr in range(grid):
+                    for pc in range(grid):
+                        tile = m[rb[pr] : rb[pr + 1], cb[pc] : cb[pc + 1]]
+                        n = int(tile.size)
+                        s = int(tile.sum())
+                        out["doc_id"].append(int(doc_id))
+                        out["patch_row"].append(pr)
+                        out["patch_col"].append(pc)
+                        out["n_px"].append(n)
+                        out["gray_sum"].append(s)
+                        out["gray_mean_e6"].append(
+                            (1_000_000 * s) // n if n else 0
+                        )
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(extract, schema=PATCH_SCHEMA)

@@ -47,6 +47,10 @@ pattern mining, cohesive-subgraph peeling, and corpus keyness.
   exact SSE-reduction argmax from prefix sums).
 * ``stats_kendall_tau_daily`` — Kendall tau-b from exact pair
   concordance counts, completing the correlation triple.
+* ``multimodal_patch_grid`` — ViT-style tile statistics over REAL
+  decoded BMPs (orientation-aware — construction-derived oracle).
+* ``graph_link_prediction_jaccard`` — Liben-Nowell/Kleinberg neighbor
+  Jaccard over non-adjacent pairs (missing-edge scoring).
 
 Reference scope note: the reference (keboola/db-writer-redshift)
 delegates all analytics to the warehouse; these are the downstream
@@ -1787,4 +1791,162 @@ def stats_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "        * CAST((COUNT(*) - SUM(tie_y) - SUM(tie_xy)) AS DOUBLE)))"
             " AS BIGINT)"
         ).alias("tau_b_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ViT-style patch-grid statistics over REAL decoded BMP images
+# ---------------------------------------------------------------------------
+
+_PATCH_ORACLE = """
+WITH base AS (
+  SELECT doc_id, text, 4 + doc_id % 5 AS w, 3 + doc_id % 3 AS h
+  FROM documents
+),
+px AS (
+  SELECT doc_id, w, h,
+         CASE WHEN len(text) = 0 THEN 0
+              ELSE (ord(text[(t.k % len(text)) + 1]) % 256) END AS v,
+         (t.k // w) AS y, (t.k % w) AS x
+  FROM base, UNNEST(range(0, w * h)) AS t(k)
+)
+SELECT doc_id,
+       CAST(CASE WHEN y >= h // 2 THEN 1 ELSE 0 END AS BIGINT) AS patch_row,
+       CAST(CASE WHEN x >= w // 2 THEN 1 ELSE 0 END AS BIGINT) AS patch_col,
+       CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(SUM(v) AS BIGINT) AS gray_sum,
+       CAST((1000000 * CAST(SUM(v) AS BIGINT)) // COUNT(*) AS BIGINT)
+         AS gray_mean_e6
+FROM px GROUP BY 1, 2, 3
+"""
+
+
+@register("multimodal_patch_grid", oracle=_PATCH_ORACLE)
+def multimodal_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patch preprocessing end-to-end on REAL bytes: synthesize
+    a well-formed 24-bit BMP per document, decode the actual pixel array
+    back to image orientation (the BMP bottom-up flip the order-free
+    channel sums never needed), cut a 2×2 tile grid with floor
+    boundaries, and emit exact per-tile gray sums/means — the
+    decode → orient → tile → reduce shape of patch-embedding pipelines,
+    with the projection left to the model. The oracle computes every
+    tile statistic from the construction alone, so a hash match proves
+    the encoder, the decoder AND the orientation/tiling arithmetic agree
+    byte-for-byte — a stricter contract than the whole-image sums,
+    because a vertical flip or a transposed tile boundary changes tile
+    sums while leaving image totals untouched.
+
+    Scale: two iterator mapInPandas stages (batch-bounded, no shuffle);
+    grid² = 4 scalar rows per image regardless of resolution."""
+    from db_writer_redshift_spark.operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = mm.synthesize_bmp_media(docs, "doc_id", "text")
+    return mm.extract_patch_features(media, grid=2)
+
+
+# ---------------------------------------------------------------------------
+# Link prediction: neighbor-set Jaccard over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+_LP_MIN_COMMON = 2
+
+_LP_ORACLE = f"""
+WITH eraw AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+e AS MATERIALIZED (SELECT u, v FROM eraw GROUP BY u, v HAVING COUNT(*) >= 2),
+adj AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+wedge AS (
+  SELECT w1.b AS x, w2.b AS y, CAST(COUNT(*) AS BIGINT) AS common
+  FROM adj w1 JOIN adj w2 ON w1.a = w2.a AND w1.b < w2.b
+  GROUP BY 1, 2
+),
+nonadj AS (
+  SELECT w.x, w.y, w.common FROM wedge w
+  LEFT JOIN e ON e.u = w.x AND e.v = w.y
+  WHERE e.u IS NULL AND w.common >= {_LP_MIN_COMMON}
+)
+SELECT n.x AS node_a, n.y AS node_b, n.common,
+       (dx.d + dy.d - n.common) AS n_union,
+       CAST((1000000 * n.common) // (dx.d + dy.d - n.common) AS BIGINT)
+         AS jaccard_ppm
+FROM nonadj n JOIN deg dx ON dx.node = n.x JOIN deg dy ON dy.node = n.y
+"""
+
+
+@register("graph_link_prediction_jaccard", oracle=_LP_ORACLE)
+def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by neighborhood Jaccard (Liben-Nowell & Kleinberg
+    2003): for NON-adjacent part pairs of the weight>=2 co-purchase
+    graph sharing >= 2 common neighbors, the exact ppm Jaccard
+    |N(a)∩N(b)| / |N(a)∪N(b)| — the "you two should be bundled"
+    recommendation score, and the missing-edge complement of the
+    registry's triangle/truss/core family (those score EXISTING
+    structure; this ranks edges that don't exist yet).
+
+    Common-neighbor counts come from the wedge aggregate (every pair
+    with a common neighbor appears once per shared center), adjacency is
+    removed by an anti-join against the edge list, and the union size is
+    deg(a) + deg(b) − common — no neighbor sets ever materialize per
+    pair.
+
+    Scale: the wedge aggregate is the triangle-counting volume (one
+    combinable shuffle over wedges); the >= 2 common-neighbor gate
+    bounds the output; degrees broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("wt"))
+        .filter(F.col("wt") >= 2)
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+    adj = e.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        e.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    deg = adj.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").cast("long").alias("d")
+    )
+    w1, w2 = adj.alias("w1"), adj.alias("w2")
+    wedge = (
+        w1.join(
+            w2,
+            (F.col("w1.a") == F.col("w2.a")) & (F.col("w1.b") < F.col("w2.b")),
+        )
+        .groupBy(F.col("w1.b").alias("x"), F.col("w2.b").alias("y"))
+        .agg(F.count("*").cast("long").alias("common"))
+        .filter(F.col("common") >= _LP_MIN_COMMON)
+    )
+    nonadj = wedge.join(
+        e, (F.col("u") == F.col("x")) & (F.col("v") == F.col("y")), "anti"
+    )
+    dx = deg.select(F.col("node").alias("x"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("node").alias("y"), F.col("d").alias("dy"))
+    return (
+        nonadj.join(F.broadcast(dx), "x")
+        .join(F.broadcast(dy), "y")
+        .select(
+            F.col("x").alias("node_a"),
+            F.col("y").alias("node_b"),
+            "common",
+            (F.col("dx") + F.col("dy") - F.col("common"))
+            .cast("long")
+            .alias("n_union"),
+            F.expr("CAST((1000000 * common) div (dx + dy - common) AS BIGINT)").alias(
+                "jaccard_ppm"
+            ),
+        )
     )

@@ -654,3 +654,99 @@ def test_kendall_tau_matches_bruteforce(spark):
                 math.sqrt(float(n_pairs - tx - txy) * float(n_pairs - ty - txy)))
     assert r["tau_b_e6"] == exp
     assert abs(r["tau_b_e6"]) <= 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# Patch grid: tile identities and a direct codec round-trip
+# ---------------------------------------------------------------------------
+
+
+def test_patch_grid_tiles_sum_to_image_and_roundtrip(spark):
+    import duckdb
+
+    rows = _run(spark, "multimodal_patch_grid").collect()
+    by_doc = defaultdict(list)
+    for r in rows:
+        by_doc[r["doc_id"]].append(r)
+    texts = dict(duckdb.connect().execute(
+        f"SELECT doc_id, text FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchall())
+    assert set(by_doc) == set(texts)
+    for doc_id, tiles in by_doc.items():
+        assert len(tiles) == 4
+        w = 4 + doc_id % 5
+        h = 3 + doc_id % 3
+        text = texts[doc_id]
+        px = [ord(text[k % len(text)]) % 256 if text else 0 for k in range(w * h)]
+        assert sum(t["n_px"] for t in tiles) == w * h
+        assert sum(t["gray_sum"] for t in tiles) == sum(px)
+        # replay one specific tile: top-left = rows [0, h//2), cols [0, w//2)
+        tl = next(t for t in tiles if t["patch_row"] == 0 and t["patch_col"] == 0)
+        exp = sum(px[y * w + x] for y in range(h // 2) for x in range(w // 2))
+        assert tl["gray_sum"] == exp and tl["n_px"] == (h // 2) * (w // 2)
+
+
+def test_decode_gray_matrix_orientation():
+    """A vertically-asymmetric image must come back top-down from the
+    bottom-up BMP storage — the orientation bug class patch stats catch
+    and whole-image sums cannot."""
+    import numpy as np
+
+    from db_writer_redshift_spark.operators.multimodal import (
+        decode_gray_matrix,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    px = [0, 1, 2, 10, 11, 12]  # 3x2 top-down
+    m = decode_gray_matrix(encode_bmp(px, 3, 2))
+    assert m.tolist() == [[0, 1, 2], [10, 11, 12]]
+    m2 = decode_gray_matrix(encode_ppm(px, 3, 2))
+    assert m2.tolist() == [[0, 1, 2], [10, 11, 12]]
+    assert np.issubdtype(m.dtype, np.unsignedinteger) or np.issubdtype(
+        m.dtype, np.integer
+    )
+
+
+# ---------------------------------------------------------------------------
+# Link prediction: brute-force replay on the sf graph
+# ---------------------------------------------------------------------------
+
+
+def test_link_prediction_jaccard_matches_bruteforce(spark):
+    import duckdb
+
+    rows = {(r["node_a"], r["node_b"]): r for r in
+            _run(spark, "graph_link_prediction_jaccard").collect()}
+    edges = set(duckdb.connect().execute(
+        f"""
+        WITH op AS (SELECT DISTINCT l_orderkey, l_partkey
+                    FROM read_parquet('{SF_DIR}/lineitem.parquet'))
+        SELECT a.l_partkey, b.l_partkey
+        FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        """
+    ).fetchall())
+    nbr = defaultdict(set)
+    for u, v in edges:
+        nbr[u].add(v)
+        nbr[v].add(u)
+    expected = {}
+    nodes = sorted(nbr)
+    for i, x in enumerate(nodes):
+        for y in nodes[i + 1:]:
+            if (x, y) in edges:
+                continue
+            common = len(nbr[x] & nbr[y])
+            if common >= 2:
+                union = len(nbr[x] | nbr[y])
+                expected[(x, y)] = (common, union)
+    assert set(rows) == set(expected)
+    for k, (common, union) in expected.items():
+        r = rows[k]
+        assert r["common"] == common
+        assert r["n_union"] == union
+        assert r["jaccard_ppm"] == (1_000_000 * common) // union
+        # predicted links are never existing edges
+        assert k not in edges
