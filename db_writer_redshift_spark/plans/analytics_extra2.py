@@ -51,6 +51,10 @@ pattern mining, cohesive-subgraph peeling, and corpus keyness.
   decoded BMPs (orientation-aware — construction-derived oracle).
 * ``graph_link_prediction_jaccard`` — Liben-Nowell/Kleinberg neighbor
   Jaccard over non-adjacent pairs (missing-edge scoring).
+* ``events_robust_anomaly_mad`` — Hampel median/MAD outlier gate (50%
+  breakdown where the z-score masks itself).
+* ``stats_median_ci_orderstat`` — distribution-free 95% median CI via
+  binomial order-statistic ranks on shared quickselect rounds.
 
 Reference scope note: the reference (keboola/db-writer-redshift)
 delegates all analytics to the warehouse; these are the downstream
@@ -1949,4 +1953,168 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
                 "jaccard_ppm"
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust (median/MAD) daily-volume anomaly audit per event type
+# ---------------------------------------------------------------------------
+
+_MAD_TH = 2965  # 1000 * 2 * 1.4826 — the 2-sigma-equivalent robust gate
+
+_MAD_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, ts::DATE AS d, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+r1 AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c, d) AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM daily
+),
+med AS (SELECT event_type, c AS med FROM r1 WHERE rk = (n + 1) // 2),
+dev AS (
+  SELECT d.event_type, d.d, d.c, m.med, ABS(d.c - m.med) AS ad
+  FROM daily d JOIN med m USING (event_type)
+),
+r2 AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ad, d) AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM dev
+),
+mad AS (SELECT event_type, ad AS mad FROM r2 WHERE rk = (n + 1) // 2)
+SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+       MIN(d.med) AS median_daily, MIN(mad.mad) AS mad,
+       CAST(SUM(CASE WHEN 1000 * d.ad > {_MAD_TH} * mad.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+       CAST(MAX(CASE WHEN 1000 * d.ad > {_MAD_TH} * mad.mad
+                     THEN d.ad ELSE 0 END) AS BIGINT) AS worst_abs_dev
+FROM dev d JOIN mad USING (event_type)
+GROUP BY 1
+"""
+
+
+@register("events_robust_anomaly_mad", oracle=_MAD_ORACLE)
+def events_robust_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily-volume anomaly audit: days whose deviation from
+    their type's MEDIAN exceeds 2 robust sigmas (1000·|c−med| >
+    2965·MAD, the integer form of 2·1.4826·MAD) — the Hampel/MAD
+    outlier rule. The registry's z-score query breaks down exactly when
+    it matters (an outlier inflates the mean AND the std it is judged
+    against, masking itself); median and MAD have 50% breakdown, so the
+    gate stays honest through bursts. Lower medians come from rank
+    selection on the BOUNDED daily relation (value at rank ⌈n/2⌉ — ties
+    in the order can permute rows but never change the selected value),
+    keeping every statistic an exact BIGINT.
+
+    Scale: the daily roll-up collapses events map-side to ≤|days| rows
+    per type; both rank windows and the final rollup run on that
+    relation (the per-type partitions are calendar-sized)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    wp = Window.partitionBy("event_type")
+    r1 = daily.select(
+        "*",
+        F.row_number().over(wp.orderBy("c", "d")).alias("rk"),
+        F.count("*").over(wp).cast("long").alias("n"),
+    )
+    med = r1.filter(F.col("rk") == F.expr("(n + 1) div 2")).select(
+        "event_type", F.col("c").alias("med")
+    )
+    dev = daily.join(med, "event_type").select(
+        "event_type",
+        "d",
+        "c",
+        "med",
+        F.abs(F.col("c") - F.col("med")).alias("ad"),
+    )
+    r2 = dev.select(
+        "*",
+        F.row_number().over(wp.orderBy("ad", "d")).alias("rk"),
+        F.count("*").over(wp).cast("long").alias("n"),
+    )
+    mad = r2.filter(F.col("rk") == F.expr("(n + 1) div 2")).select(
+        "event_type", F.col("ad").alias("mad")
+    )
+    flag = F.lit(1000) * F.col("ad") > F.lit(_MAD_TH) * F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.min("med").alias("median_daily"),
+            F.min("mad").alias("mad"),
+            F.sum(F.when(flag, 1).otherwise(0)).cast("long").alias("n_anomalies"),
+            F.max(F.when(flag, F.col("ad")).otherwise(0))
+            .cast("long")
+            .alias("worst_abs_dev"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution-free median confidence interval via order statistics
+# ---------------------------------------------------------------------------
+
+_Z95 = 1.959963984540054
+
+
+def _median_ci_oracle() -> str:
+    return f"""
+WITH o AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM o),
+ranks AS (
+  SELECT n,
+         (n + 1) // 2 AS rank_med,
+         (n + 1) // 2 - CAST(CEIL({_Z95} * SQRT(n) / 2) AS BIGINT) AS rank_lo,
+         (n + 1) // 2 + CAST(CEIL({_Z95} * SQRT(n) / 2) AS BIGINT) AS rank_hi
+  FROM nn
+),
+r AS (SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rk FROM o)
+SELECT ranks.n, ranks.rank_lo, ranks.rank_hi,
+       MIN(CASE WHEN rk = rank_lo THEN cents END) AS ci_lo_cents,
+       MIN(CASE WHEN rk = rank_med THEN cents END) AS median_cents,
+       MIN(CASE WHEN rk = rank_hi THEN cents END) AS ci_hi_cents
+FROM r, ranks
+GROUP BY 1, 2, 3
+"""
+
+
+@register("stats_median_ci_orderstat", oracle=_median_ci_oracle())
+def stats_median_ci_orderstat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free 95% confidence interval for the median of order
+    value via the binomial order-statistic bound (ranks (n+1)/2 ±
+    ⌈z·√n/2⌉ — the nonparametric CI that needs no normality and no
+    resampling; the rank arithmetic is IEEE-deterministic because √ is
+    correctly rounded). The Spark side selects all three order
+    statistics with the SHARED distributed-quickselect rounds
+    (selection.kths_smallest_multi: one (range, bucket) aggregate per
+    round advances every target — no global sort, ~5 jobs total); the
+    oracle's ROW_NUMBER form is the test-scale twin, exactly like
+    exact_quantiles_order_price.
+
+    Scale: quickselect cost is a handful of map-side-combined histogram
+    aggregates over the persisted integer column, independent of how
+    many ranks are requested — the same operator the equi-depth
+    histogram and robust-stats queries ride."""
+    import math as _math
+
+    from db_writer_redshift_spark.operators.selection import kths_smallest_multi
+
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents")
+    )
+    n = o.count()
+    half = _math.ceil(_Z95 * _math.sqrt(n) / 2)
+    rank_med = (n + 1) // 2
+    rank_lo, rank_hi = rank_med - half, rank_med + half
+    lo, med, hi = kths_smallest_multi(o, "cents", [rank_lo, rank_med, rank_hi])
+    return spark.createDataFrame(
+        [(n, rank_lo, rank_hi, lo, med, hi)],
+        "n long, rank_lo long, rank_hi long, ci_lo_cents long,"
+        " median_cents long, ci_hi_cents long",
     )

@@ -750,3 +750,73 @@ def test_link_prediction_jaccard_matches_bruteforce(spark):
         assert r["jaccard_ppm"] == (1_000_000 * common) // union
         # predicted links are never existing edges
         assert k not in edges
+
+
+# ---------------------------------------------------------------------------
+# MAD anomaly: Python replay and breakdown property
+# ---------------------------------------------------------------------------
+
+
+def test_mad_anomaly_replays_in_python(spark):
+    import duckdb
+
+    rows = {r["event_type"]: r for r in
+            _run(spark, "events_robust_anomaly_mad").collect()}
+    daily = defaultdict(list)
+    for et, d, c in duckdb.connect().execute(
+        "SELECT event_type, ts::DATE, COUNT(*) FROM"
+        f" read_parquet('{SF_DIR}/events.parquet') GROUP BY 1, 2"
+    ).fetchall():
+        daily[et].append(c)
+    for et, cs in daily.items():
+        cs.sort()
+        n = len(cs)
+        med = cs[(n + 1) // 2 - 1]
+        ads = sorted(abs(c - med) for c in cs)
+        mad = ads[(n + 1) // 2 - 1]
+        anomalies = [a for a in (abs(c - med) for c in cs) if 1000 * a > 2965 * mad]
+        r = rows[et]
+        assert (r["n_days"], r["median_daily"], r["mad"]) == (n, med, mad)
+        assert r["n_anomalies"] == len(anomalies)
+        assert r["worst_abs_dev"] == (max(anomalies) if anomalies else 0)
+
+
+def test_mad_resists_single_outlier_where_zscore_would_not():
+    """Breakdown property on a constructed series: one huge spike leaves
+    the median/MAD gate intact (spike flagged, normal days clean), while
+    the same spike inflates mean/std enough to mask itself at 2 sigma."""
+    import statistics
+
+    series = list(range(90, 110)) + [10_000]  # noisy baseline + one spike
+    # (an all-constant baseline would give MAD = 0 and flag every jitter)
+    med = sorted(series)[(len(series) + 1) // 2 - 1]
+    mad = sorted(abs(c - med) for c in series)[(len(series) + 1) // 2 - 1]
+    flagged = [c for c in series if 1000 * abs(c - med) > 2965 * mad]
+    assert flagged == [10_000]
+    mu = statistics.mean(series)
+    sd = statistics.pstdev(series)
+    assert abs(10_000 - mu) / sd < 5.0  # the spike drags sigma with it
+
+
+# ---------------------------------------------------------------------------
+# Median CI: coverage semantics and rank replay
+# ---------------------------------------------------------------------------
+
+
+def test_median_ci_brackets_median_and_replays(spark):
+    import duckdb
+
+    r = _run(spark, "stats_median_ci_orderstat").collect()[0]
+    cents = sorted(c for (c,) in duckdb.connect().execute(
+        "SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) FROM"
+        f" read_parquet('{SF_DIR}/orders.parquet')"
+    ).fetchall())
+    n = len(cents)
+    assert r["n"] == n
+    half = math.ceil(1.959963984540054 * math.sqrt(n) / 2)
+    assert r["rank_lo"] == (n + 1) // 2 - half
+    assert r["rank_hi"] == (n + 1) // 2 + half
+    assert r["ci_lo_cents"] == cents[r["rank_lo"] - 1]
+    assert r["median_cents"] == cents[(n + 1) // 2 - 1]
+    assert r["ci_hi_cents"] == cents[r["rank_hi"] - 1]
+    assert r["ci_lo_cents"] <= r["median_cents"] <= r["ci_hi_cents"]
