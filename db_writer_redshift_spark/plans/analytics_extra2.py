@@ -55,6 +55,10 @@ pattern mining, cohesive-subgraph peeling, and corpus keyness.
   breakdown where the z-score masks itself).
 * ``stats_median_ci_orderstat`` — distribution-free 95% median CI via
   binomial order-statistic ranks on shared quickselect rounds.
+* ``inequality_lorenz_deciles`` — the Lorenz spend-concentration curve
+  in exact floor-ppm decile shares.
+* ``events_markov_stationary`` — e9-integer power iteration to the
+  user-journey chain's stationary distribution (pagerank discipline).
 
 Reference scope note: the reference (keboola/db-writer-redshift)
 delegates all analytics to the warehouse; these are the downstream
@@ -2117,4 +2121,174 @@ def stats_median_ci_orderstat(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n, rank_lo, rank_hi, lo, med, hi)],
         "n long, rank_lo long, rank_hi long, ci_lo_cents long,"
         " median_cents long, ci_hi_cents long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lorenz curve / spend-concentration deciles over customers
+# ---------------------------------------------------------------------------
+
+_LORENZ_ORACLE = """
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS rk,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n,
+         CAST(SUM(cents) OVER () AS BIGINT) AS tot
+  FROM cust
+),
+d AS (SELECT LEAST(((rk - 1) * 10) // n, 9) AS decile, cents, n, tot FROM r)
+SELECT decile,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(cents) AS BIGINT) AS spend_cents,
+       CAST((1000000 * CAST(SUM(cents) AS HUGEINT)) // MIN(tot) AS BIGINT)
+         AS share_ppm,
+       CAST((1000000 * SUM(CAST(SUM(cents) AS HUGEINT))
+             OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)) // MIN(tot)
+            AS BIGINT) AS cum_share_ppm
+FROM d GROUP BY 1
+"""
+
+
+@register("inequality_lorenz_deciles", oracle=_LORENZ_ORACLE)
+def inequality_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer spend concentration by decile — the
+    whale-dependence profile (bottom decile ~4% of revenue, top ~17% at
+    sf0.01) behind Gini/Pareto revenue-risk analysis; cum_share_ppm IS
+    the Lorenz curve, and the consumer gets a trapezoid Gini from the
+    10 exact points. Deciles come from a rank over the per-customer
+    aggregate with (cents, custkey) total order — the ccnet_logprob_
+    buckets NTILE precedent: the window runs over the CUSTOMER relation
+    (already collapsed map-side from orders), and at 100 TB the same
+    relation swaps to quickselect decile boundaries with partial-group
+    arithmetic (the hist_equidepth machinery) without changing the
+    output contract.
+
+    All integer: spend sums in exact cents, shares floor-ppm, the
+    cumulative window over 10 decile rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.expr("CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)")
+        .alias("cents")
+    )
+    w = Window.orderBy("cents", "o_custkey")
+    r = cust.select(
+        "cents",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(Window.partitionBy()).cast("long").alias("n"),
+        F.sum("cents").over(Window.partitionBy()).cast("long").alias("tot"),
+    )
+    d = r.select(
+        F.least(F.expr("((rk - 1) * 10) div n"), F.lit(9)).alias("decile"),
+        "cents",
+        "tot",
+    )
+    agg = d.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("spend_cents"),
+        F.min("tot").alias("__tot"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return agg.select(
+        "decile",
+        "n_customers",
+        "spend_cents",
+        F.expr(
+            "CAST((1000000 * CAST(spend_cents AS DECIMAL(38,0))) div __tot"
+            " AS BIGINT)"
+        ).alias("share_ppm"),
+        F.expr(
+            "CAST((1000000 * CAST(SUM(spend_cents) OVER"
+            " (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND"
+            " CURRENT ROW) AS DECIMAL(38,0))) div __tot AS BIGINT)"
+        ).alias("cum_share_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov stationary distribution of the user-journey chain
+# ---------------------------------------------------------------------------
+
+_MK_ROUNDS = 8
+_MK_SCALE = 10**9
+
+
+def _markov_oracle() -> str:
+    ctes = [
+        """trans AS MATERIALIZED (
+  SELECT prev, nxt, CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(SUM(COUNT(*)) OVER (PARTITION BY prev) AS BIGINT) AS t
+  FROM (
+    SELECT event_type AS prev,
+           LEAD(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS nxt
+    FROM events
+  ) WHERE nxt IS NOT NULL GROUP BY prev, nxt
+)""",
+        f"""v0 AS (
+  SELECT prev AS state, CAST({_MK_SCALE} // 5 AS BIGINT) AS m
+  FROM trans GROUP BY prev
+)""",
+    ]
+    for r in range(1, _MK_ROUNDS + 1):
+        ctes.append(
+            f"""v{r} AS MATERIALIZED (
+  SELECT t.nxt AS state, CAST(SUM((v.m * t.c) // t.t) AS BIGINT) AS m
+  FROM v{r - 1} v JOIN trans t ON t.prev = v.state
+  GROUP BY t.nxt
+)"""
+        )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, state, m AS mass_e9 FROM v{r}"
+        for r in range(_MK_ROUNDS + 1)
+    )
+    return f"WITH {','.join(ctes)}\n{sel}"
+
+
+@register("events_markov_stationary", oracle=_markov_oracle())
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the user-journey Markov chain by
+    power iteration: 8 rounds of v·P from the uniform start over the
+    |event types|-state transition matrix (the long-run where-do-users-
+    spend-time vector the transition MATRIX alone doesn't give), every
+    multiply floor-scaled at e9 so the whole trajectory is exact
+    integers — the pagerank_int discipline on the behavioral chain,
+    convergence visible as near-equal trailing rounds.
+
+    Scale: the transition counts are one lag-window + combinable
+    aggregate (the events_transition_matrix plan); the chain itself is
+    |states|² = 25 cells, so iteration state is driver-sized by
+    construction (exact Python ints — the stats_anova driver-state
+    precedent; the 100 TB cost is the count pass, not the
+    fixed-point)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            F.col("event_type").alias("prev"),
+            F.lead("event_type").over(w).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+        .groupBy("prev", "nxt")
+        .agg(F.count("*").cast("long").alias("c"))
+        .collect()
+    )
+    states = sorted({r["prev"] for r in trans})
+    c = {(r["prev"], r["nxt"]): r["c"] for r in trans}
+    t = {s: sum(v for (p, _), v in c.items() if p == s) for s in states}
+    v = {s: _MK_SCALE // 5 for s in states}
+    rows = [(0, s, v[s]) for s in states]
+    for rnd in range(1, _MK_ROUNDS + 1):
+        nv = {
+            j: sum((v[i] * c.get((i, j), 0)) // t[i] for i in states)
+            for j in states
+        }
+        v = nv
+        rows.extend((rnd, s, v[s]) for s in states)
+    return spark.createDataFrame(
+        rows, "round long, state string, mass_e9 long"
     )

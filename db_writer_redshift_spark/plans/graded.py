@@ -68,7 +68,7 @@ driver row in some round: union = 253/253 of that registry.
 
 ROUND-6 ADDITIONS (registered after this window was seated; every one
 certified against its DuckDB oracle at sf0.001, sf0.01 AND sf0.1 in
-round 6): 36 new operators —
+round 6): 38 new operators —
 
   * the 11 in plans/analytics_extra.py: graph_kcore_copurchase,
     stats_two_proportion_ab, text_chargram_gini,
@@ -78,7 +78,7 @@ round 6): 36 new operators —
     events_theil_sen_trend, sketch_hll_registers_portable;
   * the 3 in plans/lake_ops.py: layout_zorder_pruning,
     storage_rle_dict_stats, dq_functional_dependencies;
-  * the 22 in plans/analytics_extra2.py: stats_bootstrap_ci_revenue,
+  * the 24 in plans/analytics_extra2.py: stats_bootstrap_ci_revenue,
     events_frequent_sequences, graph_ktruss_copurchase,
     vocab_keyness_llr, window_rolling_median_orders, stats_pmi_cells,
     ce_histogram_join_audit, drift_psi_doclen,
@@ -88,10 +88,11 @@ round 6): 36 new operators —
     er_trigram_cosine_pairs, sketch_bloom_fpp_audit,
     events_binary_segmentation, stats_kendall_tau_daily,
     multimodal_patch_grid, graph_link_prediction_jaccard,
-    events_robust_anomaly_mad, stats_median_ci_orderstat.
+    events_robust_anomaly_mad, stats_median_ci_orderstat,
+    inequality_lorenz_deciles, events_markov_stationary.
 
-ROUND-7 WINDOW PLAN: seat those 36 never-graded names first, then fill
-the remaining 14 slots with keepers re-proving the highest-value
+ROUND-7 WINDOW PLAN: seat those 38 never-graded names first, then fill
+the remaining 12 slots with keepers re-proving the highest-value
 families across the union (the TPC-H flagships, merge/upsert, the
 portable LSH tiers, the streaming twins, and anything round 6's verdict
 flags). tools/plan_rotation.py computes the concrete proposal from the

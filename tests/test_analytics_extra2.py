@@ -820,3 +820,87 @@ def test_median_ci_brackets_median_and_replays(spark):
     assert r["median_cents"] == cents[(n + 1) // 2 - 1]
     assert r["ci_hi_cents"] == cents[r["rank_hi"] - 1]
     assert r["ci_lo_cents"] <= r["median_cents"] <= r["ci_hi_cents"]
+
+
+# ---------------------------------------------------------------------------
+# Lorenz deciles: curve properties and replay
+# ---------------------------------------------------------------------------
+
+
+def test_lorenz_deciles_convex_and_replay(spark):
+    import duckdb
+
+    rows = sorted(_run(spark, "inequality_lorenz_deciles").collect(),
+                  key=lambda r: r["decile"])
+    assert [r["decile"] for r in rows] == list(range(10))
+    shares = [r["share_ppm"] for r in rows]
+    # Lorenz deciles are sorted ascending by construction -> convex curve
+    assert shares == sorted(shares)
+    assert rows[-1]["cum_share_ppm"] == 1_000_000
+    cums = [r["cum_share_ppm"] for r in rows]
+    assert cums == sorted(cums)
+    spend = dict(duckdb.connect().execute(
+        "SELECT o_custkey, SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))"
+        f" FROM read_parquet('{SF_DIR}/orders.parquet') GROUP BY 1"
+    ).fetchall())
+    vals = sorted((c, k) for k, c in spend.items())
+    n, tot = len(vals), sum(c for c, _ in vals)
+    per = defaultdict(lambda: [0, 0])
+    for i, (c, _) in enumerate(vals):
+        dec = min(i * 10 // n, 9)
+        per[dec][0] += 1
+        per[dec][1] += c
+    assert sum(r["n_customers"] for r in rows) == n
+    for r in rows:
+        assert (r["n_customers"], r["spend_cents"]) == tuple(per[r["decile"]])
+        assert r["share_ppm"] == (1_000_000 * r["spend_cents"]) // tot
+
+
+# ---------------------------------------------------------------------------
+# Markov stationary: mass conservation, convergence, eigen replay
+# ---------------------------------------------------------------------------
+
+
+def test_markov_stationary_converges_to_eigvector(spark):
+    import numpy as np
+
+    rows = _run(spark, "events_markov_stationary").collect()
+    by_round = defaultdict(dict)
+    for r in rows:
+        by_round[r["round"]][r["state"]] = r["mass_e9"]
+    rounds = sorted(by_round)
+    assert rounds[0] == 0 and len(by_round[0]) == 5
+    for rnd in rounds:
+        total = sum(by_round[rnd].values())
+        # floor division leaks at most |states| units of mass per state/round
+        assert 10**9 - 5 * 5 * (rnd + 1) <= total <= 10**9
+    # trailing rounds agree within floor-leak tolerance
+    last, prev = by_round[rounds[-1]], by_round[rounds[-2]]
+    for s in last:
+        assert abs(last[s] - prev[s]) <= 50, (s, last[s], prev[s])
+    # against the true left eigenvector of the empirical chain
+    import duckdb
+
+    trans = duckdb.connect().execute(
+        f"""
+        WITH s AS (
+          SELECT user_id, event_type,
+                 LEAD(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS nxt
+          FROM read_parquet('{SF_DIR}/events.parquet')
+        )
+        SELECT event_type, nxt, COUNT(*) FROM s WHERE nxt IS NOT NULL
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    states = sorted({t[0] for t in trans})
+    idx = {s: i for i, s in enumerate(states)}
+    P = np.zeros((5, 5))
+    for a, b, cnt in trans:
+        P[idx[a], idx[b]] = cnt
+    P = P / P.sum(axis=1, keepdims=True)
+    w, vl = np.linalg.eig(P.T)
+    pi = np.real(vl[:, np.argmax(np.real(w))])
+    pi = pi / pi.sum()
+    for s in states:
+        assert abs(last[s] / 1e9 - pi[idx[s]]) < 2e-3, (s, last[s], pi[idx[s]])
