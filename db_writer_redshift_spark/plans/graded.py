@@ -68,7 +68,9 @@ driver row in some round: union = 253/253 of that registry.
 
 ROUND-6 ADDITIONS (registered after this window was seated; every one
 certified against its DuckDB oracle at sf0.001, sf0.01 AND sf0.1 in
-round 6): 38 new operators —
+round 6 — and the FULL 291-query registry re-passed the dtype-faithful
+gate at round-6 close: 291/291 at sf0.01, 289/289 at sf0.1 in the full
+sweep plus the final four individually at sf0.1): 38 new operators —
 
   * the 11 in plans/analytics_extra.py: graph_kcore_copurchase,
     stats_two_proportion_ab, text_chargram_gini,
