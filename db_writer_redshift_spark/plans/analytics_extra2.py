@@ -59,6 +59,8 @@ pattern mining, cohesive-subgraph peeling, and corpus keyness.
   in exact floor-ppm decile shares.
 * ``events_markov_stationary`` — e9-integer power iteration to the
   user-journey chain's stationary distribution (pagerank discipline).
+* ``forecast_pinball_baselines`` — exact-integer pinball (quantile)
+  loss of the median-constant and seasonal-naive forecast floors.
 
 Reference scope note: the reference (keboola/db-writer-redshift)
 delegates all analytics to the warehouse; these are the downstream
@@ -2291,4 +2293,111 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.extend((rnd, s, v[s]) for s in states)
     return spark.createDataFrame(
         rows, "round long, state string, mass_e9 long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Forecast-baseline evaluation by exact pinball loss
+# ---------------------------------------------------------------------------
+
+_PINBALL_ORACLE = """
+WITH daily AS (
+  SELECT event_type, ts::DATE AS d, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c, d) AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM daily
+),
+med AS (SELECT event_type, c AS med FROM r WHERE rk = (n + 1) // 2),
+fc AS (
+  SELECT d.event_type, d.d, d.c,
+         m.med AS f_median,
+         LAG(d.c, 7) OVER (PARTITION BY d.event_type ORDER BY d.d) AS f_snaive
+  FROM daily d JOIN med m USING (event_type)
+),
+sc AS (
+  SELECT event_type, 'median_const' AS model, c, f_median AS f FROM fc
+  UNION ALL
+  SELECT event_type, 'seasonal_naive', c, f_snaive FROM fc
+  WHERE f_snaive IS NOT NULL
+)
+SELECT event_type, model, CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(CASE WHEN c >= f THEN 5 * (c - f) ELSE 5 * (f - c) END)
+            AS BIGINT) AS pinball50_x10,
+       CAST(SUM(CASE WHEN c >= f THEN 9 * (c - f) ELSE 1 * (f - c) END)
+            AS BIGINT) AS pinball90_x10,
+       CAST(SUM(ABS(c - f)) AS BIGINT) AS abs_err
+FROM sc GROUP BY 1, 2
+"""
+
+
+@register("forecast_pinball_baselines", oracle=_PINBALL_ORACLE)
+def forecast_pinball_baselines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline evaluation by exact pinball (quantile) loss —
+    the metric quantile forecasts are scored with (M5/M4 competitions):
+    for each event type, the constant-median and seasonal-naive (lag-7)
+    baselines scored at q=0.5 and q=0.9 over daily volume, loss kept in
+    exact x10 integers (q·(y−f)⁺ + (1−q)·(f−y)⁺ scaled by 10). Before
+    any model ships, a forecasting pipeline must beat BOTH of these
+    floors; the relation is that gate. The q=0.9 column shows the
+    asymmetry the symmetric MAE (also emitted) hides — under-forecasts
+    cost 9x over-forecasts.
+
+    Scale: daily roll-up collapses events map-side; the median comes
+    from rank selection on the bounded relation (events_robust_anomaly_
+    mad's rule); the lag-7 window and the loss rollup run per type on
+    calendar-sized partitions."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    wp = Window.partitionBy("event_type")
+    r = daily.select(
+        "*",
+        F.row_number().over(wp.orderBy("c", "d")).alias("rk"),
+        F.count("*").over(wp).cast("long").alias("n"),
+    )
+    med = r.filter(F.col("rk") == F.expr("(n + 1) div 2")).select(
+        "event_type", F.col("c").alias("med")
+    )
+    fc = daily.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "d",
+        "c",
+        F.col("med").alias("f_median"),
+        F.lag("c", 7).over(wp.orderBy("d")).alias("f_snaive"),
+    )
+    sc = fc.select(
+        "event_type",
+        F.lit("median_const").alias("model"),
+        "c",
+        F.col("f_median").alias("f"),
+    ).unionAll(
+        fc.filter(F.col("f_snaive").isNotNull()).select(
+            "event_type",
+            F.lit("seasonal_naive").alias("model"),
+            "c",
+            F.col("f_snaive").alias("f"),
+        )
+    )
+    up, dn = F.col("c") >= F.col("f"), F.col("c") < F.col("f")
+    return sc.groupBy("event_type", "model").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum(
+            F.when(up, 5 * (F.col("c") - F.col("f"))).otherwise(
+                5 * (F.col("f") - F.col("c"))
+            )
+        )
+        .cast("long")
+        .alias("pinball50_x10"),
+        F.sum(
+            F.when(up, 9 * (F.col("c") - F.col("f"))).otherwise(
+                F.col("f") - F.col("c")
+            )
+        )
+        .cast("long")
+        .alias("pinball90_x10"),
+        F.sum(F.abs(F.col("c") - F.col("f"))).cast("long").alias("abs_err"),
     )

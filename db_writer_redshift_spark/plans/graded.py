@@ -68,7 +68,7 @@ driver row in some round: union = 253/253 of that registry.
 
 ROUND-6 ADDITIONS (registered after this window was seated; every one
 certified against its DuckDB oracle at sf0.001, sf0.01 AND sf0.1 in
-round 6 — and the FULL 291-query registry re-passed the dtype-faithful
+round 6 — and the FULL registry (291 at close-gate time, 292 with forecast_pinball_baselines certified at all three scales after it) re-passed the dtype-faithful
 gate at round-6 close: 291/291 at sf0.01, 289/289 at sf0.1 in the full
 sweep plus the final four individually at sf0.1): 38 new operators —
 
@@ -80,7 +80,7 @@ sweep plus the final four individually at sf0.1): 38 new operators —
     events_theil_sen_trend, sketch_hll_registers_portable;
   * the 3 in plans/lake_ops.py: layout_zorder_pruning,
     storage_rle_dict_stats, dq_functional_dependencies;
-  * the 24 in plans/analytics_extra2.py: stats_bootstrap_ci_revenue,
+  * the 25 in plans/analytics_extra2.py: stats_bootstrap_ci_revenue,
     events_frequent_sequences, graph_ktruss_copurchase,
     vocab_keyness_llr, window_rolling_median_orders, stats_pmi_cells,
     ce_histogram_join_audit, drift_psi_doclen,
@@ -91,10 +91,11 @@ sweep plus the final four individually at sf0.1): 38 new operators —
     events_binary_segmentation, stats_kendall_tau_daily,
     multimodal_patch_grid, graph_link_prediction_jaccard,
     events_robust_anomaly_mad, stats_median_ci_orderstat,
-    inequality_lorenz_deciles, events_markov_stationary.
+    inequality_lorenz_deciles, events_markov_stationary,
+    forecast_pinball_baselines.
 
-ROUND-7 WINDOW PLAN: seat those 38 never-graded names first, then fill
-the remaining 12 slots with keepers re-proving the highest-value
+ROUND-7 WINDOW PLAN: seat those 39 never-graded names first, then fill
+the remaining 11 slots with keepers re-proving the highest-value
 families across the union (the TPC-H flagships, merge/upsert, the
 portable LSH tiers, the streaming twins, and anything round 6's verdict
 flags). tools/plan_rotation.py computes the concrete proposal from the

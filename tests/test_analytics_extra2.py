@@ -904,3 +904,38 @@ def test_markov_stationary_converges_to_eigvector(spark):
     pi = pi / pi.sum()
     for s in states:
         assert abs(last[s] / 1e9 - pi[idx[s]]) < 2e-3, (s, last[s], pi[idx[s]])
+
+
+# ---------------------------------------------------------------------------
+# Pinball loss: identities and Python replay
+# ---------------------------------------------------------------------------
+
+
+def test_pinball_baselines_replay_and_identities(spark):
+    import duckdb
+
+    rows = {(r["event_type"], r["model"]): r for r in
+            _run(spark, "forecast_pinball_baselines").collect()}
+    daily = defaultdict(list)
+    for et, d, c in duckdb.connect().execute(
+        "SELECT event_type, ts::DATE, COUNT(*) FROM"
+        f" read_parquet('{SF_DIR}/events.parquet') GROUP BY 1, 2"
+    ).fetchall():
+        daily[et].append((d, c))
+    for et, series in daily.items():
+        series.sort()
+        cs = [c for _, c in series]
+        med = sorted(cs)[(len(cs) + 1) // 2 - 1]
+        models = {
+            "median_const": [(c, med) for c in cs],
+            "seasonal_naive": [(cs[i], cs[i - 7]) for i in range(7, len(cs))],
+        }
+        for model, pairs in models.items():
+            p50 = sum(5 * (c - f) if c >= f else 5 * (f - c) for c, f in pairs)
+            p90 = sum(9 * (c - f) if c >= f else (f - c) for c, f in pairs)
+            mae = sum(abs(c - f) for c, f in pairs)
+            r = rows[(et, model)]
+            assert (r["n_days"], r["pinball50_x10"], r["pinball90_x10"],
+                    r["abs_err"]) == (len(pairs), p50, p90, mae)
+            # q=0.5 pinball is exactly half the (x10) absolute error
+            assert r["pinball50_x10"] == 5 * r["abs_err"]
