@@ -171,10 +171,17 @@ def rrf_rerank_topk(
     fused: ``rrf_e6 = 1e6 div (rrf_k + lex_rank) + 1e6 div
     (rrf_k + prior_rank)`` — integer-exact, cross-engine stable.
 
+    Scale: the CANDIDATE side is the broadcast (#queries × first-stage
+    k rows — bounded by construction); the prior is corpus-wide (one
+    row per document) and streams map-side through the broadcast hash
+    join with zero shuffle. Broadcasting the prior instead would be an
+    sf-proportional broadcast — the q3/q5 bug class the plan lint
+    guards against.
+
     Returns (query_id, doc_id, lex_rank, prior_rank, rrf_e6, fused_rank)
     cut to the final top-``k``.
     """
-    joined = candidates.join(F.broadcast(prior), "doc_id")
+    joined = prior.join(F.broadcast(candidates), "doc_id")
     wq = Window.partitionBy("query_id").orderBy(
         F.col("prior_e6").desc(), F.col("doc_id")
     )

@@ -94,80 +94,96 @@ sweep plus the final four individually at sf0.1): 38 new operators —
     inequality_lorenz_deciles, events_markov_stationary,
     forecast_pinball_baselines.
 
-ROUND-7 WINDOW PLAN: seat those 39 never-graded names first, then fill
-the remaining 11 slots with keepers re-proving the highest-value
-families across the union (the TPC-H flagships, merge/upsert, the
-portable LSH tiers, the streaming twins, and anything round 6's verdict
-flags). tools/plan_rotation.py computes the concrete proposal from the
-CORRECTNESS files present at round-7 open.
+ROUND-7 WINDOW (this window, seated at round-7 open per the plan
+written at round-6 close and VERDICT r6 "Next round" #1): the 39
+never-graded round-6 additions first (every one independently
+re-verified by the round-6 judge at sf0.01: 39/39 PASS), then 11
+keepers re-proving the highest-value families:
+
+  * q1_pricing_summary (flagship TPC-H shape, green r2/r6),
+  * q3_shipping_priority and q5_local_supplier_volume — BOTH had
+    their forced broadcasts removed this round (VERDICT r6 "What's
+    wrong" #1/#2), so re-seating them proves the reshaped plans
+    against the oracle, not just pytest;
+  * merge_upsert_orders (flagship reference-parity operator);
+  * the 5 portable LSH/ANN tiers (dedup_minhash_portable,
+    dedup_simhash_portable, dedup_embedding_lsh_portable,
+    ann_lsh_portable, ann_ivf_portable) — the exact twins that carry
+    the hash-correctness burden for the 9 rows-only approximate
+    queries;
+  * the 2 streaming batch twins (streaming_near_dup_batch_twin,
+    streaming_token_budget_batch_twin) — the only driver-visible
+    signal for the stateful streaming sinks.
+
+After this window the union over r01-r07 covers 292/292 of the
+round-6 registry: every registered query graded at least once.
+
+ROUND-8+ PLAN: seat any round-7 additions registered after this
+window, then rotate keepers by family age (oldest driver row first);
+tools/plan_rotation.py computes the proposal from the CORRECTNESS
+files present at round open. Regenerating CORRECTNESS_union.md is
+part of the round-open checklist (VERDICT r6 #2) — run
+`python tools/correctness_union.py` before anything else.
 """
 
 from __future__ import annotations
 
 GRADED_FIRST: list[str] = [
-    # ---- ROUND-6 CLOSE-OUT WINDOW --------------------------------------
-    # Round-5 result: 50/50 green (fifth consecutive zero-fail round).
-    # This window seats every remaining never-graded name (47) plus 3
-    # keepers, closing the registry at 253/253 graded at least once.
-    #
-    # The 30 oracle-bearing names deferred from round 5:
-    "mix_doremi_weights",
-    "quality_prune_sweep",
-    "vocab_collocations_lift",
-    "cluster_label_purity",
-    "lang_confusion_matrix",
-    "events_trend_slope",
-    "events_conversion_latency_hist",
-    "events_concurrency_peak",
-    "events_top_session_paths",
-    "graph_clustering_coeff_parts",
-    "customer_rfm_segments",
-    "assoc_rules_copurchase",
-    "dq_benford_order_totals",
-    "vocab_topk_terms",
-    "sample_weighted_priority",
-    "sample_neyman_allocation",
-    "sketch_countmin_portable",
-    "er_part_name_matches",
-    "text_rare_bigram_rate",
-    "curriculum_quality_phases",
-    "dedup_ppjoin_exact",
-    "er_entity_clusters",
-    "dedup_span_coverage",
-    "pareto_quality_length_frontier",
-    "dedup_minhash_recall_audit",
-    "text_winnowing_fingerprints",
-    "index_posting_gaps",
-    "privacy_k_anonymity_customer",
-    "dedup_embedding_cosine",
-    "ann_brute_force_topk",
-    # The 7 round-5 additions (certified at sf0.001/0.01, several at
-    # sf0.1; judge's independent spot-check at round-5 close: PASS):
+    # ---- ROUND-7 WINDOW (see module docstring) -------------------------
+    # The 39 never-graded round-6 additions (judge-verified 39/39 PASS
+    # at sf0.01 in the round-6 verdict):
+    "graph_kcore_copurchase",
+    "stats_two_proportion_ab",
+    "text_chargram_gini",
+    "events_seasonal_dow_anomaly",
+    "lm_good_turing_counts",
+    "dedup_simhash_hamming_hist",
+    "embedding_pq_quantization",
+    "ann_pq_adc_recall",
+    "privacy_t_closeness_customer",
+    "events_theil_sen_trend",
+    "sketch_hll_registers_portable",
+    "layout_zorder_pruning",
+    "storage_rle_dict_stats",
+    "dq_functional_dependencies",
+    "stats_bootstrap_ci_revenue",
+    "events_frequent_sequences",
+    "graph_ktruss_copurchase",
+    "vocab_keyness_llr",
+    "window_rolling_median_orders",
+    "stats_pmi_cells",
+    "ce_histogram_join_audit",
+    "drift_psi_doclen",
+    "privacy_recursive_cl_diversity",
+    "dq_referential_integrity",
+    "events_interarrival_cv",
+    "embedding_isotropy_by_label",
+    "events_autocorr_weekly",
+    "vocab_trigram_coverage_sweep",
+    "er_trigram_cosine_pairs",
+    "sketch_bloom_fpp_audit",
+    "events_binary_segmentation",
+    "stats_kendall_tau_daily",
+    "multimodal_patch_grid",
+    "graph_link_prediction_jaccard",
+    "events_robust_anomaly_mad",
+    "stats_median_ci_orderstat",
+    "inequality_lorenz_deciles",
+    "events_markov_stationary",
+    "forecast_pinball_baselines",
+    # 11 keepers: flagships (q3/q5 re-proving the de-broadcast fix),
+    # merge/upsert, the portable LSH/ANN exact twins, streaming twins:
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "merge_upsert_orders",
+    "dedup_minhash_portable",
+    "dedup_simhash_portable",
+    "dedup_embedding_lsh_portable",
+    "ann_lsh_portable",
+    "ann_ivf_portable",
     "streaming_near_dup_batch_twin",
     "streaming_token_budget_batch_twin",
-    "multimodal_audio_decode",
-    "multimodal_image_decode",
-    "text_ngram_novelty",
-    "pack_padding_efficiency_sweep",
-    "retrieval_ndcg_audit",
-    # Registered in the round-5 snapshot commit after the round-5 plan
-    # text was written (VERDICT r5 "What's wrong" #3):
-    "stats_spearman_quality_len",
-    # The 9 oracle=None names (rows-only by design; each has a pytest
-    # accuracy contract and a graded portable twin):
-    "dedup_minhash_lsh",
-    "dedup_simhash_pairs",
-    "dedup_embedding_lsh",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "text_rolling_fingerprint",
-    "kmeans_fit_clusters",
-    "embedding_pca_eigvals",
-    "hll_partial_union_rollup",
-    # Keepers (see module docstring):
-    "agg_approx_percentiles",
-    "merge_upsert_orders",
-    "q1_pricing_summary",
 ]
 
 WINDOW = 50
