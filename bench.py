@@ -144,6 +144,9 @@ def main() -> int:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
         print(f"[bench] {name}: {timings[name]}s", file=sys.stderr, flush=True)
+        # Drop intra-query persisted blocks so no query's cache bleeds
+        # into the next timing (plans/registry.py "Persist policy").
+        spark.catalog.clearCache()
 
     foreign_end = _foreign_spark_procs()
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

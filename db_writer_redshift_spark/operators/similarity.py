@@ -337,8 +337,17 @@ def _int_bucket_bands(df: DataFrame, id_out: str, vec_col: str, planes_int, scal
         if len(v) == 0:
             return pd.Series([], dtype=object)
         x = np.array(v.tolist(), dtype=np.float64) * scale
-        # Spark ROUND = half away from zero on the same float64 product
-        q = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(np.int64)
+        # Spark/DuckDB ROUND = half away from zero evaluated on the exact
+        # float64 value. floor(x+0.5) alone overshoots when x+0.5 rounds UP
+        # in float (x=0.49999999999999994 -> x+0.5 == 1.0 -> 1, ROUND says
+        # 0) or when x is a large odd integer (>= 2^52: x+0.5 ties to the
+        # next even). Post-correct the boundary so every lane equals
+        # ROUND(x) bit-exactly (ADVICE r6 #2); mirror for negatives.
+        f = np.floor(x + 0.5)
+        f = np.where(f - x > 0.5, f - 1.0, f)
+        c = np.ceil(x - 0.5)
+        c = np.where(x - c > 0.5, c + 1.0, c)
+        q = np.where(x >= 0, f, c).astype(np.int64)
         dots = np.einsum("bd,tpd->btp", q, flat)  # exact int64
         ids = ((dots >= 0) * weights).sum(axis=2)  # batch × tables
         return pd.Series(list(ids))

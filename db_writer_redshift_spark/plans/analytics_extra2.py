@@ -1314,10 +1314,16 @@ def vocab_trigram_coverage_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     g = d.select(
         F.explode(
+            # sequence(1, 0) is NOT empty in Spark (step defaults to -1 and
+            # yields [1, 0]), so short docs need an explicit <3-token guard
+            # or they emit spurious grams the oracle's generate_series(1, 0)
+            # never produces (ADVICE r6 #1).
             F.expr(
-                "transform(sequence(1, greatest(size(split(lower(text), ' ')) - 2, 0)),"
+                "CASE WHEN size(split(lower(text), ' ')) >= 3 THEN"
+                " transform(sequence(1, size(split(lower(text), ' ')) - 2),"
                 " i -> concat_ws(' ', split(lower(text), ' ')[i - 1],"
                 " split(lower(text), ' ')[i], split(lower(text), ' ')[i + 1]))"
+                " ELSE cast(array() as array<string>) END"
             )
         ).alias("gram")
     )
@@ -1410,9 +1416,14 @@ def er_trigram_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         names.select(
             "nm",
             F.explode(
+                # Same sequence(1, 0) == [1, 0] trap as the trigram-coverage
+                # query: names shorter than 3 chars must yield NO grams
+                # (ADVICE r6 #1).
                 F.expr(
-                    "transform(sequence(1, greatest(length(nm) - 2, 0)),"
+                    "CASE WHEN length(nm) >= 3 THEN"
+                    " transform(sequence(1, length(nm) - 2),"
                     " i -> substring(nm, i, 3))"
+                    " ELSE cast(array() as array<string>) END"
                 )
             ).alias("g"),
         )
@@ -2279,18 +2290,27 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("c"))
         .collect()
     )
-    states = sorted({r["prev"] for r in trans})
     c = {(r["prev"], r["nxt"]): r["c"] for r in trans}
-    t = {s: sum(v for (p, _), v in c.items() if p == s) for s in states}
-    v = {s: _MK_SCALE // 5 for s in states}
-    rows = [(0, s, v[s]) for s in states]
+    t: dict[str, int] = {}
+    for (p, _), n in c.items():
+        t[p] = t.get(p, 0) + n
+    # Row-set parity with the oracle on degenerate chains (ADVICE r6 #3):
+    # round 0 carries exactly the states seen as `prev` (the oracle's v0);
+    # round r carries exactly the states with an incoming edge from a
+    # state PRESENT in round r-1 (the oracle's GROUP BY t.nxt over
+    # v_{r-1} ⋈ trans). A state appearing only as `nxt` (absorbing sink)
+    # therefore enters at round 1 and contributes nothing onward (no
+    # outgoing edges), and a `prev` state never reached as `nxt` drops
+    # out after round 0 — no zero-mass phantom rows on either side.
+    v = {s: _MK_SCALE // 5 for s in sorted(t)}
+    rows = [(0, s, m) for s, m in sorted(v.items())]
     for rnd in range(1, _MK_ROUNDS + 1):
-        nv = {
-            j: sum((v[i] * c.get((i, j), 0)) // t[i] for i in states)
-            for j in states
-        }
+        nv: dict[str, int] = {}
+        for (i, j), cij in c.items():
+            if i in v:
+                nv[j] = nv.get(j, 0) + (v[i] * cij) // t[i]
         v = nv
-        rows.extend((rnd, s, v[s]) for s in states)
+        rows.extend((rnd, s, m) for s, m in sorted(v.items()))
     return spark.createDataFrame(
         rows, "round long, state string, mass_e9 long"
     )

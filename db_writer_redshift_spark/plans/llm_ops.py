@@ -2867,9 +2867,15 @@ def chargram_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = (
         d.select(
             F.explode(
+                # sequence(1, 0) is the DESCENDING [1, 0] in Spark, so texts
+                # shorter than 5 chars would emit spurious grams that the
+                # oracle's empty generate_series never produces (ADVICE r6 #1)
+                # — guard like functions/text.ngrams does.
                 F.expr(
-                    "transform(sequence(1, greatest(length(lower(text)) - 4, 0)), "
+                    "CASE WHEN length(text) >= 5 THEN"
+                    " transform(sequence(1, length(lower(text)) - 4), "
                     "i -> substr(lower(text), i, 5))"
+                    " ELSE cast(array() as array<string>) END"
                 )
             ).alias("t")
         )

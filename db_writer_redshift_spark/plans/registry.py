@@ -18,6 +18,19 @@ order-insensitive value-hash comparison against DuckDB deterministic):
   formulation of the same signal exists (Gini-Simpson for entropy,
   integer moments for variance), prefer it — exactness by construction
   beats probabilistic rounding.
+
+Persist policy (ADVICE r6 #4): an operator whose returned DataFrame
+REFERENCES a persisted intermediate (shared gram/signature relations that
+two legs of the returned plan both consume) cannot unpersist it — the
+driver's action runs after the function returns, so an eager unpersist
+would drop the cache before it is ever hit. Those persists use the
+default MEMORY_AND_DISK level and rely on LRU block eviction within one
+query's lifetime; operators that DO materialize internally (iterative
+loops in clustering/dedup CC, kmeans) pair persist with unpersist as
+usual. Long multi-query sessions bound accumulation at the harness
+layer: tools/oracle_check.py and bench.py call
+``spark.catalog.clearCache()`` between queries, and the external driver
+runs each round in a fresh session.
 """
 
 from __future__ import annotations

@@ -174,6 +174,11 @@ def main() -> int:
         print(f"[{flag}] {name} ({r['rows']} rows) {r['detail'][:800]}")
         if r["status"] in ("mismatch", "error"):
             failed += 1
+        # Intra-query persists feed lazily returned DataFrames, so the
+        # producing operator cannot unpersist them (plans/registry.py
+        # "Persist policy"); a multi-hundred-query session must drop them
+        # between queries or cached blocks accumulate for the whole run.
+        spark.catalog.clearCache()
     print(f"\n{len(names) - failed}/{len(names)} passing")
     return 1 if failed else 0
 
