@@ -3,11 +3,13 @@ with typed metadata, processed by Arrow-batched pandas stages.
 
 The container has no codec libraries, so decode is REAL only for the
 formats whose specs are implementable dependency-free — BMP (24-bit
-uncompressed BI_RGB) and binary PPM (P6) images
-(encode_bmp/encode_ppm/decode_image) and mono 16-bit PCM WAV audio
-(encode_wav/decode_wav) — and STUBBED for everything else
-(deterministic fake features; NotImplementedError for PNG/JPEG/
-compressed audio/video, the documented codec boundary). The Spark-side plumbing is real
+uncompressed BI_RGB), binary PPM (P6), and non-interlaced 8-bit
+grayscale/RGB PNG via stdlib zlib + the full five-filter defilter
+(encode_bmp/encode_ppm/encode_png/decode_image/decode_png) images, and
+mono 16-bit PCM WAV audio (encode_wav/decode_wav) — and STUBBED for
+everything else (deterministic fake features; NotImplementedError for
+JPEG / palette/alpha/16-bit/interlaced PNG / compressed audio / video,
+the documented codec boundary). The Spark-side plumbing is real
 and tested throughout: schema shape, binary payload handling, mapInPandas
 batch iteration, partition-preserving feature extraction. Swapping in
 PIL/librosa for the remaining formats is a one-function change that
@@ -34,8 +36,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
-REAL_DECODERS_AVAILABLE = False  # PNG/JPEG/audio/video: flip when PIL/librosa exist
-REAL_IMAGE_FORMATS = ("bmp", "ppm")  # decoded for real, dependency-free
+REAL_DECODERS_AVAILABLE = False  # JPEG/exotic-PNG/audio codecs: flip when PIL/librosa exist
+REAL_IMAGE_FORMATS = ("bmp", "ppm", "png")  # decoded for real, dependency-free
 REAL_AUDIO_FORMATS = ("wav",)  # mono 16-bit PCM RIFF, decoded for real
 
 MEDIA_SCHEMA = StructType(
@@ -122,6 +124,46 @@ def synthesize_bmp_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     return src.mapInPandas(encode, schema=MEDIA_SCHEMA)
 
 
+def synthesize_png_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Manufacture REAL PNG image payloads from text: a
+    ``(5 + id%4) × (5 + id%3)`` image whose pixel k is the code point of
+    ``text[k mod len(text)]`` mod 256, written by encode_png as
+    non-interlaced 8-bit RGB with the scanline filter CYCLING through all
+    five spec types (height >= 5 guarantees every image exercises
+    None/Sub/Up/Average/Paeth). The bytes are a standard PNG any viewer
+    opens; an oracle computes the expected pixel statistics from the text
+    alone, so decode parity proves the zlib+defilter round trip.
+
+    Iterator mapInPandas, batch-bounded memory, MEDIA_SCHEMA shape."""
+    src = df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.col(text_col).alias("_text"),
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["_text"]):
+                w = 5 + int(doc_id) % 4
+                h = 5 + int(doc_id) % 3
+                if text:
+                    px = [ord(text[k % len(text)]) % 256 for k in range(w * h)]
+                else:
+                    px = [0] * (w * h)
+                payloads.append(encode_png(px, w, h))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": ["image"] * len(pdf),
+                    "payload": payloads,
+                    "mime": ["image/png"] * len(pdf),
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return src.mapInPandas(encode, schema=MEDIA_SCHEMA)
+
+
 def _stub_decode(payload: bytes, media_type: str) -> dict:
     """Deterministic fake decode. A real implementation would dispatch to
     PIL (image), soundfile (audio), or a frame sampler (video)."""
@@ -177,23 +219,194 @@ def encode_ppm(pixels: list[int], width: int, height: int) -> bytes:
     return f"P6\n{width} {height}\n255\n".encode("ascii") + bytes(body)
 
 
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG spec §9 Paeth predictor: left (a), above (b), upper-left (c)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(pixels: list[int], width: int, height: int) -> bytes:
+    """Real, dependency-free PNG writer (spec: RFC 2083 / W3C PNG):
+    non-interlaced 8-bit RGB (color type 2), stdlib ``zlib`` deflate,
+    CRC-32 chunk trailers via ``binascii``.
+
+    ``pixels`` is ``width*height`` grayscale values, row-major top-down;
+    each becomes an RGB triple (same convention as encode_bmp/encode_ppm
+    so the three encoders share one oracle formula). Scanline filters
+    deliberately CYCLE through all five spec types (``y % 5``: None, Sub,
+    Up, Average, Paeth), so a decoder only round-trips these bytes if its
+    defilter implements the whole filter suite — that is what makes the
+    construction-derived oracle a real proof for decode_png.
+    """
+    import binascii
+    import struct
+    import zlib
+
+    assert len(pixels) == width * height, (len(pixels), width, height)
+    bpp = 3  # bytes per pixel, color type 2, bit depth 8
+    raw = bytearray()
+    prev = bytes(bpp * width)  # the spec's zero row above the image
+    for y in range(height):
+        row = bytearray()
+        for x in range(width):
+            v = pixels[y * width + x] & 0xFF
+            row += bytes((v, v, v))
+        ft = y % 5
+        filt = bytearray(len(row))
+        for i in range(len(row)):
+            left = row[i - bpp] if i >= bpp else 0
+            up = prev[i]
+            ul = prev[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                filt[i] = row[i]
+            elif ft == 1:
+                filt[i] = (row[i] - left) & 0xFF
+            elif ft == 2:
+                filt[i] = (row[i] - up) & 0xFF
+            elif ft == 3:
+                filt[i] = (row[i] - (left + up) // 2) & 0xFF
+            else:
+                filt[i] = (row[i] - _paeth(left, up, ul)) & 0xFF
+        raw += bytes((ft,)) + filt
+        prev = bytes(row)
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", binascii.crc32(tag + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> dict:
+    """Real, dependency-free PNG decode for the profile implementable
+    with the stdlib alone: non-interlaced, bit depth 8, color type 0
+    (grayscale) or 2 (RGB). IDAT inflates through ``zlib``; scanlines
+    defilter through the full five-type suite (None/Sub/Up/Average/
+    Paeth, PNG spec §9); chunk CRCs are verified via ``binascii.crc32``.
+    Palette (3), alpha-bearing (4/6), 16-bit, and interlaced PNGs raise
+    NotImplementedError — the remaining honest codec boundary alongside
+    JPEG. Malformed bytes (bad CRC, truncated chunks, inflate errors,
+    short pixel data) raise ValueError.
+
+    Per-pixel Python defilter is O(bytes) per image — acceptable because
+    synthesized fixtures are tiny; a production swap point is numpy row
+    vectorization for Up/None and C-order Paeth (same boundary note as
+    the BMP path's frombuffer upgrade).
+    """
+    import binascii
+    import struct
+    import zlib
+
+    if payload is None or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    seen_iend = False
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(payload):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if binascii.crc32(tag + data) != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {tag!r}")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            seen_iend = True
+            break
+        pos += 12 + length
+    if ihdr is None or not seen_iend:
+        raise ValueError("PNG missing IHDR/IEND")
+    width, height, depth, color, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError("PNG nonzero compression/filter method")
+    if depth != 8 or color not in (0, 2) or interlace != 0:
+        raise NotImplementedError(
+            f"PNG variant unsupported without a codec library "
+            f"(depth={depth}, color_type={color}, interlace={interlace})"
+        )
+    channels = 1 if color == 0 else 3
+    bpp = channels  # bytes per pixel at depth 8
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"PNG IDAT inflate failed: {exc}") from exc
+    stride = 1 + bpp * width
+    if len(raw) != stride * height:
+        raise ValueError("PNG pixel data length mismatch")
+    total = 0
+    prev = bytes(bpp * width)
+    for y in range(height):
+        ft = raw[y * stride]
+        line = bytearray(raw[y * stride + 1 : (y + 1) * stride])
+        if ft > 4:
+            raise ValueError(f"PNG scanline filter {ft} out of range")
+        for i in range(len(line)):
+            left = line[i - bpp] if i >= bpp else 0
+            up = prev[i]
+            ul = prev[i - bpp] if i >= bpp else 0
+            if ft == 1:
+                line[i] = (line[i] + left) & 0xFF
+            elif ft == 2:
+                line[i] = (line[i] + up) & 0xFF
+            elif ft == 3:
+                line[i] = (line[i] + (left + up) // 2) & 0xFF
+            elif ft == 4:
+                line[i] = (line[i] + _paeth(left, up, ul)) & 0xFF
+        total += sum(line)
+        prev = bytes(line)
+    n_px = width * height
+    return {
+        "width": width,
+        "height": height,
+        "n_pixels": n_px,
+        "px_sum": total,
+        "px_mean_e6": (1_000_000 * total) // (channels * n_px) if n_px else None,
+    }
+
+
 def decode_image(payload: bytes) -> dict:
-    """Real, dependency-free image decode for the two formats whose specs
-    fit in a page: BMP (24-bit uncompressed BI_RGB, the format encode_bmp
-    writes and any editor can export) and binary PPM (P6). Returns exact
-    pixel geometry and channel-sum statistics; raises ValueError when the
-    payload is not a well-formed image of either format (callers use that
-    to fall back to the stub path) and NotImplementedError for recognized
-    but unsupported encodings (compressed BMP, PNG/JPEG — real codecs
-    aren't in this container).
+    """Real, dependency-free image decode for the formats whose specs are
+    implementable without a codec library: BMP (24-bit uncompressed
+    BI_RGB, the format encode_bmp writes and any editor can export),
+    binary PPM (P6), and — since round 7 — non-interlaced 8-bit
+    grayscale/RGB PNG (stdlib zlib inflate + full five-filter defilter
+    including Paeth; decode_png). Returns exact pixel geometry and
+    channel-sum statistics; raises ValueError when the payload is not a
+    well-formed image of any supported format (callers use that to fall
+    back to the stub path) and NotImplementedError for recognized but
+    unsupported encodings (compressed BMP, palette/alpha/16-bit/
+    interlaced PNG, JPEG — those genuinely need codec libraries).
     """
     import struct
 
     if payload is None or len(payload) < 2:
         raise ValueError("not an image payload")
-    if payload[:8] == b"\x89PNG\r\n\x1a\n" or payload[:3] == b"\xff\xd8\xff":
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(payload)
+    if payload[:3] == b"\xff\xd8\xff":
         raise NotImplementedError(
-            "PNG/JPEG decoding requires a real codec library, not present "
+            "JPEG decoding requires a real codec library, not present "
             "in this environment"
         )
     if payload[:2] == b"BM":
@@ -266,17 +479,18 @@ def decode_image(payload: bytes) -> dict:
 
 
 def decode_real(payload: bytes, media_type: str):
-    """The genuine decode path. Real for BMP/PPM images (decode_image);
-    NotImplementedError for every format that needs a codec library."""
+    """The genuine decode path. Real for BMP/PPM/PNG images
+    (decode_image); NotImplementedError for every format that needs a
+    codec library."""
     if media_type == "image" and payload is not None:
         try:
             return decode_image(payload)
         except ValueError:
-            pass  # not BMP/PPM — fall through to the codec boundary
+            pass  # not BMP/PPM/PNG — fall through to the codec boundary
     raise NotImplementedError(
-        "real media decoding beyond BMP/PPM requires PIL/soundfile/ffmpeg, "
-        "not present in this environment; use extract_features (stub "
-        "decode) instead"
+        "real media decoding beyond BMP/PPM/PNG requires "
+        "PIL/soundfile/ffmpeg, not present in this environment; use "
+        "extract_features (stub decode) instead"
     )
 
 
