@@ -176,24 +176,32 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, signature: array<bigint>[num_hashes]) per document.
 
-    Plan shape: explode distinct shingles → ONE base hash per (doc, shingle)
-    row → num_hashes flat affine projections ((a_i*h+b_i) mod p; a,h < 2^31
-    so the products stay under 2^62 — ANSI-overflow-safe) → one
-    groupBy(doc_id) with num_hashes MIN aggregates → assemble the array.
-    Partial aggregation runs map-side, so the shuffle carries one
-    num_hashes-wide row per doc per map partition — NOT per shingle.
+    Plan shape: explode distinct shingle hashes → num_hashes flat affine
+    projections ((a_i*h+b_i) mod p; a,h < 2^31 so the products stay under
+    2^62 — ANSI-overflow-safe) → one groupBy(doc_id) with num_hashes MIN
+    aggregates → assemble the array. Partial aggregation runs map-side, so
+    the shuffle carries one num_hashes-wide row per doc per map partition
+    — NOT per shingle.
 
     (A previous formulation used num_hashes nested array_min/transform
     lambdas over the shingle array; the codegen'd expression tree was
     megabytes and dominated runtime. Flat projections + min aggs are the
     scale path.)
 
-    Shingle hashing uses xxhash64 (JVM, seeded) — engine-internal, hence no
-    SQL oracle; tests validate signature similarity against exact Jaccard.
-    With ``portable=True`` the base hash is the md5-derived 32-bit value
-    (_portable_base_hash) instead — ~2× the hashing cost, but every signature
-    value is reproducible in ANSI/DuckDB SQL, making the whole LSH tier
-    oracle-checkable (query ``dedup_minhash_portable``).
+    The default tier never MATERIALIZES gram strings: each token is
+    xxhash64'd once, and a shingle's base hash is xxhash64 over its n
+    token hashes — a fixed-width bigint mix instead of concat_ws string
+    building, with array_distinct running on bigints rather than strings.
+    Measured 6× on the sf0.1 signature stage (round-7; the same
+    hash-not-strings move as the portable-LSH einsum). Distinctness is
+    per-HASH rather than per-gram — indistinguishable below ~2^32 shingles
+    per doc, and MinHash is already a hash-level approximation. Engine-
+    internal hashing, hence no SQL oracle; tests validate signature
+    similarity against exact Jaccard. With ``portable=True`` the base
+    hash stays the md5-derived 32-bit value over the literal gram string
+    (_portable_base_hash) — pricier, but every signature value is
+    reproducible in ANSI/DuckDB SQL, making that tier oracle-checkable
+    (query ``dedup_minhash_portable``).
     """
     params = _hash_params(num_hashes, seed)
     # Shingle explode + 64 projections is the CPU-heavy stage — make sure it
@@ -203,14 +211,36 @@ def minhash_signatures(
     base = ensure_parallelism(
         df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
     )
-    exploded = base.select(
-        "doc_id",
-        F.explode(F.array_distinct(shingles(F.col("__t"), n))).alias("sh"),
-    )
     if portable:
+        exploded = base.select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles(F.col("__t"), n))).alias("sh"),
+        )
         h = _portable_base_hash(F.col("sh"))
     else:
-        h = F.pmod(F.xxhash64("sh", F.lit(seed)), F.lit(_MERSENNE_P))
+        # token-hash window mix; tokenization identical to shingles()
+        # (split on single space, no case folding). sequence(1, size-n+1)
+        # needs the short-doc guard (Spark's sequence(1, 0) == [1, 0]).
+        mix = ", ".join(f"__th[i + {j} - 1]" for j in range(n))
+        exploded = base.select(
+            "doc_id",
+            F.transform(
+                F.split(F.col("__t"), " "), lambda tok: F.xxhash64(tok, F.lit(seed))
+            ).alias("__th"),
+        ).select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"CASE WHEN size(__th) >= {n} THEN"
+                        f" transform(sequence(1, size(__th) - {n} + 1),"
+                        f" i -> xxhash64({mix}))"
+                        " ELSE cast(array() as array<bigint>) END"
+                    )
+                )
+            ).alias("sh"),
+        )
+        h = F.pmod(F.col("sh"), F.lit(_MERSENNE_P))
     projected = exploded.select(
         "doc_id",
         *[
