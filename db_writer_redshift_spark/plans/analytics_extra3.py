@@ -1,0 +1,682 @@
+"""Round-7 analytics batch: published-method corpus filtering, survival
+analysis, graph mixing structure, distribution-free trend testing,
+readability scoring, and robust outlier accounting.
+
+* ``c4_rules_audit`` — the C4 cleaning heuristics (Raffel et al. 2020,
+  "Exploring the Limits of Transfer Learning", §2.2) audited per source:
+  sentence-count floor, terminal-punctuation rule, lorem-ipsum and
+  curly-brace markers — the classic web-corpus page filters beside the
+  registry's Gopher rules (Rae et al. 2021).
+* ``survival_km_curve`` — the Kaplan-Meier product-limit estimator
+  (Kaplan & Meier, JASA 1958) over session durations with the classic
+  ongoing-at-observation-end censoring, made hash-exact by an integer
+  floor-fold of the survival product — completing events_hazard_table,
+  which deliberately stops at the hazard ingredients because a FLOAT
+  product chain flaps cross-engine.
+* ``graph_degree_assortativity`` — Newman 2002 degree-mixing
+  coefficient of the co-purchase graph. Symmetrizing the edge list makes
+  Pearson's denominator a PERFECT rational (sx == sy, sxx == syy), so
+  the coefficient needs no sqrt at all — exact integer moments, exact
+  ppm quotient.
+* ``stats_mann_kendall_daily`` — the Mann-Kendall trend test statistic
+  (Mann 1945; Kendall 1975) per event type over daily volume: S,
+  concordant/discordant/tied pair counts, and the tie-corrected
+  18·Var(S) — all exact integers, the distribution-free complement of
+  events_theil_sen_trend's slope.
+* ``text_readability_fkgl`` — Flesch-Kincaid grade level (Kincaid et
+  al. 1975) per (lang, source) from exact integer word / sentence /
+  vowel-group-syllable counts; the grade composes by floor arithmetic
+  only, mirrored term-for-term in the oracle.
+* ``dq_outlier_iqr_prices`` — Tukey fences (Tukey 1977 EDA) per order
+  priority: exact order-statistic quartiles over integer cents, 1.5·IQR
+  fences by integer halving, outlier counts per side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from db_writer_redshift_spark.plans.registry import load_table, register
+
+# ---------------------------------------------------------------------------
+# C4 cleaning-rules audit (Raffel et al. 2020)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c4_rules_audit",
+    oracle=r"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN s_cnt < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_lt3_sentences,
+       CAST(SUM(CASE WHEN NOT ends_term THEN 1 ELSE 0 END) AS BIGINT) AS n_no_terminal_end,
+       CAST(SUM(CASE WHEN has_lorem THEN 1 ELSE 0 END) AS BIGINT) AS n_lorem_ipsum,
+       CAST(SUM(CASE WHEN has_curly THEN 1 ELSE 0 END) AS BIGINT) AS n_curly_brace,
+       CAST(SUM(CASE WHEN s_cnt >= 3 AND ends_term
+                      AND NOT has_lorem AND NOT has_curly
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM (
+  SELECT source,
+         LENGTH(regexp_replace(text, '[^.!?]', '', 'g')) AS s_cnt,
+         regexp_matches(text, '[.!?]\s*$') AS ends_term,
+         contains(LOWER(text), 'lorem ipsum') AS has_lorem,
+         contains(text, '{') AS has_curly
+  FROM documents
+)
+GROUP BY source
+""",
+)
+def c4_rules_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 page-filter audit (Raffel et al. 2020 §2.2) per source: how many
+    documents each cleaning heuristic would drop — fewer than 3 sentences
+    (terminal-punctuation count), text not ending in terminal punctuation,
+    the 'lorem ipsum' placeholder marker, and the curly-brace code marker
+    — plus the count surviving all four. The registry's Gopher audit
+    (gopher_rules_audit) covers the Rae et al. 2021 rule family; this is
+    the Raffel et al. web-page family that preceded it, and together they
+    bracket the published corpus-cleaning practice.
+
+    Scale: pure codegen column expressions (regexp counts, contains)
+    collapsing map-side to one row per source — no shuffle beyond the
+    |sources|-row aggregate. All-integer output."""
+    d = load_table(spark, sf_dir, "documents")
+    s_cnt = F.length(F.regexp_replace(F.col("text"), r"[^.!?]", ""))
+    ends_term = F.col("text").rlike(r"[.!?]\s*$")
+    has_lorem = F.lower(F.col("text")).contains("lorem ipsum")
+    has_curly = F.col("text").contains("{")
+    flags = d.select(
+        "source",
+        s_cnt.alias("s_cnt"),
+        ends_term.alias("ends_term"),
+        has_lorem.alias("has_lorem"),
+        has_curly.alias("has_curly"),
+    )
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return flags.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        one(F.col("s_cnt") < 3).alias("n_lt3_sentences"),
+        one(~F.col("ends_term")).alias("n_no_terminal_end"),
+        one(F.col("has_lorem")).alias("n_lorem_ipsum"),
+        one(F.col("has_curly")).alias("n_curly_brace"),
+        one(
+            (F.col("s_cnt") >= 3)
+            & F.col("ends_term")
+            & ~F.col("has_lorem")
+            & ~F.col("has_curly")
+        ).alias("n_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival curve over session durations
+# ---------------------------------------------------------------------------
+
+_KM_GAP_US = 1_800_000_000  # 30-min session gap — events_sessionization's rule
+_KM_SCALE = 1_000_000
+
+
+def _km_oracle() -> str:
+    # The survival product is a SEQUENTIAL floor-fold, not a product of
+    # independent terms (each step floors before the next multiply), so
+    # the oracle folds a packed step list: HUGEINT pack
+    # t*10^24 + n*10^12 + d, prefix-filtered per output row and seeded
+    # with 10^6 via list_prepend (list_reduce seeds with the first
+    # element, so the seed IS the initial survival).
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t FROM events
+),
+b AS (
+  SELECT user_id, t,
+         CASE WHEN LAG(t) OVER w IS NULL
+              OR t - LAG(t) OVER w > {_KM_GAP_US} THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+),
+s AS (
+  SELECT user_id, t,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM b
+),
+sess AS (
+  SELECT user_id, sid, (MAX(t) - MIN(t)) // 60000000 AS dur_min,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY MAX(t) DESC) AS rk
+  FROM s GROUP BY user_id, sid
+),
+durs AS (
+  SELECT dur_min,
+         CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c
+  FROM sess GROUP BY dur_min
+),
+risk AS (
+  SELECT dur_min, d, c,
+         CAST(SUM(d + c) OVER (ORDER BY dur_min DESC
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n
+  FROM durs
+),
+steps AS (
+  SELECT list(dur_min::HUGEINT * 1000000000000000000000000
+              + n::HUGEINT * 1000000000000 + d ORDER BY dur_min) AS ls
+  FROM risk WHERE d > 0
+)
+SELECT r.dur_min AS t_min, r.n AS n_risk, r.d AS n_deaths, r.c AS n_censored,
+       CAST(list_reduce(
+              list_prepend({_KM_SCALE}::HUGEINT,
+                list_filter(st.ls,
+                  x -> x // 1000000000000000000000000 <= r.dur_min)),
+              (acc, x) -> (acc * ((x // 1000000000000 % 1000000000000)
+                                  - (x % 1000000000000)))
+                          // (x // 1000000000000 % 1000000000000))
+            AS BIGINT) AS survival_ppm
+FROM risk r, steps st
+WHERE r.d > 0
+"""
+
+
+@register("survival_km_curve", oracle=_km_oracle())
+def survival_km_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit survival curve (Kaplan & Meier 1958)
+    over SESSION durations in whole minutes, with the classic censoring
+    mechanism: each user's final session is ongoing at observation end
+    (censored at its observed duration); every earlier session completed
+    (death at its duration). events_hazard_table ships the per-time
+    hazard ingredients and leaves the survival product to the consumer
+    because a float product chain flaps cross-engine; this operator
+    closes that gap with the EXACT integer formulation — survival starts
+    at 1e6 ppm and at each death time floors to
+    ``s*(n_t - d_t) div n_t``, a deterministic sequential fold both
+    engines replay step-identically (the events_markov_stationary
+    discipline). Censored sessions leave the risk set after deaths at
+    the same time, the standard KM convention.
+
+    One row per death time: (t_min, n_risk, n_deaths, n_censored,
+    survival_ppm).
+
+    Scale: sessionization is one user-keyed window pass (shared shuffle),
+    the duration histogram is a map-side-combinable aggregate, and the
+    fold state is the DISTINCT-duration relation — bounded by the
+    observation window (≤ minutes in a session), NOT by users; the
+    driver replay is exact Python ints over that bounded relation (the
+    bounded-driver-state precedent: markov/anova/quickselect)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("t"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    b = e.select(
+        "user_id",
+        "t",
+        F.when(
+            F.lag("t").over(w).isNull()
+            | (F.col("t") - F.lag("t").over(w) > _KM_GAP_US),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    ws = Window.partitionBy("user_id").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    s = b.select("user_id", "t", F.sum("brk").over(ws).alias("sid"))
+    sess = s.groupBy("user_id", "sid").agg(
+        ((F.max("t") - F.min("t")) / F.lit(60_000_000))
+        .cast("long")
+        .alias("dur_min"),
+        F.max("t").alias("last_t"),
+    )
+    wl = Window.partitionBy("user_id").orderBy(F.col("last_t").desc())
+    marked = sess.withColumn("rk", F.row_number().over(wl))
+    durs = (
+        marked.groupBy("dur_min")
+        .agg(
+            F.sum(F.when(F.col("rk") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("d"),
+            F.sum(F.when(F.col("rk") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("c"),
+        )
+        .collect()
+    )
+    # exact driver replay over the bounded distinct-duration relation
+    rows = sorted((int(r["dur_min"]), int(r["d"]), int(r["c"])) for r in durs)
+    total = sum(d + c for _, d, c in rows)
+    out = []
+    n_risk = total
+    surv = _KM_SCALE
+    for t, d, c in rows:
+        if d > 0:
+            surv = (surv * (n_risk - d)) // n_risk
+            out.append((t, n_risk, d, c, surv))
+        n_risk -= d + c
+    return spark.createDataFrame(
+        out,
+        "t_min long, n_risk long, n_deaths long, n_censored long,"
+        " survival_ppm long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity of the co-purchase graph (Newman 2002)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_degree_assortativity",
+    oracle="""
+WITH eraw AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS (SELECT u, v FROM eraw GROUP BY u, v HAVING COUNT(*) >= 2),
+sym AS (
+  SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+),
+deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS k FROM sym GROUP BY u),
+pts AS (
+  SELECT du.k AS x, dv.k AS y
+  FROM sym s JOIN deg du ON s.u = du.node JOIN deg dv ON s.v = dv.node
+),
+mo AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM pts
+)
+SELECT CAST(m2 // 2 AS BIGINT) AS n_edges, m2 AS n_points, sx, sxx, sxy,
+       CAST(m2 * sxy - sx * sx AS BIGINT) AS num,
+       CAST(m2 * sxx - sx * sx AS BIGINT) AS den,
+       CASE WHEN m2 * sxx - sx * sx = 0 THEN 0
+            ELSE CAST(CASE WHEN m2 * sxy - sx * sx >= 0 THEN 1 ELSE -1 END
+                      * ((1000000::HUGEINT * ABS(m2 * sxy - sx * sx))
+                         // (m2 * sxx - sx * sx)) AS BIGINT)
+       END AS r_ppm
+FROM mo
+""",
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity coefficient (Newman, PRL 2002) of the
+    weight>=2 part co-purchase graph — do high-degree parts co-purchase
+    with high-degree parts (assortative, r>0) or with accessories
+    (disassortative, r<0)? The structural-mixing scalar beside the
+    registry's clustering-coefficient, k-core, and k-truss views of the
+    same graph.
+
+    Exactness trick: over the SYMMETRIZED edge list the x- and y-moment
+    sums coincide (sx=sy, sxx=syy), so Pearson's denominator
+    sqrt((M·sxx−sx²)(M·syy−sy²)) collapses to the integer M·sxx−sx² and
+    r = (M·sxy−sx²)/(M·sxx−sx²) is a PERFECT rational — no sqrt, no
+    float anywhere; r ships as a sign-corrected floor-ppm plus the exact
+    integer moments. (Floor-div of the ABS value with the sign reapplied
+    keeps Spark's truncating `div` and DuckDB's flooring `//` identical
+    on negative numerators.)
+
+    Scale: the co-purchase edge build is the kcore/ktruss equi-join (one
+    shuffle on orderkey, weight-2 floor applied before anything else);
+    degrees are a map-side aggregate; the moment rollup is one row. The
+    scaled quotient runs in DECIMAL(38) so the 1e6·|num| product cannot
+    overflow BIGINT at any sf."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count("*").cast("long").alias("k")).select(
+        F.col("u").alias("node"), "k"
+    )
+    pts = (
+        sym.join(deg.withColumnRenamed("node", "u").withColumnRenamed("k", "x"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("k", "y"), "v")
+        .select("x", "y")
+    )
+    mo = pts.agg(
+        F.count("*").cast("long").alias("m2"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    return mo.select(
+        F.expr("m2 div 2").alias("n_edges"),
+        F.col("m2").alias("n_points"),
+        "sx",
+        "sxx",
+        "sxy",
+        (F.col("m2") * F.col("sxy") - F.col("sx") * F.col("sx")).alias("num"),
+        (F.col("m2") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("den"),
+        F.expr(
+            "CASE WHEN m2 * sxx - sx * sx = 0 THEN 0"
+            " ELSE CAST(CASE WHEN m2 * sxy - sx * sx >= 0 THEN 1 ELSE -1 END"
+            " * ((CAST(1000000 AS DECIMAL(38,0))"
+            "     * ABS(m2 * sxy - sx * sx))"
+            "    div (m2 * sxx - sx * sx)) AS BIGINT) END"
+        ).alias("r_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test over daily volume (Mann 1945; Kendall 1975)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_mann_kendall_daily",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, ts::DATE AS d, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type,
+         CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 ELSE 0 END AS sgn
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.d < b.d
+),
+s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_concordant,
+         CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_discordant,
+         CAST(SUM(CASE WHEN sgn = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tied,
+         CAST(SUM(sgn) AS BIGINT) AS s_stat
+  FROM pairs GROUP BY event_type
+),
+nn AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM daily GROUP BY 1),
+ties AS (
+  SELECT event_type,
+         CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tie_term
+  FROM (SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS t
+        FROM daily GROUP BY event_type, c)
+  WHERE t > 1 GROUP BY event_type
+)
+SELECT s.event_type, nn.n AS n_days, s.n_pairs, s.n_concordant,
+       s.n_discordant, s.n_tied, s.s_stat,
+       nn.n * (nn.n - 1) * (2 * nn.n + 5)
+         - COALESCE(t.tie_term, 0) AS var_s_x18
+FROM s JOIN nn USING (event_type) LEFT JOIN ties t USING (event_type)
+""",
+)
+def stats_mann_kendall_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test per event type over daily volume: the
+    pairwise sign statistic S = Σ_{i<j} sign(c_j − c_i), its
+    concordant/discordant/tied decomposition, and the tie-corrected
+    variance as the exact integer 18·Var(S) = n(n−1)(2n+5) −
+    Σ_k t_k(t_k−1)(2t_k+5) — everything a consumer needs to finish the
+    normal approximation, with zero floats shipped. The distribution-free
+    TEST beside events_theil_sen_trend's distribution-free SLOPE (the two
+    are the classic pairing in trend literature).
+
+    Scale: the daily roll-up collapses events map-side; the O(d²)
+    pairwise join runs on the bounded CALENDAR relation (days × types,
+    never event rows) — the stats_kendall_tau_daily precedent; tie
+    groups are a second tiny aggregate on the same relation."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count("*").cast("long").alias("c"))
+    a, b = daily.alias("a"), daily.alias("b")
+    sgn = (
+        F.when(F.col("b.c") > F.col("a.c"), 1)
+        .when(F.col("b.c") < F.col("a.c"), -1)
+        .otherwise(0)
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.d") < F.col("b.d")),
+    ).select(F.col("a.event_type").alias("event_type"), sgn.alias("sgn"))
+    s = pairs.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("sgn") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_concordant"),
+        F.sum(F.when(F.col("sgn") == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_discordant"),
+        F.sum(F.when(F.col("sgn") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_tied"),
+        F.sum("sgn").cast("long").alias("s_stat"),
+    )
+    nn = daily.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
+    ties = (
+        daily.groupBy("event_type", "c")
+        .agg(F.count("*").cast("long").alias("t"))
+        .filter(F.col("t") > 1)
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    return (
+        s.join(nn, "event_type")
+        .join(ties, "event_type", "left")
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            "n_pairs",
+            "n_concordant",
+            "n_discordant",
+            "n_tied",
+            "s_stat",
+            (
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                - F.coalesce(F.col("tie_term"), F.lit(0))
+            )
+            .cast("long")
+            .alias("var_s_x18"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flesch-Kincaid grade level per (lang, source) — Kincaid et al. 1975
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_readability_fkgl",
+    oracle=r"""
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(w) AS BIGINT) AS sum_words,
+       CAST(SUM(s) AS BIGINT) AS sum_sentences,
+       CAST(SUM(syl) AS BIGINT) AS sum_syllables,
+       CAST((390 * CAST(SUM(w) AS BIGINT)) // CAST(SUM(s) AS BIGINT)
+            + (11800 * CAST(SUM(syl) AS BIGINT)) // CAST(SUM(w) AS BIGINT)
+            - 15590 AS BIGINT) AS fkgl_e3
+FROM (
+  SELECT lang, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+         CAST(GREATEST(LENGTH(regexp_replace(text, '[^.!?]', '', 'g')), 1)
+              AS BIGINT) AS s,
+         CAST(len(regexp_extract_all(LOWER(text), '[aeiouy]+'))
+              AS BIGINT) AS syl
+  FROM documents
+)
+GROUP BY lang, source
+""",
+)
+def text_readability_fkgl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid grade level (Kincaid et al. 1975) per (lang,
+    source): FKGL = 0.39·(words/sentences) + 11.8·(syllables/words)
+    − 15.59, computed at e3 scale by floor arithmetic over exact integer
+    corpus totals — (390·W) div S + (11800·Syl) div W − 15590 — with the
+    identical floor order in the oracle, so the composite hashes exactly
+    (the repo rule: never ship a float ratio when an integer scaling of
+    the same decision value exists). Syllables use the standard
+    dependency-free proxy: maximal vowel-group ([aeiouy]+) runs;
+    sentences floor at 1 per document so punctuation-free synthetic text
+    stays well-defined. The readability lane beside quality_score
+    (heuristic filter) and Gopher/C4 (rule audits) — FKGL is the
+    curriculum-ordering key used by difficulty-staged training mixes.
+
+    Scale: three regexp/split column expressions collapsing map-side to
+    a |lang × source|-row aggregate; one shuffle of partial sums."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.size(F.split(F.col("text"), " ")).cast("long")
+    s = F.greatest(
+        F.length(F.regexp_replace(F.col("text"), r"[^.!?]", "")), F.lit(1)
+    ).cast("long")
+    syl = F.size(
+        F.expr(r"regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+    ).cast("long")
+    base = d.select("lang", "source", w.alias("w"), s.alias("s"), syl.alias("syl"))
+    return base.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("w").cast("long").alias("sum_words"),
+        F.sum("s").cast("long").alias("sum_sentences"),
+        F.sum("syl").cast("long").alias("sum_syllables"),
+        (
+            F.expr("(390 * SUM(w)) div SUM(s)")
+            + F.expr("(11800 * SUM(syl)) div SUM(w)")
+            - F.lit(15590)
+        )
+        .cast("long")
+        .alias("fkgl_e3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tukey-fence outlier accounting per order priority (Tukey 1977)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_outlier_iqr_prices",
+    oracle="""
+WITH cents AS (
+  SELECT o_orderpriority,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderkey
+  FROM orders
+),
+r AS (
+  SELECT o_orderpriority, cents,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY cents, o_orderkey) AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
+  FROM cents
+),
+q AS (
+  SELECT o_orderpriority, MIN(n) AS n,
+         CAST(MAX(CASE WHEN rk = (n + 3) // 4 THEN cents END) AS BIGINT) AS q1,
+         CAST(MAX(CASE WHEN rk = (3 * n + 3) // 4 THEN cents END)
+              AS BIGINT) AS q3
+  FROM r GROUP BY o_orderpriority
+)
+SELECT q.o_orderpriority, q.n AS n_orders, q.q1 AS q1_cents, q.q3 AS q3_cents,
+       q.q3 - q.q1 AS iqr_cents,
+       q.q1 - (3 * (q.q3 - q.q1)) // 2 AS lo_fence_cents,
+       q.q3 + (3 * (q.q3 - q.q1)) // 2 AS hi_fence_cents,
+       CAST(SUM(CASE WHEN c.cents < q.q1 - (3 * (q.q3 - q.q1)) // 2
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers,
+       CAST(SUM(CASE WHEN c.cents > q.q3 + (3 * (q.q3 - q.q1)) // 2
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers
+FROM q JOIN cents c USING (o_orderpriority)
+GROUP BY 1, 2, 3, 4, 5, 6, 7
+""",
+)
+def dq_outlier_iqr_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier accounting (Tukey 1977 EDA) of order totals
+    per priority class: exact order-statistic quartiles over integer
+    cents (rank (n+3)//4 and (3n+3)//4 under the (cents, orderkey) total
+    order — the ceiling-rank convention of stats_median_ci_orderstat),
+    1.5·IQR fences by the integer (3·IQR) div 2, and per-side outlier
+    counts. The data-quality screen every ingestion monitor runs before
+    alerting on robust anomalies (events_robust_anomaly_mad is the
+    time-series member; this is the cross-sectional one).
+
+    Scale: the rank window partitions by priority (parallel across the 5
+    groups); the fence recount is one broadcast join of the 5-row
+    quartile relation back onto the cents projection — the documented
+    quickselect swap applies when a single group outgrows a partition
+    (hist_equidepth machinery)."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = o.select(
+        "o_orderpriority",
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        "o_orderkey",
+    )
+    wp = Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
+    r = cents.select(
+        "o_orderpriority",
+        "cents",
+        F.row_number().over(wp).alias("rk"),
+        F.count("*")
+        .over(Window.partitionBy("o_orderpriority"))
+        .cast("long")
+        .alias("n"),
+    )
+    q = r.groupBy("o_orderpriority").agg(
+        F.min("n").alias("n"),
+        F.max(
+            F.when(F.col("rk") == F.expr("(n + 3) div 4"), F.col("cents"))
+        )
+        .cast("long")
+        .alias("q1"),
+        F.max(
+            F.when(F.col("rk") == F.expr("(3 * n + 3) div 4"), F.col("cents"))
+        )
+        .cast("long")
+        .alias("q3"),
+    )
+    fenced = q.select(
+        "o_orderpriority",
+        F.col("n").alias("n_orders"),
+        F.col("q1").alias("q1_cents"),
+        F.col("q3").alias("q3_cents"),
+        (F.col("q3") - F.col("q1")).alias("iqr_cents"),
+        (F.col("q1") - F.expr("(3 * (q3 - q1)) div 2")).alias("lo_fence_cents"),
+        (F.col("q3") + F.expr("(3 * (q3 - q1)) div 2")).alias("hi_fence_cents"),
+    )
+    return (
+        cents.join(F.broadcast(fenced), "o_orderpriority")
+        .groupBy(
+            "o_orderpriority",
+            "n_orders",
+            "q1_cents",
+            "q3_cents",
+            "iqr_cents",
+            "lo_fence_cents",
+            "hi_fence_cents",
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("cents") < F.col("lo_fence_cents"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_low_outliers"),
+            F.sum(
+                F.when(F.col("cents") > F.col("hi_fence_cents"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_high_outliers"),
+        )
+    )

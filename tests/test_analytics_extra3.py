@@ -1,0 +1,152 @@
+"""Method-invariant tests for the round-7 analytics batch
+(plans/analytics_extra3.py) — properties the DuckDB oracles can't
+express: the Kaplan-Meier estimator's monotonicity and a pure-Python
+replay on a hand-built cohort, Newman's assortativity bounds and its
+exact-rational identity, the Mann-Kendall pair decomposition, FKGL's
+floor-composition identity, and the Tukey-fence sidedness guarantees."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from db_writer_redshift_spark.plans import QUERIES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason=f"testdata missing: {SF_DIR}"
+)
+
+
+def _run(spark, name):
+    return QUERIES[name].fn(spark, SF_DIR)
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier
+# ---------------------------------------------------------------------------
+
+
+def test_km_survival_monotone_and_bounded(spark):
+    rows = sorted(
+        _run(spark, "survival_km_curve").collect(), key=lambda r: r.t_min
+    )
+    assert rows, "no death times at this SF — operator is vacuous"
+    prev = 1_000_000
+    for r in rows:
+        assert 0 <= r.survival_ppm <= prev  # non-increasing, in [0, 1e6]
+        assert r.n_deaths >= 1 and r.n_risk >= r.n_deaths
+        prev = r.survival_ppm
+    # risk sets shrink along time
+    risks = [r.n_risk for r in rows]
+    assert risks == sorted(risks, reverse=True)
+
+
+def test_km_python_replay_hand_cohort():
+    """The exact floor-fold on a textbook cohort: 5 subjects, deaths at
+    t=1 (1), t=3 (2), censored at t=2 (1) and t=4 (1)."""
+    # (t, d, c) histogram of the cohort above
+    hist = [(1, 1, 0), (2, 0, 1), (3, 2, 0), (4, 0, 1)]
+    n_risk = 5
+    surv = 1_000_000
+    out = {}
+    for t, d, c in hist:
+        if d:
+            surv = (surv * (n_risk - d)) // n_risk
+            out[t] = (n_risk, surv)
+        n_risk -= d + c
+    # S(1) = 4/5; S(3) = 4/5 * (3-2)/3 = 4/15 (floored at each step)
+    assert out[1] == (5, 800_000)
+    assert out[3] == (3, (800_000 * 1) // 3)
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity
+# ---------------------------------------------------------------------------
+
+
+def test_assortativity_bounds_and_identity(spark):
+    (row,) = _run(spark, "graph_degree_assortativity").collect()
+    assert row.n_points == 2 * row.n_edges
+    assert row.num == row.n_points * row.sxy - row.sx * row.sx
+    assert row.den == row.n_points * row.sxx - row.sx * row.sx
+    assert row.den >= 0  # variance form
+    assert -1_000_000 <= row.r_ppm <= 1_000_000
+    if row.den:
+        sign = 1 if row.num >= 0 else -1
+        assert row.r_ppm == sign * ((1_000_000 * abs(row.num)) // row.den)
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall
+# ---------------------------------------------------------------------------
+
+
+def test_mann_kendall_decomposition(spark):
+    rows = _run(spark, "stats_mann_kendall_daily").collect()
+    assert rows
+    for r in rows:
+        assert r.n_pairs == r.n_days * (r.n_days - 1) // 2
+        assert r.n_concordant + r.n_discordant + r.n_tied == r.n_pairs
+        assert r.s_stat == r.n_concordant - r.n_discordant
+        # tie correction can only shrink the no-tie variance
+        assert 0 <= r.var_s_x18 <= r.n_days * (r.n_days - 1) * (2 * r.n_days + 5)
+
+
+# ---------------------------------------------------------------------------
+# FKGL
+# ---------------------------------------------------------------------------
+
+
+def test_fkgl_floor_composition(spark):
+    rows = _run(spark, "text_readability_fkgl").collect()
+    assert rows
+    for r in rows:
+        assert r.sum_words >= r.n_docs  # >=1 word/doc (split never empty)
+        assert r.sum_sentences >= r.n_docs  # floored at 1 per doc
+        assert r.fkgl_e3 == (
+            (390 * r.sum_words) // r.sum_sentences
+            + (11800 * r.sum_syllables) // r.sum_words
+            - 15590
+        )
+
+
+# ---------------------------------------------------------------------------
+# Tukey fences
+# ---------------------------------------------------------------------------
+
+
+def test_iqr_fences_sidedness(spark):
+    rows = _run(spark, "dq_outlier_iqr_prices").collect()
+    assert rows
+    for r in rows:
+        assert r.q1_cents <= r.q3_cents
+        assert r.iqr_cents == r.q3_cents - r.q1_cents
+        assert r.lo_fence_cents == r.q1_cents - (3 * r.iqr_cents) // 2
+        assert r.hi_fence_cents == r.q3_cents + (3 * r.iqr_cents) // 2
+        # fences are outside the quartile box, so outliers are a minority
+        assert r.n_low_outliers + r.n_high_outliers <= r.n_orders // 2
+
+
+# ---------------------------------------------------------------------------
+# C4 rules
+# ---------------------------------------------------------------------------
+
+
+def test_c4_rule_counts_consistent(spark):
+    rows = _run(spark, "c4_rules_audit").collect()
+    assert rows
+    for r in rows:
+        for col in (
+            "n_lt3_sentences",
+            "n_no_terminal_end",
+            "n_lorem_ipsum",
+            "n_curly_brace",
+            "n_kept",
+        ):
+            assert 0 <= getattr(r, col) <= r.n_docs
+        # a kept doc violates no rule, so kept + max(single-rule drop) <= n
+        assert r.n_kept + r.n_lt3_sentences <= r.n_docs
+        assert r.n_kept + r.n_no_terminal_end <= r.n_docs
