@@ -30,6 +30,16 @@ readability scoring, and robust outlier accounting.
 * ``dq_outlier_iqr_prices`` — Tukey fences (Tukey 1977 EDA) per order
   priority: exact order-statistic quartiles over integer cents, 1.5·IQR
   fences by integer halving, outlier counts per side.
+* ``events_activity_islands`` — gaps-and-islands run-length histogram of
+  consecutive active days per user (the engagement-streak feature).
+* ``orders_new_vs_returning_monthly`` — monthly acquisition mix: orders
+  and customers split by first-ever-order month.
+* ``stats_cramers_v_type_dow`` — Cramér's V association between event
+  type and ISO weekday via the all-integer (O·n − r·c)²/(r·c·n) chi²
+  identity in 128-bit arithmetic.
+* ``privacy_dp_clipping_audit`` — the DP contribution-bounding audit
+  (Wilson et al., VLDB 2020): exact L∞ sensitivity, p95 clip bound, and
+  the bias that clip costs, per event type.
 """
 
 from __future__ import annotations
@@ -678,5 +688,321 @@ def dq_outlier_iqr_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("long")
             .alias("n_high_outliers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands over daily user activity
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_activity_islands",
+    oracle="""
+WITH e AS (
+  SELECT DISTINCT user_id, ts::DATE AS d FROM events
+),
+r AS (
+  SELECT user_id,
+         CAST(d - DATE '1970-01-01' AS BIGINT)
+           - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS grp
+  FROM e
+),
+i AS (
+  SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS island_len
+  FROM r GROUP BY user_id, grp
+)
+SELECT island_len,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(island_len) AS BIGINT) AS total_active_days
+FROM i GROUP BY island_len
+""",
+)
+def events_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands over DAILY user activity: maximal runs of
+    consecutive active days per user via the classic day_number −
+    row_number grouping key, rolled into a run-length histogram
+    (island_len → islands, users, active days). The calendar-grained
+    engagement-streak view beside 30-min sessionization
+    (events_sessionization) and weekly cohort retention — streak length
+    is the "habit" feature churn models consume.
+
+    Scale: one distinct (user, day) projection (map-side), one user-keyed
+    window (single shuffle shared with the island aggregate — same
+    partitioning), and a histogram over the bounded island-length domain
+    (≤ observation days). All integers; DATE arithmetic runs as
+    epoch-day BIGINTs so no temporal column reaches the output."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    r = e.select(
+        "user_id",
+        (
+            F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")).cast("long")
+            - F.row_number().over(w)
+        ).alias("grp"),
+    )
+    i = r.groupBy("user_id", "grp").agg(
+        F.count("*").cast("long").alias("island_len")
+    )
+    return i.groupBy("island_len").agg(
+        F.count("*").cast("long").alias("n_islands"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        F.sum("island_len").cast("long").alias("total_active_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# New-vs-returning customer mix per month
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_new_vs_returning_monthly",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey,
+         CAST(EXTRACT(year FROM o_orderdate) * 100
+              + EXTRACT(month FROM o_orderdate) AS BIGINT) AS ym
+  FROM orders
+),
+f AS (SELECT o_custkey, MIN(ym) AS first_ym FROM o GROUP BY o_custkey)
+SELECT o.ym,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN o.ym = f.first_ym THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_new_orders,
+       CAST(SUM(CASE WHEN o.ym > f.first_ym THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_returning_orders,
+       CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_active_customers,
+       CAST(COUNT(DISTINCT CASE WHEN o.ym = f.first_ym
+                                THEN o.o_custkey END) AS BIGINT)
+         AS n_new_customers
+FROM o JOIN f USING (o_custkey)
+GROUP BY o.ym
+""",
+)
+def orders_new_vs_returning_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly acquisition mix: per calendar month, how many orders come
+    from customers whose FIRST-ever order falls in that month (new) vs
+    earlier (returning), plus distinct active/new customer counts — the
+    growth-accounting decomposition every revenue dashboard leads with,
+    and the orders-side complement of events_weekly_cohort_retention.
+
+    Scale: first-order month is one customer-keyed MIN aggregate
+    (map-side combined); the classifier join is keyed on custkey (the
+    same hash partitioning both sides already carry), and the monthly
+    rollup is a bounded |months| relation. Months ship as yyyymm BIGINTs
+    — no temporal column in the output envelope."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("ym"),
+    )
+    f = o.groupBy("o_custkey").agg(F.min("ym").alias("first_ym"))
+    j = o.join(f, "o_custkey")
+    return j.groupBy("ym").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.when(F.col("ym") == F.col("first_ym"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_new_orders"),
+        F.sum(F.when(F.col("ym") > F.col("first_ym"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_returning_orders"),
+        F.count_distinct("o_custkey").cast("long").alias("n_active_customers"),
+        F.count_distinct(
+            F.when(F.col("ym") == F.col("first_ym"), F.col("o_custkey"))
+        )
+        .cast("long")
+        .alias("n_new_customers"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V association between event type and ISO day-of-week
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_cramers_v_type_dow",
+    oracle="""
+WITH cells AS (
+  SELECT event_type, CAST(isodow(ts::DATE) AS BIGINT) AS dow,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM events GROUP BY 1, 2
+),
+rt AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+ct AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT event_type) AS BIGINT) AS nr,
+               CAST(COUNT(DISTINCT dow) AS BIGINT) AS nc
+        FROM cells),
+chi AS (
+  SELECT CAST(SUM(
+           (1000000::HUGEINT
+            * (cells.o * tot.n - rt.r * ct.c)::HUGEINT
+            * (cells.o * tot.n - rt.r * ct.c)::HUGEINT)
+           // (rt.r::HUGEINT * ct.c * tot.n)
+         ) AS HUGEINT) AS chi2n_e6
+  FROM cells JOIN rt USING (event_type) JOIN ct USING (dow), tot
+)
+SELECT tot.n, tot.nr AS n_types, tot.nc AS n_dows,
+       CAST(chi.chi2n_e6 // tot.n AS BIGINT) AS chi2_e6,
+       CAST(chi.chi2n_e6 // (tot.n * tot.n
+                             * (LEAST(tot.nr, tot.nc) - 1)) AS BIGINT)
+         AS v2_ppm
+FROM tot, chi
+""",
+)
+def stats_cramers_v_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association strength (Cramér 1946) between event type
+    and ISO day-of-week: chi-squared over the |types|×7 contingency table
+    and V² = chi²/(n·(min(r,c)−1)), both as exact scaled integers. The
+    per-cell term uses the all-integer identity (O·n − r·c)²/(r·c·n)
+    = n·(O−E)²/E with E = r·c/n, accumulated at e6 scale in 128-bit
+    integer arithmetic (DECIMAL(38) / HUGEINT) with ONE floor per cell —
+    the floor order is part of the contract, mirrored term-for-term in
+    the oracle (the registry's per-cell-floor discipline from
+    drift_psi_doclen). The general-association member beside the
+    two-sample drift tests (chisq vs a fixed split, PSI, KS, TV).
+
+    Scale: the contingency table is a map-side-combinable aggregate
+    bounded by |types|×7; everything after runs on that tiny relation.
+    dow uses isodow ↔ Spark weekday+1 (the events_seasonal_dow_anomaly
+    convention)."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", (F.weekday(F.col("ts")) + 1).cast("long").alias("dow")
+    ).agg(F.count("*").cast("long").alias("o"))
+    rt = cells.groupBy("event_type").agg(F.sum("o").cast("long").alias("r"))
+    ct = cells.groupBy("dow").agg(F.sum("o").cast("long").alias("c"))
+    tot = cells.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.count_distinct("event_type").cast("long").alias("nr"),
+        F.count_distinct("dow").cast("long").alias("nc"),
+    )
+    chi = (
+        cells.join(rt, "event_type")
+        .join(ct, "dow")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(
+                "(CAST(1000000 AS DECIMAL(38,0))"
+                " * (o * n - r * c) * (o * n - r * c))"
+                " div (CAST(r AS DECIMAL(38,0)) * c * n)"
+            ).alias("term")
+        )
+        .agg(F.sum("term").alias("chi2n_e6"))
+    )
+    return tot.crossJoin(F.broadcast(chi)).select(
+        "n",
+        F.col("nr").alias("n_types"),
+        F.col("nc").alias("n_dows"),
+        F.expr("CAST(chi2n_e6 div n AS BIGINT)").alias("chi2_e6"),
+        F.expr(
+            "CAST(chi2n_e6 div (CAST(n AS DECIMAL(38,0)) * n"
+            " * (LEAST(nr, nc) - 1)) AS BIGINT)"
+        ).alias("v2_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Differential-privacy clipping/sensitivity audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "privacy_dp_clipping_audit",
+    oracle="""
+WITH u AS (
+  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS k
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, user_id, k,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY k, user_id) AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS nu
+  FROM u
+),
+q AS (
+  SELECT event_type, MIN(nu) AS n_users,
+         CAST(MAX(k) AS BIGINT) AS max_contrib,
+         CAST(MAX(CASE WHEN rk = (95 * nu + 99) // 100 THEN k END)
+              AS BIGINT) AS clip_at
+  FROM r GROUP BY event_type
+)
+SELECT q.event_type, q.n_users, q.max_contrib, q.clip_at,
+       CAST(SUM(CASE WHEN u.k > q.clip_at THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clipped_users,
+       CAST(SUM(u.k) AS BIGINT) AS raw_total,
+       CAST(SUM(LEAST(u.k, q.clip_at)) AS BIGINT) AS clipped_total,
+       CAST(SUM(u.k) - SUM(LEAST(u.k, q.clip_at)) AS BIGINT) AS clipped_mass
+FROM q JOIN u USING (event_type)
+GROUP BY 1, 2, 3, 4
+""",
+)
+def privacy_dp_clipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy contribution-bounding audit (the clipping
+    step of DP-SQL / Wilson et al., VLDB 2020): per event type, the
+    per-user contribution to the count query, its true L∞ sensitivity
+    (max contribution), the p95 order-statistic clipping bound
+    (ceiling-rank (95n+99)//100 under the (k, user_id) total order), and
+    exactly what that clip costs — users clipped, raw vs clipped totals,
+    clipped-away mass. A DP release calibrates noise to clip_at, so this
+    relation is the sensitivity/bias trade a privacy engineer reads
+    BEFORE noising; it completes the structural-privacy lane
+    (k-anonymity / t-closeness / (c,l)-diversity) with the
+    noise-calibration member — and stays deterministic because the noise
+    itself is the one thing deliberately NOT computed.
+
+    Scale: per-user contributions are a map-side-combinable aggregate;
+    the rank window partitions by type over the per-user relation; the
+    recount joins the |types|-row bound relation back broadcast-style.
+    All integers."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("event_type", "user_id").agg(
+        F.count("*").cast("long").alias("k")
+    )
+    wp = Window.partitionBy("event_type").orderBy("k", "user_id")
+    r = u.select(
+        "event_type",
+        "k",
+        F.row_number().over(wp).alias("rk"),
+        F.count("*")
+        .over(Window.partitionBy("event_type"))
+        .cast("long")
+        .alias("nu"),
+    )
+    q = r.groupBy("event_type").agg(
+        F.min("nu").alias("n_users"),
+        F.max("k").cast("long").alias("max_contrib"),
+        F.max(
+            F.when(F.col("rk") == F.expr("(95 * nu + 99) div 100"), F.col("k"))
+        )
+        .cast("long")
+        .alias("clip_at"),
+    )
+    return (
+        u.join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "n_users", "max_contrib", "clip_at")
+        .agg(
+            F.sum(F.when(F.col("k") > F.col("clip_at"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped_users"),
+            F.sum("k").cast("long").alias("raw_total"),
+            F.sum(F.least(F.col("k"), F.col("clip_at")))
+            .cast("long")
+            .alias("clipped_total"),
+            (
+                F.sum("k") - F.sum(F.least(F.col("k"), F.col("clip_at")))
+            )
+            .cast("long")
+            .alias("clipped_mass"),
         )
     )

@@ -150,3 +150,83 @@ def test_c4_rule_counts_consistent(spark):
         # a kept doc violates no rule, so kept + max(single-rule drop) <= n
         assert r.n_kept + r.n_lt3_sentences <= r.n_docs
         assert r.n_kept + r.n_no_terminal_end <= r.n_docs
+
+
+# ---------------------------------------------------------------------------
+# Activity islands
+# ---------------------------------------------------------------------------
+
+
+def test_activity_islands_conservation(spark):
+    rows = _run(spark, "events_activity_islands").collect()
+    assert rows
+    # Σ islands·len == Σ total_active_days == distinct (user, day) count
+    total_days = sum(r.total_active_days for r in rows)
+    assert total_days == sum(r.island_len * r.n_islands for r in rows)
+    from db_writer_redshift_spark.plans.registry import load_table
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, SF_DIR, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    assert total_days == e.distinct().count()
+    for r in rows:
+        assert r.n_users <= r.n_islands  # a user can hold several islands
+
+
+# ---------------------------------------------------------------------------
+# New vs returning
+# ---------------------------------------------------------------------------
+
+
+def test_new_vs_returning_decomposition(spark):
+    rows = sorted(
+        _run(spark, "orders_new_vs_returning_monthly").collect(),
+        key=lambda r: r.ym,
+    )
+    assert rows
+    for r in rows:
+        assert r.n_new_orders + r.n_returning_orders == r.n_orders
+        assert r.n_new_customers <= r.n_active_customers
+    # every customer is new exactly once: Σ new customers == |customers|
+    from db_writer_redshift_spark.plans.registry import load_table
+
+    n_cust = (
+        load_table(spark, SF_DIR, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r.n_new_customers for r in rows) == n_cust
+    # the first month has no returning orders
+    assert rows[0].n_returning_orders == 0
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V
+# ---------------------------------------------------------------------------
+
+
+def test_cramers_v_bounds(spark):
+    (row,) = _run(spark, "stats_cramers_v_type_dow").collect()
+    assert row.n > 0 and row.n_types >= 2 and row.n_dows >= 2
+    assert 0 <= row.v2_ppm <= 1_000_000  # V^2 in [0, 1]
+    assert row.chi2_e6 >= 0
+    # V^2 consistent with chi2 up to the per-cell floors
+    approx = row.chi2_e6 // (row.n * (min(row.n_types, row.n_dows) - 1))
+    assert abs(row.v2_ppm - approx) <= 1
+
+
+# ---------------------------------------------------------------------------
+# DP clipping audit
+# ---------------------------------------------------------------------------
+
+
+def test_dp_clipping_consistency(spark):
+    rows = _run(spark, "privacy_dp_clipping_audit").collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.clip_at <= r.max_contrib
+        assert r.clipped_total <= r.raw_total
+        assert r.clipped_mass == r.raw_total - r.clipped_total
+        # p95 bound: at most 5% of users above the clip (ceiling rank)
+        assert r.n_clipped_users <= (5 * r.n_users + 99) // 100 + 1
+        if r.clip_at == r.max_contrib:
+            assert r.n_clipped_users == 0 and r.clipped_mass == 0
