@@ -40,6 +40,10 @@ readability scoring, and robust outlier accounting.
 * ``privacy_dp_clipping_audit`` — the DP contribution-bounding audit
   (Wilson et al., VLDB 2020): exact L∞ sensitivity, p95 clip bound, and
   the bias that clip costs, per event type.
+* ``stats_runs_test_daily`` — Wald-Wolfowitz runs test of daily-volume
+  direction randomness, null moments as exact floor-e6 rationals.
+* ``graph_rich_club_coefficient`` — rich-club density sweep φ(k) of the
+  co-purchase hubs (Zhou & Mondragón 2004), exact floor-ppm.
 """
 
 from __future__ import annotations
@@ -1005,4 +1009,215 @@ def privacy_dp_clipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("clipped_mass"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test over daily volume deltas
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_runs_test_daily",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, ts::DATE AS d, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+dl AS (
+  SELECT event_type, d,
+         c - LAG(c) OVER (PARTITION BY event_type ORDER BY d) AS delta
+  FROM daily
+),
+sg AS (
+  SELECT event_type, d,
+         CASE WHEN delta > 0 THEN 1 ELSE -1 END AS sgn
+  FROM dl WHERE delta IS NOT NULL AND delta <> 0
+),
+ch AS (
+  SELECT event_type, sgn,
+         CASE WHEN LAG(sgn) OVER (PARTITION BY event_type ORDER BY d)
+                   IS DISTINCT FROM sgn THEN 1 ELSE 0 END AS chg
+  FROM sg
+),
+agg AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+         CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+         CAST(SUM(chg) AS BIGINT) AS n_runs
+  FROM ch GROUP BY event_type
+)
+SELECT event_type, n_up, n_down, n_up + n_down AS n, n_runs,
+       CAST(1000000 + (2000000 * n_up * n_down) // (n_up + n_down)
+            AS BIGINT) AS expected_runs_e6,
+       CAST(CASE WHEN n_up = 0 OR n_down = 0 OR n_up + n_down < 2 THEN 0
+            ELSE (1000000 * 2 * n_up * n_down
+                  * (2 * n_up * n_down - (n_up + n_down)))
+                 // ((n_up + n_down) * (n_up + n_down)
+                     * (n_up + n_down - 1)) END AS BIGINT) AS var_runs_e6
+FROM agg
+""",
+)
+def stats_runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test (Wald & Wolfowitz 1940) for randomness of
+    the daily-volume direction per event type: dichotomize day-over-day
+    deltas into up/down signs (zeros excluded, the classic convention),
+    count maximal same-sign runs, and ship the null moments as exact
+    scaled integers — E[R] = 1 + 2·n₁n₂/n and Var[R] =
+    2n₁n₂(2n₁n₂−n)/(n²(n−1)), both floor-e6 (nonnegative whenever both
+    sign counts are ≥1, so floor == truncate cross-engine). Too FEW runs
+    means momentum/trending, too MANY means oscillation — the
+    serial-dependence screen beside the trend tests (Mann-Kendall,
+    Theil-Sen) and the lag-7 autocorrelation.
+
+    Scale: daily roll-up collapses events map-side; the delta/sign/
+    run-change lags are three window passes over the bounded calendar
+    relation per type (one shuffle, shared partitioning); the moment
+    arithmetic runs on |types| rows. n_runs counts CHANGES (first run
+    contributes the +1 in E[R]'s formula on the oracle side too) —
+    identical convention both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count("*").cast("long").alias("c"))
+    wt = Window.partitionBy("event_type").orderBy("d")
+    dl = daily.select(
+        "event_type", "d", (F.col("c") - F.lag("c").over(wt)).alias("delta")
+    )
+    sg = dl.filter(F.col("delta").isNotNull() & (F.col("delta") != 0)).select(
+        "event_type",
+        "d",
+        F.when(F.col("delta") > 0, 1).otherwise(-1).alias("sgn"),
+    )
+    ch = sg.select(
+        "event_type",
+        "sgn",
+        F.when(
+            ~F.lag("sgn").over(wt).eqNullSafe(F.col("sgn")), 1
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    agg = ch.groupBy("event_type").agg(
+        F.sum(F.when(F.col("sgn") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_up"),
+        F.sum(F.when(F.col("sgn") == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_down"),
+        F.sum("chg").cast("long").alias("n_runs"),
+    )
+    return agg.select(
+        "event_type",
+        "n_up",
+        "n_down",
+        (F.col("n_up") + F.col("n_down")).alias("n"),
+        "n_runs",
+        F.expr(
+            "CAST(1000000 + (2000000 * n_up * n_down) div (n_up + n_down)"
+            " AS BIGINT)"
+        ).alias("expected_runs_e6"),
+        F.expr(
+            "CAST(CASE WHEN n_up = 0 OR n_down = 0 OR n_up + n_down < 2"
+            " THEN 0 ELSE (1000000 * 2 * n_up * n_down"
+            " * (2 * n_up * n_down - (n_up + n_down)))"
+            " div ((n_up + n_down) * (n_up + n_down) * (n_up + n_down - 1))"
+            " END AS BIGINT)"
+        ).alias("var_runs_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rich-club coefficient sweep (Zhou & Mondragón 2004)
+# ---------------------------------------------------------------------------
+
+_RICH_KS = (2, 4, 8)
+
+
+def _rich_club_oracle() -> str:
+    per_k = "\nUNION ALL\n".join(
+        f"""SELECT CAST({k} AS BIGINT) AS k,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM deg WHERE kdeg > {k}) AS n_club,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM edges e
+        JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node
+        WHERE du.kdeg > {k} AND dv.kdeg > {k}) AS e_club"""
+        for k in _RICH_KS
+    )
+    return f"""
+WITH eraw AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS (SELECT u, v FROM eraw GROUP BY u, v HAVING COUNT(*) >= 2),
+sym AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS kdeg FROM sym GROUP BY u),
+sweep AS ({per_k})
+SELECT k, n_club, e_club,
+       CAST((1000000 * 2 * e_club) // (n_club * (n_club - 1)) AS BIGINT)
+         AS phi_ppm
+FROM sweep WHERE n_club >= 2
+"""
+
+
+@register("graph_rich_club_coefficient", oracle=_rich_club_oracle())
+def graph_rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient sweep (Zhou & Mondragón 2004) of the
+    weight>=2 co-purchase graph: for each degree cutoff k, the density
+    φ(k) = 2·E_k / (N_k·(N_k−1)) among nodes of degree > k — do the
+    hubs preferentially interconnect? The cohesion-of-the-core view
+    beside assortativity's global mixing scalar (a graph can be
+    disassortative overall yet have a dense rich club); exact floor-ppm,
+    clubs with fewer than 2 members emit no row in either engine.
+
+    Scale: one shared edge build (the kcore/ktruss equi-join), one
+    map-side degree aggregate; each cutoff is two semi-joins of the
+    edge list against the filtered degree relation — the degree relation
+    broadcasts (|V| rows of two BIGINTs), the edge list never
+    re-shuffles, and the sweep is a constant 3-way union."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count("*").cast("long").alias("kdeg")).select(
+        F.col("u").alias("node"), "kdeg"
+    )
+    from functools import reduce
+
+    def club(k: int) -> DataFrame:
+        members = deg.filter(F.col("kdeg") > k).select("node")
+        n_club = members.count()
+        e_club = (
+            edges.join(members.withColumnRenamed("node", "u"), "u")
+            .join(members.withColumnRenamed("node", "v"), "v")
+            .count()
+        )
+        return spark.createDataFrame(
+            [(k, n_club, e_club)], "k long, n_club long, e_club long"
+        )
+
+    sweep = reduce(DataFrame.unionByName, [club(k) for k in _RICH_KS])
+    return sweep.filter(F.col("n_club") >= 2).select(
+        "k",
+        "n_club",
+        "e_club",
+        F.expr(
+            "CAST((1000000 * 2 * e_club) div (n_club * (n_club - 1))"
+            " AS BIGINT)"
+        ).alias("phi_ppm"),
     )

@@ -230,3 +230,42 @@ def test_dp_clipping_consistency(spark):
         assert r.n_clipped_users <= (5 * r.n_users + 99) // 100 + 1
         if r.clip_at == r.max_contrib:
             assert r.n_clipped_users == 0 and r.clipped_mass == 0
+
+
+# ---------------------------------------------------------------------------
+# Runs test
+# ---------------------------------------------------------------------------
+
+
+def test_runs_test_moments_and_bounds(spark):
+    rows = _run(spark, "stats_runs_test_daily").collect()
+    assert rows
+    for r in rows:
+        assert r.n == r.n_up + r.n_down
+        # runs count the sign CHANGES + the opening run, expressed as
+        # changes here; bounded by n-1 changes; at least 0
+        assert 0 <= r.n_runs <= max(r.n - 1, 0)
+        if r.n_up and r.n_down:
+            assert r.expected_runs_e6 == 1_000_000 + (
+                2_000_000 * r.n_up * r.n_down
+            ) // r.n
+            assert r.var_runs_e6 >= 0
+
+
+# ---------------------------------------------------------------------------
+# Rich club
+# ---------------------------------------------------------------------------
+
+
+def test_rich_club_monotone_membership(spark):
+    rows = sorted(_run(spark, "graph_rich_club_coefficient").collect(),
+                  key=lambda r: r.k)
+    assert rows
+    prev_n = None
+    for r in rows:
+        # club density is a valid simple-graph density
+        assert 0 <= r.phi_ppm <= 1_000_000
+        assert r.e_club <= r.n_club * (r.n_club - 1) // 2
+        if prev_n is not None:
+            assert r.n_club <= prev_n  # higher cutoff, smaller club
+        prev_n = r.n_club
