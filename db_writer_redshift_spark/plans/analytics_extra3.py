@@ -1221,3 +1221,101 @@ def graph_rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("phi_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch twin of the streaming PSI drift monitor
+# ---------------------------------------------------------------------------
+
+_PSI_TWIN_BUCKETS = 10
+
+
+@register(
+    "streaming_psi_drift_batch_twin",
+    oracle=f"""
+WITH ext AS (
+  SELECT MIN(value) AS lo, MAX(value) AS hi FROM events
+),
+b AS (
+  SELECT time_bucket(INTERVAL 1 DAY, ts) AS w,
+         GREATEST(LEAST(CAST(FLOOR(((value - lo) * {_PSI_TWIN_BUCKETS})
+                                   / (hi - lo + 1e-12)) AS INT),
+                        {_PSI_TWIN_BUCKETS - 1}), 0) AS bucket
+  FROM events, ext
+),
+q AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS qc FROM b GROUP BY bucket),
+qt AS (SELECT CAST(SUM(qc) AS BIGINT) AS q_tot FROM q),
+wb AS (
+  SELECT w, bucket, CAST(COUNT(*) AS BIGINT) AS n_win FROM b GROUP BY w, bucket
+),
+wt AS (SELECT w, CAST(SUM(n_win) AS BIGINT) AS win_tot FROM wb GROUP BY w)
+SELECT epoch_us(wb.w) AS window_start_us,
+       CAST(wb.bucket AS BIGINT) AS bucket,
+       wb.n_win, wt.win_tot,
+       CAST(ROUND(1000000000.0
+            * (CAST(wb.n_win AS DOUBLE) / wt.win_tot
+               - CAST(q.qc AS DOUBLE) / qt.q_tot)
+            * LN((CAST(wb.n_win AS DOUBLE) * qt.q_tot)
+                 / (CAST(q.qc AS DOUBLE) * wt.win_tot)))
+            AS BIGINT) AS psi_term_e9
+FROM wb JOIN wt USING (w) JOIN q USING (bucket), qt
+WHERE wb.n_win > 0 AND q.qc > 0
+""",
+)
+def streaming_psi_drift_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.stream_psi_drift — the SAME per-window,
+    per-bucket PSI contributions (daily tumbling windows, 10 equi-width
+    value buckets, baseline = the full-corpus histogram) computed as a
+    batch relation, so the streaming drift monitor's arithmetic carries
+    a full value-hash CORRECTNESS row (the streaming_near_dup /
+    token_budget twin discipline: the driver grades batch, the pytest
+    drives the actual stream and asserts row-level agreement with this
+    twin's formula). Each PSI term is one per-row ln from four exact
+    integers, rounded e9, per-bucket rows — never a summed
+    transcendental.
+
+    Scale: extents are one all-reduce broadcast; bucket assignment is
+    codegen arithmetic; window and baseline histograms are map-side
+    combinable aggregates over (day, bucket) — the joined relations are
+    calendar × 10 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    nb = _PSI_TWIN_BUCKETS
+    ext = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    b = ev.crossJoin(F.broadcast(ext)).select(
+        F.date_trunc("day", F.col("ts")).alias("w"),
+        F.greatest(
+            F.least(
+                F.expr(
+                    f"CAST(((value - lo) * {nb}) / (hi - lo + 1e-12) AS INT)"
+                ),
+                F.lit(nb - 1),
+            ),
+            F.lit(0),
+        ).alias("bucket"),
+    )
+    q = b.groupBy("bucket").agg(F.count("*").cast("long").alias("qc"))
+    qt = q.agg(F.sum("qc").cast("long").alias("q_tot"))
+    wb = b.groupBy("w", "bucket").agg(F.count("*").cast("long").alias("n_win"))
+    wt = wb.groupBy("w").agg(F.sum("n_win").cast("long").alias("win_tot"))
+    return (
+        wb.join(F.broadcast(wt), "w")
+        .join(F.broadcast(q), "bucket")
+        .crossJoin(F.broadcast(qt))
+        .filter((F.col("n_win") > 0) & (F.col("qc") > 0))
+        .select(
+            F.unix_micros(F.col("w").cast("timestamp_ltz")).alias(
+                "window_start_us"
+            ),
+            F.col("bucket").cast("long").alias("bucket"),
+            "n_win",
+            "win_tot",
+            F.expr(
+                "CAST(ROUND(1000000000.0"
+                " * (CAST(n_win AS DOUBLE) / win_tot"
+                "    - CAST(qc AS DOUBLE) / q_tot)"
+                " * LN((CAST(n_win AS DOUBLE) * q_tot)"
+                "      / (CAST(qc AS DOUBLE) * win_tot)))"
+                " AS BIGINT)"
+            ).alias("psi_term_e9"),
+        )
+    )

@@ -13,6 +13,7 @@ from db_writer_redshift_spark.streaming.jobs import (  # noqa: F401
     read_csv_stream,
     read_events_stream,
     stream_anomaly_filter,
+    stream_psi_drift,
     stream_click_purchase_join,
     stream_dedup_events,
     stream_hopping_counts,

@@ -791,3 +791,95 @@ class BudgetGateProcessor(_budget_gate_base()):
 
     def close(self) -> None:
         pass
+
+
+def stream_psi_drift(
+    events: DataFrame,
+    baseline_counts: list[int],
+    lo: float,
+    hi: float,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming drift monitor: per tumbling window, the Population
+    Stability Index of the streamed ``value`` distribution against a
+    BATCH-computed baseline histogram — the model-monitoring alert
+    (PSI > 0.25 = retrain) evaluated continuously instead of on a
+    nightly batch.
+
+    ``baseline_counts`` is the reference histogram over ``len(counts)``
+    equi-width buckets of ``[lo, hi]`` (e.g. from the batch relation
+    behind plans/analytics_extra2.drift_psi_doclen, or the twin
+    streaming_psi_drift_batch_twin's baseline CTE). The counts enter the
+    plan as LITERALS, so the static side costs nothing per batch and
+    refreshing the baseline is a query restart with new literals — the
+    stream-static pattern of stream_anomaly_filter without even a join.
+
+    Plan shape (the part that makes this possible in ONE stateful
+    aggregation — Spark forbids chained streaming aggs): the windowed
+    groupBy materializes the ENTIRE histogram as |buckets| conditional
+    counts in one row per window, so window totals and every per-bucket
+    PSI term are row-local projections AFTER the agg; posexplode then
+    emits the per-bucket rows. State per window is one |buckets|-wide
+    row — bounded by the watermark horizon regardless of stream volume.
+    Each PSI term is one per-row ln from four integers, rounded e9 —
+    the registry's no-summed-transcendentals discipline; buckets empty
+    on either side are gated out exactly like the batch PSI.
+
+    Emits (window_start_us, bucket, n_win, win_tot, psi_term_e9) in
+    append mode once the watermark closes each window.
+    """
+    from pyspark.sql import functions as F
+
+    nb = len(baseline_counts)
+    q_tot = sum(baseline_counts)
+    width_expr = (
+        f"least(CAST(((value - CAST({lo} AS DOUBLE)) * {nb})"
+        f" / (CAST({hi} AS DOUBLE) - CAST({lo} AS DOUBLE) + 1e-12) AS INT),"
+        f" {nb - 1})"
+    )
+    b = events.select(
+        "ts", F.greatest(F.expr(width_expr), F.lit(0)).alias("bucket")
+    )
+    agg = (
+        b.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(
+            *[
+                F.sum(F.when(F.col("bucket") == i, 1).otherwise(0))
+                .cast("long")
+                .alias(f"n{i}")
+                for i in range(nb)
+            ]
+        )
+    )
+    counts = F.array(*[F.col(f"n{i}") for i in range(nb)])
+    row = agg.select(
+        F.unix_micros(F.col("w.start").cast("timestamp_ltz")).alias(
+            "window_start_us"
+        ),
+        counts.alias("__c"),
+    ).select(
+        "window_start_us",
+        F.expr(
+            "aggregate(__c, CAST(0 AS BIGINT), (a, x) -> a + x)"
+        ).alias("win_tot"),
+        F.posexplode(F.col("__c")).alias("bucket", "n_win"),
+    )
+    q_arr = "array(" + ",".join(str(c) for c in baseline_counts) + ")"
+    return row.filter(
+        (F.col("n_win") > 0) & (F.expr(f"{q_arr}[bucket]") > 0)
+    ).select(
+        "window_start_us",
+        F.col("bucket").cast("long").alias("bucket"),
+        "n_win",
+        "win_tot",
+        F.expr(
+            "CAST(ROUND(1000000000.0"
+            " * (CAST(n_win AS DOUBLE) / win_tot"
+            f"    - CAST({q_arr}[bucket] AS DOUBLE) / {q_tot})"
+            " * LN((CAST(n_win AS DOUBLE) * {qt})"
+            f"      / (CAST({q_arr}[bucket] AS DOUBLE) * win_tot)))"
+            " AS BIGINT)".replace("{qt}", str(q_tot))
+        ).alias("psi_term_e9"),
+    )

@@ -723,3 +723,77 @@ def test_cdc_retraction_agg_sink_applies_deletes(spark, tmp_path):
         }
     finally:
         catalog.drop_table(spark, "cdc_view")
+
+
+def test_stream_psi_drift_matches_exact_replay(spark, tmp_path):
+    """The streaming PSI monitor's per-window, per-bucket terms equal an
+    exact Python replay of the same formula on the same rows — windowed
+    state is one histogram row per window, emitted on watermark close
+    (availableNow finalizes every window)."""
+    import math
+
+    from db_writer_redshift_spark.streaming import stream_psi_drift
+
+    # two 1-hour windows with visibly different value distributions
+    rows = []
+    eid = 0
+    for m in range(0, 30):  # window A: values low
+        rows.append(_mk(eid, m, 100, "click", float(m % 3)))
+        eid += 1
+    for m in range(60, 90):  # window B: values high
+        rows.append(_mk(eid, m, 100, "click", 6.0 + float(m % 4)))
+        eid += 1
+    # flush row: advances the watermark past window B's end so append
+    # mode finalizes it; its own window stays open and is not asserted
+    flush = _mk(eid, 600, 100, "click", 0.0)
+    src = tmp_path / "psi_src"
+    spark.createDataFrame(rows + [flush], EVENTS_SCHEMA).coalesce(1).write.parquet(
+        str(src)
+    )
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA).parquet(str(src))
+    )
+    baseline = [20, 10, 10, 10, 5, 5, 10, 10, 10, 10]  # any positive ref
+    lo, hi = 0.0, 9.0
+    out = _run_to_memory(
+        spark,
+        stream_psi_drift(stream, baseline, lo, hi, window="1 hour",
+                         watermark="10 minutes"),
+        "t_psi",
+        tmp_path,
+    ).collect()
+    assert out, "no finalized windows"
+
+    # exact replay
+    nb, q_tot = len(baseline), sum(baseline)
+    hist: dict[tuple[int, int], int] = {}
+    for r in rows:
+        ws = r[1].replace(minute=0, second=0, microsecond=0)
+        ws_us = int(ws.timestamp() * 1_000_000)
+        b = min(int((r[4] - lo) * nb / (hi - lo + 1e-12)), nb - 1)
+        b = max(b, 0)
+        hist[(ws_us, b)] = hist.get((ws_us, b), 0) + 1
+    totals: dict[int, int] = {}
+    for (ws_us, _), n in hist.items():
+        totals[ws_us] = totals.get(ws_us, 0) + n
+    expected = {}
+    for (ws_us, b), n in hist.items():
+        if baseline[b] <= 0:
+            continue
+        p = n / totals[ws_us]
+        q = baseline[b] / q_tot
+        expected[(ws_us, b)] = (
+            n,
+            totals[ws_us],
+            round(1_000_000_000.0 * (p - q) * math.log(p / q)),
+        )
+    got = {
+        (r.window_start_us, r.bucket): (r.n_win, r.win_tot, r.psi_term_e9)
+        for r in out
+    }
+    assert got == expected
+    # drifted window B must alert: its |PSI| sum far exceeds window A's
+    by_win = {}
+    for (ws_us, _), (_, _, term) in got.items():
+        by_win[ws_us] = by_win.get(ws_us, 0) + abs(term)
+    assert len(by_win) == 2 and max(by_win.values()) > 250_000_000
