@@ -118,12 +118,32 @@ keepers re-proving the highest-value families:
 After this window the union over r01-r07 covers 292/292 of the
 round-6 registry: every registered query graded at least once.
 
-ROUND-8+ PLAN: seat any round-7 additions registered after this
-window, then rotate keepers by family age (oldest driver row first);
-tools/plan_rotation.py computes the proposal from the CORRECTNESS
-files present at round open. Regenerating CORRECTNESS_union.md is
-part of the round-open checklist (VERDICT r6 #2) — run
-`python tools/correctness_union.py` before anything else.
+ROUND-7 ADDITIONS (registered after this window was seated; every one
+certified against its DuckDB oracle at sf0.001, sf0.01 AND sf0.1 in
+round 7 — and the FULL 306-query registry re-passed the dtype-faithful
+gate at round-7 close: 306/306 at sf0.01 AND 306/306 at sf0.1): 14 new
+operators —
+
+  * multimodal_png_decode (plans/llm_ops.py — the real-codec lane's
+    round-7 narrowing: stdlib-zlib PNG with full five-filter defilter);
+  * the 13 in plans/analytics_extra3.py: c4_rules_audit,
+    survival_km_curve, graph_degree_assortativity,
+    stats_mann_kendall_daily, text_readability_fkgl,
+    dq_outlier_iqr_prices, events_activity_islands,
+    orders_new_vs_returning_monthly, stats_cramers_v_type_dow,
+    privacy_dp_clipping_audit, stats_runs_test_daily,
+    graph_rich_club_coefficient, streaming_psi_drift_batch_twin (the
+    batch twin of streaming.stream_psi_drift — third member of the
+    streaming-twin family).
+
+ROUND-8 WINDOW PLAN: seat those 14 never-graded round-7 additions
+first, then fill the remaining 36 slots with keepers rotating by
+family age (oldest driver row first — tools/plan_rotation.py computes
+the proposal from the CORRECTNESS files present at round-8 open).
+Regenerating CORRECTNESS_union.md is part of the round-open checklist
+(VERDICT r6 #2) — run `python tools/correctness_union.py` before
+anything else, and re-run it after any new registration (the freshness
+guard compares against the LIVE registry size).
 """
 
 from __future__ import annotations
