@@ -44,6 +44,12 @@ readability scoring, and robust outlier accounting.
   direction randomness, null moments as exact floor-e6 rationals.
 * ``graph_rich_club_coefficient`` — rich-club density sweep φ(k) of the
   co-purchase hubs (Zhou & Mondragón 2004), exact floor-ppm.
+* ``streaming_psi_drift_batch_twin`` — the value-hash-oracled batch twin
+  of streaming.stream_psi_drift (per-window PSI vs a baseline histogram).
+* ``events_variant_extract`` — Spark 4 native VARIANT path probes
+  (parse once, typed variant_get reads, NULL on absent paths).
+* ``lateral_topk_per_segment`` — LATERAL correlated subquery top-k; the
+  identical ANSI text runs on both engines.
 """
 
 from __future__ import annotations
@@ -1319,3 +1325,89 @@ def streaming_psi_drift_batch_twin(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("psi_term_e9"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT semi-structured extraction (Spark 4 native type)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_variant_extract",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(props::JSON ->> 'k' AS BIGINT)) AS BIGINT) AS k_sum,
+       CAST(MAX(CAST(props::JSON ->> 'k' AS BIGINT)) AS BIGINT) AS k_max,
+       CAST(SUM(CASE WHEN props::JSON ->> 'missing' IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_path
+FROM events
+GROUP BY event_type
+""",
+)
+def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction through Spark 4's native VARIANT type:
+    ``parse_json`` shreds the props payload ONCE into the binary variant
+    encoding, then ``variant_get`` path reads are cheap typed probes —
+    the engine path that replaces per-extraction string re-parsing
+    (get_json_object re-tokenizes the string for every path; the
+    registry's events_json_props_rollup shows that older pattern). The
+    missing-path count proves variant null semantics: absent paths read
+    as SQL NULL, not an error. DuckDB mirrors with its JSON type.
+
+    Scale: parse_json runs scan-stage row-local (codegen, no UDF); the
+    rollup is one map-side-combinable aggregate over |event_type| rows.
+    At 100 TB VARIANT's columnar shredding (Parquet variant shredding)
+    turns repeated path probes into column reads — the design reason to
+    prefer it over string JSON at ingestion time."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json(F.col("props")).alias("vp")
+    ).select(
+        "event_type",
+        F.expr("variant_get(vp, '$.k', 'bigint')").alias("k"),
+        F.expr("variant_get(vp, '$.missing', 'string')").alias("m"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("k").cast("long").alias("k_sum"),
+        F.max("k").cast("long").alias("k_max"),
+        F.sum(F.when(F.col("m").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_missing_path"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LATERAL correlated subquery (per-group top-k without a window)
+# ---------------------------------------------------------------------------
+
+_LATERAL_SQL = """
+SELECT s.c_mktsegment AS segment, l.c_custkey, l.bal_cents
+FROM (SELECT DISTINCT c_mktsegment FROM customer) s,
+LATERAL (
+  SELECT c_custkey, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer c
+  WHERE c.c_mktsegment = s.c_mktsegment
+  ORDER BY bal_cents DESC, c_custkey
+  LIMIT 3
+) l
+"""
+
+
+@register("lateral_topk_per_segment", oracle=_LATERAL_SQL)
+def lateral_topk_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment top-3 customers by account balance via a LATERAL
+    correlated subquery — the SQL-standard formulation of top-k-per-group
+    (the same ANSI text runs verbatim on both engines), completing the
+    subquery family (scalar/correlated/EXISTS) with the lateral member.
+    Catalyst decorrelates the lateral into a ranked window under the
+    hood, so the physical plan matches the registry's
+    window_rank_orders_per_customer shape rather than a per-group rescan
+    — declare the intent, let the optimizer pick the join strategy.
+
+    Scale: after decorrelation this is one customer-keyed window over
+    segment partitions — a single shuffle on the grouping key; the
+    5-row segment relation never drives row-at-a-time execution."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_LATERAL_SQL)

@@ -9,5 +9,6 @@ from db_writer_redshift_spark.sources.csv_ingest import (  # noqa: F401
     read_table_csv,
     read_table_jsonl,
     read_table_orc,
+    read_table_xml,
     validate_load,
 )

@@ -12,6 +12,8 @@ from db_writer_redshift_spark.streaming.jobs import (  # noqa: F401
     near_dup_filter_sink,
     read_csv_stream,
     read_events_stream,
+    read_query_state,
+    state_skew_summary,
     stream_anomaly_filter,
     stream_psi_drift,
     stream_click_purchase_join,

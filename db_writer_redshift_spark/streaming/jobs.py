@@ -883,3 +883,47 @@ def stream_psi_drift(
             " AS BIGINT)".replace("{qt}", str(q_tot))
         ).alias("psi_term_e9"),
     )
+
+
+def read_query_state(
+    spark,
+    checkpoint: str,
+    batch_id: int | None = None,
+    operator_id: int = 0,
+) -> DataFrame:
+    """Offline inspection of a streaming query's STATE STORE through
+    Spark 4's ``statestore`` reader — the ops tool for the questions the
+    progress metrics can't answer: WHICH keys are pinned in state, is
+    state skewed across partitions, did the watermark actually evict a
+    window. Reads the checkpoint's state files directly (the query need
+    not be running), returning (key struct, value struct, partition_id)
+    rows exactly as the operator stored them.
+
+    ``batch_id`` selects a historical snapshot (default: latest
+    committed); ``operator_id`` selects among stateful operators when a
+    query chains several (each gets its own store).
+
+    Scale: state files are read split-parallel like any file source, so
+    inspecting a TB-scale state store is a normal distributed scan —
+    never a driver download.
+    """
+    r = spark.read.format("statestore")
+    if batch_id is not None:
+        r = r.option("batchId", batch_id)
+    if operator_id:
+        r = r.option("operatorId", operator_id)
+    return r.load(checkpoint)
+
+
+def state_skew_summary(state: DataFrame) -> DataFrame:
+    """Per-partition state-row census over a read_query_state relation —
+    the one-look skew diagnosis (a hot key family shows up as one
+    partition holding a multiple of the median's rows). Output:
+    (partition_id, n_state_rows), ascending by partition."""
+    from pyspark.sql import functions as F
+
+    return (
+        state.groupBy("partition_id")
+        .agg(F.count("*").cast("long").alias("n_state_rows"))
+        .orderBy("partition_id")
+    )

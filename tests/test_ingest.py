@@ -287,3 +287,33 @@ def test_configure_s3_without_token_skips_provider(spark):
     )
     assert "fs.s3a.bucket.plain-bucket.aws.credentials.provider" not in applied
     assert applied["fs.s3a.bucket.plain-bucket.secret.key"] == "s2"
+
+
+def test_xml_same_pipeline_as_csv(spark, tmp_path):
+    """Spark 4's native XML source feeds the identical cast/validate
+    path: typed columns, width truncation, and the Column/line error
+    contract — one ingest contract across CSV/JSONL/ORC/XML."""
+    from db_writer_redshift_spark.sources import read_table_xml
+
+    p = tmp_path / "t.xml"
+    p.write_text(
+        "<rows>"
+        "<row><id>1</id><name>Ada</name><created>2024-06-22</created></row>"
+        "<row><id>2</id><name>Bela</name><created>2024/06/22</created></row>"
+        "<row><id>3</id><name>Cilla</name><created>oops</created></row>"
+        "</rows>"
+    )
+    t = _table(
+        [
+            ColumnItem("id", "id", "int"),
+            ColumnItem("name", "name", "varchar", "3"),
+            ColumnItem("created", "created", "date"),
+        ]
+    )
+    errs = validate_load(read_table_xml(spark, str(p), t), t)
+    assert [e.message() for e in errs] == [
+        "Column 'created', line 3: Invalid Date Format - length must be 10 or more"
+    ]
+    good = apply_schema(read_table_xml(spark, str(p), t).filter("id < 3"), t)
+    rows = {r.id: (r.name, str(r.created)) for r in good.collect()}
+    assert rows == {1: ("Ada", "2024-06-22"), 2: ("Bel", "2024-06-22")}

@@ -797,3 +797,53 @@ def test_stream_psi_drift_matches_exact_replay(spark, tmp_path):
     for (ws_us, _), (_, _, term) in got.items():
         by_win[ws_us] = by_win.get(ws_us, 0) + abs(term)
     assert len(by_win) == 2 and max(by_win.values()) > 250_000_000
+
+
+def test_state_store_reader_inspects_window_state(spark, tmp_path):
+    """Spark 4's statestore reader opens a finished query's checkpoint
+    and returns exactly the window state the aggregation kept: one row
+    per (window, event_type) still inside the watermark horizon, with
+    counts matching the input — plus the per-partition skew census."""
+    from db_writer_redshift_spark.streaming import (
+        read_query_state,
+        state_skew_summary,
+    )
+
+    rows = [_mk(i, i * 7, 100 + i % 3, "click", 1.0) for i in range(20)]
+    src = tmp_path / "ssr_src"
+    spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(str(src))
+    from pyspark.sql import functions as F
+
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    ck = str(tmp_path / "ssr_ck")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_ssr")
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    state = read_query_state(spark, ck)
+    got = {
+        (r.key.window.start.isoformat(), r.key.event_type): r.value["count"]
+        for r in state.collect()
+    }
+    # replay: 20 events at 7-minute spacing -> per-hour counts
+    expected: dict[tuple[str, str], int] = {}
+    for r in rows:
+        ws = r[1].replace(minute=0, second=0, microsecond=0)
+        key = (ws.isoformat(), "click")
+        expected[key] = expected.get(key, 0) + 1
+    assert got == expected
+
+    census = {r.partition_id: r.n_state_rows for r in
+              state_skew_summary(state).collect()}
+    assert sum(census.values()) == len(expected)
