@@ -1411,3 +1411,97 @@ def lateral_topk_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     5-row segment relation never drives row-at-a-time execution."""
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(_LATERAL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Cohort lifetime-value curve
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_cohort_ltv_curve",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey,
+         CAST(EXTRACT(year FROM o_orderdate) * 12
+              + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT) AS m,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+f AS (SELECT o_custkey, MIN(m) AS m0 FROM o GROUP BY o_custkey),
+cs AS (SELECT m0, CAST(COUNT(*) AS BIGINT) AS cohort_size FROM f GROUP BY m0),
+cell AS (
+  SELECT f.m0, o.m - f.m0 AS offset_m,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(o.cents) AS BIGINT) AS revenue_cents
+  FROM o JOIN f USING (o_custkey)
+  GROUP BY f.m0, o.m - f.m0
+)
+SELECT cell.m0 AS cohort_month_idx, cell.offset_m, cs.cohort_size,
+       cell.n_orders, cell.revenue_cents,
+       CAST(SUM(cell.revenue_cents) OVER (PARTITION BY cell.m0
+                                          ORDER BY cell.offset_m
+                                          ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum_revenue_cents,
+       CAST(SUM(cell.revenue_cents) OVER (PARTITION BY cell.m0
+                                          ORDER BY cell.offset_m
+                                          ROWS UNBOUNDED PRECEDING)
+            // cs.cohort_size AS BIGINT) AS ltv_per_customer_cents
+FROM cell JOIN cs USING (m0)
+""",
+)
+def orders_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: customers grouped by first-order
+    month (linear month index year*12+month-1, so offsets subtract
+    exactly), then per (cohort, months-since-first) the order count,
+    exact-cents revenue, running cumulative revenue, and the
+    per-customer LTV the growth model reads off the curve — the
+    unit-economics view that prices acquisition spend, completing the
+    behavioral-cohort lane (weekly retention = who comes back; this =
+    what they are worth while they do).
+
+    Scale: first-month MIN and the (cohort, offset) cells are map-side
+    combinable aggregates keyed on custkey then on the bounded
+    |months|² cell grid; the cumulative window partitions by cohort
+    over that tiny relation. All integers (exact cents, floor
+    per-customer division)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("long")
+        .alias("m"),
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    f = o.groupBy("o_custkey").agg(F.min("m").alias("m0"))
+    cs = f.groupBy("m0").agg(F.count("*").cast("long").alias("cohort_size"))
+    cell = (
+        o.join(f, "o_custkey")
+        .groupBy("m0", (F.col("m") - F.col("m0")).alias("offset_m"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+    )
+    wc = (
+        Window.partitionBy("m0")
+        .orderBy("offset_m")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        cell.join(F.broadcast(cs), "m0")
+        .select(
+            F.col("m0").alias("cohort_month_idx"),
+            "offset_m",
+            "cohort_size",
+            "n_orders",
+            "revenue_cents",
+            F.sum("revenue_cents").over(wc).cast("long").alias(
+                "cum_revenue_cents"
+            ),
+            F.expr(
+                "CAST(SUM(revenue_cents) OVER (PARTITION BY m0 ORDER BY offset_m"
+                " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+                " div cohort_size AS BIGINT)"
+            ).alias("ltv_per_customer_cents"),
+        )
+    )

@@ -121,13 +121,13 @@ round-6 registry: every registered query graded at least once.
 ROUND-7 ADDITIONS (registered after this window was seated; every one
 certified against its DuckDB oracle at sf0.001, sf0.01 AND sf0.1 in
 round 7 — and the FULL registry re-passed the dtype-faithful gate at
-round-7 close: 306/306 at sf0.01 AND 306/306 at sf0.1, with the two
+round-7 close: 306/306 at sf0.01 AND 306/306 at sf0.1, with the three
 post-gate additions below certified individually at all three scales):
-16 new operators —
+17 new operators —
 
   * multimodal_png_decode (plans/llm_ops.py — the real-codec lane's
     round-7 narrowing: stdlib-zlib PNG with full five-filter defilter);
-  * the 15 in plans/analytics_extra3.py: c4_rules_audit,
+  * the 16 in plans/analytics_extra3.py: c4_rules_audit,
     survival_km_curve, graph_degree_assortativity,
     stats_mann_kendall_daily, text_readability_fkgl,
     dq_outlier_iqr_prices, events_activity_islands,
@@ -137,10 +137,11 @@ post-gate additions below certified individually at all three scales):
     batch twin of streaming.stream_psi_drift — third member of the
     streaming-twin family), events_variant_extract (Spark 4 native
     VARIANT path), lateral_topk_per_segment (LATERAL correlated
-    subquery, same ANSI text on both engines).
+    subquery, same ANSI text on both engines), orders_cohort_ltv_curve
+    (acquisition-cohort lifetime-value curve in exact cents).
 
-ROUND-8 WINDOW PLAN: seat those 16 never-graded round-7 additions
-first, then fill the remaining 34 slots with keepers rotating by
+ROUND-8 WINDOW PLAN: seat those 17 never-graded round-7 additions
+first, then fill the remaining 33 slots with keepers rotating by
 family age (oldest driver row first — tools/plan_rotation.py computes
 the proposal from the CORRECTNESS files present at round-8 open).
 Regenerating CORRECTNESS_union.md is part of the round-open checklist

@@ -269,3 +269,36 @@ def test_rich_club_monotone_membership(spark):
         if prev_n is not None:
             assert r.n_club <= prev_n  # higher cutoff, smaller club
         prev_n = r.n_club
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV
+# ---------------------------------------------------------------------------
+
+
+def test_cohort_ltv_monotone_and_conserves_revenue(spark):
+    rows = _run(spark, "orders_cohort_ltv_curve").collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_month_idx, []).append(r)
+    total = 0
+    for m0, cells in by_cohort.items():
+        cells.sort(key=lambda r: r.offset_m)
+        assert cells[0].offset_m == 0  # the acquisition month always exists
+        cum = 0
+        for c in cells:
+            cum += c.revenue_cents
+            assert c.cum_revenue_cents == cum  # running sum is exact
+            assert c.ltv_per_customer_cents == cum // c.cohort_size
+        total += cum
+    # conservation: every order's cents land in exactly one cohort cell
+    from db_writer_redshift_spark.plans.registry import load_table
+    from pyspark.sql import functions as F
+
+    expect = (
+        load_table(spark, SF_DIR, "orders")
+        .agg(F.expr("SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))").alias("s"))
+        .first()["s"]
+    )
+    assert total == expect
