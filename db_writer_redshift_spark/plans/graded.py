@@ -140,22 +140,44 @@ post-gate additions below certified individually at all three scales):
     subquery, same ANSI text on both engines), orders_cohort_ltv_curve
     (acquisition-cohort lifetime-value curve in exact cents).
 
-ROUND-8 WINDOW PLAN: seat those 17 never-graded round-7 additions
-first, then fill the remaining 33 slots with keepers rotating by
-family age (oldest driver row first — tools/plan_rotation.py computes
-the proposal from the CORRECTNESS files present at round-8 open).
-Regenerating CORRECTNESS_union.md is part of the round-open checklist
-(VERDICT r6 #2) — run `python tools/correctness_union.py` before
-anything else, and re-run it after any new registration (the freshness
-guard compares against the LIVE registry size).
+ROUND-8 WINDOW (this window, seated at round-8 open per the plan
+written at round-7 close and VERDICT r7 "Next round" #1, exactly the
+tools/plan_rotation.py proposal computed from CORRECTNESS_r01-r07):
+the 17 never-graded round-7 additions first (independently re-verified
+by the round-7 judge at sf0.01: 17/17 PASS), then 33 family keepers —
+the round-6-addition names that first went green in r07, which also
+re-prove every operator family the prefix map tracks. After this
+window the union over r01-r08 covers 309/309 of the round-7 registry:
+every registered query graded at least once.
+
+Round-8 additions registered after this window was seated land AFTER
+slot 50 and are listed in the module docstring section below as they
+accumulate; they get their driver rows in the round-9 window.
 """
 
 from __future__ import annotations
 
 GRADED_FIRST: list[str] = [
-    # ---- ROUND-7 WINDOW (see module docstring) -------------------------
-    # The 39 never-graded round-6 additions (judge-verified 39/39 PASS
-    # at sf0.01 in the round-6 verdict):
+    # ---- ROUND-8 WINDOW (see module docstring; = tools/plan_rotation.py proposal) ----
+    # 17 never-graded round-7 additions:
+    "multimodal_png_decode",
+    "c4_rules_audit",
+    "survival_km_curve",
+    "graph_degree_assortativity",
+    "stats_mann_kendall_daily",
+    "text_readability_fkgl",
+    "dq_outlier_iqr_prices",
+    "events_activity_islands",
+    "orders_new_vs_returning_monthly",
+    "stats_cramers_v_type_dow",
+    "privacy_dp_clipping_audit",
+    "stats_runs_test_daily",
+    "graph_rich_club_coefficient",
+    "streaming_psi_drift_batch_twin",
+    "events_variant_extract",
+    "lateral_topk_per_segment",
+    "orders_cohort_ltv_curve",
+    # 33 family keepers (first green in r07):
     "graph_kcore_copurchase",
     "stats_two_proportion_ab",
     "text_chargram_gini",
@@ -189,25 +211,6 @@ GRADED_FIRST: list[str] = [
     "events_binary_segmentation",
     "stats_kendall_tau_daily",
     "multimodal_patch_grid",
-    "graph_link_prediction_jaccard",
-    "events_robust_anomaly_mad",
-    "stats_median_ci_orderstat",
-    "inequality_lorenz_deciles",
-    "events_markov_stationary",
-    "forecast_pinball_baselines",
-    # 11 keepers: flagships (q3/q5 re-proving the de-broadcast fix),
-    # merge/upsert, the portable LSH/ANN exact twins, streaming twins:
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "merge_upsert_orders",
-    "dedup_minhash_portable",
-    "dedup_simhash_portable",
-    "dedup_embedding_lsh_portable",
-    "ann_lsh_portable",
-    "ann_ivf_portable",
-    "streaming_near_dup_batch_twin",
-    "streaming_token_budget_batch_twin",
 ]
 
 WINDOW = 50
