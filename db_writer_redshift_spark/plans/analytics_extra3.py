@@ -149,14 +149,18 @@ WITH e AS (
   SELECT user_id, event_id, epoch_us(ts) AS t FROM events
 ),
 b AS (
-  SELECT user_id, t,
+  SELECT user_id, t, event_id,
          CASE WHEN LAG(t) OVER w IS NULL
               OR t - LAG(t) OVER w > {_KM_GAP_US} THEN 1 ELSE 0 END AS brk
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
 ),
 s AS (
+  -- (t, event_id) ordering on BOTH the lag and the running sum: with
+  -- duplicate (user_id, t) rows at a session boundary a t-only ROWS
+  -- frame is order-nondeterministic in both engines (ADVICE r7 #1) —
+  -- the sessionization house rule (relational.py, temporal_queries.py).
   SELECT user_id, t,
-         SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
                         ROWS UNBOUNDED PRECEDING) AS sid
   FROM b
 ),
@@ -230,6 +234,7 @@ def survival_km_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = e.select(
         "user_id",
         "t",
+        "event_id",
         F.when(
             F.lag("t").over(w).isNull()
             | (F.col("t") - F.lag("t").over(w) > _KM_GAP_US),
@@ -238,7 +243,10 @@ def survival_km_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("brk"),
     )
-    ws = Window.partitionBy("user_id").orderBy("t").rowsBetween(
+    # event_id tiebreaker on the running sum too — a t-only ROWS frame is
+    # order-nondeterministic under duplicate (user_id, t) at a session
+    # boundary (ADVICE r7 #1; sessionization house rule).
+    ws = Window.partitionBy("user_id").orderBy("t", "event_id").rowsBetween(
         Window.unboundedPreceding, 0
     )
     s = b.select("user_id", "t", F.sum("brk").over(ws).alias("sid"))
@@ -311,12 +319,14 @@ mo AS (
   FROM pts
 )
 SELECT CAST(m2 // 2 AS BIGINT) AS n_edges, m2 AS n_points, sx, sxx, sxy,
-       CAST(m2 * sxy - sx * sx AS BIGINT) AS num,
-       CAST(m2 * sxx - sx * sx AS BIGINT) AS den,
-       CASE WHEN m2 * sxx - sx * sx = 0 THEN 0
-            ELSE CAST(CASE WHEN m2 * sxy - sx * sx >= 0 THEN 1 ELSE -1 END
-                      * ((1000000::HUGEINT * ABS(m2 * sxy - sx * sx))
-                         // (m2 * sxx - sx * sx)) AS BIGINT)
+       CAST(m2::HUGEINT * sxy - sx::HUGEINT * sx AS BIGINT) AS num,
+       CAST(m2::HUGEINT * sxx - sx::HUGEINT * sx AS BIGINT) AS den,
+       CASE WHEN m2::HUGEINT * sxx - sx::HUGEINT * sx = 0 THEN 0
+            ELSE CAST(CASE WHEN m2::HUGEINT * sxy - sx::HUGEINT * sx >= 0
+                           THEN 1 ELSE -1 END
+                      * ((1000000::HUGEINT
+                          * ABS(m2::HUGEINT * sxy - sx::HUGEINT * sx))
+                         // (m2::HUGEINT * sxx - sx::HUGEINT * sx)) AS BIGINT)
        END AS r_ppm
 FROM mo
 """,
@@ -340,9 +350,11 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the co-purchase edge build is the kcore/ktruss equi-join (one
     shuffle on orderkey, weight-2 floor applied before anything else);
-    degrees are a map-side aggregate; the moment rollup is one row. The
-    scaled quotient runs in DECIMAL(38) so the 1e6·|num| product cannot
-    overflow BIGINT at any sf."""
+    degrees are a map-side aggregate; the moment rollup is one row. Every
+    moment product (m2·sxy, sx·sx, the 1e6 scaling) promotes to 128-bit
+    DECIMAL(38)/HUGEINT BEFORE multiplying, so no intermediate can
+    overflow int64 at any sf; the num/den output columns are BIGINT and
+    exact wherever the final value itself fits int64."""
     li = load_table(spark, sf_dir, "lineitem")
     op = li.select("l_orderkey", "l_partkey").distinct()
     a, b = op.alias("a"), op.alias("b")
@@ -375,20 +387,36 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
         F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
     )
-    return mo.select(
+    # All m2·sxy / sx·sx products promote to 128-bit (DECIMAL(38) /
+    # HUGEINT) BEFORE the multiply (ADVICE r7 #3): raw BIGINT products
+    # overflow int64 at large sf — DuckDB errors, non-ANSI Spark wraps.
+    # The num/den OUTPUT columns stay BIGINT-cast, exact wherever the
+    # result itself fits int64.
+    prom = mo.select(
+        "m2",
+        "sx",
+        "sxx",
+        "sxy",
+        F.expr(
+            "CAST(m2 AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sx"
+        ).alias("numd"),
+        F.expr(
+            "CAST(m2 AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"
+        ).alias("dend"),
+    )
+    return prom.select(
         F.expr("m2 div 2").alias("n_edges"),
         F.col("m2").alias("n_points"),
         "sx",
         "sxx",
         "sxy",
-        (F.col("m2") * F.col("sxy") - F.col("sx") * F.col("sx")).alias("num"),
-        (F.col("m2") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("den"),
+        F.expr("CAST(numd AS BIGINT)").alias("num"),
+        F.expr("CAST(dend AS BIGINT)").alias("den"),
         F.expr(
-            "CASE WHEN m2 * sxx - sx * sx = 0 THEN 0"
-            " ELSE CAST(CASE WHEN m2 * sxy - sx * sx >= 0 THEN 1 ELSE -1 END"
-            " * ((CAST(1000000 AS DECIMAL(38,0))"
-            "     * ABS(m2 * sxy - sx * sx))"
-            "    div (m2 * sxx - sx * sx)) AS BIGINT) END"
+            "CASE WHEN dend = 0 THEN 0"
+            " ELSE CAST(CASE WHEN numd >= 0 THEN 1 ELSE -1 END"
+            " * ((CAST(1000000 AS DECIMAL(38,0)) * ABS(numd))"
+            "    div dend) AS BIGINT) END"
         ).alias("r_ppm"),
     )
 
@@ -855,8 +883,8 @@ tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
 chi AS (
   SELECT CAST(SUM(
            (1000000::HUGEINT
-            * (cells.o * tot.n - rt.r * ct.c)::HUGEINT
-            * (cells.o * tot.n - rt.r * ct.c)::HUGEINT)
+            * (cells.o::HUGEINT * tot.n - rt.r::HUGEINT * ct.c)
+            * (cells.o::HUGEINT * tot.n - rt.r::HUGEINT * ct.c))
            // (rt.r::HUGEINT * ct.c * tot.n)
          ) AS HUGEINT) AS chi2n_e6
   FROM cells JOIN rt USING (event_type) JOIN ct USING (dow), tot
@@ -901,9 +929,13 @@ def stats_cramers_v_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ct, "dow")
         .crossJoin(F.broadcast(tot))
         .select(
+            # o·n and r·c promote to 128-bit BEFORE the multiply (ADVICE
+            # r7 #3): raw BIGINT products overflow int64 at large sf —
+            # DuckDB would error, non-ANSI Spark would wrap silently.
             F.expr(
                 "(CAST(1000000 AS DECIMAL(38,0))"
-                " * (o * n - r * c) * (o * n - r * c))"
+                " * (CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c)"
+                " * (CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c))"
                 " div (CAST(r AS DECIMAL(38,0)) * c * n)"
             ).alias("term")
         )
@@ -1177,11 +1209,16 @@ def graph_rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     disassortative overall yet have a dense rich club); exact floor-ppm,
     clubs with fewer than 2 members emit no row in either engine.
 
-    Scale: one shared edge build (the kcore/ktruss equi-join), one
-    map-side degree aggregate; each cutoff is two semi-joins of the
-    edge list against the filtered degree relation — the degree relation
-    broadcasts (|V| rows of two BIGINTs), the edge list never
-    re-shuffles, and the sweep is a constant 3-way union."""
+    Scale: one shared edge build (the kcore/ktruss equi-join, persisted
+    across the sweep and unpersisted after the single collecting action
+    — ADVICE r7 #2's fix for the per-cutoff rebuild), one map-side
+    degree aggregate; ALL cutoffs then come from ONE pass — edges join
+    the broadcast degree relation once to pick up (ku, kv) and every
+    n_club/e_club is a conditional count in a single-row aggregate, so
+    the edge list shuffles once total and the sweep adds no further
+    jobs. The collected state is that one aggregate row (bounded by the
+    constant cutoff list, the markov/KM bounded-driver-state
+    discipline)."""
     li = load_table(spark, sf_dir, "lineitem")
     op = li.select("l_orderkey", "l_partkey").distinct()
     a, b = op.alias("a"), op.alias("b")
@@ -1196,28 +1233,39 @@ def graph_rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("w"))
         .filter(F.col("w") >= 2)
         .select("u", "v")
+        .persist()
     )
-    sym = edges.unionByName(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
-    deg = sym.groupBy("u").agg(F.count("*").cast("long").alias("kdeg")).select(
-        F.col("u").alias("node"), "kdeg"
-    )
-    from functools import reduce
-
-    def club(k: int) -> DataFrame:
-        members = deg.filter(F.col("kdeg") > k).select("node")
-        n_club = members.count()
-        e_club = (
-            edges.join(members.withColumnRenamed("node", "u"), "u")
-            .join(members.withColumnRenamed("node", "v"), "v")
-            .count()
+    try:
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        return spark.createDataFrame(
-            [(k, n_club, e_club)], "k long, n_club long, e_club long"
+        deg = sym.groupBy("u").agg(
+            F.count("*").cast("long").alias("kdeg")
+        ).select(F.col("u").alias("node"), "kdeg")
+        ew = edges.join(
+            F.broadcast(deg.select(F.col("node").alias("u"), F.col("kdeg").alias("ku"))),
+            "u",
+        ).join(
+            F.broadcast(deg.select(F.col("node").alias("v"), F.col("kdeg").alias("kv"))),
+            "v",
         )
-
-    sweep = reduce(DataFrame.unionByName, [club(k) for k in _RICH_KS])
+        one = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+        eagg = ew.agg(
+            *[
+                one((F.col("ku") > k) & (F.col("kv") > k)).alias(f"e_{k}")
+                for k in _RICH_KS
+            ]
+        )
+        nagg = deg.agg(
+            *[one(F.col("kdeg") > k).alias(f"n_{k}") for k in _RICH_KS]
+        )
+        row = nagg.crossJoin(eagg).collect()[0]
+    finally:
+        edges.unpersist()
+    sweep = spark.createDataFrame(
+        [(k, int(row[f"n_{k}"]), int(row[f"e_{k}"])) for k in _RICH_KS],
+        "k long, n_club long, e_club long",
+    )
     return sweep.filter(F.col("n_club") >= 2).select(
         "k",
         "n_club",

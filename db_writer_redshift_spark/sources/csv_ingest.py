@@ -160,11 +160,22 @@ def read_table_jsonl(
         spark.read.schema(raw_schema)
         .option("mode", "PERMISSIVE")
         .json(source)
+        .withColumn("_block_start", F.col("_metadata.file_block_start"))
     )
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy(F.input_file_name()).orderBy(F.monotonically_increasing_id())
-    return df.withColumn(_LINE_COL, F.row_number().over(w))
+    # Unlike multiLine CSV and native XML, line-mode JSON IS splittable:
+    # a file larger than maxPartitionBytes fans out, and Spark enumerates
+    # splits size-sorted, not offset-sorted, so a bare monotonic-id
+    # window could interleave chunks. Ordering by the hidden
+    # _metadata.file_block_start first makes per-file line numbers
+    # correct by construction: block start strictly increases with file
+    # offset, and the monotonic id orders rows within one block (pinned
+    # by tests/test_ingest.py::test_jsonl_line_numbers_survive_split).
+    w = Window.partitionBy(F.input_file_name()).orderBy(
+        "_block_start", F.monotonically_increasing_id()
+    )
+    return df.withColumn(_LINE_COL, F.row_number().over(w)).drop("_block_start")
 
 
 def read_table_xml(
@@ -178,7 +189,15 @@ def read_table_xml(
     column read as a string from ``<row_tag>`` elements, then the SAME
     cast/validate/error pipeline applies — one ingest contract across
     wire formats (CSV/JSONL/ORC/XML). Row numbers are per-file in
-    element order, like the CSV path's line numbers.
+    element order, like the CSV path's line numbers: Spark's native XML
+    source is NON-SPLITTABLE per file (a rowTag can straddle any byte
+    split, so unlike spark-xml's XmlInputFormat the core datasource
+    never splits — verified empirically and pinned by
+    tests/test_ingest.py::test_xml_single_partition_per_file, which
+    reads a file many times ``maxPartitionBytes`` as one partition), so
+    each file is one partition and the monotonic id reconstructs element
+    order exactly as the CSV path's ``multiLine`` comment documents
+    (ADVICE r7 #4).
 
     (The reference supports only CSV; §7 extension track — XML is the
     wire format of the enterprise feeds that still dominate B2B
