@@ -306,7 +306,7 @@ def kcenter_greedy_portable(
         F.expr(
             f"transform({vec_col}, x -> cast(round(cast(x as double) * {scale}) as bigint))"
         ).alias("qv"),
-    ).persist()
+    ).persist()  # lazy-plan persist (persist_policy.py)
     try:
         seed = q.orderBy("id").limit(1).collect()
         if not seed:

@@ -78,7 +78,7 @@ def shingle_jaccard_pairs(
             "sh",
         )
         .select("doc_id", "sh")
-        .persist()
+        .persist()  # lazy-plan persist (persist_policy.py)
     )
     rare.count()
     counts = rare.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
@@ -331,7 +331,7 @@ def minhash_lsh_pairs(
     # concurrently) while keeping it CacheManager-reusable across
     # invocations. num_hashes×8B per doc — orders of magnitude smaller
     # than the text, the right trade at any scale.
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed, portable).persist()
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed, portable).persist()  # lazy-plan persist (persist_policy.py)
     sig.count()
 
     banded = band_rows(sig, num_hashes, bands, portable)
@@ -402,7 +402,7 @@ def minhash_cross_contamination(
     """
     sig_t = minhash_signatures(
         train, id_col, text_col, n, num_hashes, seed, portable
-    ).persist()
+    ).persist()  # lazy-plan persist (persist_policy.py)
     sig_t.count()
     sig_e = minhash_signatures(eval_df, id_col, text_col, n, num_hashes, seed, portable)
 
@@ -491,7 +491,7 @@ def simhash_pairs(
     # Two consumers (exact chunks + probe fan-out) in one job — persist
     # and materialize eagerly so the 64-bit-sum aggregation over exploded
     # tokens runs once, not twice (lazy persist would let them race).
-    sh = simhash(df, id_col, text_col, seed).persist()
+    sh = simhash(df, id_col, text_col, seed).persist()  # lazy-plan persist (persist_policy.py)
     sh.count()
 
     def chunk_val(i: int) -> F.Column:
@@ -597,7 +597,7 @@ def simhash_pairs_portable(
     oracle-checkable (query dedup_simhash_portable)."""
     chunk_bits = _SIMHASH_PORTABLE_CHUNK
     mask = (1 << chunk_bits) - 1
-    sh = simhash_portable(df, id_col, text_col).persist()
+    sh = simhash_portable(df, id_col, text_col).persist()  # lazy-plan persist (persist_policy.py)
     sh.count()
 
     def chunk_val(i: int) -> F.Column:
@@ -758,7 +758,7 @@ def ppjoin_exact_pairs(
             df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
         )
         .select("doc_id", F.explode(shingles(F.col("__t"), n)).alias("sh"))
-        .persist()
+        .persist()  # lazy-plan persist (persist_policy.py)
     )
     from pyspark.sql.window import Window
 
@@ -949,7 +949,7 @@ def shingle_containment_pairs(
             "sh",
         )
         .select("doc_id", "sh")
-        .persist()
+        .persist()  # lazy-plan persist (persist_policy.py)
     )
     rare.count()
     counts = rare.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))

@@ -889,7 +889,7 @@ def margin_bitext_pairs_portable(
         cand.join(F.broadcast(xs.select("x_id", F.col("qv").alias("xqv"))), "x_id")
         .join(ys.select("y_id", F.col("qv").alias("yqv")), "y_id")
         .select("x_id", "y_id", dot.alias("dot_int"))
-        .persist()
+        .persist()  # lazy-plan persist (persist_policy.py)
     )
     wx = Window.partitionBy("x_id").orderBy(F.col("dot_int").desc(), F.col("y_id"))
     wy = Window.partitionBy("y_id").orderBy(F.col("dot_int").desc(), F.col("x_id"))

@@ -761,7 +761,7 @@ def ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.round(x.cast("double") * _PQ_SCALE).cast("bigint"),
         ).alias("ve"),
     )
-    emb = emb.persist()
+    emb = emb.persist()  # lazy-plan persist (persist_policy.py)
     anchors = [
         [int(x) for x in r["ve"]]
         for r in emb.orderBy("vec_id").limit(_PQ_K).collect()

@@ -5166,7 +5166,7 @@ def weighted_quantiles_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = d.filter(F.col("n_tokens") > 0).select(
         F.col("n_tokens").alias("len_tokens"), F.col("n_tokens").alias("w")
     )
-    w = w.persist()
+    w = w.persist()  # lazy-plan persist (persist_policy.py)
     try:
         pcts = (25, 50, 75, 90)
         vals = weighted_quantiles_disc_multi(
@@ -5224,7 +5224,7 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist + parallel scan: measured 13.1s -> 2.0s at sf0.1
     grams = d.select(
         "doc_id", F.explode(shingles(F.col("text"), 5)).alias("g")
-    ).persist()
+    ).persist()  # lazy-plan persist (persist_policy.py)
     firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
     novel = F.sum(
         F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)

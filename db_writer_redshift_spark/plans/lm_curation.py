@@ -1297,7 +1297,7 @@ def softdedup_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gram explode + md5 run once (measured 17.6s -> 8.7s at sf0.1)
     h = d.select(
         "doc_id", F.explode(ngrams(F.col("text"), 8)).alias("g")
-    ).select("doc_id", _md5_int32(F.col("g")).alias("hg")).persist()
+    ).select("doc_id", _md5_int32(F.col("g")).alias("hg")).persist()  # lazy-plan persist (persist_policy.py)
     freq = h.groupBy("hg").agg(
         F.least(F.count("*"), F.lit(_SOFT_FREQ_CAP)).cast("long").alias("c")
     )
@@ -1637,7 +1637,7 @@ def quality_borda_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 8-gram explode runs once (the softdedup_commonness lesson)
     grams = d.select(
         "doc_id", F.explode(ngrams(F.col("text"), 8)).alias("g")
-    ).persist()
+    ).persist()  # lazy-plan persist (persist_policy.py)
     freq = grams.groupBy("g").agg(F.count("*").alias("c"))
     common = (
         grams.join(freq, "g")
@@ -2179,7 +2179,7 @@ def selection_mmr_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))"
             ).alias("qv"),
         )
-        .persist()
+        .persist()  # lazy-plan persist (persist_policy.py)
     )
     try:
         first = (

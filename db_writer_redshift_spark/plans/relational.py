@@ -2542,7 +2542,7 @@ def hist_equidepth_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
     )
-    o = o.persist()
+    o = o.persist()  # lazy-plan persist (persist_policy.py)
     try:
         bounds = quantiles_disc_multi(o, "cents", [q / 10 for q in range(1, 10)])
         bucket = sum(
@@ -2613,7 +2613,7 @@ def quantiles_cont_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
     )
-    o = o.persist()
+    o = o.persist()  # lazy-plan persist (persist_policy.py)
     try:
         n = o.count()
         pcts = [50, 90, 99]

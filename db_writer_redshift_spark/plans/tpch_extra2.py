@@ -114,7 +114,7 @@ def q2_best_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_acctbal",
             "n_name",
         )
-        .persist()
+        .persist()  # lazy-plan persist (persist_policy.py)
     )
     best = eligible.groupBy(F.col("e_partkey").alias("b_partkey")).agg(
         F.max("s_acctbal").alias("best_bal")
@@ -244,7 +244,7 @@ def q11_part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = (
         l.groupBy("l_partkey")
         .agg(F.sum(_volume()).alias("part_rev"))
-        .persist()
+        .persist()  # lazy-plan persist (persist_policy.py)
     )
     tot = pr.agg(
         F.sum("part_rev").alias("total_rev"), F.count("*").alias("n_parts")
@@ -433,7 +433,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
             ).alias("is_late"),
         )
-        .persist()
+        .persist()  # lazy-plan persist (persist_policy.py)
     )
     stats = lo.groupBy(F.col("l_orderkey").alias("st_orderkey")).agg(
         F.countDistinct("l_suppkey").alias("nsupp"),
