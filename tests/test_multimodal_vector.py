@@ -198,18 +198,62 @@ class TestRealPngDecode:
             multimodal.decode_png(bytes(p))
 
     def test_unsupported_png_variants_stay_not_implemented(self):
+        # palette (8, 3, 0) left this list in round 8 — it decodes for
+        # real now (test_palette_color_type_3)
         import struct
         import zlib
 
         idat = self._chunk(b"IDAT", zlib.compress(b"\x00" * 8))
         iend = self._chunk(b"IEND", b"")
-        for depth, color, interlace in ((16, 0, 0), (8, 3, 0), (8, 6, 0), (8, 2, 1)):
+        for depth, color, interlace in ((16, 0, 0), (8, 6, 0), (8, 2, 1)):
             ihdr = struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, interlace)
             payload = (
                 b"\x89PNG\r\n\x1a\n" + self._chunk(b"IHDR", ihdr) + idat + iend
             )
             with pytest.raises(NotImplementedError):
                 multimodal.decode_png(payload)
+
+    def test_palette_color_type_3(self):
+        # encoder round trip: channel stats come from PLTE lookups, so
+        # the expected sum uses (7v mod 256) + 255 per pixel — summing
+        # raw indices would NOT match (the non-identity palette is what
+        # makes this a real proof)
+        px = [(i * 53 + 7) % 256 for i in range(6 * 5)]
+        got = multimodal.decode_png(multimodal.encode_png(px, 6, 5, color_type=3))
+        exp = sum((7 * v) % 256 + 255 for v in px)
+        assert got["px_sum"] == exp
+        assert got["px_sum"] != sum(px)  # indices alone are wrong
+        assert got["px_mean_e6"] == 1_000_000 * exp // (3 * 30)
+
+    def test_palette_png_missing_plte_is_value_error(self):
+        import struct
+        import zlib
+
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+        raw = bytes([0, 1, 2]) + bytes([0, 3, 4])
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + self._chunk(b"IHDR", ihdr)
+            + self._chunk(b"IDAT", zlib.compress(raw))
+            + self._chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="missing PLTE"):
+            multimodal.decode_png(payload)
+
+    def test_palette_index_out_of_range_is_value_error(self):
+        import struct
+        import zlib
+
+        ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0)
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + self._chunk(b"IHDR", ihdr)
+            + self._chunk(b"PLTE", bytes((1, 2, 3, 4, 5, 6)))  # 2 entries
+            + self._chunk(b"IDAT", zlib.compress(bytes([0, 1, 5])))
+            + self._chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="palette index"):
+            multimodal.decode_png(payload)
 
     def test_truncated_idat_is_value_error(self):
         good = multimodal.encode_png([5, 6, 7, 8], 2, 2)
