@@ -207,9 +207,13 @@ def minhash_signatures(
     # Shingle explode + 64 projections is the CPU-heavy stage — make sure it
     # runs at cluster parallelism even when the scan yields few partitions
     # (single-row-group parquet; a handful of gzip slices). 2.4× on the
-    # one-row-group fixture; no-op on a many-split layout.
+    # one-row-group fixture; no-op on a many-split layout. Keyed on
+    # doc_id so the 64-min groupBy reuses this exchange instead of
+    # re-shuffling the exploded 64-column relation (~30% on the sf0.1
+    # signature stage).
     base = ensure_parallelism(
-        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")),
+        key="doc_id",
     )
     if portable:
         exploded = base.select(
@@ -449,7 +453,8 @@ def simhash(df: DataFrame, id_col: str, text_col: str, seed: int = 42) -> DataFr
     fingerprint with shiftleft/bitwise-or. All JVM expressions.
     """
     base = ensure_parallelism(
-        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")),
+        key="doc_id",  # the 64-bit-sum groupBy reuses this exchange
     )
     tokens = base.select(
         "doc_id",
@@ -562,7 +567,8 @@ def simhash_portable(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     aggregate → shift/or assembly); 60 bits instead of 64 so the value
     stays inside signed BIGINT range in both engines."""
     base = ensure_parallelism(
-        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")),
+        key="doc_id",  # the 60-bit-sum groupBy reuses this exchange
     )
     tokens = base.select(
         "doc_id",

@@ -19,10 +19,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def ensure_parallelism(df: DataFrame, min_factor: float = 1.0) -> DataFrame:
-    """Round-robin repartition ``df`` to ``defaultParallelism`` iff its
-    current partition count is below ``min_factor ×`` that. Driver-side
-    plan inspection only — no job is triggered."""
+def ensure_parallelism(
+    df: DataFrame, min_factor: float = 1.0, key: str | None = None
+) -> DataFrame:
+    """Repartition ``df`` to ``defaultParallelism`` iff its current
+    partition count is below ``min_factor ×`` that. Driver-side plan
+    inspection only — no job is triggered.
+
+    ``key``: when the caller's downstream aggregation groups by this
+    column, pass it so the rescue repartition HASH-keys on it instead of
+    round-robin — the groupBy then reuses the exchange (hash partitioning
+    satisfies the required child distribution) and the plan sheds one
+    whole shuffle of the post-explode relation. Measured ~30% on the
+    sf0.1 MinHash signature stage (round 8). Unique keys (doc ids) keep
+    the keyed shuffle as uniform as round-robin; do NOT pass a key with
+    heavy skew."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     try:
@@ -31,4 +42,8 @@ def ensure_parallelism(df: DataFrame, min_factor: float = 1.0) -> DataFrame:
         return df
     if nparts >= max(1, int(target * min_factor)):
         return df
+    if key is not None:
+        from pyspark.sql import functions as F
+
+        return df.repartition(target, F.col(key))
     return df.repartition(target)
