@@ -103,9 +103,42 @@ def _foreign_spark_procs() -> list[str]:
     return hits
 
 
+def _wait_for_quiet_box(threshold: float, max_wait_s: float) -> tuple[float, float]:
+    """Hot-box gate (VERDICT r7 'next round' #8: the recorded r07 run
+    started at loadavg ~7 and inflated q1 by 40% on untouched code).
+    Poll the 1-minute loadavg until it drops below ``threshold`` or
+    ``max_wait_s`` elapses — a bounded courtesy wait, never a hang.
+    Returns (seconds_waited, loadavg_at_go)."""
+    t0 = time.monotonic()
+    try:
+        la = os.getloadavg()[0]
+    except OSError:
+        return 0.0, -1.0
+    waited = 0.0
+    while la > threshold and waited < max_wait_s:
+        time.sleep(min(5.0, max_wait_s - waited))
+        waited = time.monotonic() - t0
+        try:
+            la = os.getloadavg()[0]
+        except OSError:
+            break
+        print(
+            f"[bench] hot box (loadavg {la:.1f} > {threshold}); waited "
+            f"{waited:.0f}s of {max_wait_s:.0f}s",
+            file=sys.stderr,
+            flush=True,
+        )
+    return round(waited, 1), round(la, 2)
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    quiet_waited, quiet_load = _wait_for_quiet_box(
+        threshold=float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_GATE", "5")),
+        max_wait_s=float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "120")),
+    )
 
     foreign_start = _foreign_spark_procs()
 
@@ -170,7 +203,11 @@ def main() -> int:
                 "loadavg_end": [round(la1, 2), round(la5, 2), round(la15, 2)],
                 "cpu_count": os.cpu_count(),
                 "foreign_spark_procs": sorted(set(foreign_start) | set(foreign_end)),
-                "contaminated": bool(foreign_start or foreign_end),
+                "load_gate_waited_s": quiet_waited,
+                "load_gate_go_loadavg": quiet_load,
+                "contaminated": bool(foreign_start or foreign_end)
+                or quiet_load
+                > float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_GATE", "5")),
             }
         )
     )
