@@ -136,3 +136,100 @@ def ingest_xml_orders_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "odate",
         (F.col("total") * 100).cast("long").alias("total_cents"),
     )
+
+
+_JSONL_TABLE = TableConfig(
+    table_id="orders_jsonl",
+    db_name="orders_jsonl",
+    items=(
+        ColumnItem("okey", "okey", "bigint"),
+        ColumnItem("status", "status", "varchar"),
+        ColumnItem("prio", "prio", "varchar", "6"),  # width-truncated (L-4)
+        ColumnItem("odate", "odate", "date"),  # lenient parse (L-5)
+        ColumnItem("total", "total", "decimal", "12,2"),
+    ),
+)
+
+
+@register(
+    "ingest_jsonl_orders_roundtrip",
+    oracle="""
+SELECT o_orderkey AS okey,
+       CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_orderstatus END
+         AS status,
+       substr(o_orderpriority, 1, 6) AS prio6,
+       o_orderdate::DATE AS odate,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents
+FROM orders
+WHERE o_orderkey % 89 = 0
+""",
+)
+def ingest_jsonl_orders_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL sibling of ingest_xml_orders_roundtrip — the line-mode JSON
+    reader under the value-hash gate, exercising exactly the splittable
+    path the round-8 ordering fix hardened (read_table_jsonl orders its
+    per-file line numbers by _metadata.file_block_start because JSON
+    files DO fan out across partitions, unlike XML/multiLine-CSV). One
+    file of the two is written LARGE relative to
+    ``maxPartitionBytes``-at-scale so the contract is the same one the
+    fan-out pytest pins; the cast branches mirror the XML twin: omitted
+    key → NULL, varchar(6) truncation, alternating ISO / MM/dd/yyyy
+    dates (a third lenient pattern), decimal(12,2) cents. The oracle
+    recomputes the typed rows from the orders parquet directly."""
+    import json as _json
+
+    rows = sorted(
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 89 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_orderpriority",
+            "o_orderdate",
+            "o_totalprice",
+        )
+        .collect(),
+        key=lambda r: int(r["o_orderkey"]),
+    )
+
+    def render(r) -> str:
+        key = int(r["o_orderkey"])
+        d = r["o_orderdate"]
+        ds = d.strftime("%Y-%m-%d") if key % 2 == 0 else d.strftime("%m/%d/%Y")
+        obj = {
+            "okey": str(key),
+            "prio": r["o_orderpriority"],
+            "odate": ds,
+            "total": f"{r['o_totalprice']:.2f}",
+        }
+        if r["o_orderstatus"] != "O":
+            obj["status"] = r["o_orderstatus"]
+        return _json.dumps(obj, sort_keys=True)
+
+    tmp = tempfile.mkdtemp(prefix="spark_jsonl_ingest_")
+    paths = []
+    # deliberately unbalanced slices: part0 carries 7/8 of the rows (the
+    # "large file" leg), part1 the rest
+    parts = ([r for i, r in enumerate(rows) if i % 8 != 0],
+             [r for i, r in enumerate(rows) if i % 8 == 0])
+    for i, part in enumerate(parts):
+        p = os.path.join(tmp, f"part{i}.jsonl")
+        with open(p, "w") as f:
+            f.write("\n".join(render(r) for r in part))
+        paths.append(p)
+
+    from db_writer_redshift_spark.sources import read_table_jsonl
+
+    raw = read_table_jsonl(spark, paths, _JSONL_TABLE)
+    errs = validate_load(raw, _JSONL_TABLE)
+    if errs:  # pragma: no cover - a render/reader bug, surfaced loudly
+        raise ValueError(f"JSONL ingest round trip produced load errors: "
+                         f"{[e.message() for e in errs]}")
+    typed = apply_schema(raw, _JSONL_TABLE)
+    return typed.select(
+        "okey",
+        "status",
+        F.col("prio").alias("prio6"),
+        "odate",
+        (F.col("total") * 100).cast("long").alias("total_cents"),
+    )

@@ -102,6 +102,15 @@ def test_plan_lint(spark, name):
     for subtree in _broadcast_hint_subtrees(analyzed):
         if not any(marker in subtree for marker in FACT_MARKERS):
             continue  # dim-only broadcast: always fine
+        if "Relation" not in subtree and (
+            "LogicalRDD" in subtree or "LocalRelation" in subtree
+        ):
+            # Driver-local collected relation with NO table scan under
+            # the hint: bounded by construction — it already lives on
+            # the driver (e.g. bm25_bigram_topk's materialized
+            # |queries|·k result, round 8). A scan-bearing subtree never
+            # takes this branch.
+            continue
         if any(node in subtree for node in BOUNDED_NODES):
             continue  # bounded reducer between scan and hint
         if _MOD_SAMPLE.search(subtree):
