@@ -150,9 +150,33 @@ re-prove every operator family the prefix map tracks. After this
 window the union over r01-r08 covers 309/309 of the round-7 registry:
 every registered query graded at least once.
 
-Round-8 additions registered after this window was seated land AFTER
-slot 50 and are listed in the module docstring section below as they
-accumulate; they get their driver rows in the round-9 window.
+ROUND-8 ADDITIONS (registered after this window was seated; every one
+certified against its DuckDB oracle at sf0.001, sf0.01 AND sf0.1 in
+round 8): 15 new operators —
+
+  * plans/analytics_extra4.py (12): pipe_syntax_orders_rollup (Spark 4
+    pipe-syntax surface), agg_mode_percentile_disc (ordered-set
+    aggregates), events_fano_factor_daily,
+    stats_cohens_kappa_value_weekend, stats_levene_brown_forsythe
+    (ANOVA driver-fold over median deviations),
+    forecast_holt_linear_daily (integer truncating fold, list_reduce
+    twin), sketch_kmv_distinct_portable, privacy_entropy_l_diversity,
+    embedding_prefix_norm_curve (Matryoshka),
+    stats_gini_impurity_split, er_levenshtein_verify,
+    stats_ols_discount_quantity;
+  * plans/ingest_queries.py (2): ingest_xml_orders_roundtrip +
+    ingest_jsonl_orders_roundtrip — the wire-format readers under the
+    value-hash gate via construction-derived fixtures (VERDICT r7 #6);
+  * plans/llm_ops.py (1): multimodal_png_palette_decode — PNG color
+    types 0/2/3 through the real codec, PLTE lookup proven by a
+    non-identity palette (VERDICT r7 #5).
+
+ROUND-9 WINDOW PLAN: seat those 15 never-graded round-8 additions
+first, then fill the remaining 35 slots with keepers from
+tools/plan_rotation.py computed at round-9 open. Run
+`python tools/correctness_union.py` at round open (the freshness guard
+self-heals since round 8, but the checked-in rollup should still be
+regenerated before the round-close commit).
 """
 
 from __future__ import annotations
