@@ -571,10 +571,19 @@ def forecast_holt_linear_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("y"))
         .collect()
     )
-    # Halving TRUNCATES toward zero — that is both engines' native
-    # integer division (DuckDB // and Spark div truncate; Python //
-    # floors, so the replay applies the sign trick on the one term that
-    # can go negative, the trend).
+    return spark.createDataFrame(
+        _holt_fold(daily), "d date, y long, forecast_e3 long, level_after_e3 long"
+    )
+
+
+def _holt_fold(daily: list) -> list:
+    """The exact Holt α=β=½ replay over an ordered (key, y) series —
+    factored out so the invariant pytest can drive it on synthetic
+    series (constant → trend dies and forecast locks to 1000·c; linear
+    → forecast tracks the ramp). Halving TRUNCATES toward zero — both
+    engines' native integer division (DuckDB // and Spark div truncate;
+    Python // floors, so the replay applies the sign trick on the one
+    term that can go negative, the trend)."""
     tdiv2 = lambda a: a // 2 if a >= 0 else -((-a) // 2)  # noqa: E731
     out = []
     if len(daily) >= 3:
@@ -586,9 +595,7 @@ def forecast_holt_linear_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             trd = tdiv2((lvl2 - lvl) + trd)
             out.append((d, y, fc, lvl2))
             lvl = lvl2
-    return spark.createDataFrame(
-        out, "d date, y long, forecast_e3 long, level_after_e3 long"
-    )
+    return out
 
 
 # ---------------------------------------------------------------------------
