@@ -1167,3 +1167,422 @@ def stats_ols_discount_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (varx_n * vary_n) END AS BIGINT)"
         ).alias("r2_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-interval RANGE window frame (trailing 7 days)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_range_interval_trailing7d",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, ts::DATE AS d,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, d, cents AS daily_cents,
+       CAST(SUM(cents) OVER w AS BIGINT) AS trail7_cents,
+       CAST(COUNT(*) OVER w AS BIGINT) AS trail7_days,
+       CAST(SUM(n) OVER w AS BIGINT) AS trail7_events
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY d
+             RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+""",
+)
+def window_range_interval_trailing7d(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TIME-interval RANGE window frame — ``RANGE BETWEEN INTERVAL 6
+    DAYS PRECEDING`` over a date-ordered partition: the trailing-7-day
+    revenue/volume per event type, the calendar-aware frame that a ROWS
+    frame gets WRONG whenever days are missing (a ROWS 6 PRECEDING frame
+    silently spans more than a week across gaps; the RANGE frame bounds
+    by VALUE distance). Completes the window-frame surface beside
+    window_range_frame_price (numeric RANGE) and
+    window_rolling_median_orders (ROWS): both engines parse the
+    identical ANSI frame. RANGE frames are tie-safe by construction, so
+    the daily grain needs no tiebreak.
+
+    Scale: the daily rollup combines map-side to |types|×calendar; the
+    window sorts each type's bounded day spine — never raw events."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )
+    daily.createOrReplaceTempView("range_interval_daily_v")
+    return spark.sql(
+        """
+SELECT event_type, d, cents AS daily_cents,
+       CAST(SUM(cents) OVER w AS BIGINT) AS trail7_cents,
+       CAST(COUNT(*) OVER w AS BIGINT) AS trail7_days,
+       CAST(SUM(n) OVER w AS BIGINT) AS trail7_events
+FROM range_interval_daily_v
+WINDOW w AS (PARTITION BY event_type ORDER BY d
+             RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANSI FILTER-clause aggregates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_filter_clause_rollup",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_all,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+       CAST(COALESCE(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+              FILTER (WHERE o_orderstatus = 'F'), 0) AS BIGINT) AS cents_f,
+       CAST(COUNT(DISTINCT o_custkey) FILTER (WHERE o_orderstatus = 'O')
+            AS BIGINT) AS custs_o
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def agg_filter_clause_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANSI ``FILTER (WHERE …)`` aggregate modifier — one scan, many
+    differently-filtered aggregates, including a FILTERED COUNT(DISTINCT)
+    — stated as the IDENTICAL SQL text in both engines (the pipe-syntax
+    discipline: proving the surface, with Catalyst rewriting each
+    filtered aggregate to the same conditional-projection plan the
+    CASE-WHEN house style produces by hand everywhere else in this
+    registry). The NULL-on-empty SUM coalesces to 0 explicitly so the
+    hash never depends on an engine's empty-group convention.
+
+    Scale: one map-side-combined aggregate; the filtered distinct is the
+    only expanding term (same two-stage distinct as any COUNT(DISTINCT
+    ...) — Spark plans an Expand for the distinct/non-distinct mix,
+    still shuffle-bounded by |groups|×|custkeys|)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "filter_clause_orders_v"
+    )
+    return spark.sql(
+        """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_all,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+       CAST(COALESCE(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+              FILTER (WHERE o_orderstatus = 'F'), 0) AS BIGINT) AS cents_f,
+       CAST(COUNT(DISTINCT o_custkey) FILTER (WHERE o_orderstatus = 'O')
+            AS BIGINT) AS custs_o
+FROM filter_clause_orders_v
+GROUP BY o_orderpriority
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# Simpson diversity of word frequencies per language (Simpson 1949)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_simpson_diversity",
+    oracle="""
+WITH tok AS (
+  SELECT lang, UNNEST(string_split(lower(text), ' ')) AS w
+  FROM documents
+),
+freq AS (
+  SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tok WHERE w <> '' GROUP BY 1, 2
+),
+agg AS (
+  SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(c * (c - 1)) AS HUGEINT) AS coll
+  FROM freq GROUP BY lang
+)
+SELECT lang, n_tokens, n_types,
+       CAST((1000000000::HUGEINT * coll)
+            // (n_tokens::HUGEINT * (n_tokens - 1)) AS BIGINT)
+         AS simpson_e9,
+       CAST(1000000000 - (1000000000::HUGEINT * coll)
+            // (n_tokens::HUGEINT * (n_tokens - 1)) AS BIGINT)
+         AS gini_simpson_e9
+FROM agg WHERE n_tokens >= 2
+""",
+)
+def text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's diversity index (Simpson, Nature 1949) of the word
+    frequency distribution per language — the probability two tokens
+    drawn WITHOUT replacement are the same type, in the unbiased form
+    D = Σc(c−1)/(N(N−1)), which is a PERFECT rational (no squared
+    probabilities, no ln — the exact-integer counterpart of a Shannon
+    entropy, and the pair-collision view of vocabulary concentration
+    beside text_chargram_gini and text_token_diversity's type-token
+    ratio). Gini-Simpson (1−D) rides along.
+
+    Scale: token explode → map-side-combinable (lang, word) counts (the
+    vocab_topk shuffle class, keyed on the word); the per-lang rollup is
+    |langs| rows. Σc(c−1) accumulates in 128-bit."""
+    tok = load_table(spark, sf_dir, "documents").select(
+        "lang", F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    )
+    freq = (
+        tok.filter(F.col("w") != "")
+        .groupBy("lang", "w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    agg = freq.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * (c - 1)")).alias("coll"),
+    )
+    return agg.filter(F.col("n_tokens") >= 2).select(
+        "lang",
+        "n_tokens",
+        "n_types",
+        F.expr(
+            "CAST((CAST(1000000000 AS DECIMAL(38,0)) * coll)"
+            " div (CAST(n_tokens AS DECIMAL(38,0)) * (n_tokens - 1))"
+            " AS BIGINT)"
+        ).alias("simpson_e9"),
+        F.expr(
+            "CAST(1000000000 - (CAST(1000000000 AS DECIMAL(38,0)) * coll)"
+            " div (CAST(n_tokens AS DECIMAL(38,0)) * (n_tokens - 1))"
+            " AS BIGINT)"
+        ).alias("gini_simpson_e9"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# NTILE decile statistics (deterministic tiebreak)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_ntile_decile_stats",
+    oracle="""
+WITH v AS (
+  SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         NTILE(10) OVER (ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT),
+                         o_orderkey) AS dec
+  FROM orders
+)
+SELECT CAST(dec AS BIGINT) AS decile, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(cents) AS BIGINT) AS min_cents,
+       CAST(MAX(cents) AS BIGINT) AS max_cents,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM v GROUP BY dec
+""",
+)
+def window_ntile_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE(10) decile statistics of order value: both engines define
+    NTILE identically (equal buckets, the first ``n mod 10`` buckets one
+    larger), so with a TOTAL order — (cents, orderkey) tiebreak, the
+    house ROWS-frame rule — the bucket assignment is deterministic and
+    the per-decile (n, min, max, sum) hashes exactly. The
+    bucket-assignment counterpart of inequality_lorenz_deciles (which
+    derives decile SHARES from cumulative sums) and the ccnet NTILE
+    precedent.
+
+    Scale: one global sort window (the exact_quantiles cost class —
+    documented quickselect swap at 100 TB: assign buckets by comparing
+    against 9 quickselect boundaries instead of sorting); the decile
+    rollup is 10 rows."""
+    v = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    w = Window.orderBy("cents", "o_orderkey")
+    d = v.select("cents", F.ntile(10).over(w).alias("dec"))
+    return d.groupBy("dec").agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    ).select(
+        F.col("dec").cast("long").alias("decile"),
+        "n",
+        "min_cents",
+        "max_cents",
+        "sum_cents",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Welch's t-squared on weekend vs weekday daily volume (Welch 1947)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_welch_t_weekend",
+    oracle="""
+WITH daily AS (
+  SELECT ts::DATE AS d,
+         CASE WHEN isodow(ts::DATE) >= 6 THEN 1 ELSE 0 END AS wk,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+grp AS (
+  SELECT wk, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(c * c) AS BIGINT) AS ss
+  FROM daily GROUP BY wk
+),
+m AS (
+  SELECT MAX(CASE WHEN wk = 1 THEN n END) AS n1,
+         MAX(CASE WHEN wk = 1 THEN s END) AS s1,
+         MAX(CASE WHEN wk = 1 THEN ss END) AS ss1,
+         MAX(CASE WHEN wk = 0 THEN n END) AS n2,
+         MAX(CASE WHEN wk = 0 THEN s END) AS s2,
+         MAX(CASE WHEN wk = 0 THEN ss END) AS ss2
+  FROM grp
+),
+c AS (
+  SELECT n1, s1, n2, s2,
+         (n1::HUGEINT * ss1 - s1::HUGEINT * s1) AS a1,
+         (n2::HUGEINT * ss2 - s2::HUGEINT * s2) AS a2,
+         (s1::HUGEINT * n2 - s2::HUGEINT * n1) AS x
+  FROM m
+)
+SELECT n1 AS n_weekend, s1 AS events_weekend, n2 AS n_weekday,
+       s2 AS events_weekday,
+       CAST(a1 AS BIGINT) AS a1, CAST(a2 AS BIGINT) AS a2,
+       CAST(x AS BIGINT) AS mean_diff_num,
+       CAST(((1000000::HUGEINT * x * x // (a1 * n2::HUGEINT * n2 * (n2 - 1)
+                                           + a2 * n1::HUGEINT * n1 * (n1 - 1)))
+              * ((n1 - 1)::HUGEINT * (n2 - 1))
+             + (1000000::HUGEINT * x * x % (a1 * n2::HUGEINT * n2 * (n2 - 1)
+                                            + a2 * n1::HUGEINT * n1 * (n1 - 1)))
+               * ((n1 - 1)::HUGEINT * (n2 - 1))
+               // (a1 * n2::HUGEINT * n2 * (n2 - 1)
+                   + a2 * n1::HUGEINT * n1 * (n1 - 1)))
+            AS BIGINT) AS t2_e6
+FROM c
+""",
+)
+def stats_welch_t_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t statistic, squared (Welch, Biometrika
+    1947), for weekend vs weekday daily event volume: t² =
+    (m̄₁−m̄₂)² / (v₁/n₁ + v₂/n₂) cleared to one integer fraction —
+    numerator (s₁n₂−s₂n₁)²·(n₁−1)(n₂−1), denominator
+    A₁n₂²(n₂−1)+A₂n₁²(n₁−1) with Aᵢ = nᵢΣc²−sᵢ² — evaluated with the
+    ANOVA two-step quotient+remainder carry so the 1e6-scaled product
+    stays inside HUGEINT, and replayed driver-side in unbounded Python
+    ints (identical value: a//d·m + (a%d)·m//d == a·m//d for the
+    positive operands here). The location-difference member beside the
+    family's variance gate (Brown-Forsythe) and distribution gates
+    (KS/Mann-Whitney), on the CALENDAR-bounded daily relation where
+    every moment is a small exact integer.
+
+    Scale: the daily rollup combines map-side; everything after runs on
+    a 2-row relation collected to the driver (markov discipline)."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.to_date("ts").alias("d"),
+            F.when(F.weekday(F.col("ts")) + 1 >= 6, 1).otherwise(0).alias("wk"),
+        )
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    grp = daily.groupBy("wk").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+    )
+    rows = {int(r.wk): r for r in grp.collect()}  # 2-row driver state
+    n1, s1, ss1 = (int(rows[1][k]) for k in ("n", "s", "ss"))
+    n2, s2, ss2 = (int(rows[0][k]) for k in ("n", "s", "ss"))
+    a1 = n1 * ss1 - s1 * s1
+    a2 = n2 * ss2 - s2 * s2
+    x = s1 * n2 - s2 * n1
+    den = a1 * n2 * n2 * (n2 - 1) + a2 * n1 * n1 * (n1 - 1)
+    m = (n1 - 1) * (n2 - 1)
+    a = 1000000 * x * x
+    t2_e6 = (a // den) * m + (a % den) * m // den
+    return spark.createDataFrame(
+        [(n1, s1, n2, s2, a1, a2, x, t2_e6)],
+        "n_weekend long, events_weekend long, n_weekday long,"
+        " events_weekday long, a1 long, a2 long, mean_diff_num long,"
+        " t2_e6 long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-state transition entropy of the user event chain
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_transition_entropy",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type, event_id,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+tr AS (
+  SELECT event_type AS from_type, nxt AS to_type,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+),
+tot AS (
+  SELECT from_type, CAST(SUM(c) AS BIGINT) AS n_from FROM tr GROUP BY 1
+)
+SELECT tr.from_type, tr.to_type, tr.c, tot.n_from,
+       CAST(ROUND(1000000000.0 * tr.c
+                  * LN(CAST(tot.n_from AS DOUBLE) / tr.c) / tot.n_from)
+            AS BIGINT) AS h_term_e9
+FROM tr JOIN tot USING (from_type)
+""",
+)
+def events_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-state transition entropy of the user event-type chain — for
+    each from-state, the Shannon entropy of its next-event distribution,
+    shipped as PER-CELL contributions c/n · ln(n/c) rounded e9 from
+    exact integers (the PSI/entropy-ℓ-diversity discipline). Low entropy
+    = deterministic flows (funnel-like), high = explorative; the
+    uncertainty view over the same bounded transition relation that
+    events_transition_matrix (counts) and events_markov_stationary
+    (long-run mass) already share. Successor via LEAD over (ts,
+    event_id) — the sessionization tiebreak rule.
+
+    Scale: one user-keyed window pass (shared shuffle class with all
+    sequence ops); the transition relation is bounded by |types|², and
+    the ln runs on those few rows."""
+    seq = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("nxt"),
+    )
+    tr = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"), F.col("nxt").alias("to_type")
+        )
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    tot = tr.groupBy("from_type").agg(F.sum("c").cast("long").alias("n_from"))
+    return tr.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "c",
+        "n_from",
+        F.round(
+            F.lit(1000000000.0)
+            * F.col("c")
+            * F.log(F.col("n_from").cast("double") / F.col("c"))
+            / F.col("n_from")
+        )
+        .cast("long")
+        .alias("h_term_e9"),
+    )

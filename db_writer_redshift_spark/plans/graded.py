@@ -169,10 +169,15 @@ round 8): 15 new operators —
     value-hash gate via construction-derived fixtures (VERDICT r7 #6);
   * plans/llm_ops.py (1): multimodal_png_palette_decode — PNG color
     types 0/2/3 through the real codec, PLTE lookup proven by a
-    non-identity palette (VERDICT r7 #5).
+    non-identity palette (VERDICT r7 #5);
+  * plans/analytics_extra4.py second wave (6):
+    window_range_interval_trailing7d (time-interval RANGE frame),
+    agg_filter_clause_rollup (ANSI FILTER-clause aggregates),
+    text_simpson_diversity, window_ntile_decile_stats,
+    stats_welch_t_weekend, events_transition_entropy.
 
-ROUND-9 WINDOW PLAN: seat those 15 never-graded round-8 additions
-first, then fill the remaining 35 slots with keepers from
+ROUND-9 WINDOW PLAN: seat those 21 never-graded round-8 additions
+first, then fill the remaining 29 slots with keepers from
 tools/plan_rotation.py computed at round-9 open. Run
 `python tools/correctness_union.py` at round open (the freshness guard
 self-heals since round 8, but the checked-in rollup should still be
