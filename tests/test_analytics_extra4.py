@@ -207,3 +207,84 @@ def test_ingest_roundtrips_exercise_both_date_branches(spark):
         parities = {r.okey % 2 for r in rows}
         assert parities == {0, 1}, f"{name}: only one date branch exercised"
         assert all(r.odate is not None for r in rows)  # every format parsed
+
+
+def test_range_interval_frame_week_bounded(spark):
+    rows = _rows(spark, "window_range_interval_trailing7d")
+    assert rows
+    from collections import defaultdict
+
+    daily = defaultdict(dict)
+    for r in rows:
+        assert 1 <= r.trail7_days <= 7
+        assert r.trail7_cents >= r.daily_cents  # values are positive
+        daily[r.event_type][r.d] = r
+    # recompute one type's trailing sum from its own daily rows — the
+    # RANGE frame must equal the brute per-day 7-day sum
+    t, days = next(iter(daily.items()))
+    import datetime
+
+    for d, r in days.items():
+        expect = sum(
+            days[e].daily_cents
+            for e in days
+            if 0 <= (d - e).days <= 6
+        )
+        assert r.trail7_cents == expect, (t, d)
+
+
+def test_filter_clause_consistent_with_unfiltered(spark):
+    rows = _rows(spark, "agg_filter_clause_rollup")
+    assert rows
+    for r in rows:
+        assert r.n_f + r.n_o <= r.n_all
+        assert r.cents_f >= 0 and r.custs_o <= r.n_o
+
+
+def test_simpson_bounds(spark):
+    rows = _rows(spark, "text_simpson_diversity")
+    assert rows
+    for r in rows:
+        assert 0 <= r.simpson_e9 <= 1_000_000_000
+        assert r.simpson_e9 + r.gini_simpson_e9 == 1_000_000_000
+        assert r.n_types <= r.n_tokens
+
+
+def test_ntile_deciles_partition_and_order(spark):
+    rows = sorted(_rows(spark, "window_ntile_decile_stats"),
+                  key=lambda r: r.decile)
+    assert [r.decile for r in rows] == list(range(1, 11))
+    sizes = [r.n for r in rows]
+    n = sum(sizes)
+    # NTILE: first n mod 10 buckets are one larger
+    big, small = -(-n // 10), n // 10
+    assert all(s in (big, small) for s in sizes)
+    assert sizes == sorted(sizes, reverse=True)
+    # value ranges are ordered (ties may straddle a boundary, so <=)
+    for a, b in zip(rows, rows[1:]):
+        assert a.max_cents <= b.min_cents
+        assert a.min_cents <= a.max_cents
+
+
+def test_welch_nonneg(spark):
+    (r,) = _rows(spark, "stats_welch_t_weekend")
+    assert r.t2_e6 >= 0 and r.a1 >= 0 and r.a2 >= 0
+    assert r.n_weekend > 0 and r.n_weekday > 0
+
+
+def test_transition_entropy_rows_consistent(spark):
+    import math
+
+    rows = _rows(spark, "events_transition_entropy")
+    assert rows
+    from collections import defaultdict
+
+    per_from = defaultdict(list)
+    for r in rows:
+        assert r.h_term_e9 >= 0
+        per_from[r.from_type].append(r)
+    for ft, cells in per_from.items():
+        n = cells[0].n_from
+        assert sum(c.c for c in cells) == n
+        h = sum(c.h_term_e9 for c in cells)
+        assert h <= 1_000_000_000 * math.log(len(cells)) + len(cells) if len(cells) > 1 else h == 0
