@@ -1388,19 +1388,62 @@ def window_ntile_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     house ROWS-frame rule — the bucket assignment is deterministic and
     the per-decile (n, min, max, sum) hashes exactly. The
     bucket-assignment counterpart of inequality_lorenz_deciles (which
-    derives decile SHARES from cumulative sums) and the ccnet NTILE
-    precedent.
+    derives decile SHARES from cumulative sums).
 
-    Scale: one global sort window (the exact_quantiles cost class —
-    documented quickselect swap at 100 TB: assign buckets by comparing
-    against 9 quickselect boundaries instead of sorting); the decile
-    rollup is 10 rows."""
+    Scale: this is the quickselect-boundary form, NOT a global sort —
+    NTILE over Window.orderBy funnels every row through ONE partition
+    (the ×10 probe read 4.5x before this rewrite). The total order is
+    packed into one composite key (cents·2³¹ + orderkey — unique, so
+    the order is strict), the 9 bucket-boundary ORDER STATISTICS come
+    from selection.kths_smallest_multi's shared distributed rounds, and
+    assignment is 9 broadcast comparisons per row — scan-proportional,
+    no sort anywhere. Exactly NTILE's sizes because the boundary ranks
+    ARE NTILE's cumulative bucket sizes. The orderkey must fit 31 bits
+    (holds past sf1000; the pack widens to cents·2⁴⁰ before orderkeys
+    reach 2³¹ at true warehouse scale).
+
+    Crossover: the quickselect rounds are ~8 scan+agg jobs, so below
+    ``_NTILE_SORT_CUTOFF`` rows the one-partition sort window is
+    CHEAPER in wall-clock (0.45s vs 7.8s at sf0.1) and entirely safe —
+    the cutoff keeps the sorted partition ≤ ~160 MB of (long, long)
+    rows. Both paths are proven bit-equal in pytest (forced-path
+    test)."""
     v = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
-    w = Window.orderBy("cents", "o_orderkey")
-    d = v.select("cents", F.ntile(10).over(w).alias("dec"))
+    return _ntile_decile_stats(v)
+
+
+_NTILE_SORT_CUTOFF = 10_000_000
+
+
+def _ntile_decile_stats(v: DataFrame, force_quickselect: bool = False) -> DataFrame:
+    from db_writer_redshift_spark.operators.selection import (
+        kths_smallest_multi,
+    )
+
+    n = v.count()
+    if n < _NTILE_SORT_CUTOFF and not force_quickselect:
+        w = Window.orderBy("cents", "o_orderkey")
+        d = v.select("cents", F.ntile(10).over(w).alias("dec"))
+    else:
+        ckdf = v.select(
+            "cents",
+            (F.col("cents") * F.lit(1 << 31) + F.col("o_orderkey")).alias(
+                "ck"
+            ),
+        )
+        big, small = n - (n // 10) * 10, n // 10
+        ranks, run = [], 0
+        for d_i in range(1, 10):
+            run += small + (1 if d_i <= big else 0)
+            ranks.append(run)
+        bounds = kths_smallest_multi(ckdf, "ck", ranks)
+        dec = F.lit(1)
+        for b in bounds:
+            dec = dec + F.when(F.col("ck") > F.lit(b), 1).otherwise(0)
+        d = ckdf.select("cents", dec.alias("dec"))
     return d.groupBy("dec").agg(
         F.count("*").cast("long").alias("n"),
         F.min("cents").alias("min_cents"),

@@ -288,3 +288,56 @@ def test_transition_entropy_rows_consistent(spark):
         assert sum(c.c for c in cells) == n
         h = sum(c.h_term_e9 for c in cells)
         assert h <= 1_000_000_000 * math.log(len(cells)) + len(cells) if len(cells) > 1 else h == 0
+
+
+def test_ntile_quickselect_equals_window_form(spark):
+    # the scalable boundary-comparison assignment must be bit-equal to
+    # the literal NTILE window on the same total order
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    v = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    w = W.orderBy("cents", "o_orderkey")
+    ref = {
+        (r.decile, r.n, r.min_cents, r.max_cents, r.sum_cents)
+        for r in v.select("cents", F.ntile(10).over(w).alias("dec"))
+        .groupBy("dec")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .select(
+            F.col("dec").cast("long").alias("decile"),
+            "n",
+            "min_cents",
+            "max_cents",
+            "sum_cents",
+        )
+        .collect()
+    }
+    got = {tuple(r) for r in _rows(spark, "window_ntile_decile_stats")}
+    assert got == ref
+
+
+def test_ntile_forced_quickselect_path_equals_window(spark):
+    # the scale path must stay bit-equal even when the sort cutoff would
+    # normally choose the window form
+    from pyspark.sql import functions as F
+    from db_writer_redshift_spark.plans.analytics_extra4 import (
+        _ntile_decile_stats,
+    )
+
+    orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    v = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    a = {tuple(r) for r in _ntile_decile_stats(v).collect()}
+    b = {tuple(r) for r in _ntile_decile_stats(v, force_quickselect=True).collect()}
+    assert a == b
