@@ -1629,3 +1629,75 @@ def events_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("h_term_e9"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Native session_window semantics certified against the LAG definition
+# ---------------------------------------------------------------------------
+
+_SW_GAP_US = 1_800_000_000  # 30 min — the registry-wide session gap
+
+
+@register(
+    "session_window_batch_native",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+b AS (
+  SELECT user_id, t, event_id, cents,
+         CASE WHEN LAG(t) OVER w IS NULL
+              OR t - LAG(t) OVER w >= {_SW_GAP_US} THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+),
+s AS (
+  SELECT user_id, t, cents,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM b
+)
+SELECT user_id,
+       CAST(MIN(t) AS BIGINT) AS session_start_us,
+       CAST(MAX(t) + {_SW_GAP_US} AS BIGINT) AS session_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS cents
+FROM s GROUP BY user_id, sid
+""",
+)
+def session_window_batch_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NATIVE ``session_window`` operator certified against the
+    hand-rolled LAG/running-sum sessionization definition: Spark groups
+    by ``session_window(ts, '30 minutes')`` — the same gap-merge
+    Structured Streaming uses in streaming/jobs.stream_sessionize — and
+    the oracle derives the identical sessions from first principles
+    (break when the gap REACHES 30 min: Spark merges events strictly
+    closer than the gap, so the LAG twin breaks on ``>=``; window end =
+    last event + gap, Spark's convention). A hash match certifies the
+    builtin's merge semantics end-to-end, giving the streaming
+    sessionization lane the same driver-visible signal the
+    near-dup/token-budget/PSI lanes get from their batch twins —
+    the fourth streaming lane closed.
+
+    Scale: session_window is one user-keyed aggregation (gap-merge runs
+    inside the aggregation, no window sort at the event grain in the
+    batch plan); outputs are bounded by sessions, not events."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("timestamp_ltz").alias("ts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    g = e.groupBy(
+        F.session_window("ts", "30 minutes").alias("s"), "user_id"
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+    return g.select(
+        "user_id",
+        F.unix_micros(F.col("s.start")).alias("session_start_us"),
+        F.unix_micros(F.col("s.end")).alias("session_end_us"),
+        "n_events",
+        "cents",
+    )

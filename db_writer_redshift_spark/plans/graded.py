@@ -173,11 +173,15 @@ round 8): 15 new operators —
   * plans/analytics_extra4.py second wave (6):
     window_range_interval_trailing7d (time-interval RANGE frame),
     agg_filter_clause_rollup (ANSI FILTER-clause aggregates),
-    text_simpson_diversity, window_ntile_decile_stats,
-    stats_welch_t_weekend, events_transition_entropy.
+    text_simpson_diversity, window_ntile_decile_stats (quickselect
+    NTILE — scale-safe, bit-equal to the window form),
+    stats_welch_t_weekend, events_transition_entropy,
+    session_window_batch_native (native session_window gap-merge
+    certified against the LAG definition — the streaming
+    sessionization lane's driver signal).
 
-ROUND-9 WINDOW PLAN: seat those 21 never-graded round-8 additions
-first, then fill the remaining 29 slots with keepers from
+ROUND-9 WINDOW PLAN: seat those 22 never-graded round-8 additions
+first, then fill the remaining 28 slots with keepers from
 tools/plan_rotation.py computed at round-9 open. Run
 `python tools/correctness_union.py` at round open (the freshness guard
 self-heals since round 8, but the checked-in rollup should still be
