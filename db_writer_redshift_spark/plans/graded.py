@@ -167,9 +167,11 @@ round 8): 15 new operators —
   * plans/ingest_queries.py (2): ingest_xml_orders_roundtrip +
     ingest_jsonl_orders_roundtrip — the wire-format readers under the
     value-hash gate via construction-derived fixtures (VERDICT r7 #6);
-  * plans/llm_ops.py (1): multimodal_png_palette_decode — PNG color
-    types 0/2/3 through the real codec, PLTE lookup proven by a
-    non-identity palette (VERDICT r7 #5);
+  * plans/llm_ops.py (1): multimodal_png_palette_decode — ALL FIVE
+    8-bit PNG color types (0/2/3/4/6) through the real codec: PLTE
+    lookup proven by a non-identity palette, alpha bytes proven by a
+    synthetic alpha; the 8-bit non-interlaced profile is complete
+    (VERDICT r7 #5);
   * plans/analytics_extra4.py second wave (6):
     window_range_interval_trailing7d (time-interval RANGE frame),
     agg_filter_clause_rollup (ANSI FILTER-clause aggregates),

@@ -198,14 +198,15 @@ class TestRealPngDecode:
             multimodal.decode_png(bytes(p))
 
     def test_unsupported_png_variants_stay_not_implemented(self):
-        # palette (8, 3, 0) left this list in round 8 — it decodes for
-        # real now (test_palette_color_type_3)
+        # palette (8,3,0) and alpha (8,4,0)/(8,6,0) left this list in
+        # round 8 — they decode for real now; 16-bit and interlaced
+        # remain the honest boundary
         import struct
         import zlib
 
         idat = self._chunk(b"IDAT", zlib.compress(b"\x00" * 8))
         iend = self._chunk(b"IEND", b"")
-        for depth, color, interlace in ((16, 0, 0), (8, 6, 0), (8, 2, 1)):
+        for depth, color, interlace in ((16, 0, 0), (8, 2, 1), (16, 6, 0)):
             ihdr = struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, interlace)
             payload = (
                 b"\x89PNG\r\n\x1a\n" + self._chunk(b"IHDR", ihdr) + idat + iend
@@ -224,6 +225,19 @@ class TestRealPngDecode:
         assert got["px_sum"] == exp
         assert got["px_sum"] != sum(px)  # indices alone are wrong
         assert got["px_mean_e6"] == 1_000_000 * exp // (3 * 30)
+
+    def test_alpha_color_types_4_and_6(self):
+        # the synthetic alpha a(v) = (3v+7) mod 256 is part of the sum,
+        # so skipping the alpha byte gives the wrong statistics
+        px = [(i * 53 + 7) % 256 for i in range(6 * 5)]
+        a = lambda v: (3 * v + 7) % 256  # noqa: E731
+        got4 = multimodal.decode_png(multimodal.encode_png(px, 6, 5, color_type=4))
+        assert got4["px_sum"] == sum(v + a(v) for v in px)
+        assert got4["px_mean_e6"] == 1_000_000 * got4["px_sum"] // (2 * 30)
+        got6 = multimodal.decode_png(multimodal.encode_png(px, 6, 5, color_type=6))
+        assert got6["px_sum"] == sum(3 * v + a(v) for v in px)
+        assert got6["px_mean_e6"] == 1_000_000 * got6["px_sum"] // (4 * 30)
+        assert got4["px_sum"] != sum(px) and got6["px_sum"] != 3 * sum(px)
 
     def test_palette_png_missing_plte_is_value_error(self):
         import struct
