@@ -165,3 +165,63 @@ def test_fold_dedupes_doc_id_within_batch(spark):
     fold = near_dup_fold(docs, "doc_id", "text", "batch", batch_values=[0]).collect()
     assert len(fold) == 2
     assert {(r["doc_id"], r["admitted"]) for r in fold} == {(1, 1), (2, 1)}
+
+
+def test_session_window_batch_native_matches_stream(spark, tmp_path):
+    """The registered batch query session_window_batch_native and the
+    REAL streaming lane (stream_sessionize — the same session_window
+    builtin under a watermark in complete mode) must produce identical
+    session boundaries and sizes over the same events — the
+    driver-checkable twin contract the near-dup/token-budget/PSI lanes
+    follow."""
+    import os
+    import shutil
+
+    import __spark_entry__ as entry_mod
+    from pyspark.sql import functions as F
+
+    from db_writer_redshift_spark.streaming import (
+        read_events_stream,
+        stream_sessionize,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    if not os.path.isdir(sf_dir):
+        import pytest
+
+        pytest.skip("testdata missing")
+
+    stream_dir = tmp_path / "events_only"
+    stream_dir.mkdir()
+    shutil.copy(
+        os.path.join(sf_dir, "events.parquet"), stream_dir / "events.parquet"
+    )
+    src = read_events_stream(spark, str(stream_dir))
+    q = (
+        stream_sessionize(src, "30 minutes")
+        .writeStream.format("memory")
+        .queryName("t_sess_twin")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck_sess_twin"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    streamed = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.sql("SELECT * FROM t_sess_twin")
+        .select(
+            "user_id",
+            F.unix_micros("session_start").alias("session_start"),
+            F.unix_micros("session_end").alias("session_end"),
+            "n_events",
+        )
+        .collect()
+    }
+    batch = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in entry_mod.queries()["session_window_batch_native"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert streamed == batch
