@@ -180,10 +180,13 @@ round 8): 15 new operators —
     stats_welch_t_weekend, events_transition_entropy,
     session_window_batch_native (native session_window gap-merge
     certified against the LAG definition — the streaming
-    sessionization lane's driver signal).
+    sessionization lane's driver signal);
+  * plans/llm_ops.py (1 more): multimodal_png16_adam7_decode — 16-bit
+    samples + Adam7 interlacing; the codec boundary is now sub-byte
+    depths and JPEG only.
 
-ROUND-9 WINDOW PLAN: seat those 22 never-graded round-8 additions
-first, then fill the remaining 28 slots with keepers from
+ROUND-9 WINDOW PLAN: seat those 23 never-graded round-8 additions
+first, then fill the remaining 27 slots with keepers from
 tools/plan_rotation.py computed at round-9 open. Run
 `python tools/correctness_union.py` at round open (the freshness guard
 self-heals since round 8, but the checked-in rollup should still be

@@ -1805,6 +1805,97 @@ def multimodal_png_palette_decode(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "multimodal_png16_adam7_decode",
+    oracle=r"""
+WITH base AS (
+  SELECT doc_id, text,
+         5 + doc_id % 4 AS width,
+         5 + doc_id % 3 AS height,
+         doc_id % 4 AS variant
+  FROM documents
+),
+px AS (
+  SELECT doc_id, width, height, variant, width * height AS n_pixels,
+         CASE WHEN len(text) = 0
+              THEN list_transform(range(0, width * height), k -> 0::BIGINT)
+              ELSE list_transform(range(0, width * height),
+                     k -> (ord(text[(k % len(text)) + 1]) % 256)::BIGINT)
+         END AS g
+  FROM base
+),
+-- variants: 0 -> (RGB, depth16, linear); 1 -> (gray, depth16, Adam7);
+--           2 -> (RGBA, depth8, Adam7); 3 -> (RGBA, depth16, Adam7).
+-- Interlacing permutes pixels, never their sum; depth 16 scales every
+-- channel by 257 (the canonical v*0x101 sample).
+s AS (
+  SELECT doc_id, CAST(variant AS BIGINT) AS variant,
+         CASE variant WHEN 0 THEN 16 WHEN 1 THEN 16 WHEN 2 THEN 8
+              ELSE 16 END AS bit_depth,
+         CASE variant WHEN 0 THEN 0 ELSE 1 END AS interlaced,
+         width, height, n_pixels,
+         CAST(CASE variant
+              WHEN 0 THEN 257 * 3 * list_aggregate(g, 'sum')
+              WHEN 1 THEN 257 * list_aggregate(g, 'sum')
+              WHEN 2 THEN list_aggregate(
+                     list_transform(g, v -> 3 * v + (3 * v + 7) % 256), 'sum')
+              ELSE 257 * list_aggregate(
+                     list_transform(g, v -> 3 * v + (3 * v + 7) % 256), 'sum')
+         END AS BIGINT) AS px_sum
+  FROM px
+)
+SELECT doc_id, variant, CAST(bit_depth AS BIGINT) AS bit_depth,
+       CAST(interlaced AS BIGINT) AS interlaced,
+       width, height, n_pixels, px_sum,
+       (1000000 * px_sum)
+         // (CASE variant WHEN 1 THEN 1 WHEN 0 THEN 3 ELSE 4 END * n_pixels)
+         AS px_mean_e6
+FROM s
+""",
+)
+def multimodal_png16_adam7_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit and Adam7-interlaced PNG decode under the value-hash gate
+    — the round-8 second narrowing of the codec boundary after the
+    color-type suite: documents cycle through (RGB, 16-bit, linear),
+    (gray, 16-bit, Adam7), (RGBA, 8-bit, Adam7), and (RGBA, 16-bit,
+    Adam7). The construction oracle exploits two algebraic facts that
+    make it simple while keeping the decode proof sharp: interlacing
+    PERMUTES pixels so channel sums are invariant — but only a decoder
+    with exact Adam7 pass geometry (7 passes, spec offsets/strides,
+    per-pass defilter state) decodes every pixel exactly once, and the
+    decoder cross-checks total consumed bytes against the inflated
+    stream; and the canonical 8->16 sample scaling v*257 makes every
+    16-bit sum exactly 257x its 8-bit twin. Remaining boundary:
+    sub-byte depths (1/2/4) and JPEG.
+
+    Scale: both stages are iterator mapInPandas (batch-bounded memory,
+    no shuffle); per-row output is scalar BIGINTs regardless of image
+    size."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_png_media(
+        docs,
+        "doc_id",
+        "text",
+        variants=((2, 16, 0), (0, 16, 1), (6, 8, 1), (6, 16, 1)),
+    )
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "doc_id",
+        F.expr("CAST(doc_id % 4 AS BIGINT)").alias("variant"),
+        F.expr(
+            "CAST(CASE doc_id % 4 WHEN 2 THEN 8 ELSE 16 END AS BIGINT)"
+        ).alias("bit_depth"),
+        F.expr(
+            "CAST(CASE doc_id % 4 WHEN 0 THEN 0 ELSE 1 END AS BIGINT)"
+        ).alias("interlaced"),
+        "width",
+        "height",
+        "n_pixels",
+        "px_sum",
+        "px_mean_e6",
+    )
+
+
+@register(
     "multimodal_audio_decode",
     oracle=r"""
 WITH base AS (

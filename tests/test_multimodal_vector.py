@@ -198,15 +198,15 @@ class TestRealPngDecode:
             multimodal.decode_png(bytes(p))
 
     def test_unsupported_png_variants_stay_not_implemented(self):
-        # palette (8,3,0) and alpha (8,4,0)/(8,6,0) left this list in
-        # round 8 — they decode for real now; 16-bit and interlaced
-        # remain the honest boundary
+        # palette/alpha (round 8 wave 1) and 16-bit/Adam7 (wave 2) all
+        # decode for real now; what stays out is sub-byte depths and the
+        # spec-invalid 16-bit palette combination
         import struct
         import zlib
 
         idat = self._chunk(b"IDAT", zlib.compress(b"\x00" * 8))
         iend = self._chunk(b"IEND", b"")
-        for depth, color, interlace in ((16, 0, 0), (8, 2, 1), (16, 6, 0)):
+        for depth, color, interlace in ((4, 0, 0), (2, 0, 0), (16, 3, 0)):
             ihdr = struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, interlace)
             payload = (
                 b"\x89PNG\r\n\x1a\n" + self._chunk(b"IHDR", ihdr) + idat + iend
@@ -387,3 +387,75 @@ class TestRealWavDecode:
         )
         (row,) = multimodal.extract_audio_features(media).collect()
         assert row.n_samples is None and row.amp_sum is None
+
+
+class TestPng16Adam7:
+    def test_depth16_scales_by_257(self):
+        px = [(i * 53 + 7) % 256 for i in range(6 * 5)]
+        for ct in (0, 2, 4, 6):
+            d8 = multimodal.decode_png(multimodal.encode_png(px, 6, 5, color_type=ct))
+            d16 = multimodal.decode_png(
+                multimodal.encode_png(px, 6, 5, color_type=ct, depth=16)
+            )
+            assert d16["px_sum"] == 257 * d8["px_sum"], ct
+
+    def test_adam7_sum_invariant_under_interlace(self):
+        # interlacing permutes pixels; sums must match the linear decode
+        # across odd geometries where pass dims exercise every branch
+        for (w, h) in ((1, 1), (2, 3), (7, 5), (8, 8), (9, 2), (16, 9)):
+            px = [(i * 29 + 3) % 256 for i in range(w * h)]
+            for ct in (0, 2, 3, 4, 6):
+                lin = multimodal.decode_png(
+                    multimodal.encode_png(px, w, h, color_type=ct, interlace=0)
+                )
+                il = multimodal.decode_png(
+                    multimodal.encode_png(px, w, h, color_type=ct, interlace=1)
+                )
+                assert il["px_sum"] == lin["px_sum"], (w, h, ct)
+                assert il["n_pixels"] == w * h
+
+    def test_interlaced_truncation_is_value_error(self):
+        import struct
+        import zlib
+
+        px = list(range(8 * 8))
+        good = multimodal.encode_png(px, 8, 8, color_type=2, interlace=1)
+        # rebuild with one byte chopped off the inflated stream
+        raw = None
+        pos = 8
+        parts = {}
+        while pos + 8 <= len(good):
+            (length,) = struct.unpack(">I", good[pos:pos + 4])
+            tag = good[pos + 4:pos + 8]
+            parts[tag] = good[pos + 8:pos + 8 + length]
+            pos += 12 + length
+        short = zlib.compress(zlib.decompress(parts[b"IDAT"])[:-1])
+
+        def chunk(tag, data):
+            import binascii
+
+            return (struct.pack(">I", len(data)) + tag + data
+                    + struct.pack(">I", binascii.crc32(tag + data)))
+
+        bad = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", parts[b"IHDR"])
+               + chunk(b"IDAT", short) + chunk(b"IEND", b""))
+        with pytest.raises(ValueError, match="length mismatch"):
+            multimodal.decode_png(bad)
+
+    def test_sub_byte_depth_stays_not_implemented(self):
+        import struct
+        import zlib
+
+        for depth in (1, 2, 4):
+            ihdr = struct.pack(">IIBBBBB", 2, 2, depth, 0, 0, 0, 0)
+            import binascii
+
+            def chunk(tag, data):
+                return (struct.pack(">I", len(data)) + tag + data
+                        + struct.pack(">I", binascii.crc32(tag + data)))
+
+            payload = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                       + chunk(b"IDAT", zlib.compress(b"\x00" * 4))
+                       + chunk(b"IEND", b""))
+            with pytest.raises(NotImplementedError):
+                multimodal.decode_png(payload)
