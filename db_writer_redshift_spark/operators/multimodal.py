@@ -10,8 +10,8 @@ stdlib zlib + the full five-filter defilter + PLTE lookup
 (encode_bmp/encode_ppm/encode_png/decode_image/decode_png) images, and
 mono 16-bit PCM WAV audio (encode_wav/decode_wav) — and STUBBED for
 everything else (deterministic fake features; NotImplementedError for
-JPEG / sub-byte-depth PNG / compressed audio / video,
-the documented codec boundary). The Spark-side plumbing is real
+JPEG / compressed audio / video,
+the documented codec boundary — every spec-valid PNG decodes). The Spark-side plumbing is real
 and tested throughout: schema shape, binary payload handling, mapInPandas
 batch iteration, partition-preserving feature extraction. Swapping in
 PIL/librosa for the remaining formats is a one-function change that
@@ -248,6 +248,18 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+# Spec-valid bit depths per color type (PNG spec §11.2.2, IHDR table).
+# Anything outside this table is a MALFORMED file (ValueError), not an
+# unimplemented profile — after round 8 every valid combination decodes.
+_PNG_VALID_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+
+
 def _plte_entry(i: int) -> tuple[int, int, int]:
     """The deterministic non-identity palette shared by encode_png
     (color type 3) and its construction-derived oracle: index i maps to
@@ -348,10 +360,13 @@ def encode_png(
 ) -> bytes:
     """Real, dependency-free PNG writer (spec: RFC 2083 / W3C PNG):
     grayscale (color type 0), RGB (2), palette (3, full 256-entry PLTE
-    via :func:`_plte_entry`), gray+alpha (4), and RGBA (6), at bit
-    depth 8 or 16 (16-bit uses the canonical v·257 sample scaling;
-    palette stays 8-bit per spec), non-interlaced or Adam7-interlaced —
-    stdlib ``zlib`` deflate, CRC-32 chunk trailers via ``binascii``.
+    via :func:`_plte_entry`), gray+alpha (4), and RGBA (6), at EVERY
+    spec-valid bit depth — 1/2/4/8/16 for gray, 1/2/4/8 for palette,
+    8/16 for the multi-channel types (16-bit uses the canonical v·257
+    sample scaling; sub-byte samples are the TOP ``depth`` bits of the
+    8-bit gray value, packed MSB-first with row padding per spec §7.2)
+    — non-interlaced or Adam7-interlaced — stdlib ``zlib`` deflate,
+    CRC-32 chunk trailers via ``binascii``.
 
     ``pixels`` is ``width*height`` grayscale values, row-major top-down
     (same convention as encode_bmp/encode_ppm so the encoders share one
@@ -367,14 +382,28 @@ def encode_png(
 
     assert len(pixels) == width * height, (len(pixels), width, height)
     assert color_type in (0, 2, 3, 4, 6), color_type
-    assert depth in (8, 16) and not (depth == 16 and color_type == 3)
+    assert depth in _PNG_VALID_DEPTHS[color_type], (color_type, depth)
     assert interlace in (0, 1)
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
-    bpp = channels * (depth // 8)
+    # filter step in BYTES: sub-byte rounds up to one whole byte (spec §9)
+    bpp = max(1, channels * depth // 8)
 
     def pass_rows(x0: int, y0: int, dx: int, dy: int) -> list[bytes]:
         rows = []
         for y in range(y0, height, dy):
+            if depth < 8:
+                samples = [
+                    (pixels[y * width + x] & 0xFF) >> (8 - depth)
+                    for x in range(x0, width, dx)
+                ]
+                if not samples:
+                    continue
+                row = bytearray((len(samples) * depth + 7) // 8)
+                for i, s in enumerate(samples):
+                    bit = i * depth
+                    row[bit // 8] |= s << (8 - depth - bit % 8)
+                rows.append(bytes(row))
+                continue
             row = bytearray()
             for x in range(x0, width, dx):
                 row += _png_sample_bytes(
@@ -420,25 +449,26 @@ def encode_png(
 
 
 def decode_png(payload: bytes) -> dict:
-    """Real, dependency-free PNG decode for the profile implementable
-    with the stdlib alone: ALL FIVE color types — 0 (grayscale),
-    2 (RGB), 3 (palette: indices defilter at 1 byte/px, then map
-    through the PLTE chunk to RGB for the channel statistics),
-    4 (gray+alpha), 6 (RGBA) — at bit depth 8 AND 16 (big-endian
-    samples; palette stays 8 per spec), non-interlaced AND
-    Adam7-interlaced (each pass an independently-defiltered sub-image
-    with exact spec geometry) — the round-8 closure of the PNG profile
-    (VERDICT r7 'next round' #5, then some). Channel statistics sum
-    EVERY decoded channel VALUE (alpha included for 4/6; palette RGB
-    for 3; 16-bit samples at full scale). IDAT inflates through
+    """Real, dependency-free PNG decode for the ENTIRE static-PNG
+    profile: ALL FIVE color types — 0 (grayscale), 2 (RGB), 3 (palette:
+    indices defilter then map through the PLTE chunk to RGB for the
+    channel statistics), 4 (gray+alpha), 6 (RGBA) — at EVERY spec-valid
+    bit depth (1/2/4/8/16; sub-byte samples unpack MSB-first with row
+    padding per spec §7.2, 16-bit samples are big-endian),
+    non-interlaced AND Adam7-interlaced (each pass an
+    independently-defiltered sub-image with exact spec geometry) — the
+    round-8 closure of the PNG lane: no valid IHDR combination raises
+    NotImplementedError anymore; the remaining image-codec boundary is
+    JPEG alone (DCT entropy coding needs a real library). Channel
+    statistics sum EVERY decoded channel VALUE (alpha included for 4/6;
+    palette RGB for 3; 16-bit samples at full scale; sub-byte samples
+    at their native 0..2^depth−1 scale). IDAT inflates through
     ``zlib``; scanlines defilter through the full five-type suite
     (None/Sub/Up/Average/Paeth, PNG spec §9); chunk CRCs are verified
-    via ``binascii.crc32``. Sub-byte depths (1/2/4) raise
-    NotImplementedError — the remaining honest codec boundary alongside
-    JPEG (compressed codecs need real libraries). Malformed bytes (bad
-    CRC, truncated
+    via ``binascii.crc32``. Malformed bytes (bad CRC, truncated
     chunks, inflate errors, short pixel data, palette-less type 3,
-    out-of-palette indices) raise ValueError.
+    out-of-palette indices, spec-invalid depth/color combinations)
+    raise ValueError.
 
     Per-pixel Python defilter is O(bytes) per image — acceptable because
     synthesized fixtures are tiny; a production swap point is numpy row
@@ -485,22 +515,24 @@ def decode_png(payload: bytes) -> dict:
     if comp != 0 or filt != 0:
         raise ValueError("PNG nonzero compression/filter method")
     if (
-        depth not in (8, 16)
-        or color not in (0, 2, 3, 4, 6)
-        or (depth == 16 and color == 3)
+        color not in _PNG_VALID_DEPTHS
+        or depth not in _PNG_VALID_DEPTHS[color]
         or interlace not in (0, 1)
     ):
-        raise NotImplementedError(
-            f"PNG variant unsupported without a codec library "
+        raise ValueError(
+            f"invalid PNG IHDR combination "
             f"(depth={depth}, color_type={color}, interlace={interlace})"
         )
     if color == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
     # channels counted in the statistics (alpha INCLUDED for 4/6 — the
     # px_sum convention is "sum of every decoded channel VALUE": bytes
-    # at depth 8, big-endian 16-bit samples at depth 16, PLTE RGB for 3)
+    # at depth 8, big-endian 16-bit samples at depth 16, PLTE RGB for 3,
+    # native-scale sub-byte samples at depth 1/2/4)
     channels = {0: 1, 2: 3, 3: 3, 4: 2, 6: 4}[color]
-    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color] * (depth // 8)
+    raw_channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    # filter step in BYTES (sub-byte rounds up to 1, spec §9)
+    bpp = max(1, raw_channels * depth // 8)
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as exc:
@@ -514,7 +546,9 @@ def decode_png(payload: bytes) -> dict:
     for pw, ph in passes:
         if pw == 0 or ph == 0:
             continue
-        stride = 1 + bpp * pw
+        # scanline bytes: sub-byte rows pack MSB-first and pad the last
+        # byte PER PASS (each pass is its own sub-image, spec §8.2)
+        stride = 1 + (pw * raw_channels * depth + 7) // 8
         if off + stride * ph > len(raw):
             raise ValueError("PNG pixel data length mismatch")
         prev = bytes(bpp * pw)
@@ -537,7 +571,22 @@ def decode_png(payload: bytes) -> dict:
                     line[i] = (line[i] + (left + up) // 2) & 0xFF
                 elif ft == 4:
                     line[i] = (line[i] + _paeth(left, up, ul)) & 0xFF
-            if color == 3:
+            if depth < 8:
+                # unpack pw samples MSB-first; trailing pad bits ignored
+                mask = (1 << depth) - 1
+                n_entries = len(plte) // 3 if color == 3 else 0
+                for i in range(pw):
+                    bit = i * depth
+                    s = (line[bit // 8] >> (8 - depth - bit % 8)) & mask
+                    if color == 3:
+                        if s >= n_entries:
+                            raise ValueError("PNG palette index out of range")
+                        total += (
+                            plte[3 * s] + plte[3 * s + 1] + plte[3 * s + 2]
+                        )
+                    else:
+                        total += s
+            elif color == 3:
                 # defiltered bytes are palette INDICES — the statistics
                 # are over the looked-up RGB triples, never raw indices
                 n_entries = len(plte) // 3
@@ -570,15 +619,16 @@ def decode_image(payload: bytes) -> dict:
     """Real, dependency-free image decode for the formats whose specs are
     implementable without a codec library: BMP (24-bit uncompressed
     BI_RGB, the format encode_bmp writes and any editor can export),
-    binary PPM (P6), and non-interlaced 8-bit grayscale/RGB (round 7) /
-    palette (round 8) PNG (stdlib zlib inflate + full five-filter
-    defilter including Paeth + PLTE lookup; decode_png). Returns exact
+    binary PPM (P6), and the ENTIRE static-PNG profile — all five color
+    types at every spec-valid bit depth (1/2/4/8/16), linear or Adam7
+    (stdlib zlib inflate + full five-filter defilter including Paeth +
+    PLTE lookup + sub-byte bit unpacking; decode_png). Returns exact
     pixel geometry and channel-sum statistics; raises ValueError when
     the payload is not a well-formed image of any supported format
     (callers use that to fall back to the stub path) and
     NotImplementedError for recognized but unsupported encodings
-    (compressed BMP, sub-byte-depth PNG, JPEG — those genuinely need
-    codec libraries or stay out until a query needs them).
+    (compressed BMP, JPEG — those genuinely need codec libraries or
+    stay out until a query needs them).
     """
     import struct
 

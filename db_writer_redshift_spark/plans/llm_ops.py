@@ -1864,8 +1864,8 @@ def multimodal_png16_adam7_decode(spark: SparkSession, sf_dir: str) -> DataFrame
     per-pass defilter state) decodes every pixel exactly once, and the
     decoder cross-checks total consumed bytes against the inflated
     stream; and the canonical 8->16 sample scaling v*257 makes every
-    16-bit sum exactly 257x its 8-bit twin. Remaining boundary:
-    sub-byte depths (1/2/4) and JPEG.
+    16-bit sum exactly 257x its 8-bit twin. Remaining boundary after
+    the sub-byte wave (multimodal_png_subbyte_decode): JPEG alone.
 
     Scale: both stages are iterator mapInPandas (batch-bounded memory,
     no shuffle); per-row output is scalar BIGINTs regardless of image
@@ -1887,6 +1887,106 @@ def multimodal_png16_adam7_decode(spark: SparkSession, sf_dir: str) -> DataFrame
         F.expr(
             "CAST(CASE doc_id % 4 WHEN 0 THEN 0 ELSE 1 END AS BIGINT)"
         ).alias("interlaced"),
+        "width",
+        "height",
+        "n_pixels",
+        "px_sum",
+        "px_mean_e6",
+    )
+
+
+@register(
+    "multimodal_png_subbyte_decode",
+    oracle=r"""
+WITH base AS (
+  SELECT doc_id, text,
+         5 + doc_id % 4 AS width,
+         5 + doc_id % 3 AS height,
+         doc_id % 6 AS variant
+  FROM documents
+),
+px AS (
+  SELECT doc_id, width, height, variant, width * height AS n_pixels,
+         CASE WHEN len(text) = 0
+              THEN list_transform(range(0, width * height), k -> 0::BIGINT)
+              ELSE list_transform(range(0, width * height),
+                     k -> (ord(text[(k % len(text)) + 1]) % 256)::BIGINT)
+         END AS g
+  FROM base
+),
+-- variants (color_type, depth, interlace): 0:(gray,1,linear)
+--   1:(palette,4,Adam7) 2:(gray,2,Adam7) 3:(palette,1,linear)
+--   4:(gray,4,linear) 5:(palette,2,Adam7).
+-- A sub-byte sample is the TOP depth bits of the 8-bit gray value,
+-- i.e. v // 2^(8-depth); a palette pixel sums through the PLTE
+-- (i, 7i mod 256, 255-i) to 255 + 7i exactly (7i < 256 for i < 16).
+s AS (
+  SELECT doc_id, variant, width, height, n_pixels,
+         CASE variant WHEN 0 THEN 1 WHEN 3 THEN 1 WHEN 2 THEN 2
+              WHEN 5 THEN 2 ELSE 4 END AS bit_depth,
+         CASE WHEN variant IN (1, 2, 5) THEN 1 ELSE 0 END AS interlaced,
+         CASE WHEN variant IN (1, 3, 5) THEN 3 ELSE 0 END AS color_type,
+         CASE WHEN variant IN (1, 3, 5)
+              THEN list_aggregate(list_transform(g,
+                     v -> 255 + 7 * (v // (CASE variant WHEN 3 THEN 128
+                            WHEN 5 THEN 64 ELSE 16 END))), 'sum')
+              ELSE list_aggregate(list_transform(g,
+                     v -> v // (CASE variant WHEN 0 THEN 128
+                            WHEN 2 THEN 64 ELSE 16 END)), 'sum')
+         END AS px_sum
+  FROM px
+)
+SELECT doc_id, CAST(variant AS BIGINT) AS variant,
+       CAST(bit_depth AS BIGINT) AS bit_depth,
+       CAST(interlaced AS BIGINT) AS interlaced,
+       CAST(color_type AS BIGINT) AS color_type,
+       width, height, n_pixels, CAST(px_sum AS BIGINT) AS px_sum,
+       CAST((1000000 * px_sum)
+         // (CASE WHEN color_type = 3 THEN 3 ELSE 1 END * n_pixels)
+         AS BIGINT) AS px_mean_e6
+FROM s
+""",
+)
+def multimodal_png_subbyte_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-byte PNG decode under the value-hash gate — the round-8
+    CLOSURE of the PNG lane: with 1/2/4-bit grayscale and palette
+    images decoding for real (MSB-first bit unpacking, per-row and
+    per-Adam7-pass padding, byte-granular defilter per spec §9), every
+    spec-valid IHDR combination now decodes and the image-codec
+    boundary is JPEG alone. Documents cycle six variants mixing the
+    three sub-byte depths, both color types, and both interlace modes.
+    The construction oracle: a sub-byte sample is the top ``depth``
+    bits of the 8-bit pixel (v >> (8-depth)), and palette statistics go
+    through the non-identity PLTE — Σ(255 + 7·index) — so the hash only
+    matches if the decoder unpacks bits at the right positions AND
+    still performs the palette lookup at 1/2/4-bit index width.
+
+    Scale: both stages are iterator mapInPandas (batch-bounded memory,
+    no shuffle); per-row output is scalar BIGINTs regardless of image
+    size."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_png_media(
+        docs,
+        "doc_id",
+        "text",
+        variants=((0, 1, 0), (3, 4, 1), (0, 2, 1), (3, 1, 0), (0, 4, 0), (3, 2, 1)),
+    )
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "doc_id",
+        F.expr("CAST(doc_id % 6 AS BIGINT)").alias("variant"),
+        F.expr(
+            "CAST(CASE doc_id % 6 WHEN 0 THEN 1 WHEN 3 THEN 1 WHEN 2 THEN 2"
+            " WHEN 5 THEN 2 ELSE 4 END AS BIGINT)"
+        ).alias("bit_depth"),
+        F.expr(
+            "CAST(CASE WHEN doc_id % 6 IN (1, 2, 5) THEN 1 ELSE 0 END"
+            " AS BIGINT)"
+        ).alias("interlaced"),
+        F.expr(
+            "CAST(CASE WHEN doc_id % 6 IN (1, 3, 5) THEN 3 ELSE 0 END"
+            " AS BIGINT)"
+        ).alias("color_type"),
         "width",
         "height",
         "n_pixels",

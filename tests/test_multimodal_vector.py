@@ -197,21 +197,51 @@ class TestRealPngDecode:
         with pytest.raises(ValueError):
             multimodal.decode_png(bytes(p))
 
-    def test_unsupported_png_variants_stay_not_implemented(self):
-        # palette/alpha (round 8 wave 1) and 16-bit/Adam7 (wave 2) all
-        # decode for real now; what stays out is sub-byte depths and the
-        # spec-invalid 16-bit palette combination
+    def test_subbyte_depths_round_trip(self):
+        # round-8 wave 3: 1/2/4-bit gray and palette decode for real.
+        # Sub-byte samples are the TOP depth bits of the 8-bit value,
+        # packed MSB-first with per-row padding; palette statistics go
+        # through the PLTE (255 + 7i per pixel for i < 16 — indices
+        # alone would NOT match).
+        px = [(i * 53 + 7) % 256 for i in range(6 * 5)]
+        for depth in (1, 2, 4):
+            for interlace in (0, 1):
+                gray = multimodal.decode_png(
+                    multimodal.encode_png(
+                        px, 6, 5, color_type=0, depth=depth, interlace=interlace
+                    )
+                )
+                assert gray["px_sum"] == sum(v >> (8 - depth) for v in px)
+                pal = multimodal.decode_png(
+                    multimodal.encode_png(
+                        px, 6, 5, color_type=3, depth=depth, interlace=interlace
+                    )
+                )
+                assert pal["px_sum"] == sum(
+                    255 + 7 * (v >> (8 - depth)) for v in px
+                )
+                assert pal["px_sum"] != sum(v >> (8 - depth) for v in px)
+
+    def test_spec_invalid_ihdr_combinations_are_value_error(self):
+        # every VALID combination decodes now; what's left outside the
+        # table is malformed per spec §11.2.2 — ValueError, not
+        # NotImplementedError (JPEG keeps the NotImplementedError lane)
         import struct
         import zlib
 
         idat = self._chunk(b"IDAT", zlib.compress(b"\x00" * 8))
         iend = self._chunk(b"IEND", b"")
-        for depth, color, interlace in ((4, 0, 0), (2, 0, 0), (16, 3, 0)):
+        for depth, color, interlace in (
+            (16, 3, 0),  # 16-bit palette
+            (4, 2, 0),  # sub-byte RGB
+            (2, 4, 0),  # sub-byte gray+alpha
+            (3, 0, 0),  # non-power-of-two depth
+        ):
             ihdr = struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, interlace)
             payload = (
                 b"\x89PNG\r\n\x1a\n" + self._chunk(b"IHDR", ihdr) + idat + iend
             )
-            with pytest.raises(NotImplementedError):
+            with pytest.raises(ValueError, match="invalid PNG IHDR"):
                 multimodal.decode_png(payload)
 
     def test_palette_color_type_3(self):
@@ -442,20 +472,30 @@ class TestPng16Adam7:
         with pytest.raises(ValueError, match="length mismatch"):
             multimodal.decode_png(bad)
 
-    def test_sub_byte_depth_stays_not_implemented(self):
+    def test_sub_byte_depth_decodes_hand_built_payload(self):
+        # round-8 wave 3 flipped this from NotImplementedError to a real
+        # decode: a hand-built 2x2 gray image at each sub-byte depth is
+        # one packed byte per scanline (2 samples of 1/2/4 bits), and
+        # the stride math must account for the bit packing exactly
         import struct
         import zlib
 
+        import binascii
+
+        def chunk(tag, data):
+            return (struct.pack(">I", len(data)) + tag + data
+                    + struct.pack(">I", binascii.crc32(tag + data)))
+
         for depth in (1, 2, 4):
             ihdr = struct.pack(">IIBBBBB", 2, 2, depth, 0, 0, 0, 0)
-            import binascii
-
-            def chunk(tag, data):
-                return (struct.pack(">I", len(data)) + tag + data
-                        + struct.pack(">I", binascii.crc32(tag + data)))
-
+            # filter 0 + one packed byte per row; MSB-first samples
+            # (1, 0) in row 1 and (0, 1) in row 2
+            hi = 1 << (8 - depth)
+            lo = 1 << (8 - 2 * depth) if depth < 8 else 1
+            raw = bytes([0, hi]) + bytes([0, lo])
             payload = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-                       + chunk(b"IDAT", zlib.compress(b"\x00" * 4))
+                       + chunk(b"IDAT", zlib.compress(raw))
                        + chunk(b"IEND", b""))
-            with pytest.raises(NotImplementedError):
-                multimodal.decode_png(payload)
+            got = multimodal.decode_png(payload)
+            assert got["n_pixels"] == 4
+            assert got["px_sum"] == 2  # two set samples of value 1
