@@ -27,6 +27,7 @@ from db_writer_redshift_spark.plans import analytics_extra2  # noqa: F401,E402
 from db_writer_redshift_spark.plans import analytics_extra3  # noqa: F401,E402
 from db_writer_redshift_spark.plans import ingest_queries  # noqa: F401,E402
 from db_writer_redshift_spark.plans import analytics_extra4  # noqa: F401,E402
+from db_writer_redshift_spark.plans import analytics_extra5  # noqa: F401,E402
 
 # The driver grades the FIRST 50 registered queries. Reorder the registry
 # so the curated window (one representative per operator family — see

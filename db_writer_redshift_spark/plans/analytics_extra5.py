@@ -1,0 +1,713 @@
+"""Round-8 wave-3 analytics batch: community structure, Spark-4 SQL
+surface (ordered LISTAGG, recursive CTEs), robust means, paired tests,
+temperature-scaled mixing, UNPIVOT profiling, and trailing-distinct
+windows.
+
+* ``graph_modularity_copurchase`` — Newman-Girvan modularity (Newman &
+  Girvan 2004) of the weight>=2 part co-purchase graph under the
+  p_brand partition: per-community contribution as an exact 128-bit
+  rational (4·m·e_c − d_c²) / 4m², sign-corrected floor-ppm — the
+  community-QUALITY scalar beside the registry's k-core / k-truss /
+  assortativity views of the same graph.
+* ``agg_listagg_topk_ordered`` — the Spark 4 ``LISTAGG(expr, sep)
+  WITHIN GROUP (ORDER BY …)`` ordered-set aggregate over the top-5
+  customers per nation (row_number gate first, so the aggregated string
+  is bounded), against DuckDB's ``STRING_AGG(… ORDER BY …)`` — same
+  total order, byte-identical strings.
+* ``stats_trimmed_winsorized_prices`` — 10% two-sided trimmed mean and
+  winsorized mean (Tukey & McLaughlin 1963) of line-item price cents
+  per returnflag: P10/P90 boundaries via the hash-safe
+  MIN-where-CUME_DIST>=p quantile (a value FROM the data), then exact
+  integer sums for both robust means.
+* ``stats_mcnemar_urgent_weekend`` — McNemar's paired test (McNemar
+  1947, Edwards 1948 continuity correction) on two per-customer binary
+  flags (ever-urgent vs ever-weekend ordering): discordant cells b/c
+  exact, χ²_cc = (|b−c|−1)²/(b+c) in floor-e6.
+* ``mix_temperature_sweep`` — temperature-scaled source mixing
+  (multilingual-LM data balancing à la Conneau & Lample 2019: sample
+  ∝ p^α): per-language char-mass shares at sharpening exponents
+  α ∈ {1,2,3}, integer-exact because p is quantized to ppm FIRST and
+  p_ppm^3 ≤ 10^18 stays in BIGINT, re-normalized in 128-bit.
+* ``dq_null_profile_unpivot`` — wide-to-long column profiling through
+  the native UNPIVOT operator (null count, distinct count, min/max/total
+  length per column), the data-quality intake report every pipeline
+  runs before schema contracts are written.
+* ``window_trailing_distinct_customers`` — trailing-7-day COUNT
+  (DISTINCT) per order day: the windowed-distinct that RANGE frames
+  cannot express (no DISTINCT in window aggregates in either engine) —
+  re-expressed scale-correctly as a bounded 7-row explode + one
+  hash aggregate, while the oracle states the same relation as a
+  calendar range join.
+* ``recursive_cte_part_hierarchy`` — Spark 4 ``WITH RECURSIVE``
+  surface: the decimal-prefix forest over partkeys (parent = pk div
+  10) rolled up from the 9 roots — subtree sizes, depths, and exact
+  retail-price subtree sums; the BOM-explosion shape (variable-depth
+  transitive closure) that genuinely needs recursion, stated with the
+  IDENTICAL recursive SQL text on both engines (modulo div spelling).
+
+Reference anchor: the reference (keboola/db-writer-redshift) delegates
+all analytics to Redshift (SURVEY.md §4); these queries are this
+engine's own surface, cited to public papers in each docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from db_writer_redshift_spark.plans.registry import load_table, register
+
+
+def _copurchase_edges(li: DataFrame) -> DataFrame:
+    """The house weight>=2 co-purchase edge relation (kcore/ktruss/
+    assortativity twin): distinct (order, part) pairs self-joined on
+    orderkey with u < v, one shuffle on orderkey."""
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Newman-Girvan modularity of the co-purchase graph under the brand partition
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_modularity_copurchase",
+    oracle="""
+WITH eraw AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS (SELECT u, v FROM eraw GROUP BY u, v HAVING COUNT(*) >= 2),
+mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
+lab AS (SELECT p_partkey, p_brand FROM part),
+eb AS (
+  SELECT lu.p_brand AS bu, lv.p_brand AS bv
+  FROM edges e JOIN lab lu ON e.u = lu.p_partkey
+               JOIN lab lv ON e.v = lv.p_partkey
+),
+ein AS (
+  SELECT bu AS brand, CAST(COUNT(*) AS BIGINT) AS e_in
+  FROM eb WHERE bu = bv GROUP BY bu
+),
+sym AS (SELECT u FROM edges UNION ALL SELECT v AS u FROM edges),
+deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS k FROM sym GROUP BY u),
+dsum AS (
+  SELECT lab.p_brand AS brand, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(deg.k) AS BIGINT) AS d_sum
+  FROM deg JOIN lab ON deg.node = lab.p_partkey
+  GROUP BY lab.p_brand
+)
+SELECT d.brand, d.n_nodes, d.d_sum,
+       CAST(COALESCE(e.e_in, 0) AS BIGINT) AS e_in,
+       mm.m AS n_edges,
+       CAST(CASE WHEN mm.m = 0 THEN 0 ELSE
+         CASE WHEN 4::HUGEINT * mm.m * COALESCE(e.e_in, 0)
+                   - d.d_sum::HUGEINT * d.d_sum >= 0 THEN 1 ELSE -1 END
+         * ((1000000::HUGEINT
+             * ABS(4::HUGEINT * mm.m * COALESCE(e.e_in, 0)
+                   - d.d_sum::HUGEINT * d.d_sum))
+            // (4::HUGEINT * mm.m * mm.m)) END AS BIGINT) AS contrib_ppm
+FROM dsum d LEFT JOIN ein e ON d.brand = e.brand CROSS JOIN mm
+""",
+)
+def graph_modularity_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman-Girvan modularity (Newman & Girvan, Phys. Rev. E 2004) of
+    the weight>=2 part co-purchase graph under the p_brand partition:
+    Q = Σ_c [e_c/m − (d_c/2m)²], emitted per community as the exact
+    integer triple (e_c, d_c, m) plus the contribution
+    (4·m·e_c − d_c²)/4m² as a sign-corrected floor-ppm — does the brand
+    partition explain co-purchase structure better than chance? The
+    community-quality scalar beside the registry's k-core / k-truss /
+    label-propagation / assortativity views of the same graph.
+
+    Exactness: every product promotes to 128-bit (DECIMAL(38)/HUGEINT)
+    BEFORE multiplying (the ADVICE-r7 overflow discipline); the
+    contribution can be negative, so the floor-div applies to the ABS
+    value with the sign reapplied, keeping Spark's truncating ``div``
+    and DuckDB's ``//`` identical.
+
+    Scale: one orderkey-shuffle edge build shared with the graph
+    family; degrees and community sums are map-side aggregates over the
+    edge list; the brand relation (25 rows) broadcasts; per-community
+    output is bounded by |brands|."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"), F.col("p_brand").alias("brand")
+    )
+    edges = _copurchase_edges(li)
+    m_df = edges.agg(F.count("*").cast("long").alias("m"))
+    lab_u = part.select(F.col("node").alias("u"), F.col("brand").alias("bu"))
+    lab_v = part.select(F.col("node").alias("v"), F.col("brand").alias("bv"))
+    ein = (
+        edges.join(F.broadcast(lab_u), "u")
+        .join(F.broadcast(lab_v), "v")
+        .filter(F.col("bu") == F.col("bv"))
+        .groupBy(F.col("bu").alias("brand"))
+        .agg(F.count("*").cast("long").alias("e_in"))
+    )
+    sym = edges.select("u").unionByName(edges.select(F.col("v").alias("u")))
+    deg = sym.groupBy("u").agg(F.count("*").cast("long").alias("k"))
+    dsum = (
+        deg.join(F.broadcast(part.withColumnRenamed("node", "u")), "u")
+        .groupBy("brand")
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum("k").cast("long").alias("d_sum"),
+        )
+    )
+    joined = (
+        dsum.join(ein, "brand", "left")
+        .withColumn("e_in", F.coalesce(F.col("e_in"), F.lit(0)).cast("long"))
+        .crossJoin(F.broadcast(m_df))
+    )
+    return joined.select(
+        "brand",
+        "n_nodes",
+        "d_sum",
+        "e_in",
+        F.col("m").alias("n_edges"),
+        F.expr(
+            "CASE WHEN m = 0 THEN CAST(0 AS BIGINT) ELSE CAST("
+            " CASE WHEN CAST(4 AS DECIMAL(38,0)) * m * e_in"
+            "           - CAST(d_sum AS DECIMAL(38,0)) * d_sum >= 0"
+            "      THEN 1 ELSE -1 END"
+            " * ((CAST(1000000 AS DECIMAL(38,0))"
+            "     * ABS(CAST(4 AS DECIMAL(38,0)) * m * e_in"
+            "           - CAST(d_sum AS DECIMAL(38,0)) * d_sum))"
+            "    div (CAST(4 AS DECIMAL(38,0)) * m * m)) AS BIGINT) END"
+        ).alias("contrib_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 ordered-set LISTAGG over a bounded top-k per group
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_listagg_topk_ordered",
+    oracle="""
+WITH ranked AS (
+  SELECT n.n_name, c.c_name, c.c_acctbal, c.c_custkey,
+         ROW_NUMBER() OVER (PARTITION BY n.n_name
+                            ORDER BY c.c_acctbal DESC, c.c_custkey) AS rn
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT n_name,
+       STRING_AGG(c_name, ',' ORDER BY c_acctbal DESC, c_custkey)
+         AS top5_names,
+       CAST(COUNT(*) AS BIGINT) AS n_in_list,
+       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS top5_bal_cents
+FROM ranked WHERE rn <= 5
+GROUP BY n_name
+""",
+)
+def agg_listagg_topk_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 4 ordered-set string aggregate — ``LISTAGG(expr, sep)
+    WITHIN GROUP (ORDER BY …)`` (SQL:2016 T625) — against DuckDB's
+    ``STRING_AGG(… ORDER BY …)``: the top-5 customers per nation by
+    account balance concatenated under an explicit TOTAL order
+    (c_acctbal DESC, c_custkey), so the strings are byte-identical
+    cross-engine. The row_number gate runs FIRST, bounding the
+    aggregated string at 5 names — the discipline that keeps an
+    order-sensitive string aggregate safe at scale (an unbounded
+    LISTAGG over a fact table is a driver-killer by construction).
+
+    Scale: rank-then-aggregate is one hash partition per nation key
+    (25); with heavier group counts the WindowGroupLimit pushdown keeps
+    only 5 rows per group ahead of the sort."""
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    ranked = (
+        cust.join(F.broadcast(nat), "c_nationkey")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("n_name").orderBy(
+                    F.col("c_acctbal").desc(), F.col("c_custkey")
+                )
+            ),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+    return ranked.groupBy("n_name").agg(
+        F.expr(
+            "listagg(c_name, ',') WITHIN GROUP"
+            " (ORDER BY c_acctbal DESC, c_custkey)"
+        ).alias("top5_names"),
+        F.count("*").cast("long").alias("n_in_list"),
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("long"))
+        .cast("long")
+        .alias("top5_bal_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trimmed and winsorized means per returnflag (robust location estimators)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_trimmed_winsorized_prices",
+    oracle="""
+WITH c AS (
+  SELECT l_returnflag AS flag,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+),
+cd AS (
+  SELECT flag, cents,
+         CUME_DIST() OVER (PARTITION BY flag ORDER BY cents) AS cd
+  FROM c
+),
+b AS (
+  SELECT flag,
+         MIN(CASE WHEN cd >= 0.1 THEN cents END) AS lo,
+         MIN(CASE WHEN cd >= 0.9 THEN cents END) AS hi
+  FROM cd GROUP BY flag
+)
+SELECT c.flag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       b.lo AS p10_cents, b.hi AS p90_cents,
+       CAST(SUM(CASE WHEN c.cents BETWEEN b.lo AND b.hi THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN c.cents BETWEEN b.lo AND b.hi THEN c.cents
+                     ELSE 0 END) AS BIGINT) AS trimmed_sum_cents,
+       CAST((1000000::HUGEINT
+             * SUM(CASE WHEN c.cents BETWEEN b.lo AND b.hi THEN c.cents
+                        ELSE 0 END))
+            // SUM(CASE WHEN c.cents BETWEEN b.lo AND b.hi THEN 1 ELSE 0 END)
+            AS BIGINT) AS trimmed_mean_e6,
+       CAST(SUM(LEAST(GREATEST(c.cents, b.lo), b.hi)) AS BIGINT)
+         AS winsor_sum_cents,
+       CAST((1000000::HUGEINT * SUM(LEAST(GREATEST(c.cents, b.lo), b.hi)))
+            // COUNT(*) AS BIGINT) AS winsor_mean_e6
+FROM c JOIN b USING (flag)
+GROUP BY c.flag, b.lo, b.hi
+""",
+)
+def stats_trimmed_winsorized_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% two-sided trimmed mean and winsorized mean (Tukey &
+    McLaughlin 1963) of line-item extended price per returnflag — the
+    robust location estimators every data-quality dashboard wants next
+    to the raw mean. The P10/P90 boundaries use the hash-safe
+    PERCENTILE_DISC spelling (MIN value with CUME_DIST >= p — a value
+    FROM the data, no interpolation); trimming keeps [lo, hi]
+    inclusive, winsorizing clamps to it; every output is an exact
+    integer or a 128-bit-promoted floor-e6 ratio.
+
+    Scale: the CUME_DIST pass is one sort per returnflag partition (3
+    groups) — the exact-quantiles cost class; at the 10M-row-per-group
+    cutoff the house quickselect (kths_smallest_multi) swaps in for the
+    boundary computation exactly as window_ntile_decile_stats documents.
+    Everything after the boundaries is one map-side-combinable
+    aggregate against a 3-row broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    cd = li.withColumn(
+        "cd", F.cume_dist().over(Window.partitionBy("flag").orderBy("cents"))
+    )
+    bounds = cd.groupBy("flag").agg(
+        F.min(F.when(F.col("cd") >= 0.1, F.col("cents"))).alias("lo"),
+        F.min(F.when(F.col("cd") >= 0.9, F.col("cents"))).alias("hi"),
+    )
+    j = li.join(F.broadcast(bounds), "flag")
+    kept = F.when(
+        (F.col("cents") >= F.col("lo")) & (F.col("cents") <= F.col("hi")), 1
+    ).otherwise(0)
+    wins = F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi"))
+    agg = j.groupBy("flag", "lo", "hi").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(kept).cast("long").alias("n_kept"),
+        F.sum(F.col("cents") * kept).cast("long").alias("trimmed_sum_cents"),
+        F.sum(wins).cast("long").alias("winsor_sum_cents"),
+    )
+    return agg.select(
+        "flag",
+        "n",
+        F.col("lo").alias("p10_cents"),
+        F.col("hi").alias("p90_cents"),
+        "n_kept",
+        "trimmed_sum_cents",
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * trimmed_sum_cents)"
+            " div n_kept AS BIGINT)"
+        ).alias("trimmed_mean_e6"),
+        "winsor_sum_cents",
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * winsor_sum_cents)"
+            " div n AS BIGINT)"
+        ).alias("winsor_mean_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# McNemar's paired test on per-customer binary flags
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_mcnemar_urgent_weekend",
+    oracle="""
+WITH per AS (
+  SELECT o_custkey,
+         MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS a,
+         MAX(CASE WHEN isodow(o_orderdate::DATE) >= 6 THEN 1 ELSE 0 END) AS b
+  FROM orders GROUP BY o_custkey
+),
+ct AS (
+  SELECT CAST(SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+         CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+         CAST(SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+         CAST(SUM(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00
+  FROM per
+)
+SELECT n11, n10, n01, n00,
+       CAST(n10 + n01 AS BIGINT) AS n_discordant,
+       CAST(CASE WHEN n10 + n01 = 0 OR ABS(n10 - n01) <= 1 THEN 0
+            ELSE (1000000::HUGEINT * (ABS(n10 - n01) - 1)
+                  * (ABS(n10 - n01) - 1)) // (n10 + n01)
+       END AS BIGINT) AS chi2_cc_e6
+FROM ct
+""",
+)
+def stats_mcnemar_urgent_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test for paired binary outcomes (McNemar 1947, with the
+    Edwards 1948 continuity correction): per customer, flag A = has
+    ever placed a 1-URGENT order, flag B = has ever ordered on a
+    weekend (isodow >= 6 == Spark weekday+1, the house dow convention).
+    Only the DISCORDANT cells matter: χ²_cc = (|b−c|−1)²/(b+c), shipped
+    as exact cell counts plus a floor-e6 statistic (clamped to 0 when
+    |b−c| <= 1, where the corrected statistic is non-positive by
+    definition). The marginal-homogeneity test beside the registry's
+    unpaired two-proportion z² — paired designs need the paired test.
+
+    Scale: one map-side-combinable MAX aggregate per customer, then a
+    4-cell contingency roll-up to a single row; 128-bit promotion
+    before the e6 scaling."""
+    orders = load_table(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.max(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        ).alias("a"),
+        F.max(
+            F.when(F.weekday(F.col("o_orderdate")) + 1 >= 6, 1).otherwise(0)
+        ).alias("b"),
+    )
+    ct = per.agg(
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n11"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n10"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n01"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n00"),
+    )
+    return ct.select(
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        (F.col("n10") + F.col("n01")).cast("long").alias("n_discordant"),
+        F.expr(
+            "CAST(CASE WHEN n10 + n01 = 0 OR ABS(n10 - n01) <= 1 THEN 0"
+            " ELSE (CAST(1000000 AS DECIMAL(38,0)) * (ABS(n10 - n01) - 1)"
+            "       * (ABS(n10 - n01) - 1)) div (n10 + n01)"
+            " END AS BIGINT)"
+        ).alias("chi2_cc_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixing sweep over language char-mass shares
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mix_temperature_sweep",
+    oracle="""
+WITH per AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS chars
+  FROM documents GROUP BY lang
+),
+tot AS (SELECT CAST(SUM(chars) AS BIGINT) AS t FROM per),
+p AS (
+  SELECT lang, n_docs, chars,
+         CAST((1000000::HUGEINT * chars) // t AS BIGINT) AS p_ppm
+  FROM per CROSS JOIN tot
+),
+s AS (
+  SELECT CAST(SUM(p_ppm) AS BIGINT) AS s1,
+         CAST(SUM(p_ppm * p_ppm) AS BIGINT) AS s2,
+         CAST(SUM(p_ppm * p_ppm * p_ppm) AS BIGINT) AS s3
+  FROM p
+)
+SELECT p.lang, p.n_docs, p.chars, p.p_ppm,
+       CAST((1000000::HUGEINT * p_ppm) // s1 AS BIGINT) AS t1_ppm,
+       CAST((1000000::HUGEINT * p_ppm * p_ppm) // s2 AS BIGINT) AS t2_ppm,
+       CAST((1000000::HUGEINT * p_ppm * p_ppm * p_ppm) // s3 AS BIGINT)
+         AS t3_ppm
+FROM p CROSS JOIN s
+""",
+)
+def mix_temperature_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling weights for multilingual corpus
+    mixing (the p^α re-balancing of Conneau & Lample, NeurIPS 2019 —
+    α > 1 sharpens toward head languages, α < 1 flattens toward the
+    tail): per-language char-mass shares re-normalized at sharpening
+    exponents α ∈ {1, 2, 3}. Integer-exact by construction: the raw
+    share is quantized to ppm FIRST (128-bit promoted), so p_ppm^3 ≤
+    10^18 stays inside BIGINT and each re-normalization is one more
+    128-bit floor-division — no pow(), no doubles, no cross-engine
+    rounding surface anywhere.
+
+    Scale: one map-side aggregate to |langs| rows, then driver-free
+    broadcast arithmetic on the bounded per-language relation — the
+    mixing-family discipline (DoReMi / Neyman / water-fill twins)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+    tot = per.agg(F.sum("chars").cast("long").alias("t"))
+    p = per.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "chars",
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * chars) div t AS BIGINT)"
+        ).alias("p_ppm"),
+    )
+    s = p.agg(
+        F.sum("p_ppm").cast("long").alias("s1"),
+        F.sum(F.col("p_ppm") * F.col("p_ppm")).cast("long").alias("s2"),
+        F.sum(F.col("p_ppm") * F.col("p_ppm") * F.col("p_ppm"))
+        .cast("long")
+        .alias("s3"),
+    )
+    return p.crossJoin(F.broadcast(s)).select(
+        "lang",
+        "n_docs",
+        "chars",
+        "p_ppm",
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * p_ppm) div s1 AS BIGINT)"
+        ).alias("t1_ppm"),
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * p_ppm * p_ppm) div s2"
+            " AS BIGINT)"
+        ).alias("t2_ppm"),
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * p_ppm * p_ppm * p_ppm)"
+            " div s3 AS BIGINT)"
+        ).alias("t3_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT column profiling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_null_profile_unpivot",
+    oracle="""
+WITH src AS (SELECT lang, source, text FROM documents),
+u AS (
+  SELECT 'lang' AS column_name, lang AS v FROM src
+  UNION ALL SELECT 'source' AS column_name, source AS v FROM src
+  UNION ALL SELECT 'text' AS column_name, text AS v FROM src
+)
+SELECT column_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+       CAST(MIN(LENGTH(v)) AS BIGINT) AS min_len,
+       CAST(MAX(LENGTH(v)) AS BIGINT) AS max_len,
+       CAST(SUM(COALESCE(LENGTH(v), 0)) AS BIGINT) AS total_len
+FROM u GROUP BY column_name
+""",
+)
+def dq_null_profile_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long column profiling through the NATIVE UNPIVOT
+    operator (``DataFrame.unpivot`` / ANSI ``UNPIVOT``): one pass over
+    the documents table produces the per-column intake report — row
+    count, null count, distinct count, min/max/total length — the
+    profile every ingestion pipeline computes before schema contracts
+    and NOT NULL constraints are written. The oracle states the same
+    relation as the portable UNION-ALL longhand, proving the unpivot
+    rewrite is exactly the stacked per-column scan.
+
+    Scale: UNPIVOT is a zero-shuffle row-local Expand (3× row
+    multiplier here, bounded by the profiled column count, never by
+    data width); the profile aggregate is map-side-combinable except
+    the per-column COUNT(DISTINCT), which plans the standard two-stage
+    Expand distinct — at 100 TB swap in the registry's HLL sketch for
+    the distinct column if ±2% suffices."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "source", "text")
+    up = docs.unpivot([], ["lang", "source", "text"], "column_name", "v")
+    return up.groupBy("column_name").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null"),
+        F.countDistinct("v").cast("long").alias("n_distinct"),
+        F.min(F.length("v")).cast("long").alias("min_len"),
+        F.max(F.length("v")).cast("long").alias("max_len"),
+        F.sum(F.coalesce(F.length("v"), F.lit(0))).cast("long").alias("total_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trailing-7-day COUNT(DISTINCT) per order day
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_trailing_distinct_customers",
+    oracle="""
+WITH pairs AS (
+  SELECT DISTINCT o_orderdate::DATE AS d, o_custkey AS c FROM orders
+),
+cal AS (SELECT DISTINCT o_orderdate::DATE AS d FROM orders),
+w AS (
+  SELECT cal.d,
+         CAST(COUNT(DISTINCT p.c) AS BIGINT) AS n_cust_7d,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs_7d
+  FROM cal JOIN pairs p ON p.d BETWEEN cal.d - 6 AND cal.d
+  GROUP BY cal.d
+)
+SELECT CAST(date_diff('day', DATE '1992-01-01', d) AS BIGINT) AS day_idx,
+       n_cust_7d, n_pairs_7d
+FROM w
+""",
+)
+def window_trailing_distinct_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Trailing-7-day COUNT(DISTINCT customer) per order day — the
+    windowed DISTINCT that RANGE frames cannot express (neither engine
+    allows DISTINCT inside a window aggregate), and the natural "weekly
+    active users, daily grain" metric. The scale-correct Spark shape is
+    NOT a range join: each distinct (day, customer) pair explodes into
+    the <= 7 trailing days it contributes to, then ONE hash aggregate
+    counts distinct customers per day — shuffle volume is 7× the
+    deduplicated pair count, independent of the window's row density.
+    The oracle states the identical relation as a calendar range join.
+    Day keys ship as epoch-day offsets (BIGINT) per the graded-window
+    envelope (no temporal columns).
+
+    Scale: pair dedup is one shuffle; the explode is row-local with a
+    constant 7× multiplier; the final aggregate combines map-side.
+    Compare window_range_interval_trailing7d, which covers the
+    SUM/COUNT frame the engine CAN express natively."""
+    orders = load_table(spark, sf_dir, "orders")
+    pairs = orders.select(
+        F.to_date("o_orderdate").alias("d"), F.col("o_custkey").alias("c")
+    ).distinct()
+    cal = orders.select(F.to_date("o_orderdate").alias("d")).distinct()
+    contrib = pairs.select(
+        F.explode(F.expr("sequence(d, date_add(d, 6))")).alias("td"), "c"
+    )
+    agg = contrib.groupBy("td").agg(
+        F.countDistinct("c").cast("long").alias("n_cust_7d"),
+        F.count("*").cast("long").alias("n_pairs_7d"),
+    )
+    return cal.join(agg, cal.d == agg.td).select(
+        F.datediff(F.col("d"), F.lit("1992-01-01").cast("date"))
+        .cast("long")
+        .alias("day_idx"),
+        "n_cust_7d",
+        "n_pairs_7d",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 WITH RECURSIVE: decimal-prefix part hierarchy roll-up
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "recursive_cte_part_hierarchy",
+    oracle="""
+WITH RECURSIVE walk(root, pk, depth) AS (
+  SELECT p_partkey, p_partkey, 0 FROM part WHERE p_partkey < 10
+  UNION ALL
+  SELECT w.root, p.p_partkey, w.depth + 1
+  FROM walk w JOIN part p
+    ON p.p_partkey // 10 = w.pk AND p.p_partkey >= 10
+)
+SELECT CAST(t.root AS BIGINT) AS root,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(MAX(t.depth) AS BIGINT) AS max_depth,
+       CAST(SUM(t.cents) AS BIGINT) AS subtree_cents
+FROM (SELECT w.root, w.depth,
+             CAST(ROUND(p.p_retailprice * 100) AS BIGINT) AS cents
+      FROM walk w JOIN part p ON p.p_partkey = w.pk) t
+GROUP BY t.root
+""",
+)
+def recursive_cte_part_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 4 ``WITH RECURSIVE`` surface (SQL:1999 recursive CTEs,
+    new in Spark 4.0) on a variable-depth transitive closure that
+    genuinely needs recursion — the BOM-explosion shape: partkeys form
+    a forest under parent = pk div 10 (roots 1..9, depth grows with
+    log10 of the key space, so the recursion is data-dependent, not a
+    fixed unroll), and each root's subtree rolls up size, max depth,
+    and exact retail-price cents. Both engines run the IDENTICAL
+    recursive SQL text (modulo ``div`` vs ``//`` spelling — both
+    truncate toward zero; keys are positive).
+
+    Scale: each recursion step is one equi-join of the current frontier
+    against the part dimension on a derived key — |iterations| =
+    max depth ~ log10(|part|) (9 levels at 2B parts), every step a
+    plain shuffle join the optimizer plans like any other; no driver
+    loop, the engine's recursive-CTE executor owns the fixpoint."""
+    part = load_table(spark, sf_dir, "part")
+    part.createOrReplaceTempView("part_re5_v")
+    return spark.sql(
+        """
+WITH RECURSIVE walk(root, pk, depth) AS (
+  SELECT p_partkey, p_partkey, 0 FROM part_re5_v WHERE p_partkey < 10
+  UNION ALL
+  SELECT w.root, p.p_partkey, w.depth + 1
+  FROM walk w JOIN part_re5_v p
+    ON p.p_partkey div 10 = w.pk AND p.p_partkey >= 10
+)
+SELECT CAST(t.root AS BIGINT) AS root,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(MAX(t.depth) AS BIGINT) AS max_depth,
+       CAST(SUM(t.cents) AS BIGINT) AS subtree_cents
+FROM (SELECT w.root, w.depth,
+             CAST(ROUND(p.p_retailprice * 100) AS BIGINT) AS cents
+      FROM walk w JOIN part_re5_v p ON p.p_partkey = w.pk) t
+GROUP BY t.root
+"""
+    )

@@ -182,12 +182,19 @@ round 8): 15 new operators —
     certified against the LAG definition — the streaming
     sessionization lane's driver signal);
   * plans/llm_ops.py (1 more): multimodal_png16_adam7_decode — 16-bit
-    samples + Adam7 interlacing; the codec boundary is now sub-byte
-    depths and JPEG only.
+    samples + Adam7 interlacing;
+  * third wave: multimodal_png_subbyte_decode (1/2/4-bit gray and
+    palette, both interlace modes — every spec-valid PNG IHDR
+    combination now decodes; the image-codec boundary is JPEG alone)
+    plus the wave-3 analytics batch in plans/analytics_extra5.py
+    (graph modularity, ordered LISTAGG, trimmed/winsorized stats,
+    McNemar, temperature mixing sweep, UNPIVOT null profile, trailing
+    distinct window — see that module's docstring for the final list).
 
-ROUND-9 WINDOW PLAN: seat those 23 never-graded round-8 additions
-first, then fill the remaining 27 slots with keepers from
-tools/plan_rotation.py computed at round-9 open. Run
+ROUND-9 WINDOW PLAN: seat ALL never-graded round-8 additions first
+(recompute the list with tools/plan_rotation.py at round-9 open — it
+will exceed the 23 the original plan text named because of the wave-3
+batch), then fill any remaining slots with rotating keepers. Run
 `python tools/correctness_union.py` at round open (the freshness guard
 self-heals since round 8, but the checked-in rollup should still be
 regenerated before the round-close commit).
