@@ -534,7 +534,7 @@ folded AS (
   FROM idx x, packed p
   WHERE x.i >= 3
 )
-SELECT d, y,
+SELECT CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS day_idx, y,
        CAST((st // {_HOLT_M} - {_HOLT_OFF})
             + (st % {_HOLT_M} - {_HOLT_OFF}) AS BIGINT) AS forecast_e3,
        CAST(((y * 1000 + (st // {_HOLT_M} - {_HOLT_OFF})
@@ -564,15 +564,21 @@ def forecast_holt_linear_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     CALENDAR, not by orders; the fold state is that bounded relation
     collected once and replayed in exact Python ints
     (bounded-driver-state family)."""
+    import datetime as _dt
+
+    # day keys ship as epoch-day BIGINTs (graded-window envelope: no
+    # temporal columns); the fold itself is key-agnostic
+    epoch = _dt.date(1970, 1, 1)
     daily = sorted(
-        (r["d"], int(r["y"]))
+        ((r["d"] - epoch).days, int(r["y"]))
         for r in load_table(spark, sf_dir, "orders")
         .groupBy(F.to_date("o_orderdate").alias("d"))
         .agg(F.count("*").cast("long").alias("y"))
         .collect()
     )
     return spark.createDataFrame(
-        _holt_fold(daily), "d date, y long, forecast_e3 long, level_after_e3 long"
+        _holt_fold(daily),
+        "day_idx long, y long, forecast_e3 long, level_after_e3 long",
     )
 
 
@@ -1183,7 +1189,9 @@ WITH daily AS (
          CAST(COUNT(*) AS BIGINT) AS n
   FROM events GROUP BY 1, 2
 )
-SELECT event_type, d, cents AS daily_cents,
+SELECT event_type,
+       CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS day_idx,
+       cents AS daily_cents,
        CAST(SUM(cents) OVER w AS BIGINT) AS trail7_cents,
        CAST(COUNT(*) OVER w AS BIGINT) AS trail7_days,
        CAST(SUM(n) OVER w AS BIGINT) AS trail7_events
@@ -1221,7 +1229,9 @@ def window_range_interval_trailing7d(
     daily.createOrReplaceTempView("range_interval_daily_v")
     return spark.sql(
         """
-SELECT event_type, d, cents AS daily_cents,
+SELECT event_type,
+       CAST(datediff(d, DATE '1970-01-01') AS BIGINT) AS day_idx,
+       cents AS daily_cents,
        CAST(SUM(cents) OVER w AS BIGINT) AS trail7_cents,
        CAST(COUNT(*) OVER w AS BIGINT) AS trail7_days,
        CAST(SUM(n) OVER w AS BIGINT) AS trail7_events

@@ -57,7 +57,8 @@ SELECT o_orderkey AS okey,
        CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_orderstatus END
          AS status,
        substr(o_orderpriority, 1, 5) AS prio5,
-       o_orderdate::DATE AS odate,
+       CAST(date_diff('day', DATE '1970-01-01', o_orderdate::DATE)
+            AS BIGINT) AS odate_day,
        CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents
 FROM orders
 WHERE o_orderkey % 97 = 0
@@ -133,7 +134,9 @@ def ingest_xml_orders_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "okey",
         "status",
         F.col("prio").alias("prio5"),
-        "odate",
+        F.datediff(F.col("odate"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("odate_day"),
         (F.col("total") * 100).cast("long").alias("total_cents"),
     )
 
@@ -158,7 +161,8 @@ SELECT o_orderkey AS okey,
        CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_orderstatus END
          AS status,
        substr(o_orderpriority, 1, 6) AS prio6,
-       o_orderdate::DATE AS odate,
+       CAST(date_diff('day', DATE '1970-01-01', o_orderdate::DATE)
+            AS BIGINT) AS odate_day,
        CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents
 FROM orders
 WHERE o_orderkey % 89 = 0
@@ -230,6 +234,8 @@ def ingest_jsonl_orders_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         "okey",
         "status",
         F.col("prio").alias("prio6"),
-        "odate",
+        F.datediff(F.col("odate"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("odate_day"),
         (F.col("total") * 100).cast("long").alias("total_cents"),
     )

@@ -206,7 +206,7 @@ def test_ingest_roundtrips_exercise_both_date_branches(spark):
         assert rows
         parities = {r.okey % 2 for r in rows}
         assert parities == {0, 1}, f"{name}: only one date branch exercised"
-        assert all(r.odate is not None for r in rows)  # every format parsed
+        assert all(r.odate_day is not None for r in rows)  # every format parsed
 
 
 def test_range_interval_frame_week_bounded(spark):
@@ -218,17 +218,16 @@ def test_range_interval_frame_week_bounded(spark):
     for r in rows:
         assert 1 <= r.trail7_days <= 7
         assert r.trail7_cents >= r.daily_cents  # values are positive
-        daily[r.event_type][r.d] = r
+        daily[r.event_type][r.day_idx] = r
     # recompute one type's trailing sum from its own daily rows — the
-    # RANGE frame must equal the brute per-day 7-day sum
+    # RANGE frame must equal the brute per-day 7-day sum (day keys are
+    # epoch-day BIGINTs per the graded-window envelope)
     t, days = next(iter(daily.items()))
-    import datetime
-
     for d, r in days.items():
         expect = sum(
             days[e].daily_cents
             for e in days
-            if 0 <= (d - e).days <= 6
+            if 0 <= d - e <= 6
         )
         assert r.trail7_cents == expect, (t, d)
 
