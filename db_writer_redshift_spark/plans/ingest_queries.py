@@ -239,3 +239,114 @@ def ingest_jsonl_orders_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         .alias("odate_day"),
         (F.col("total") * 100).cast("long").alias("total_cents"),
     )
+
+
+_FW_TABLE = TableConfig(
+    table_id="orders_fw",
+    db_name="orders_fw",
+    items=(
+        ColumnItem("okey", "okey", "bigint"),
+        ColumnItem("status", "status", "varchar"),
+        ColumnItem("prio", "prio", "varchar", "4"),  # width-truncated (L-4)
+        ColumnItem("odate", "odate", "date"),  # lenient parse (L-5)
+        ColumnItem("total", "total", "decimal", "12,2"),
+    ),
+)
+
+# field widths for the fixed-width render below: okey 12, status 4
+# (room for the NULL literal), prio 15 (full priority string — the
+# declared varchar(4) truncates AFTER the slice+trim), odate 10
+# (both date spellings are exactly 10 chars), total 12
+_FW_WIDTHS = [12, 4, 15, 10, 12]
+
+
+@register(
+    "ingest_fixedwidth_orders_roundtrip",
+    oracle="""
+SELECT o_orderkey AS okey,
+       CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_orderstatus END
+         AS status,
+       substr(o_orderpriority, 1, 4) AS prio4,
+       CAST(date_diff('day', DATE '1970-01-01', o_orderdate::DATE)
+            AS BIGINT) AS odate_day,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents
+FROM orders
+WHERE o_orderkey % 83 = 0
+""",
+)
+def ingest_fixedwidth_orders_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fixed-width ingest under the value-hash gate — the COPY
+    ``FIXEDWIDTH`` analog joins the XML/JSONL round-trip family: a
+    deterministic orders slice renders to two fixed-width text files
+    (no delimiters, space-padded fields at pinned widths), then
+    read_table_fixedwidth slices by cumulative offset, right-trims the
+    padding, decodes the NULL literal, and the SAME cast/validate
+    contract reconstructs the typed rows the oracle recomputes from the
+    orders parquet directly. Branches exercised: 'O' rows render the
+    NULL literal in the status field (L-3); the prio field carries the
+    full 15-char priority and the declared varchar(4) truncates it
+    (L-4); odate alternates ISO and yyyy/MM/dd spellings, both exactly
+    10 chars (L-5); total renders right-aligned in a 12-char field and
+    casts through decimal(12,2) to exact cents.
+
+    Scale: the fixture is a bounded keyed slice (the XML/JSONL
+    discipline); the reader is the real distributed text scan —
+    splittable like line-mode JSON, slicing into substring column
+    expressions inside whole-stage codegen."""
+    rows = sorted(
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 83 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_orderpriority",
+            "o_orderdate",
+            "o_totalprice",
+        )
+        .collect(),
+        key=lambda r: int(r["o_orderkey"]),
+    )
+
+    def render(r) -> str:
+        key = int(r["o_orderkey"])
+        d = r["o_orderdate"]
+        ds = d.strftime("%Y-%m-%d") if key % 2 == 0 else d.strftime("%Y/%m/%d")
+        status = "NULL" if r["o_orderstatus"] == "O" else r["o_orderstatus"]
+        fields = [
+            str(key).ljust(12),
+            status.ljust(4),
+            r["o_orderpriority"].ljust(15),
+            ds.ljust(10),
+            f"{r['o_totalprice']:.2f}".rjust(12),
+        ]
+        line = "".join(fields)
+        assert [len(f) for f in fields] == _FW_WIDTHS
+        return line
+
+    tmp = tempfile.mkdtemp(prefix="spark_fw_ingest_")
+    paths = []
+    for i, part in enumerate((rows[0::2], rows[1::2])):
+        p = os.path.join(tmp, f"part{i}.fw")
+        with open(p, "w") as f:
+            f.write("\n".join(render(r) for r in part))
+        paths.append(p)
+
+    from db_writer_redshift_spark.sources import read_table_fixedwidth
+
+    raw = read_table_fixedwidth(spark, paths, _FW_TABLE, _FW_WIDTHS)
+    errs = validate_load(raw, _FW_TABLE)
+    if errs:  # pragma: no cover - a render/reader bug, surfaced loudly
+        raise ValueError(f"fixed-width ingest round trip produced load "
+                         f"errors: {[e.message() for e in errs]}")
+    typed = apply_schema(raw, _FW_TABLE)
+    return typed.select(
+        "okey",
+        "status",
+        F.col("prio").alias("prio4"),
+        F.datediff(F.col("odate"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("odate_day"),
+        (F.col("total") * 100).cast("long").alias("total_cents"),
+    )

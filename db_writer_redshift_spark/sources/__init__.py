@@ -7,6 +7,7 @@ from db_writer_redshift_spark.sources.csv_ingest import (  # noqa: F401
     load_errors_to_exception,
     read_manifest_entries,
     read_table_csv,
+    read_table_fixedwidth,
     read_table_jsonl,
     read_table_orc,
     read_table_xml,

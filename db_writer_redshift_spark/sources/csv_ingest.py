@@ -217,6 +217,54 @@ def read_table_xml(
     return df.withColumn(_LINE_COL, F.row_number().over(w))
 
 
+def read_table_fixedwidth(
+    spark: SparkSession,
+    source: str | list[str],
+    table: TableConfig,
+    widths: list[int],
+) -> DataFrame:
+    """Fixed-width ingest — the analog of Redshift COPY's ``FIXEDWIDTH
+    'col:width,...'`` option (the one COPY wire format the CSV path
+    doesn't cover; the reference itself pins CSV, so this sits on the
+    §7 extension track beside JSONL/ORC/XML). ``widths`` aligns with
+    the declared column order; each line slices into width-sized
+    character fields at cumulative 1-based offsets (pure ``substring``
+    column expressions — JVM-side, whole-stage codegen). Fields are
+    right-trimmed of pad spaces (Redshift CHAR-padding semantics) and
+    the trimmed ``NULL`` literal decodes to NULL (the CSV path's L-3
+    contract); then the SAME cast/validate/error pipeline applies — one
+    ingest contract across wire formats.
+
+    Line numbers are per-file: the text source IS splittable (like
+    line-mode JSON), so the window orders by the hidden
+    ``_metadata.file_block_start`` first, exactly the JSONL ordering
+    discipline."""
+    names = [i.name for i in table.items]
+    assert len(widths) == len(names), (len(widths), len(names))
+    df = (
+        spark.read.text(source if isinstance(source, list) else [source])
+        .withColumn("_block_start", F.col("_metadata.file_block_start"))
+    )
+    cols = []
+    off = 1
+    for name, w in zip(names, widths):
+        field = F.rtrim(F.substring(F.col("value"), off, w))
+        cols.append(
+            F.when(field == "NULL", F.lit(None).cast("string"))
+            .otherwise(field)
+            .alias(name)
+        )
+        off += w
+    from pyspark.sql.window import Window
+
+    win = Window.partitionBy(F.input_file_name()).orderBy(
+        "_block_start", F.monotonically_increasing_id()
+    )
+    return df.select(
+        *cols, F.row_number().over(win).alias(_LINE_COL)
+    )
+
+
 def _lenient_date(col: F.Column) -> F.Column:
     return F.coalesce(*[F.try_to_timestamp(col, F.lit(p)).cast("date") for p in _DATE_PATTERNS])
 

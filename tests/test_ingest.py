@@ -376,3 +376,59 @@ def test_jsonl_line_numbers_survive_split(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
     assert sorted(pairs) == [(i, i) for i in range(1, n + 1)]
+
+
+def test_fixedwidth_same_pipeline_as_csv(spark, tmp_path):
+    """Fixed-width source feeds the identical cast/validate path:
+    offset slicing, pad trimming, NULL literal, width truncation, and
+    the Column/line error contract."""
+    from db_writer_redshift_spark.sources import read_table_fixedwidth
+
+    p = tmp_path / "t.fw"
+    # widths: id 4, name 6, created 10
+    p.write_text(
+        "1   Ada   2024-06-22\n"
+        "2   Bela  2024/06/22\n"
+        "3   NULL  oops      \n"
+    )
+    t = _table(
+        [
+            ColumnItem("id", "id", "int"),
+            ColumnItem("name", "name", "varchar", "3"),
+            ColumnItem("created", "created", "date"),
+        ]
+    )
+    raw = read_table_fixedwidth(spark, str(p), t, [4, 6, 10])
+    errs = validate_load(raw, t)
+    assert [e.message() for e in errs] == [
+        "Column 'created', line 3: Invalid Date Format - length must be 10 or more"
+    ]
+    good = apply_schema(raw.filter("id < 3"), t)
+    rows = {r.id: (r.name, str(r.created)) for r in good.collect()}
+    assert rows == {1: ("Ada", "2024-06-22"), 2: ("Bel", "2024-06-22")}
+    # the NULL literal decodes to NULL after trim
+    assert apply_schema(raw.filter("id = 3"), t).collect()[0].name is None
+
+
+def test_fixedwidth_line_numbers_survive_split(spark, tmp_path):
+    """The text source is splittable: per-file line numbers must follow
+    file order via the block-start discipline even when one file spans
+    many partitions."""
+    from db_writer_redshift_spark.sources import read_table_fixedwidth
+    from db_writer_redshift_spark.sources.csv_ingest import _LINE_COL
+
+    p = tmp_path / "big.fw"
+    n = 5000
+    p.write_text("\n".join(f"{i:<6}v{i:<8}" for i in range(1, n + 1)))
+    t = _table(
+        [ColumnItem("id", "id", "int"), ColumnItem("v", "v", "varchar")]
+    )
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+        raw = read_table_fixedwidth(spark, str(p), t, [6, 9])
+        rows = raw.select("id", _LINE_COL).collect()
+        assert len(rows) == n
+        assert all(int(r.id) == r[_LINE_COL] for r in rows)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
