@@ -2052,6 +2052,138 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ima_oracle() -> str:
+    """Construction-derived oracle for the IMA-ADPCM round trip: the
+    encoder reconstructs exactly what the decoder emits (codec
+    lockstep), so the decoded stream — though the codec is LOSSY — is a
+    deterministic integer fold over the text-derived samples. The fold
+    replays the IMA step (quantize against the step table, reconstruct,
+    clamp, index-adjust) over ONE packed-HUGEINT accumulator via the
+    list_prepend-seeded list_reduce recipe (KM/Markov/Holt discipline).
+    The packing is load-bearing twice over: a struct accumulator
+    produced internally inconsistent per-field states in DuckDB 1.0
+    lambdas (newpred and newidx disagreed on the quantization bits
+    within one application), while scalar state replays bit-exactly;
+    and all four running statistics ride in the same integer — layout
+    (high→low) pred+32768 (16 bits) | step index (7) | sum+2²² (23) |
+    Σ|s| (22) | max|s| (16) | Σs² (37) = 121 bits < HUGEINT's 127,
+    widths proven by n ≤ 89 and |sample| ≤ 32768. The step table is
+    inlined from the same public IMA (1992) spec the Python codec
+    implements."""
+    from db_writer_redshift_spark.operators.multimodal import _IMA_STEP
+
+    step_list = "[" + ",".join(str(v) for v in _IMA_STEP) + "]"
+    p105, p98, p75, p53, p37 = 2**105, 2**98, 2**75, 2**53, 2**37
+    p23, p22, p16, p7 = 2**23, 2**22, 2**16, 2**7
+    pred = f"(a // {p105} - 32768)"
+    idx = f"((a // {p98}) % 128)"
+    ssum = f"((a // {p75}) % {p23} - {p22})"
+    sabs = f"((a // {p53}) % {p22})"
+    mabs = f"((a // {p37}) % {p16})"
+    ssq = f"(a % {p37})"
+    stepx = f"list_extract({step_list}, CAST({idx} AS BIGINT) + 1)"
+    d = f"abs(e - {pred})"
+    b2 = f"CASE WHEN {d} >= {stepx} THEN 1 ELSE 0 END"
+    d2 = f"({d} - ({b2}) * {stepx})"
+    b1 = f"CASE WHEN {d2} >= {stepx} // 2 THEN 1 ELSE 0 END"
+    d1 = f"({d2} - ({b1}) * ({stepx} // 2))"
+    b0 = f"CASE WHEN {d1} >= {stepx} // 4 THEN 1 ELSE 0 END"
+    diff = (
+        f"({stepx} // 8 + ({b2}) * {stepx} + ({b1}) * ({stepx} // 2)"
+        f" + ({b0}) * ({stepx} // 4))"
+    )
+    np_ = (
+        f"greatest(-32768, least(32767, {pred}"
+        f" + CASE WHEN e < {pred} THEN -{diff} ELSE {diff} END))"
+    )
+    # index adjust from the magnitude bits: -1 for nibbles 0-3, else
+    # 2·(2·b1 + b0) + 2 ∈ {2,4,6,8} — the IMA index table in closed form
+    adj = f"(CASE WHEN ({b2}) = 0 THEN -1 ELSE 2 * (({b1}) * 2 + ({b0})) + 2 END)"
+    ni = f"greatest(0, least(88, {idx} + {adj}))"
+    pack = (
+        f"(((((({np_} + 32768) * {p7} + {ni}) * {p23}"
+        f" + ({ssum} + {np_} + {p22})) * {p22}"
+        f" + ({sabs} + abs({np_}))) * {p16}"
+        f" + greatest({mabs}, abs({np_}))) * {p37}"
+        f" + ({ssq} + CAST({np_} AS HUGEINT) * {np_}))"
+    )
+    seed = (
+        f"((((CAST(ss[1] + 32768 AS HUGEINT) * {p7} + 0) * {p23}"
+        f" + (ss[1] + {p22})) * {p22} + abs(ss[1])) * {p16}"
+        f" + abs(ss[1])) * {p37} + CAST(ss[1] AS HUGEINT) * ss[1]"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, 40 + doc_id % 50 AS n FROM documents
+),
+s AS (
+  SELECT doc_id, n,
+         CASE WHEN len(text) = 0
+              THEN list_transform(range(0, n), k -> 0::BIGINT)
+              ELSE list_transform(range(0, n),
+                     k -> ((ord(text[(k % len(text)) + 1]) % 256 - 128)
+                           * 256)::BIGINT)
+         END AS ss
+  FROM base
+),
+f AS (
+  SELECT doc_id, n,
+         list_reduce(
+           list_prepend(CAST({seed} AS HUGEINT),
+             list_transform(ss[2:], v -> CAST(v AS HUGEINT))),
+           (a, e) -> {pack}) AS st
+  FROM s
+)
+SELECT doc_id,
+       CAST(60 + (4 + n // 2) + ((4 + n // 2) % 2) AS BIGINT) AS n_bytes,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST((1000 * n) // 8000 AS BIGINT) AS duration_ms,
+       CAST((st // {p37}) % {p16} AS BIGINT) AS peak_abs,
+       CAST((st // {p75}) % {p23} - {p22} AS BIGINT) AS amp_sum,
+       CAST(st % {p37} AS BIGINT) AS amp_sumsq
+FROM f
+"""
+
+
+@register("multimodal_adpcm_decode", oracle=_ima_oracle())
+def multimodal_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-audio decode end-to-end — the round-8 narrowing
+    of the compressed-audio boundary, the WAV lane's analog of the PNG
+    closure: the SAME text-derived sample construction as
+    multimodal_audio_decode is compressed through a real 4-bit IMA
+    ADPCM encoder (WAV format tag 0x0011 — standard block layout:
+    sample 0 verbatim, step index, low-nibble-first 4-bit codes, fact
+    chunk), then decode_wav dispatches on the format tag and
+    reconstructs every sample through the public step-table algorithm.
+    The codec is LOSSY, so the oracle cannot compare against the input
+    samples — instead it exploits the encoder/decoder LOCKSTEP (the
+    encoder's internal reconstruction IS the decoder's output) and
+    replays the identical integer fold in DuckDB via a struct-state
+    list_reduce over the step/index table literals. A hash match proves
+    encoder quantization, decoder reconstruction, clamping, index
+    walks, container layout (exact n_bytes incl. word-align pad), and
+    the nibble packing all agree bit-for-bit. Remaining audio boundary:
+    perceptual codecs (MP3/FLAC) and multi-block/stereo ADPCM.
+
+    Scale: both stages are iterator mapInPandas (batch-bounded memory,
+    no shuffle); per-row output is 8 scalar BIGINTs regardless of clip
+    length."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_adpcm_media(docs, "doc_id", "text")
+    feats = multimodal.extract_audio_features(media)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "sample_rate",
+        "n_samples",
+        "duration_ms",
+        "peak_abs",
+        "amp_sum",
+        "amp_sumsq",
+    )
+
+
 @register(
     "dedup_normalized_fingerprint",
     oracle="""

@@ -384,6 +384,74 @@ class TestRealWavDecode:
         with pytest.raises(ValueError):
             multimodal.decode_wav(b"RIFF\x00\x00\x00\x00JUNK")
 
+    def test_ima_adpcm_round_trip_matches_independent_fold(self):
+        # decode(encode(x)) must equal the textbook IMA reconstruction,
+        # replayed here independently of the codec module's helpers
+        import random
+
+        STEP = list(multimodal._IMA_STEP)
+        IDX = list(multimodal._IMA_INDEX)
+
+        def ref(samples):
+            pred, idx = samples[0], 0
+            out = [pred]
+            for s in samples[1:]:
+                step = STEP[idx]
+                delta = s - pred
+                sign = delta < 0
+                d = -delta if sign else delta
+                nib = 0
+                if d >= step:
+                    nib |= 4
+                    d -= step
+                if d >= step >> 1:
+                    nib |= 2
+                    d -= step >> 1
+                if d >= step >> 2:
+                    nib |= 1
+                diff = (step >> 3) + (step if nib & 4 else 0)
+                diff += (step >> 1) if nib & 2 else 0
+                diff += (step >> 2) if nib & 1 else 0
+                pred = max(-32768, min(32767, pred - diff if sign else pred + diff))
+                idx = max(0, min(88, idx + IDX[nib]))
+                out.append(pred)
+            return out
+
+        rng = random.Random(11)
+        for _ in range(25):
+            n = rng.randint(2, 89)
+            samples = [rng.randint(-32768, 32512) for _ in range(n)]
+            got = multimodal.decode_wav(multimodal.encode_wav_ima(samples))
+            exp = ref(samples)
+            assert got["n_samples"] == n
+            assert got["amp_sum"] == sum(exp)
+            assert got["peak_abs"] == max(abs(x) for x in exp)
+            assert got["amp_sumsq"] == sum(x * x for x in exp)
+
+    def test_ima_adpcm_compresses_4x(self):
+        samples = [((7 * k) % 256 - 128) * 256 for k in range(2000)]
+        adpcm = multimodal.encode_wav_ima(samples)
+        pcm = multimodal.encode_wav(samples)
+        # 4-bit codes vs 16-bit samples: payload well under half of PCM
+        # once past the fixed container overhead
+        assert len(adpcm) < len(pcm) // 2
+
+    def test_ima_adpcm_malformed_and_boundary(self):
+        import struct
+
+        good = bytearray(multimodal.encode_wav_ima([1, 2, 3, 4, 5, 6]))
+        # stereo -> NotImplementedError
+        stereo = bytearray(good)
+        stereo[22:24] = struct.pack("<H", 2)
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_wav(bytes(stereo))
+        # fact claiming more samples than the data holds -> ValueError
+        n_off = bytes(good).find(b"fact") + 8
+        lying = bytearray(good)
+        lying[n_off : n_off + 4] = struct.pack("<I", 500)
+        with pytest.raises(ValueError):
+            multimodal.decode_wav(bytes(lying))
+
     def test_extract_audio_features_in_spark(self, spark):
         df = spark.createDataFrame(
             [(1, "abc"), (2, "")], "doc_id long, text string"
