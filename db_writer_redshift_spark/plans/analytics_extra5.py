@@ -764,3 +764,208 @@ FROM (SELECT w.root, w.depth,
 GROUP BY t.root
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# LOCF gap fill via IGNORE NULLS window aggregates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_locf_gap_fill",
+    oracle="""
+WITH sparse AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(ROUND(value * 100) AS BIGINT) END AS raw_cents
+  FROM events
+),
+filled AS (
+  SELECT user_id, raw_cents,
+         LAST_VALUE(raw_cents IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fill_cents
+  FROM sparse
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(raw_cents) AS BIGINT) AS n_observed,
+       CAST(COUNT(fill_cents) AS BIGINT) AS n_filled,
+       CAST(SUM(fill_cents) AS BIGINT) AS sum_filled_cents
+FROM filled
+GROUP BY user_id
+""",
+)
+def window_locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward gap fill — the ``IGNORE NULLS``
+    window surface (``LAST_VALUE(x IGNORE NULLS)`` over a running ROWS
+    frame): every event row inherits the user's most recent purchase
+    amount, the canonical sensor/price gap-fill every feature pipeline
+    needs and the one window shape plain aggregates cannot express
+    (the carry chain is order-dependent). Ordered by the house total
+    order (ts, event_id) so ties are deterministic; rows before a
+    user's first purchase stay NULL (COUNT proves how many). The
+    per-user roll-up makes every fill hash-visible — the sum over the
+    carry chain changes if any single row inherits the wrong value.
+
+    Scale: one user-keyed window pass (the sessionization shuffle
+    class) followed by a map-side-combinable aggregate on the same
+    key — AQE reuses the exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    sparse = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.round(F.col("value") * 100).cast("long"),
+        ).alias("raw_cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = sparse.withColumn(
+        "fill_cents", F.last("raw_cents", ignorenulls=True).over(w)
+    )
+    return filled.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.count("raw_cents").cast("long").alias("n_observed"),
+        F.count("fill_cents").cast("long").alias("n_filled"),
+        F.sum("fill_cents").cast("long").alias("sum_filled_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cochran's Q over three per-customer binary treatments
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_cochran_q_order_flags",
+    oracle="""
+WITH per AS (
+  SELECT o_custkey,
+         MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS x1,
+         MAX(CASE WHEN isodow(o_orderdate::DATE) >= 6 THEN 1 ELSE 0 END) AS x2,
+         MAX(CASE WHEN o_totalprice >= 150000 THEN 1 ELSE 0 END) AS x3
+  FROM orders GROUP BY o_custkey
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         CAST(SUM(x1) AS BIGINT) AS g1,
+         CAST(SUM(x2) AS BIGINT) AS g2,
+         CAST(SUM(x3) AS BIGINT) AS g3,
+         CAST(SUM(x1 + x2 + x3) AS BIGINT) AS t,
+         CAST(SUM((x1 + x2 + x3) * (x1 + x2 + x3)) AS BIGINT) AS suml2
+  FROM per
+)
+SELECT n_blocks, g1, g2, g3, t, suml2,
+       CAST(CASE WHEN 3 * t - suml2 = 0 THEN 0
+            ELSE (1000000::HUGEINT * 2
+                  * (3 * (g1::HUGEINT * g1 + g2::HUGEINT * g2
+                          + g3::HUGEINT * g3) - t::HUGEINT * t))
+                 // (3 * t - suml2)
+       END AS BIGINT) AS q_e6
+FROM m
+""",
+)
+def stats_cochran_q_order_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q test (Cochran, Biometrika 1950) — the k-treatment
+    generalization of McNemar for MATCHED binary outcomes: per customer
+    (the block), three flags — ever-urgent, ever-weekend, and
+    ever-high-value (o_totalprice >= 150000, a pinned literal so no
+    quantile pass is needed) — and Q = (k−1)[kΣG_j² − T²]/[kT − ΣL_i²]
+    with column totals G, row totals L, grand total T. All moments are
+    exact integers from ONE map-side aggregate; Q ships as a
+    128-bit-promoted floor-e6 rational. Completes the paired-design
+    ladder: McNemar (k=2) → Cochran's Q (k=3+); Q reduces exactly to
+    McNemar's uncorrected statistic at k=2.
+
+    Scale: one per-customer MAX aggregate (map-side combinable), then a
+    six-scalar roll-up to a single row."""
+    orders = load_table(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.max(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        ).alias("x1"),
+        F.max(
+            F.when(F.weekday(F.col("o_orderdate")) + 1 >= 6, 1).otherwise(0)
+        ).alias("x2"),
+        F.max(
+            F.when(F.col("o_totalprice") >= 150000, 1).otherwise(0)
+        ).alias("x3"),
+    )
+    m = per.agg(
+        F.count("*").cast("long").alias("n_blocks"),
+        F.sum("x1").cast("long").alias("g1"),
+        F.sum("x2").cast("long").alias("g2"),
+        F.sum("x3").cast("long").alias("g3"),
+        F.sum(F.col("x1") + F.col("x2") + F.col("x3")).cast("long").alias("t"),
+        F.sum(
+            (F.col("x1") + F.col("x2") + F.col("x3"))
+            * (F.col("x1") + F.col("x2") + F.col("x3"))
+        )
+        .cast("long")
+        .alias("suml2"),
+    )
+    return m.select(
+        "n_blocks",
+        "g1",
+        "g2",
+        "g3",
+        "t",
+        "suml2",
+        F.expr(
+            "CAST(CASE WHEN 3 * t - suml2 = 0 THEN 0"
+            " ELSE (CAST(1000000 AS DECIMAL(38,0)) * 2"
+            "       * (3 * (CAST(g1 AS DECIMAL(38,0)) * g1"
+            "               + CAST(g2 AS DECIMAL(38,0)) * g2"
+            "               + CAST(g3 AS DECIMAL(38,0)) * g3)"
+            "          - CAST(t AS DECIMAL(38,0)) * t))"
+            "      div (3 * t - suml2)"
+            " END AS BIGINT)"
+        ).alias("q_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUP BY ALL surface
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_group_by_all_revenue",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, year(o_orderdate) AS yr,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders
+GROUP BY ALL
+""",
+)
+def agg_group_by_all_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``GROUP BY ALL`` surface (Spark 3.4+/DuckDB dialect
+    convergence: group by every non-aggregate select item, inferred):
+    the yearly status×priority revenue rollup stated with the IDENTICAL
+    SQL text on both engines — the grouping list is derived, not
+    written, so adding a select item can never silently desynchronize
+    the GROUP BY (the classic reporting-SQL bug class this clause
+    exists to kill).
+
+    Scale: one map-side-combinable aggregate; output bounded by
+    |status|×|priority|×|years|."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_gba_v")
+    return spark.sql(
+        """
+SELECT o_orderstatus, o_orderpriority, year(o_orderdate) AS yr,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders_gba_v
+GROUP BY ALL
+"""
+    )

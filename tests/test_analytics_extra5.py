@@ -168,3 +168,45 @@ def test_recursive_hierarchy_partitions_the_part_table(spark):
     for r in rows:
         assert 0 <= r.root < 10
         assert r.max_depth >= 0 and r.n_parts >= 1
+
+
+def test_locf_fill_counts_consistent(spark):
+    rows = _rows(spark, "window_locf_gap_fill")
+    assert rows
+    for r in rows:
+        # every observed row is also filled; fills never exceed events
+        assert r.n_observed <= r.n_filled <= r.n_events
+        if r.n_observed == 0:
+            assert r.n_filled == 0 and r.sum_filled_cents is None
+
+
+def test_cochran_q_reproduces_and_bounds(spark):
+    (r,) = _rows(spark, "stats_cochran_q_order_flags")
+    assert r.t == r.g1 + r.g2 + r.g3
+    # per-block L in {0..3} so L^2 <= 3L, hence ΣL² <= 3T
+    assert r.t <= r.suml2 <= 3 * r.t
+    den = 3 * r.t - r.suml2
+    if den:
+        num = 2 * (3 * (r.g1**2 + r.g2**2 + r.g3**2) - r.t**2)
+        assert r.q_e6 == (1_000_000 * num) // den
+        assert r.q_e6 >= 0
+
+
+def test_group_by_all_matches_explicit_grouping(spark):
+    rows = _rows(spark, "agg_group_by_all_revenue")
+    from pyspark.sql import functions as F
+
+    from db_writer_redshift_spark.plans.registry import load_table
+
+    explicit = (
+        load_table(spark, SF_DIR, "orders")
+        .groupBy(
+            "o_orderstatus", "o_orderpriority", F.year("o_orderdate").alias("yr")
+        )
+        .agg(F.count("*").cast("long").alias("n_orders"))
+        .collect()
+    )
+    got = {(r.o_orderstatus, r.o_orderpriority, r.yr): r.n_orders for r in rows}
+    assert got == {
+        (r.o_orderstatus, r.o_orderpriority, r.yr): r.n_orders for r in explicit
+    }
