@@ -969,3 +969,90 @@ FROM orders_gba_v
 GROUP BY ALL
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch twin of the stream-stream LEFT OUTER interval join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_left_join_batch_twin",
+    oracle="""
+WITH c AS (
+  SELECT event_id AS cid, user_id AS u, ts AS cts
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT event_id AS pid, user_id AS u, ts AS pts
+  FROM events WHERE event_type = 'purchase'
+),
+j AS (
+  SELECT c.u, c.cid, p.pid,
+         CASE WHEN p.pid IS NOT NULL
+              THEN epoch_us(p.pts) - epoch_us(c.cts) END AS lat
+  FROM c LEFT JOIN p
+    ON c.u = p.u AND p.pts > c.cts AND p.pts <= c.cts + INTERVAL 1 HOUR
+)
+SELECT u AS user_id,
+       CAST(COUNT(DISTINCT cid) AS BIGINT) AS n_clicks,
+       CAST(COUNT(pid) AS BIGINT) AS n_matched_pairs,
+       CAST(COUNT(DISTINCT CASE WHEN pid IS NULL THEN cid END) AS BIGINT)
+         AS n_unmatched_clicks,
+       CAST(SUM(lat) AS BIGINT) AS latency_us_sum
+FROM j GROUP BY u
+""",
+)
+def streaming_left_join_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.stream_click_purchase_left_join — the
+    watermark-complete target relation of the stream-stream LEFT OUTER
+    interval join, under the driver's oracle gate (the near-dup /
+    token-budget / PSI twin discipline: every stateful streaming lane
+    carries an exactly-checkable batch statement of what the stream
+    converges to). Per user: click count, attributed (click, purchase)
+    pairs within the 1-hour window, UNMATCHED clicks (the rows only the
+    outer join emits — on the stream they release when the purchase
+    watermark passes click_ts + window), and the exact summed
+    attribution latency. tests/test_streaming.py proves the stream
+    equals this relation once a watermark-advancing sentinel drains the
+    join state.
+
+    Scale: the batch join shuffles both sides on user_id (AQE handles
+    the fan-out); the roll-up combines map-side on the same key. The
+    STREAM holds only watermark-bounded state — that is the point of
+    the lane."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"),
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("cts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+    )
+    j = c.join(
+        p,
+        (F.col("u") == F.col("pu"))
+        & (F.col("pts") > F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 1 HOUR")),
+        "left",
+    ).select(
+        "u",
+        "cid",
+        "pid",
+        F.when(
+            F.col("pid").isNotNull(),
+            F.unix_micros(F.col("pts").cast("timestamp_ltz"))
+            - F.unix_micros(F.col("cts").cast("timestamp_ltz")),
+        ).alias("lat"),
+    )
+    return j.groupBy(F.col("u").alias("user_id")).agg(
+        F.countDistinct("cid").cast("long").alias("n_clicks"),
+        F.count("pid").cast("long").alias("n_matched_pairs"),
+        F.countDistinct(F.when(F.col("pid").isNull(), F.col("cid")))
+        .cast("long")
+        .alias("n_unmatched_clicks"),
+        F.sum("lat").cast("long").alias("latency_us_sum"),
+    )

@@ -17,6 +17,7 @@ from db_writer_redshift_spark.streaming.jobs import (  # noqa: F401
     stream_anomaly_filter,
     stream_psi_drift,
     stream_click_purchase_join,
+    stream_click_purchase_left_join,
     stream_dedup_events,
     stream_hopping_counts,
     stream_sessionize,

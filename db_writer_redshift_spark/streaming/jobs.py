@@ -381,6 +381,67 @@ def stream_click_purchase_join(
     )
 
 
+def stream_click_purchase_left_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    within: str = "1 hour",
+    click_watermark: str = "2 hours",
+    purchase_watermark: str = "3 hours",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the stateful shape the
+    inner join (stream_click_purchase_join) cannot express: clicks that
+    attract NO purchase within ``within`` must still emit, with NULL
+    purchase columns, and they can only do so once the WATERMARK proves
+    no matching purchase can still arrive. That null-emission-on-state-
+    expiry is the distinctive outer-join behavior of Spark's
+    stream-stream join state store (unmatched left rows are held until
+    the purchase watermark passes click_ts + within, then released) —
+    the abandoned-cart / unattributed-click feed every funnel pipeline
+    needs alongside the matches.
+
+    Same watermark + interval-bound discipline as the inner twin, so
+    join state stays bounded. The batch twin
+    (plans/analytics_extra5.streaming_left_join_batch_twin) defines the
+    watermark-complete target relation under the driver's oracle gate;
+    tests/test_streaming.py proves the stream converges to it once a
+    watermark-advancing sentinel drains the state."""
+    c = (
+        clicks.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", click_watermark)
+    )
+    p = (
+        purchases.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", purchase_watermark)
+    )
+    joined = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}")),
+        "leftOuter",
+    )
+    return joined.select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        "click_ts",
+        "purchase_ts",
+        (
+            F.unix_micros(F.col("purchase_ts")) - F.unix_micros(F.col("click_ts"))
+        ).alias("latency_us"),
+    )
+
+
 def stream_anomaly_filter(
     events: DataFrame,
     stats: DataFrame,

@@ -847,3 +847,165 @@ def test_state_store_reader_inspects_window_state(spark, tmp_path):
     census = {r.partition_id: r.n_state_rows for r in
               state_skew_summary(state).collect()}
     assert sum(census.values()) == len(expected)
+
+
+def test_stream_stream_left_join_emits_unmatched_on_watermark(spark, tmp_path):
+    """LEFT OUTER stream-stream join: the unmatched click emits with
+    NULL purchase columns — but only after the watermark proves no
+    matching purchase can still arrive (sentinel batches advance it,
+    and the eviction happens in a subsequent micro-batch)."""
+    import os
+
+    from db_writer_redshift_spark.streaming import (
+        EVENTS_SCHEMA as ES,
+        stream_click_purchase_left_join,
+    )
+
+    src = tmp_path / "src_left"
+    src.mkdir()
+    batches = [
+        [
+            _mk(1, 0, 100, "click"),
+            _mk(2, 30, 100, "purchase", 9.0),   # within 1h -> match
+            _mk(3, 0, 200, "click"),
+            _mk(4, 120, 200, "purchase", 5.0),  # 2h later -> NO match
+        ],
+        # sentinels advance both side watermarks far past the data
+        [_mk(90, 14_400, 999, "click")],
+        [_mk(91, 14_460, 999, "purchase", 1.0)],
+        [_mk(92, 14_520, 999, "purchase", 1.0)],
+    ]
+    for i, rows in enumerate(batches):
+        f = src / f"b{i}"
+        spark.createDataFrame(rows, ES).coalesce(1).write.parquet(str(f))
+        for p in f.glob("*.parquet"):
+            os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    flat = tmp_path / "flat_left"
+    flat.mkdir()
+    import glob as _g
+    import shutil as _sh
+
+    for i, f in enumerate(sorted(_g.glob(str(src / "b*" / "*.parquet")))):
+        dst = flat / f"arrival_{i}.parquet"
+        _sh.copy(f, dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = (
+        spark.readStream.schema(ES)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(flat))
+    )
+    out = stream_click_purchase_left_join(stream, stream, within="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cp_left_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "stream timed out"
+    got = {
+        (r.click_id, r.purchase_id, r.latency_us)
+        for r in spark.sql(
+            "SELECT * FROM cp_left_join WHERE user_id < 900"
+        ).collect()
+    }
+    # click 1 matches purchase 2; click 3 emits the NULL row
+    assert got == {(1, 2, 30 * 60 * 1_000_000), (3, None, None)}
+
+
+def test_left_join_stream_equals_batch_twin_on_real_data(spark, tmp_path):
+    """The registered batch twin (streaming_left_join_batch_twin) is
+    exactly what the stream converges to on the real sf0.001 events
+    once sentinels drain the watermark — per-user counts and latency
+    sums equal row for row."""
+    import os
+
+    import pytest as _pytest
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    if not os.path.isdir(sf):
+        _pytest.skip(f"testdata missing: {sf}")
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry_mod
+    from db_writer_redshift_spark.plans.registry import load_table
+    from db_writer_redshift_spark.streaming import (
+        stream_click_purchase_left_join,
+    )
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id",
+        F.col("ts").cast("timestamp_ltz").alias("ts"),  # watermark needs LTZ
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    import datetime as _dt
+
+    flat = tmp_path / "flat_real"
+    flat.mkdir()
+    ev.coalesce(1).write.parquet(str(flat / "base"))
+    schema = spark.read.parquet(str(flat / "base")).schema
+    sent = [
+        (9_000_001, mx + _dt.timedelta(days=10), 999_999, "click", 1.0, "{}"),
+        (9_000_002, mx + _dt.timedelta(days=10, hours=2), 999_999, "purchase", 1.0, "{}"),
+        (9_000_003, mx + _dt.timedelta(days=10, hours=3), 999_999, "purchase", 1.0, "{}"),
+    ]
+    files = sorted(flat.glob("base/*.parquet"))
+    arrivals = []
+    for i, s in enumerate(sent):
+        d = flat / f"s{i}"
+        spark.createDataFrame([s], schema).coalesce(1).write.parquet(str(d))
+        arrivals.append(sorted(d.glob("*.parquet"))[0])
+    stage = tmp_path / "stage_real"
+    stage.mkdir()
+    import shutil as _sh
+
+    ordered = [files[0]] + arrivals
+    for i, f in enumerate(ordered):
+        dst = stage / f"arrival_{i}.parquet"
+        _sh.copy(f, dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage))
+    )
+    out = stream_click_purchase_left_join(stream, stream, within="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cp_left_twin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600), "stream timed out"
+    stream_agg = {
+        r.user_id: (r.n_clicks, r.n_matched_pairs, r.n_unmatched, r.lat_sum)
+        for r in spark.sql(
+            """
+            SELECT user_id,
+                   COUNT(DISTINCT click_id) AS n_clicks,
+                   COUNT(purchase_id) AS n_matched_pairs,
+                   COUNT(DISTINCT CASE WHEN purchase_id IS NULL
+                                       THEN click_id END) AS n_unmatched,
+                   SUM(latency_us) AS lat_sum
+            FROM cp_left_twin WHERE user_id < 900000
+            GROUP BY user_id
+            """
+        ).collect()
+    }
+    twin = {
+        r.user_id: (
+            r.n_clicks,
+            r.n_matched_pairs,
+            r.n_unmatched_clicks,
+            r.latency_us_sum,
+        )
+        for r in entry_mod.queries()["streaming_left_join_batch_twin"](
+            spark, sf
+        ).collect()
+    }
+    assert stream_agg == twin
