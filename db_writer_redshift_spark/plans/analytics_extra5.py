@@ -1056,3 +1056,109 @@ def streaming_left_join_batch_twin(spark: SparkSession, sf_dir: str) -> DataFram
         .alias("n_unmatched_clicks"),
         F.sum("lat").cast("long").alias("latency_us_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis rank test across order priorities
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_kruskal_wallis_priority",
+    oracle="""
+WITH c AS (
+  SELECT o_orderpriority AS grp,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders
+),
+vals AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt FROM c GROUP BY v
+),
+ranked AS (
+  SELECT v, cnt,
+         CAST(COALESCE(SUM(cnt) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS less_n
+  FROM vals
+),
+tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+         CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_num
+  FROM ranked
+),
+per AS (
+  SELECT c.grp, CAST(COUNT(*) AS BIGINT) AS n_i,
+         CAST(SUM(2 * r.less_n + r.cnt + 1) AS BIGINT) AS s2
+  FROM c JOIN ranked r ON c.v = r.v
+  GROUP BY c.grp
+)
+SELECT per.grp AS priority, per.n_i, per.s2,
+       tot.n, tot.tie_num,
+       CAST(tot.n::HUGEINT * tot.n * tot.n - tot.n AS BIGINT) AS tie_den,
+       CAST((3000000::HUGEINT
+             * (per.s2::HUGEINT - per.n_i::HUGEINT * (tot.n + 1))
+             * (per.s2::HUGEINT - per.n_i::HUGEINT * (tot.n + 1)))
+            // (per.n_i::HUGEINT * tot.n * (tot.n + 1))
+            AS BIGINT) AS h_contrib_e6
+FROM per CROSS JOIN tot
+""",
+)
+def stats_kruskal_wallis_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis one-way rank test (Kruskal & Wallis, JASA 1952)
+    of order value across the five priorities — the NONPARAMETRIC
+    k-sample member beside the family's moment-based ANOVA, variance
+    (Brown-Forsythe) and location (Welch) gates: H = 12/(N(N+1))
+    Σ nᵢ(R̄ᵢ − (N+1)/2)². Exactness: midranks with ties are
+    half-integers, so DOUBLED ranks R2 = 2·|{v' < v}| + t_v + 1 are
+    integers and each group's contribution clears to
+    3·(S2ᵢ − nᵢ(N+1))²/(nᵢN(N+1)) — emitted as a 128-bit-promoted
+    floor-e6 per group (the reported statistic is the SUM of the
+    floored per-group terms, a deterministic convention both engines
+    state identically), with the tie-correction factor
+    1 − Σ(t³−t)/(N³−N) shipped as its exact integer pair.
+
+    Scale: ranks come from the DISTINCT-value relation (one global
+    cumulative window over |distinct cents| — the exact-quantiles sort
+    class with the documented quickselect swap at the 10M cutoff), then
+    one equi-join back to the fact rows and a map-side group roll-up."""
+    c = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    vals = c.groupBy("v").agg(F.count("*").cast("long").alias("cnt"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vals.withColumn(
+        "less_n", F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("long")
+    )
+    tot = ranked.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("long")
+        .alias("tie_num"),
+    )
+    per = (
+        c.join(ranked, "v")
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("n_i"),
+            F.sum(2 * F.col("less_n") + F.col("cnt") + 1)
+            .cast("long")
+            .alias("s2"),
+        )
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        F.col("grp").alias("priority"),
+        "n_i",
+        "s2",
+        "n",
+        "tie_num",
+        F.expr(
+            "CAST(CAST(n AS DECIMAL(38,0)) * n * n - n AS BIGINT)"
+        ).alias("tie_den"),
+        F.expr(
+            "CAST((CAST(3000000 AS DECIMAL(38,0))"
+            " * (CAST(s2 AS DECIMAL(38,0)) - CAST(n_i AS DECIMAL(38,0)) * (n + 1))"
+            " * (CAST(s2 AS DECIMAL(38,0)) - CAST(n_i AS DECIMAL(38,0)) * (n + 1)))"
+            " div (CAST(n_i AS DECIMAL(38,0)) * n * (n + 1)) AS BIGINT)"
+        ).alias("h_contrib_e6"),
+    )

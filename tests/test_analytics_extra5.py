@@ -210,3 +210,19 @@ def test_group_by_all_matches_explicit_grouping(spark):
     assert got == {
         (r.o_orderstatus, r.o_orderpriority, r.yr): r.n_orders for r in explicit
     }
+
+
+def test_kruskal_wallis_rank_identities(spark):
+    rows = _rows(spark, "stats_kruskal_wallis_priority")
+    assert len(rows) == 5
+    n = rows[0].n
+    assert sum(r.n_i for r in rows) == n
+    # doubled ranks sum to 2 * N(N+1)/2 = N(N+1) across all groups
+    assert sum(r.s2 for r in rows) == n * (n + 1)
+    for r in rows:
+        assert r.h_contrib_e6 >= 0
+        dev = r.s2 - r.n_i * (n + 1)
+        assert r.h_contrib_e6 == (3_000_000 * dev * dev) // (
+            r.n_i * n * (n + 1)
+        )
+        assert 0 <= r.tie_num < r.tie_den
