@@ -1162,3 +1162,151 @@ def stats_kruskal_wallis_priority(spark: SparkSession, sf_dir: str) -> DataFrame
             " div (CAST(n_i AS DECIMAL(38,0)) * n * (n + 1)) AS BIGINT)"
         ).alias("h_contrib_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta-sketch set operations between two customer cohorts
+# ---------------------------------------------------------------------------
+
+_KMVI_K = 256
+_KMVI_P = (1 << 31) - 1
+
+
+@register(
+    "sketch_kmv_intersection_portable",
+    oracle=f"""
+WITH flags AS (
+  SELECT o_custkey,
+         MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS a,
+         MAX(CASE WHEN isodow(o_orderdate::DATE) >= 6 THEN 1 ELSE 0 END) AS b
+  FROM orders GROUP BY o_custkey
+),
+hv AS (
+  SELECT o_custkey, a, b,
+         list_reduce(list_transform(
+           string_split_regex(substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8), ''),
+           c -> CAST(strpos('0123456789abcdef', c) AS BIGINT) - 1),
+           (x, y) -> x * 16 + y) % {_KMVI_P} AS h
+  FROM flags
+),
+ska AS (SELECT h FROM hv WHERE a = 1 ORDER BY h LIMIT {_KMVI_K}),
+skb AS (SELECT h FROM hv WHERE b = 1 ORDER BY h LIMIT {_KMVI_K}),
+comb AS (
+  SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb) u
+  ORDER BY h LIMIT {_KMVI_K}
+),
+theta AS (
+  SELECT MAX(h) AS th, CAST(COUNT(*) AS BIGINT) AS ku FROM comb
+),
+inter AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_int
+  FROM ska JOIN skb USING (h) CROSS JOIN theta
+  WHERE ska.h < theta.th
+),
+tru AS (
+  SELECT CAST(SUM(a) AS BIGINT) AS true_a,
+         CAST(SUM(b) AS BIGINT) AS true_b,
+         CAST(SUM(a * b) AS BIGINT) AS true_int,
+         CAST(SUM(CASE WHEN a = 1 OR b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS true_union
+  FROM flags
+)
+SELECT CAST({_KMVI_K} AS BIGINT) AS k, theta.ku, theta.th AS theta,
+       inter.n_int,
+       CAST((theta.ku - 1)::HUGEINT * {_KMVI_P} // theta.th AS BIGINT)
+         AS est_union,
+       CAST((inter.n_int::HUGEINT
+             * ((theta.ku - 1)::HUGEINT * {_KMVI_P} // theta.th))
+            // theta.ku AS BIGINT) AS est_intersection,
+       tru.true_a, tru.true_b, tru.true_union, tru.true_int
+FROM theta CROSS JOIN inter CROSS JOIN tru
+""",
+)
+def sketch_kmv_intersection_portable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Theta-sketch-style SET OPERATIONS on KMV bottom-k sketches
+    (Dasgupta et al., 'Theta sketch framework', 2016; KMV per
+    Bar-Yossef 2002, Beyer 2007): two customer cohorts — ever-urgent
+    (A) and ever-weekend (B) — sketch independently with the portable
+    md5-derived 32-bit hash; θ is the k-th smallest over the MERGED
+    sketch, est(|A∪B|) = (k−1)·p div θ, and the intersection estimate
+    scales the union estimate by the fraction of sub-θ hashes present
+    in BOTH sketches (the theta-framework Jaccard rule, entries
+    strictly below θ — a pinned convention both engines state
+    identically). This is the sketch-algebra the distinct-count member
+    (sketch_kmv_distinct_portable) cannot do: cohort overlap WITHOUT
+    co-scanning, the mergeability that makes bottom-k sketches
+    map-reduce-native. Exact cohort truths ride along (self-auditing
+    like the HLL/Bloom members).
+
+    Scale: one per-customer flag aggregate; each sketch is a
+    TakeOrdered bottom-k (per-partition k, then merge — never a global
+    sort); everything after runs on ≤ 3k hash values. The exact-truth
+    leg is the audit and drops at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    flags = orders.groupBy("o_custkey").agg(
+        F.max(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        ).alias("a"),
+        F.max(
+            F.when(F.weekday(F.col("o_orderdate")) + 1 >= 6, 1).otherwise(0)
+        ).alias("b"),
+    )
+    hv = flags.select(
+        "a",
+        "b",
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(_KMVI_P),
+        ).alias("h"),
+    )
+    ska = hv.filter(F.col("a") == 1).select("h").orderBy("h").limit(_KMVI_K)
+    skb = hv.filter(F.col("b") == 1).select("h").orderBy("h").limit(_KMVI_K)
+    comb = ska.union(skb).distinct().orderBy("h").limit(_KMVI_K)
+    theta = comb.agg(
+        F.max("h").alias("th"), F.count("*").cast("long").alias("ku")
+    )
+    inter = (
+        ska.join(skb, "h")
+        .crossJoin(F.broadcast(theta.select("th")))
+        .filter(F.col("h") < F.col("th"))
+        .agg(F.count("*").cast("long").alias("n_int"))
+    )
+    tru = flags.agg(
+        F.sum("a").cast("long").alias("true_a"),
+        F.sum("b").cast("long").alias("true_b"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("true_int"),
+        F.sum(
+            F.when((F.col("a") == 1) | (F.col("b") == 1), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("true_union"),
+    )
+    return (
+        theta.crossJoin(F.broadcast(inter))
+        .crossJoin(F.broadcast(tru))
+        .select(
+            F.lit(_KMVI_K).cast("long").alias("k"),
+            "ku",
+            F.col("th").alias("theta"),
+            "n_int",
+            F.expr(
+                f"CAST((CAST(ku - 1 AS DECIMAL(38,0)) * {_KMVI_P}) div th"
+                " AS BIGINT)"
+            ).alias("est_union"),
+            F.expr(
+                "CAST((CAST(n_int AS DECIMAL(38,0))"
+                f" * ((CAST(ku - 1 AS DECIMAL(38,0)) * {_KMVI_P}) div th))"
+                " div ku AS BIGINT)"
+            ).alias("est_intersection"),
+            "true_a",
+            "true_b",
+            "true_union",
+            "true_int",
+        )
+    )

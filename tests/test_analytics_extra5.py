@@ -226,3 +226,15 @@ def test_kruskal_wallis_rank_identities(spark):
             r.n_i * n * (n + 1)
         )
         assert 0 <= r.tie_num < r.tie_den
+
+
+def test_kmv_intersection_estimates_within_kmv_error(spark):
+    (r,) = _rows(spark, "sketch_kmv_intersection_portable")
+    assert r.ku <= r.k and 0 <= r.n_int <= r.ku
+    assert r.true_a + r.true_b == r.true_union + r.true_int  # inclusion-exclusion
+    # KMV relative error ~ 1/sqrt(k) ≈ 6%; allow a generous 4x margin
+    assert abs(r.est_union - r.true_union) <= max(10, r.true_union // 4)
+    assert abs(r.est_intersection - r.true_int) <= max(10, r.true_int // 2)
+    # estimator reproduces from its own integers
+    assert r.est_union == ((r.ku - 1) * ((1 << 31) - 1)) // r.theta
+    assert r.est_intersection == (r.n_int * r.est_union) // r.ku
