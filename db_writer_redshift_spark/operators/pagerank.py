@@ -75,3 +75,71 @@ def pagerank_int(
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def hits_int(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    iterations: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Integer-exact HITS (Kleinberg, JACM 1999) over a directed edge
+    list: hubs on the source side, authorities on the destination side,
+    mutual reinforcement a(v) = Σ_{u→v} h(u), h(u) = Σ_{u→v} a(v). The
+    float algorithm L2-normalizes per iteration — partition-order
+    dependent; this variant keeps scores in integer ppm and
+    re-normalizes by the SUM with a 128-bit-promoted floor division
+    (score' = 1e6·raw div Σraw), so every iteration is a pure integer
+    function of the previous one — bit-identical under any partitioning
+    and reproducible as unrolled SQL CTEs (the pagerank_int
+    discipline).
+
+    Returns (hubs, auths): ``(node, score_ppm)`` DataFrames.
+
+    Scale: two map-side-combined shuffles per iteration (group on dst
+    for authorities, on src for hubs) plus one scalar-sum broadcast per
+    side; lineage truncated per round via localCheckpoint."""
+    e = edges.select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+    ).distinct()
+    hubs = (
+        e.select("_s").distinct()
+        .select(F.col("_s").alias("node"), F.lit(INIT_RANK).cast("long").alias("score_ppm"))
+    )
+    auths = None
+    for i in range(iterations):
+        raw_a = (
+            e.join(hubs.withColumnRenamed("node", "_s"), "_s")
+            .groupBy("_d")
+            .agg(F.sum("score_ppm").alias("raw"))
+        )
+        tot_a = raw_a.agg(F.sum("raw").alias("tot"))
+        auths = (
+            raw_a.crossJoin(F.broadcast(tot_a))
+            .select(
+                F.col("_d").alias("node"),
+                F.expr(
+                    "CAST((CAST(1000000 AS DECIMAL(38,0)) * raw) div tot"
+                    " AS BIGINT)"
+                ).alias("score_ppm"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        raw_h = (
+            e.join(auths.withColumnRenamed("node", "_d"), "_d")
+            .groupBy("_s")
+            .agg(F.sum("score_ppm").alias("raw"))
+        )
+        tot_h = raw_h.agg(F.sum("raw").alias("tot"))
+        hubs = (
+            raw_h.crossJoin(F.broadcast(tot_h))
+            .select(
+                F.col("_s").alias("node"),
+                F.expr(
+                    "CAST((CAST(1000000 AS DECIMAL(38,0)) * raw) div tot"
+                    " AS BIGINT)"
+                ).alias("score_ppm"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return hubs, auths

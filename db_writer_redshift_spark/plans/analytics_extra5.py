@@ -1310,3 +1310,87 @@ def sketch_kmv_intersection_portable(
             "true_int",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs/authorities over the part->supplier graph
+# ---------------------------------------------------------------------------
+
+
+def _hits_oracle(iterations: int = 3) -> str:
+    """Unrolled-CTE DuckDB twin of operators/pagerank.hits_int: the
+    identical ppm floor-division re-normalization per round, so every
+    score is bit-identical to the operator's."""
+    parts = [
+        """
+WITH e AS (SELECT DISTINCT l_partkey AS s, l_suppkey AS d FROM lineitem),
+h0 AS (SELECT DISTINCT s AS node, CAST(1000000 AS BIGINT) AS sc FROM e)"""
+    ]
+    for i in range(iterations):
+        parts.append(
+            f""",
+ra{i} AS (SELECT e.d, SUM(h{i}.sc) AS raw FROM e
+          JOIN h{i} ON h{i}.node = e.s GROUP BY e.d),
+ta{i} AS (SELECT SUM(raw) AS tot FROM ra{i}),
+a{i + 1} AS (SELECT d AS node,
+             CAST((1000000::HUGEINT * raw) // tot AS BIGINT) AS sc
+             FROM ra{i} CROSS JOIN ta{i}),
+rh{i} AS (SELECT e.s, SUM(a{i + 1}.sc) AS raw FROM e
+          JOIN a{i + 1} ON a{i + 1}.node = e.d GROUP BY e.s),
+th{i} AS (SELECT SUM(raw) AS tot FROM rh{i}),
+h{i + 1} AS (SELECT s AS node,
+             CAST((1000000::HUGEINT * raw) // tot AS BIGINT) AS sc
+             FROM rh{i} CROSS JOIN th{i})"""
+        )
+    parts.append(
+        f"""
+SELECT * FROM (
+  SELECT 'hub' AS role, node, sc AS score_ppm,
+         ROW_NUMBER() OVER (ORDER BY sc DESC, node) AS rank_pos
+  FROM h{iterations} QUALIFY rank_pos <= 50
+) UNION ALL
+SELECT * FROM (
+  SELECT 'auth' AS role, node, sc AS score_ppm,
+         ROW_NUMBER() OVER (ORDER BY sc DESC, node) AS rank_pos
+  FROM a{iterations} QUALIFY rank_pos <= 50
+)"""
+    )
+    return "".join(parts)
+
+
+@register("graph_hits_part_supplier", oracle=_hits_oracle())
+def graph_hits_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs and authorities (Kleinberg, JACM 1999) over the
+    directed part→supplier graph from lineitem: which parts are the
+    strongest hubs (sourced from many authoritative suppliers) and
+    which suppliers the strongest authorities — the mutual-reinforcement
+    centrality beside the registry's PageRank view of the same
+    bipartite structure. Integer-exact by the pagerank_int discipline:
+    scores live in ppm, each iteration re-normalizes by the SUM with a
+    128-bit-promoted floor division, so the ITERATIVE algorithm carries
+    a full value-hash oracle (the same three rounds unrolled as chained
+    CTEs). Top-50 per role under the (score, node) total order.
+
+    Scale: two map-side-combined shuffles per iteration plus one
+    scalar-sum broadcast per side; score relations are |nodes| rows;
+    lineage truncated per round (localCheckpoint); the per-role top-50
+    is a TakeOrdered, never a global-window sort."""
+    from db_writer_redshift_spark.operators.pagerank import hits_int
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_partkey").alias("s"), F.col("l_suppkey").alias("d")
+    )
+    hubs, auths = hits_int(edges, "s", "d", iterations=3)
+
+    def top(df: DataFrame, role: str) -> DataFrame:
+        t = df.orderBy(F.col("score_ppm").desc(), F.col("node")).limit(50)
+        w = Window.orderBy(F.col("score_ppm").desc(), F.col("node"))
+        return t.withColumn("rank_pos", F.row_number().over(w)).select(
+            F.lit(role).alias("role"),
+            "node",
+            "score_ppm",
+            F.col("rank_pos").cast("long"),
+        )
+
+    return top(hubs, "hub").unionByName(top(auths, "auth"))

@@ -238,3 +238,20 @@ def test_kmv_intersection_estimates_within_kmv_error(spark):
     # estimator reproduces from its own integers
     assert r.est_union == ((r.ku - 1) * ((1 << 31) - 1)) // r.theta
     assert r.est_intersection == (r.n_int * r.est_union) // r.ku
+
+
+def test_hits_roles_and_normalization(spark):
+    rows = _rows(spark, "graph_hits_part_supplier")
+    hubs = [r for r in rows if r.role == "hub"]
+    auths = [r for r in rows if r.role == "auth"]
+    assert hubs and auths
+    for side in (hubs, auths):
+        # rank positions are 1..n and scores non-increasing along them
+        ordered = sorted(side, key=lambda r: r.rank_pos)
+        assert [r.rank_pos for r in ordered] == list(range(1, len(side) + 1))
+        assert all(
+            a.score_ppm >= b.score_ppm
+            for a, b in zip(ordered, ordered[1:])
+        )
+        # ppm scores: each at most the whole mass
+        assert all(0 <= r.score_ppm <= 1_000_000 for r in side)
