@@ -994,94 +994,128 @@ def _ima_encode_step(pred: int, idx: int, s: int) -> tuple[int, int, int]:
     return pred, idx, nib | (8 if sign else 0)
 
 
-def encode_wav_ima(samples: list[int], sample_rate: int = 8000) -> bytes:
+def encode_wav_ima(
+    samples: list[int],
+    sample_rate: int = 8000,
+    samples_per_block: int | None = None,
+) -> bytes:
     """Real, dependency-free IMA-ADPCM (WAV format tag 0x0011) writer —
-    the COMPRESSED audio lane's encoder twin, single mono block: the
-    standard WAV-IMA block layout (int16 sample 0 verbatim in the block
-    header, uint8 initial step index — pinned to 0 — and a reserved
-    byte, then 4-bit nibbles two per byte, LOW nibble first), with the
+    the COMPRESSED audio lane's encoder twin, mono: the standard
+    WAV-IMA block layout (each block's FIRST sample int16 verbatim in
+    its header, the CARRIED step index uint8 — the encoder's index
+    survives block boundaries while the predictor resets to the stored
+    sample, exactly the de-facto WAV-IMA profile — and a reserved byte,
+    then 4-bit nibbles two per byte, LOW nibble first), with the
     canonical fmt extension (cbSize=2, wSamplesPerBlock) and the fact
-    chunk every compressed WAV must carry. 4:1 compression vs the PCM
+    chunk every compressed WAV must carry. ``samples_per_block=None``
+    writes one block for the whole clip; an integer writes the standard
+    fixed-size blocks (last one short). ~4:1 compression vs the PCM
     twin; bytes any IMA-capable player opens."""
     import struct
 
     assert samples, "empty clip unsupported (block header stores sample 0)"
-    s0 = int(samples[0])
-    pred, idx = s0, 0
-    nibs = []
-    for s in samples[1:]:
-        pred, idx, nib = _ima_encode_step(pred, idx, int(s))
-        nibs.append(nib)
-    block = bytearray(struct.pack("<hBB", s0, 0, 0))
-    for i in range(0, len(nibs), 2):
-        hi = nibs[i + 1] if i + 1 < len(nibs) else 0
-        block.append(nibs[i] | (hi << 4))
     n = len(samples)
-    block_align = len(block)
-    byte_rate = (sample_rate * block_align) // max(1, n)
+    spb = n if samples_per_block is None else samples_per_block
+    assert spb >= 2, "a block must hold its header sample plus one nibble"
+    data = bytearray()
+    idx = 0
+    for b0 in range(0, n, spb):
+        blk = samples[b0 : b0 + spb]
+        pred = int(blk[0])
+        data += struct.pack("<hBB", pred, idx, 0)
+        nibs = []
+        for s in blk[1:]:
+            pred, idx, nib = _ima_encode_step(pred, idx, int(s))
+            nibs.append(nib)
+        for i in range(0, len(nibs), 2):
+            hi = nibs[i + 1] if i + 1 < len(nibs) else 0
+            data.append(nibs[i] | (hi << 4))
+    block_align = 4 + (spb - 1 + 1) // 2
+    byte_rate = (sample_rate * block_align) // max(1, spb)
     fmt = struct.pack(
-        "<HHIIHHHH", 0x11, 1, sample_rate, byte_rate, block_align, 4, 2, n
+        "<HHIIHHHH", 0x11, 1, sample_rate, byte_rate, block_align, 4, 2, spb
     )
     fact = struct.pack("<I", n)
-    data = bytes(block)
     pad = b"\x00" if len(data) % 2 else b""
 
     def chunk(tag: bytes, body: bytes) -> bytes:
         return tag + struct.pack("<I", len(body)) + body
 
     payload = (
-        chunk(b"fmt ", fmt) + chunk(b"fact", fact) + chunk(b"data", data) + pad
+        chunk(b"fmt ", fmt) + chunk(b"fact", fact) + chunk(b"data", bytes(data)) + pad
     )
     return b"RIFF" + struct.pack("<I", 4 + len(payload)) + b"WAVE" + payload
 
 
 def decode_wav_ima(fmt: bytes, data: bytes, fact_n: int | None) -> dict:
-    """Decode a single-block mono IMA-ADPCM stream (WAV tag 0x0011):
-    sample 0 verbatim from the block header, then the standard
-    step-table nibble reconstruction (low nibble first), statistics in
-    exact integers. Raises ValueError on malformed blocks; multi-block
-    or stereo streams stay NotImplementedError (the remaining honest
-    audio boundary is perceptual codecs — MP3/FLAC — plus those
+    """Decode a mono IMA-ADPCM stream (WAV tag 0x0011), single- or
+    MULTI-block: each block's first sample comes verbatim from its
+    header together with the carried step index, then the standard
+    step-table nibble reconstruction (low nibble first) runs to the
+    block's end; statistics in exact integers. Samples per block come
+    from the fmt extension (wSamplesPerBlock) with the
+    derive-from-blockAlign fallback. Raises ValueError on malformed
+    blocks; stereo stays NotImplementedError (the remaining honest
+    audio boundary is perceptual codecs — MP3/FLAC — plus multichannel
     layouts)."""
     import struct
 
     channels, rate = struct.unpack("<HI", fmt[2:8])
+    (block_align,) = struct.unpack("<H", fmt[12:14])
     if channels != 1:
         raise NotImplementedError("only mono IMA ADPCM implemented")
-    if len(data) < 4:
-        raise ValueError("IMA ADPCM block shorter than its header")
     if fact_n is None:
         raise ValueError("compressed WAV missing fact chunk")
-    pred, idx0, _res = struct.unpack("<hBB", data[:4])
-    if idx0 > 88:
-        raise ValueError("IMA ADPCM step index out of range")
-    n_nibs = fact_n - 1
-    if n_nibs < 0 or len(data) - 4 < (n_nibs + 1) // 2:
-        raise ValueError("IMA ADPCM data shorter than fact sample count")
-    if len(data) - 4 > (n_nibs + 1) // 2:
-        raise NotImplementedError("multi-block IMA ADPCM not implemented")
-    idx = idx0
-    peak = abs(pred)
-    amp_sum = pred
-    amp_sumsq = pred * pred
-    for k in range(n_nibs):
-        byte = data[4 + (k >> 1)]
-        nib = (byte >> 4) if k & 1 else (byte & 0x0F)
-        step = _IMA_STEP[idx]
-        mag = nib & 7
-        diff = step >> 3
-        if mag & 4:
-            diff += step
-        if mag & 2:
-            diff += step >> 1
-        if mag & 1:
-            diff += step >> 2
-        pred = pred - diff if nib & 8 else pred + diff
-        pred = max(-32768, min(32767, pred))
-        idx = max(0, min(88, idx + _IMA_INDEX[mag]))
+    if len(fmt) >= 20:
+        (spb,) = struct.unpack("<H", fmt[18:20])
+    elif block_align >= 4:
+        spb = (block_align - 4) * 2 + 1
+    else:
+        raise ValueError("IMA ADPCM blockAlign too small")
+    if spb < 2:
+        raise ValueError("IMA ADPCM samplesPerBlock out of range")
+    peak = 0
+    amp_sum = 0
+    amp_sumsq = 0
+    idx = None
+    off = 0
+    remaining = fact_n
+    while remaining > 0:
+        if len(data) - off < 4:
+            raise ValueError("IMA ADPCM data shorter than fact sample count")
+        pred, idx0, _res = struct.unpack("<hBB", data[off : off + 4])
+        if idx0 > 88:
+            raise ValueError("IMA ADPCM step index out of range")
+        idx = idx0
+        ns = min(spb, remaining)
+        n_nibs = ns - 1
+        if len(data) - off - 4 < (n_nibs + 1) // 2:
+            raise ValueError("IMA ADPCM data shorter than fact sample count")
         peak = max(peak, abs(pred))
         amp_sum += pred
         amp_sumsq += pred * pred
+        for k in range(n_nibs):
+            byte = data[off + 4 + (k >> 1)]
+            nib = (byte >> 4) if k & 1 else (byte & 0x0F)
+            step = _IMA_STEP[idx]
+            mag = nib & 7
+            diff = step >> 3
+            if mag & 4:
+                diff += step
+            if mag & 2:
+                diff += step >> 1
+            if mag & 1:
+                diff += step >> 2
+            pred = pred - diff if nib & 8 else pred + diff
+            pred = max(-32768, min(32767, pred))
+            idx = max(0, min(88, idx + _IMA_INDEX[mag]))
+            peak = max(peak, abs(pred))
+            amp_sum += pred
+            amp_sumsq += pred * pred
+        off += 4 + (n_nibs + 1) // 2
+        remaining -= ns
+    if off < len(data):
+        raise ValueError("IMA ADPCM trailing bytes beyond fact sample count")
     return {
         "sample_rate": rate,
         "n_samples": fact_n,
@@ -1092,7 +1126,12 @@ def decode_wav_ima(fmt: bytes, data: bytes, fact_n: int | None) -> dict:
     }
 
 
-def synthesize_adpcm_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def synthesize_adpcm_media(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    samples_per_block: int | None = None,
+) -> DataFrame:
     """IMA-ADPCM twin of :func:`synthesize_wav_media`: the SAME sample
     construction (sample k = (codepoint mod 256 − 128)·256, length
     40 + id % 50 at 8 kHz) compressed through the real 4-bit encoder —
@@ -1116,7 +1155,9 @@ def synthesize_adpcm_media(df: DataFrame, id_col: str, text_col: str) -> DataFra
                     ]
                 else:
                     s = [0] * n
-                payloads.append(encode_wav_ima(s, 8000))
+                payloads.append(
+                    encode_wav_ima(s, 8000, samples_per_block=samples_per_block)
+                )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

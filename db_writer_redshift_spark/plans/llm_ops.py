@@ -2146,6 +2146,142 @@ FROM f
 """
 
 
+def _ima_multiblock_oracle(spb: int = 16) -> str:
+    """Flagged-element variant of :func:`_ima_oracle` for the standard
+    MULTI-block WAV-IMA layout: every ``spb``-th sample starts a new
+    block, where the PREDICTOR resets to the stored sample while the
+    step INDEX carries across the boundary (the de-facto WAV-IMA
+    profile). Each fold element packs (sample, is-block-start) as
+    (v+32768)·2+flag; the lambda branches on the flag — reset vs the
+    normal IMA step — over the same packed-HUGEINT state as the
+    single-block twin."""
+    from db_writer_redshift_spark.operators.multimodal import _IMA_STEP
+
+    step_list = "[" + ",".join(str(v) for v in _IMA_STEP) + "]"
+    p105, p98, p75, p53, p37 = 2**105, 2**98, 2**75, 2**53, 2**37
+    p23, p22, p16, p7 = 2**23, 2**22, 2**16, 2**7
+    pred = f"(a // {p105} - 32768)"
+    idx = f"((a // {p98}) % 128)"
+    ssum = f"((a // {p75}) % {p23} - {p22})"
+    sabs = f"((a // {p53}) % {p22})"
+    mabs = f"((a // {p37}) % {p16})"
+    ssq = f"(a % {p37})"
+    v = "(e // 2 - 32768)"
+    stepx = f"list_extract({step_list}, CAST({idx} AS BIGINT) + 1)"
+    d = f"abs({v} - {pred})"
+    b2 = f"CASE WHEN {d} >= {stepx} THEN 1 ELSE 0 END"
+    d2 = f"({d} - ({b2}) * {stepx})"
+    b1 = f"CASE WHEN {d2} >= {stepx} // 2 THEN 1 ELSE 0 END"
+    d1 = f"({d2} - ({b1}) * ({stepx} // 2))"
+    b0 = f"CASE WHEN {d1} >= {stepx} // 4 THEN 1 ELSE 0 END"
+    diff = (
+        f"({stepx} // 8 + ({b2}) * {stepx} + ({b1}) * ({stepx} // 2)"
+        f" + ({b0}) * ({stepx} // 4))"
+    )
+    np_ = (
+        f"greatest(-32768, least(32767, {pred}"
+        f" + CASE WHEN {v} < {pred} THEN -{diff} ELSE {diff} END))"
+    )
+    adj = f"(CASE WHEN ({b2}) = 0 THEN -1 ELSE 2 * (({b1}) * 2 + ({b0})) + 2 END)"
+    ni = f"greatest(0, least(88, {idx} + {adj}))"
+
+    def pack(newpred: str, newidx: str) -> str:
+        return (
+            f"((((({newpred} + 32768) * {p7} + {newidx}) * {p23}"
+            f" + ({ssum} + {newpred} + {p22})) * {p22}"
+            f" + ({sabs} + abs({newpred}))) * {p16}"
+            f" + greatest({mabs}, abs({newpred}))) * {p37}"
+            f" + ({ssq} + CAST({newpred} AS HUGEINT) * {newpred})"
+        )
+
+    lam = (
+        f"(a, e) -> CASE WHEN e % 2 = 1 THEN {pack(v, idx)}"
+        f" ELSE {pack(np_, ni)} END"
+    )
+    seed = (
+        f"((((CAST(ss[1] + 32768 AS HUGEINT) * {p7} + 0) * {p23}"
+        f" + (ss[1] + {p22})) * {p22} + abs(ss[1])) * {p16}"
+        f" + abs(ss[1])) * {p37} + CAST(ss[1] AS HUGEINT) * ss[1]"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, 40 + doc_id % 50 AS n FROM documents
+),
+s AS (
+  SELECT doc_id, n,
+         CASE WHEN len(text) = 0
+              THEN list_transform(range(0, n), k -> 0::BIGINT)
+              ELSE list_transform(range(0, n),
+                     k -> ((ord(text[(k % len(text)) + 1]) % 256 - 128)
+                           * 256)::BIGINT)
+         END AS ss
+  FROM base
+),
+f AS (
+  SELECT doc_id, n,
+         list_reduce(
+           list_prepend(CAST({seed} AS HUGEINT),
+             list_transform(range(1, n),
+               k -> CAST((ss[CAST(k AS BIGINT) + 1] + 32768) * 2
+                         + CASE WHEN k % {spb} = 0 THEN 1 ELSE 0 END
+                         AS HUGEINT))),
+           {lam}) AS st
+  FROM s
+)
+SELECT doc_id,
+       CAST(60 + (12 * ((n + {spb} - 1) // {spb} - 1)
+                  + 4 + (n - {spb} * ((n + {spb} - 1) // {spb} - 1)) // 2)
+            + ((12 * ((n + {spb} - 1) // {spb} - 1)
+                + 4 + (n - {spb} * ((n + {spb} - 1) // {spb} - 1)) // 2) % 2)
+            AS BIGINT) AS n_bytes,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST((1000 * n) // 8000 AS BIGINT) AS duration_ms,
+       CAST((st // {p37}) % {p16} AS BIGINT) AS peak_abs,
+       CAST((st // {p75}) % {p23} - {p22} AS BIGINT) AS amp_sum,
+       CAST(st % {p37} AS BIGINT) AS amp_sumsq
+FROM f
+"""
+
+
+@register(
+    "multimodal_adpcm_multiblock_decode", oracle=_ima_multiblock_oracle()
+)
+def multimodal_adpcm_multiblock_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MULTI-block IMA-ADPCM decode under the value-hash gate — the
+    standard fixed-block WAV layout (16 samples per block here, so
+    every clip spans 3-6 blocks): each block header re-anchors the
+    predictor to its stored first sample while the step index CARRIES
+    across the boundary, and the decoder walks header + nibble runs per
+    block, cross-checking consumed bytes against the fact count. The
+    oracle replays the same branching fold (reset vs IMA step) over
+    flagged packed elements — block-boundary behavior is exactly what a
+    single-block oracle cannot prove, and the exact n_bytes column pins
+    the per-block container arithmetic (blockAlign, short last block,
+    word-align pad). Remaining audio boundary: perceptual codecs and
+    multichannel.
+
+    Scale: both stages are iterator mapInPandas (batch-bounded memory,
+    no shuffle); per-row output is 8 scalar BIGINTs."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_adpcm_media(
+        docs, "doc_id", "text", samples_per_block=16
+    )
+    feats = multimodal.extract_audio_features(media)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "sample_rate",
+        "n_samples",
+        "duration_ms",
+        "peak_abs",
+        "amp_sum",
+        "amp_sumsq",
+    )
+
+
 @register("multimodal_adpcm_decode", oracle=_ima_oracle())
 def multimodal_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL compressed-audio decode end-to-end — the round-8 narrowing
