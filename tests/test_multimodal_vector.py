@@ -428,6 +428,59 @@ class TestRealWavDecode:
             assert got["peak_abs"] == max(abs(x) for x in exp)
             assert got["amp_sumsq"] == sum(x * x for x in exp)
 
+    def test_ima_adpcm_multiblock_round_trip(self):
+        # fixed-size blocks: predictor re-anchors per block header, the
+        # step index carries across the boundary — verified against an
+        # independent per-block replay for several block sizes
+        import random
+
+        STEP = list(multimodal._IMA_STEP)
+        IDX = list(multimodal._IMA_INDEX)
+
+        def ref(samples, spb):
+            out, idx = [], 0
+            for b0 in range(0, len(samples), spb):
+                blk = samples[b0 : b0 + spb]
+                pred = blk[0]
+                out.append(pred)
+                for s in blk[1:]:
+                    step = STEP[idx]
+                    delta = s - pred
+                    sign = delta < 0
+                    d = -delta if sign else delta
+                    nib = 0
+                    if d >= step:
+                        nib |= 4
+                        d -= step
+                    if d >= step >> 1:
+                        nib |= 2
+                        d -= step >> 1
+                    if d >= step >> 2:
+                        nib |= 1
+                    diff = (step >> 3) + (step if nib & 4 else 0)
+                    diff += (step >> 1) if nib & 2 else 0
+                    diff += (step >> 2) if nib & 1 else 0
+                    pred = max(
+                        -32768, min(32767, pred - diff if sign else pred + diff)
+                    )
+                    idx = max(0, min(88, idx + IDX[nib]))
+                    out.append(pred)
+            return out
+
+        rng = random.Random(3)
+        for _ in range(15):
+            n = rng.randint(2, 89)
+            spb = rng.choice([2, 5, 16, 33, n])
+            samples = [rng.randint(-32768, 32512) for _ in range(n)]
+            got = multimodal.decode_wav(
+                multimodal.encode_wav_ima(samples, samples_per_block=spb)
+            )
+            exp = ref(samples, spb)
+            assert got["n_samples"] == n
+            assert got["amp_sum"] == sum(exp)
+            assert got["peak_abs"] == max(abs(x) for x in exp)
+            assert got["amp_sumsq"] == sum(x * x for x in exp)
+
     def test_ima_adpcm_compresses_4x(self):
         samples = [((7 * k) % 256 - 128) * 256 for k in range(2000)]
         adpcm = multimodal.encode_wav_ima(samples)
