@@ -913,6 +913,8 @@ def decode_wav(payload: bytes) -> dict:
         pos += 8 + csz + (csz & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
+    if len(fmt) < 16:
+        raise ValueError("WAV fmt chunk shorter than 16 bytes")
     tag, channels, rate, _, _, bits = struct.unpack("<HHIIHH", fmt[:16])
     if tag == 0x11:
         # IMA ADPCM — the round-8 narrowing of the compressed-audio
@@ -1017,6 +1019,11 @@ def encode_wav_ima(
     n = len(samples)
     spb = n if samples_per_block is None else samples_per_block
     assert spb >= 2, "a block must hold its header sample plus one nibble"
+    if spb > 65535:
+        raise ValueError(
+            "wSamplesPerBlock is uint16: clips longer than 65535 samples "
+            "need an explicit samples_per_block"
+        )
     data = bytearray()
     idx = 0
     for b0 in range(0, n, spb):
@@ -1112,7 +1119,14 @@ def decode_wav_ima(fmt: bytes, data: bytes, fact_n: int | None) -> dict:
             peak = max(peak, abs(pred))
             amp_sum += pred
             amp_sumsq += pred * pred
-        off += 4 + (n_nibs + 1) // 2
+        # a spec-conforming writer pads EVERY block (including a short
+        # last one) to nBlockAlign; our twin encoder writes the last
+        # block short — accept both layouts, reject anything else
+        used = 4 + (n_nibs + 1) // 2
+        if len(data) - off >= block_align >= used:
+            off += block_align
+        else:
+            off += used
         remaining -= ns
     if off < len(data):
         raise ValueError("IMA ADPCM trailing bytes beyond fact sample count")

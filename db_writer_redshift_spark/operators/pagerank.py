@@ -99,6 +99,8 @@ def hits_int(
     Scale: two map-side-combined shuffles per iteration (group on dst
     for authorities, on src for hubs) plus one scalar-sum broadcast per
     side; lineage truncated per round via localCheckpoint."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
     e = edges.select(
         F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
     ).distinct()

@@ -59,23 +59,37 @@ from pyspark.sql.window import Window
 from db_writer_redshift_spark.plans.registry import load_table, register
 
 
-def _copurchase_edges(li: DataFrame) -> DataFrame:
-    """The house weight>=2 co-purchase edge relation (kcore/ktruss/
-    assortativity twin): distinct (order, part) pairs self-joined on
-    orderkey with u < v, one shuffle on orderkey."""
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = op.alias("a"), op.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .groupBy("u", "v")
-        .agg(F.count("*").alias("w"))
-        .filter(F.col("w") >= 2)
-        .select("u", "v")
+
+
+
+_FLAGS_CTE = """
+  SELECT o_custkey,
+         MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+           AS urgent,
+         MAX(CASE WHEN isodow(o_orderdate::DATE) >= 6 THEN 1 ELSE 0 END)
+           AS weekend,
+         MAX(CASE WHEN o_totalprice >= 150000 THEN 1 ELSE 0 END) AS highval
+  FROM orders GROUP BY o_custkey"""
+
+
+def _customer_order_flags(orders: DataFrame) -> DataFrame:
+    """Per-customer binary treatment flags shared by the paired-design
+    family (McNemar, Cochran's Q) and the KMV cohort sketches: ever
+    placed a 1-URGENT order, ever ordered on a weekend (isodow >= 6 ==
+    Spark weekday+1, the house dow convention), ever placed a
+    high-value order (pinned literal, no quantile pass). One map-side
+    MAX aggregate; the oracle twin is the module-level _FLAGS_CTE so
+    the convention lives in exactly two strings, one per engine."""
+    return orders.groupBy("o_custkey").agg(
+        F.max(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        ).alias("urgent"),
+        F.max(
+            F.when(F.weekday(F.col("o_orderdate")) + 1 >= 6, 1).otherwise(0)
+        ).alias("weekend"),
+        F.max(
+            F.when(F.col("o_totalprice") >= 150000, 1).otherwise(0)
+        ).alias("highval"),
     )
 
 
@@ -150,11 +164,14 @@ def graph_modularity_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the ×10 probe read 3.5x before, 1.5x after). Degrees and community
     sums are map-side aggregates over the edge list; the brand relation
     (25 rows) broadcasts; per-community output is bounded by |brands|."""
-    li = load_table(spark, sf_dir, "lineitem")
+    from db_writer_redshift_spark.plans.tpch_extra2 import (
+        _copurchase_edges,  # the ONE graph-family edge definition
+    )
+
     part = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("node"), F.col("p_brand").alias("brand")
     )
-    edges = _copurchase_edges(li).localCheckpoint(eager=True)
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
     m_df = edges.agg(F.count("*").cast("long").alias("m"))
     lab_u = part.select(F.col("node").alias("u"), F.col("brand").alias("bu"))
     lab_v = part.select(F.col("node").alias("v"), F.col("brand").alias("bv"))
@@ -422,18 +439,18 @@ def _trimmed_winsorized(li: DataFrame, force_quickselect: bool = False) -> DataF
 
 @register(
     "stats_mcnemar_urgent_weekend",
-    oracle="""
-WITH per AS (
-  SELECT o_custkey,
-         MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS a,
-         MAX(CASE WHEN isodow(o_orderdate::DATE) >= 6 THEN 1 ELSE 0 END) AS b
-  FROM orders GROUP BY o_custkey
+    oracle=f"""
+WITH per AS ({_FLAGS_CTE}
 ),
 ct AS (
-  SELECT CAST(SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
-         CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
-         CAST(SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
-         CAST(SUM(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00
+  SELECT CAST(SUM(CASE WHEN urgent = 1 AND weekend = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n11,
+         CAST(SUM(CASE WHEN urgent = 1 AND weekend = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n10,
+         CAST(SUM(CASE WHEN urgent = 0 AND weekend = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n01,
+         CAST(SUM(CASE WHEN urgent = 0 AND weekend = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n00
   FROM per
 )
 SELECT n11, n10, n01, n00,
@@ -459,26 +476,19 @@ def stats_mcnemar_urgent_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one map-side-combinable MAX aggregate per customer, then a
     4-cell contingency roll-up to a single row; 128-bit promotion
     before the e6 scaling."""
-    orders = load_table(spark, sf_dir, "orders")
-    per = orders.groupBy("o_custkey").agg(
-        F.max(
-            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
-        ).alias("a"),
-        F.max(
-            F.when(F.weekday(F.col("o_orderdate")) + 1 >= 6, 1).otherwise(0)
-        ).alias("b"),
-    )
+    per = _customer_order_flags(load_table(spark, sf_dir, "orders"))
+    u, w = F.col("urgent"), F.col("weekend")
     ct = per.agg(
-        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 1), 1).otherwise(0))
+        F.sum(F.when((u == 1) & (w == 1), 1).otherwise(0))
         .cast("long")
         .alias("n11"),
-        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 0), 1).otherwise(0))
+        F.sum(F.when((u == 1) & (w == 0), 1).otherwise(0))
         .cast("long")
         .alias("n10"),
-        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 1), 1).otherwise(0))
+        F.sum(F.when((u == 0) & (w == 1), 1).otherwise(0))
         .cast("long")
         .alias("n01"),
-        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 0), 1).otherwise(0))
+        F.sum(F.when((u == 0) & (w == 0), 1).otherwise(0))
         .cast("long")
         .alias("n00"),
     )
@@ -844,21 +854,17 @@ def window_locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stats_cochran_q_order_flags",
-    oracle="""
-WITH per AS (
-  SELECT o_custkey,
-         MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS x1,
-         MAX(CASE WHEN isodow(o_orderdate::DATE) >= 6 THEN 1 ELSE 0 END) AS x2,
-         MAX(CASE WHEN o_totalprice >= 150000 THEN 1 ELSE 0 END) AS x3
-  FROM orders GROUP BY o_custkey
+    oracle=f"""
+WITH per AS ({_FLAGS_CTE}
 ),
 m AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
-         CAST(SUM(x1) AS BIGINT) AS g1,
-         CAST(SUM(x2) AS BIGINT) AS g2,
-         CAST(SUM(x3) AS BIGINT) AS g3,
-         CAST(SUM(x1 + x2 + x3) AS BIGINT) AS t,
-         CAST(SUM((x1 + x2 + x3) * (x1 + x2 + x3)) AS BIGINT) AS suml2
+         CAST(SUM(urgent) AS BIGINT) AS g1,
+         CAST(SUM(weekend) AS BIGINT) AS g2,
+         CAST(SUM(highval) AS BIGINT) AS g3,
+         CAST(SUM(urgent + weekend + highval) AS BIGINT) AS t,
+         CAST(SUM((urgent + weekend + highval)
+                  * (urgent + weekend + highval)) AS BIGINT) AS suml2
   FROM per
 )
 SELECT n_blocks, g1, g2, g3, t, suml2,
@@ -885,18 +891,9 @@ def stats_cochran_q_order_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one per-customer MAX aggregate (map-side combinable), then a
     six-scalar roll-up to a single row."""
-    orders = load_table(spark, sf_dir, "orders")
-    per = orders.groupBy("o_custkey").agg(
-        F.max(
-            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
-        ).alias("x1"),
-        F.max(
-            F.when(F.weekday(F.col("o_orderdate")) + 1 >= 6, 1).otherwise(0)
-        ).alias("x2"),
-        F.max(
-            F.when(F.col("o_totalprice") >= 150000, 1).otherwise(0)
-        ).alias("x3"),
-    )
+    per = _customer_order_flags(
+        load_table(spark, sf_dir, "orders")
+    ).withColumnsRenamed({"urgent": "x1", "weekend": "x2", "highval": "x3"})
     m = per.agg(
         F.count("*").cast("long").alias("n_blocks"),
         F.sum("x1").cast("long").alias("g1"),
@@ -1175,14 +1172,10 @@ _KMVI_P = (1 << 31) - 1
 @register(
     "sketch_kmv_intersection_portable",
     oracle=f"""
-WITH flags AS (
-  SELECT o_custkey,
-         MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS a,
-         MAX(CASE WHEN isodow(o_orderdate::DATE) >= 6 THEN 1 ELSE 0 END) AS b
-  FROM orders GROUP BY o_custkey
+WITH flags AS ({_FLAGS_CTE}
 ),
 hv AS (
-  SELECT o_custkey, a, b,
+  SELECT o_custkey, urgent AS a, weekend AS b,
          list_reduce(list_transform(
            string_split_regex(substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8), ''),
            c -> CAST(strpos('0123456789abcdef', c) AS BIGINT) - 1),
@@ -1204,11 +1197,11 @@ inter AS (
   WHERE ska.h < theta.th
 ),
 tru AS (
-  SELECT CAST(SUM(a) AS BIGINT) AS true_a,
-         CAST(SUM(b) AS BIGINT) AS true_b,
-         CAST(SUM(a * b) AS BIGINT) AS true_int,
-         CAST(SUM(CASE WHEN a = 1 OR b = 1 THEN 1 ELSE 0 END) AS BIGINT)
-           AS true_union
+  SELECT CAST(SUM(urgent) AS BIGINT) AS true_a,
+         CAST(SUM(weekend) AS BIGINT) AS true_b,
+         CAST(SUM(urgent * weekend) AS BIGINT) AS true_int,
+         CAST(SUM(CASE WHEN urgent = 1 OR weekend = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS true_union
   FROM flags
 )
 SELECT CAST({_KMVI_K} AS BIGINT) AS k, theta.ku, theta.th AS theta,
@@ -1244,15 +1237,9 @@ def sketch_kmv_intersection_portable(
     TakeOrdered bottom-k (per-partition k, then merge — never a global
     sort); everything after runs on ≤ 3k hash values. The exact-truth
     leg is the audit and drops at 100 TB."""
-    orders = load_table(spark, sf_dir, "orders")
-    flags = orders.groupBy("o_custkey").agg(
-        F.max(
-            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
-        ).alias("a"),
-        F.max(
-            F.when(F.weekday(F.col("o_orderdate")) + 1 >= 6, 1).otherwise(0)
-        ).alias("b"),
-    )
+    flags = _customer_order_flags(
+        load_table(spark, sf_dir, "orders")
+    ).withColumnsRenamed({"urgent": "a", "weekend": "b"})
     hv = flags.select(
         "a",
         "b",

@@ -2053,97 +2053,13 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ima_oracle() -> str:
-    """Construction-derived oracle for the IMA-ADPCM round trip: the
-    encoder reconstructs exactly what the decoder emits (codec
-    lockstep), so the decoded stream — though the codec is LOSSY — is a
-    deterministic integer fold over the text-derived samples. The fold
-    replays the IMA step (quantize against the step table, reconstruct,
-    clamp, index-adjust) over ONE packed-HUGEINT accumulator via the
-    list_prepend-seeded list_reduce recipe (KM/Markov/Holt discipline).
-    The packing is load-bearing twice over: a struct accumulator
-    produced internally inconsistent per-field states in DuckDB 1.0
-    lambdas (newpred and newidx disagreed on the quantization bits
-    within one application), while scalar state replays bit-exactly;
-    and all four running statistics ride in the same integer — layout
-    (high→low) pred+32768 (16 bits) | step index (7) | sum+2²² (23) |
-    Σ|s| (22) | max|s| (16) | Σs² (37) = 121 bits < HUGEINT's 127,
-    widths proven by n ≤ 89 and |sample| ≤ 32768. The step table is
-    inlined from the same public IMA (1992) spec the Python codec
-    implements."""
-    from db_writer_redshift_spark.operators.multimodal import _IMA_STEP
-
-    step_list = "[" + ",".join(str(v) for v in _IMA_STEP) + "]"
-    p105, p98, p75, p53, p37 = 2**105, 2**98, 2**75, 2**53, 2**37
-    p23, p22, p16, p7 = 2**23, 2**22, 2**16, 2**7
-    pred = f"(a // {p105} - 32768)"
-    idx = f"((a // {p98}) % 128)"
-    ssum = f"((a // {p75}) % {p23} - {p22})"
-    sabs = f"((a // {p53}) % {p22})"
-    mabs = f"((a // {p37}) % {p16})"
-    ssq = f"(a % {p37})"
-    stepx = f"list_extract({step_list}, CAST({idx} AS BIGINT) + 1)"
-    d = f"abs(e - {pred})"
-    b2 = f"CASE WHEN {d} >= {stepx} THEN 1 ELSE 0 END"
-    d2 = f"({d} - ({b2}) * {stepx})"
-    b1 = f"CASE WHEN {d2} >= {stepx} // 2 THEN 1 ELSE 0 END"
-    d1 = f"({d2} - ({b1}) * ({stepx} // 2))"
-    b0 = f"CASE WHEN {d1} >= {stepx} // 4 THEN 1 ELSE 0 END"
-    diff = (
-        f"({stepx} // 8 + ({b2}) * {stepx} + ({b1}) * ({stepx} // 2)"
-        f" + ({b0}) * ({stepx} // 4))"
-    )
-    np_ = (
-        f"greatest(-32768, least(32767, {pred}"
-        f" + CASE WHEN e < {pred} THEN -{diff} ELSE {diff} END))"
-    )
-    # index adjust from the magnitude bits: -1 for nibbles 0-3, else
-    # 2·(2·b1 + b0) + 2 ∈ {2,4,6,8} — the IMA index table in closed form
-    adj = f"(CASE WHEN ({b2}) = 0 THEN -1 ELSE 2 * (({b1}) * 2 + ({b0})) + 2 END)"
-    ni = f"greatest(0, least(88, {idx} + {adj}))"
-    pack = (
-        f"(((((({np_} + 32768) * {p7} + {ni}) * {p23}"
-        f" + ({ssum} + {np_} + {p22})) * {p22}"
-        f" + ({sabs} + abs({np_}))) * {p16}"
-        f" + greatest({mabs}, abs({np_}))) * {p37}"
-        f" + ({ssq} + CAST({np_} AS HUGEINT) * {np_}))"
-    )
-    seed = (
-        f"((((CAST(ss[1] + 32768 AS HUGEINT) * {p7} + 0) * {p23}"
-        f" + (ss[1] + {p22})) * {p22} + abs(ss[1])) * {p16}"
-        f" + abs(ss[1])) * {p37} + CAST(ss[1] AS HUGEINT) * ss[1]"
-    )
-    return f"""
-WITH base AS (
-  SELECT doc_id, text, 40 + doc_id % 50 AS n FROM documents
-),
-s AS (
-  SELECT doc_id, n,
-         CASE WHEN len(text) = 0
-              THEN list_transform(range(0, n), k -> 0::BIGINT)
-              ELSE list_transform(range(0, n),
-                     k -> ((ord(text[(k % len(text)) + 1]) % 256 - 128)
-                           * 256)::BIGINT)
-         END AS ss
-  FROM base
-),
-f AS (
-  SELECT doc_id, n,
-         list_reduce(
-           list_prepend(CAST({seed} AS HUGEINT),
-             list_transform(ss[2:], v -> CAST(v AS HUGEINT))),
-           (a, e) -> {pack}) AS st
-  FROM s
-)
-SELECT doc_id,
-       CAST(60 + (4 + n // 2) + ((4 + n // 2) % 2) AS BIGINT) AS n_bytes,
-       CAST(8000 AS BIGINT) AS sample_rate,
-       CAST(n AS BIGINT) AS n_samples,
-       CAST((1000 * n) // 8000 AS BIGINT) AS duration_ms,
-       CAST((st // {p37}) % {p16} AS BIGINT) AS peak_abs,
-       CAST((st // {p75}) % {p23} - {p22} AS BIGINT) AS amp_sum,
-       CAST(st % {p37} AS BIGINT) AS amp_sumsq
-FROM f
-"""
+    """Single-block specialization of :func:`_ima_multiblock_oracle` —
+    one builder owns the packed-HUGEINT bit layout and the IMA step
+    expressions; a sentinel block size larger than any clip makes the
+    block-start flag unreachable, degenerating the branching fold to
+    the plain per-sample IMA step (and the container formula to the
+    one-block layout)."""
+    return _ima_multiblock_oracle(spb=10**9)
 
 
 def _ima_multiblock_oracle(spb: int = 16) -> str:

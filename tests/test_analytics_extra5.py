@@ -255,3 +255,13 @@ def test_hits_roles_and_normalization(spark):
         )
         # ppm scores: each at most the whole mass
         assert all(0 <= r.score_ppm <= 1_000_000 for r in side)
+
+
+def test_hits_rejects_zero_iterations(spark):
+    import pytest as _pytest
+
+    from db_writer_redshift_spark.operators.pagerank import hits_int
+
+    e = spark.createDataFrame([(1, 2)], "s long, d long")
+    with _pytest.raises(ValueError, match="iterations"):
+        hits_int(e, "s", "d", iterations=0)

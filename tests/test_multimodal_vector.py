@@ -481,6 +481,66 @@ class TestRealWavDecode:
             assert got["peak_abs"] == max(abs(x) for x in exp)
             assert got["amp_sumsq"] == sum(x * x for x in exp)
 
+    def test_ima_adpcm_accepts_padded_last_block(self):
+        # spec-conforming writers (ffmpeg et al.) pad EVERY block to
+        # nBlockAlign; our twin encoder writes the last block short —
+        # the decoder must accept both layouts with identical stats
+        import struct
+
+        samples = [((11 * k) % 256 - 128) * 256 for k in range(40)]
+        short = multimodal.encode_wav_ima(samples, samples_per_block=16)
+        base = multimodal.decode_wav(short)
+        # rebuild with the data chunk's last block padded to blockAlign
+        pos, chunks = 12, {}
+        while pos + 8 <= len(short):
+            cid = short[pos : pos + 4]
+            (csz,) = struct.unpack("<I", short[pos + 4 : pos + 8])
+            chunks[cid] = short[pos + 8 : pos + 8 + csz]
+            pos += 8 + csz + (csz & 1)
+        block_align = 4 + 16 // 2  # spb=16
+        data = bytearray(chunks[b"data"])
+        full_blocks = 40 // 16  # 2 full + 1 short block of 8 samples
+        used_last = len(data) - full_blocks * block_align
+        data += bytes(block_align - used_last)  # pad the short block
+
+        def chunk(tag, body):
+            return tag + struct.pack("<I", len(body)) + body
+
+        payload = (
+            b"RIFF"
+            + struct.pack(
+                "<I",
+                4
+                + len(chunk(b"fmt ", chunks[b"fmt "]))
+                + len(chunk(b"fact", chunks[b"fact"]))
+                + len(chunk(b"data", bytes(data))),
+            )
+            + b"WAVE"
+            + chunk(b"fmt ", chunks[b"fmt "])
+            + chunk(b"fact", chunks[b"fact"])
+            + chunk(b"data", bytes(data))
+        )
+        assert multimodal.decode_wav(payload) == base
+
+    def test_ima_adpcm_long_clip_needs_explicit_blocks(self):
+        with pytest.raises(ValueError, match="65535"):
+            multimodal.encode_wav_ima([0] * 70_000)
+        # with explicit blocks the same clip encodes fine
+        assert multimodal.decode_wav(
+            multimodal.encode_wav_ima([0] * 70_000, samples_per_block=505)
+        )["n_samples"] == 70_000
+
+    def test_short_fmt_chunk_is_value_error(self):
+        import struct
+
+        body = b"\x01\x00"  # 2-byte fmt
+        chunk = b"fmt " + struct.pack("<I", len(body)) + body
+        payload = (
+            b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WAVE" + chunk
+        )
+        with pytest.raises(ValueError):
+            multimodal.decode_wav(payload)
+
     def test_ima_adpcm_compresses_4x(self):
         samples = [((7 * k) % 256 - 128) * 256 for k in range(2000)]
         adpcm = multimodal.encode_wav_ima(samples)
