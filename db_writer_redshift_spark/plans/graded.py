@@ -183,18 +183,34 @@ round 8): 15 new operators —
     sessionization lane's driver signal);
   * plans/llm_ops.py (1 more): multimodal_png16_adam7_decode — 16-bit
     samples + Adam7 interlacing;
-  * third wave: multimodal_png_subbyte_decode (1/2/4-bit gray and
-    palette, both interlace modes — every spec-valid PNG IHDR
-    combination now decodes; the image-codec boundary is JPEG alone)
-    plus the wave-3 analytics batch in plans/analytics_extra5.py
-    (graph modularity, ordered LISTAGG, trimmed/winsorized stats,
-    McNemar, temperature mixing sweep, UNPIVOT null profile, trailing
-    distinct window — see that module's docstring for the final list).
+  * third wave (the post-window session's additions, every one
+    oracle-certified at sf0.001/0.01/0.1 on registration day):
+    multimodal_png_subbyte_decode (1/2/4-bit gray and palette, both
+    interlace modes — every spec-valid PNG IHDR combination now
+    decodes; the image-codec boundary is JPEG alone);
+    plans/analytics_extra5.py (13): graph_modularity_copurchase,
+    agg_listagg_topk_ordered, stats_trimmed_winsorized_prices (+
+    quickselect dual path), stats_mcnemar_urgent_weekend,
+    mix_temperature_sweep, dq_null_profile_unpivot,
+    window_trailing_distinct_customers, recursive_cte_part_hierarchy
+    (Spark 4 WITH RECURSIVE), window_locf_gap_fill (IGNORE NULLS),
+    stats_cochran_q_order_flags, agg_group_by_all_revenue,
+    stats_kruskal_wallis_priority, sketch_kmv_intersection_portable,
+    graph_hits_part_supplier, streaming_left_join_batch_twin (the
+    stream-stream LEFT OUTER lane's oracle-gated twin);
+    plans/ingest_queries.py: ingest_fixedwidth_orders_roundtrip (COPY
+    FIXEDWIDTH); plans/llm_ops.py: multimodal_adpcm_decode +
+    multimodal_adpcm_multiblock_decode (real IMA-ADPCM compressed
+    audio, packed-HUGEINT lockstep oracles). Four earlier round-8
+    additions were also re-shaped to the graded-window envelope
+    (epoch-day BIGINT keys): both ingest round trips,
+    forecast_holt_linear_daily, window_range_interval_trailing7d.
 
-ROUND-9 WINDOW PLAN: seat ALL never-graded round-8 additions first
-(recompute the list with tools/plan_rotation.py at round-9 open — it
-will exceed the 23 the original plan text named because of the wave-3
-batch), then fill any remaining slots with rotating keepers. Run
+ROUND-9 WINDOW PLAN: the never-graded set now EXCEEDS one 50-slot
+window (59 names at round-8 close — recompute with
+tools/plan_rotation.py at round-9 open). Seat 50 never-graded names
+(oldest additions first so round-7/8 wave-1 names don't starve); the
+remainder plus keepers roll to round 10. Run
 `python tools/correctness_union.py` at round open (the freshness guard
 self-heals since round 8, but the checked-in rollup should still be
 regenerated before the round-close commit).
