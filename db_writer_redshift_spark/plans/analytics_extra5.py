@@ -1381,3 +1381,83 @@ def graph_hits_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return top(hubs, "hub").unionByName(top(auths, "auth"))
+
+
+# ---------------------------------------------------------------------------
+# Year-over-year activity-tier migration matrix (churn / acquisition)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_segment_migration",
+    oracle="""
+WITH yrs AS (SELECT DISTINCT year(o_orderdate) AS y FROM orders),
+cust AS (SELECT DISTINCT o_custkey AS c FROM orders),
+act AS (
+  SELECT o_custkey AS c, year(o_orderdate) AS y, COUNT(*) AS n
+  FROM orders GROUP BY 1, 2
+),
+grid AS (
+  SELECT cust.c, yrs.y,
+         CASE WHEN act.n >= 4 THEN 'heavy' WHEN act.n >= 2 THEN 'regular'
+              WHEN act.n >= 1 THEN 'light' ELSE 'none' END AS tier
+  FROM cust CROSS JOIN yrs
+  LEFT JOIN act ON act.c = cust.c AND act.y = yrs.y
+),
+mig AS (
+  SELECT c, y, tier,
+         LEAD(tier) OVER (PARTITION BY c ORDER BY y) AS tier_next
+  FROM grid
+)
+SELECT CAST(y AS BIGINT) AS year_from, tier AS seg_from,
+       tier_next AS seg_to,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM mig WHERE tier_next IS NOT NULL
+GROUP BY 1, 2, 3
+""",
+)
+def customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year activity-tier MIGRATION matrix — the cohort
+    dynamics the static RFM segmentation (customer_rfm_segments)
+    cannot show: per customer and calendar year, an activity tier from
+    pinned order-count thresholds (heavy >= 4, regular >= 2, light >= 1,
+    none = inactive), then the (tier, next-year tier) transition counts.
+    The 'none' rows make churn (active → none) and
+    acquisition/reactivation (none → active) first-class cells of the
+    same matrix — the retention-triangle's transition-level sibling and
+    the engagement analog of events_markov_chain's state transitions.
+
+    Scale: the activity rollup combines map-side; the (customer × year)
+    grid is a broadcast cross join against the bounded year spine (|Y|
+    ~ 7), the LEAD window sorts <= |Y| rows per customer key, and the
+    output is bounded by |Y| × 16 cells."""
+    o = load_table(spark, sf_dir, "orders")
+    yrs = o.select(F.year("o_orderdate").alias("y")).distinct()
+    cust = o.select(F.col("o_custkey").alias("c")).distinct()
+    act = o.groupBy(
+        F.col("o_custkey").alias("c"), F.year("o_orderdate").alias("y")
+    ).agg(F.count("*").alias("n"))
+    grid = (
+        cust.crossJoin(F.broadcast(yrs))
+        .join(act, ["c", "y"], "left")
+        .select(
+            "c",
+            "y",
+            F.when(F.col("n") >= 4, "heavy")
+            .when(F.col("n") >= 2, "regular")
+            .when(F.col("n") >= 1, "light")
+            .otherwise("none")
+            .alias("tier"),
+        )
+    )
+    w = Window.partitionBy("c").orderBy("y")
+    mig = grid.withColumn("tier_next", F.lead("tier").over(w))
+    return (
+        mig.filter(F.col("tier_next").isNotNull())
+        .groupBy(
+            F.col("y").cast("long").alias("year_from"),
+            F.col("tier").alias("seg_from"),
+            F.col("tier_next").alias("seg_to"),
+        )
+        .agg(F.count("*").cast("long").alias("n_customers"))
+    )

@@ -265,3 +265,24 @@ def test_hits_rejects_zero_iterations(spark):
     e = spark.createDataFrame([(1, 2)], "s long, d long")
     with _pytest.raises(ValueError, match="iterations"):
         hits_int(e, "s", "d", iterations=0)
+
+
+def test_segment_migration_mass_conservation(spark):
+    rows = _rows(spark, "customer_segment_migration")
+    assert rows
+    years = sorted({r.year_from for r in rows})
+    # every (year, seg_from) out-mass equals that segment's population,
+    # and total mass per transition year equals the customer count
+    from collections import defaultdict
+
+    out_mass = defaultdict(int)
+    for r in rows:
+        assert r.seg_from in {"heavy", "regular", "light", "none"}
+        assert r.seg_to in {"heavy", "regular", "light", "none"}
+        out_mass[r.year_from] += r.n_customers
+    totals = set(out_mass.values())
+    assert len(totals) == 1  # same customer universe every year pair
+    # churn and acquisition are present as first-class cells
+    assert any(r.seg_from != "none" and r.seg_to == "none" for r in rows)
+    assert any(r.seg_from == "none" and r.seg_to != "none" for r in rows)
+    assert years == list(range(years[0], years[-1] + 1))
