@@ -1461,3 +1461,128 @@ def customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("long").alias("n_customers"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Wilcoxon signed-rank test on paired weekend/weekday spend
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_wilcoxon_signed_rank",
+    oracle="""
+WITH per AS (
+  SELECT o_custkey,
+         CAST(SUM(CASE WHEN isodow(o_orderdate::DATE) >= 6
+                  THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS wke,
+         CAST(SUM(CASE WHEN isodow(o_orderdate::DATE) < 6
+                  THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS wkd,
+         MAX(CASE WHEN isodow(o_orderdate::DATE) >= 6 THEN 1 ELSE 0 END)
+           AS has_w,
+         MAX(CASE WHEN isodow(o_orderdate::DATE) < 6 THEN 1 ELSE 0 END)
+           AS has_d
+  FROM orders GROUP BY o_custkey
+),
+d AS (
+  SELECT wke - wkd AS d FROM per
+  WHERE has_w = 1 AND has_d = 1 AND wke <> wkd
+),
+vals AS (
+  SELECT abs(d) AS ad, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+  FROM d GROUP BY abs(d)
+),
+ranked AS (
+  SELECT ad, cnt, pos,
+         CAST(COALESCE(SUM(cnt) OVER (ORDER BY ad
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS less_n
+  FROM vals
+),
+m AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+         CAST(SUM(pos * (2 * less_n + cnt + 1)) AS BIGINT) AS w2p,
+         CAST(SUM((cnt - pos) * (2 * less_n + cnt + 1)) AS BIGINT) AS w2m,
+         CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS t3
+  FROM ranked
+)
+SELECT n AS n_pairs, w2p AS w2_plus, w2m AS w2_minus, t3,
+       CAST(CASE WHEN 2::HUGEINT * n * (n + 1) * (2 * n + 1) - t3 = 0 THEN 0
+            ELSE (3000000::HUGEINT
+                  * (2 * w2p - n::HUGEINT * (n + 1))
+                  * (2 * w2p - n::HUGEINT * (n + 1)))
+                 // (2::HUGEINT * n * (n + 1) * (2 * n + 1) - t3)
+       END AS BIGINT) AS z2_e6
+FROM m
+""",
+)
+def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test (Wilcoxon, Biometrics 1945) on the
+    paired weekend-vs-weekday spend per customer — the CONTINUOUS
+    paired test completing the matched-design ladder (McNemar: paired
+    binary; Cochran's Q: k binary; this: paired magnitudes): pairs are
+    customers active on both sides, zero differences drop per the
+    classic procedure, |d| midranks with ties use the DOUBLED-rank
+    trick (half-integer midranks stay integer when doubled — the
+    Kruskal-Wallis discipline), and the large-sample statistic clears
+    to z² = 3(2W₂⁺ − n(n+1))² / (2n(n+1)(2n+1) − Σ(t³−t)) — one exact
+    128-bit rational, no sqrt anywhere. W₂⁺ + W₂⁻ = n(n+1) is the
+    conservation the invariant test pins.
+
+    Scale: one per-customer rollup (map-side combined); ranks from the
+    DISTINCT-|d| cumulative window (bounded by the value domain);
+    five-scalar final row."""
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    wk = F.weekday(F.col("o_orderdate")) + 1 >= 6
+    per = load_table(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.sum(F.when(wk, cents).otherwise(0)).cast("long").alias("wke"),
+        F.sum(F.when(~wk, cents).otherwise(0)).cast("long").alias("wkd"),
+        F.max(F.when(wk, 1).otherwise(0)).alias("has_w"),
+        F.max(F.when(~wk, 1).otherwise(0)).alias("has_d"),
+    )
+    d = per.filter(
+        (F.col("has_w") == 1)
+        & (F.col("has_d") == 1)
+        & (F.col("wke") != F.col("wkd"))
+    ).select((F.col("wke") - F.col("wkd")).alias("d"))
+    vals = d.groupBy(F.abs(F.col("d")).alias("ad")).agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).cast("long").alias("pos"),
+    )
+    w = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vals.withColumn(
+        "less_n", F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("long")
+    )
+    m = ranked.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(F.col("pos") * (2 * F.col("less_n") + F.col("cnt") + 1))
+        .cast("long")
+        .alias("w2p"),
+        F.sum(
+            (F.col("cnt") - F.col("pos"))
+            * (2 * F.col("less_n") + F.col("cnt") + 1)
+        )
+        .cast("long")
+        .alias("w2m"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("long")
+        .alias("t3"),
+    )
+    return m.select(
+        F.col("n").alias("n_pairs"),
+        F.col("w2p").alias("w2_plus"),
+        F.col("w2m").alias("w2_minus"),
+        "t3",
+        F.expr(
+            "CAST(CASE WHEN CAST(2 AS DECIMAL(38,0)) * n * (n + 1)"
+            " * (2 * n + 1) - t3 = 0 THEN 0"
+            " ELSE (CAST(3000000 AS DECIMAL(38,0))"
+            "       * (2 * w2p - CAST(n AS DECIMAL(38,0)) * (n + 1))"
+            "       * (2 * w2p - CAST(n AS DECIMAL(38,0)) * (n + 1)))"
+            "      div (CAST(2 AS DECIMAL(38,0)) * n * (n + 1)"
+            "           * (2 * n + 1) - t3)"
+            " END AS BIGINT)"
+        ).alias("z2_e6"),
+    )

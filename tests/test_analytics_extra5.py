@@ -286,3 +286,14 @@ def test_segment_migration_mass_conservation(spark):
     assert any(r.seg_from != "none" and r.seg_to == "none" for r in rows)
     assert any(r.seg_from == "none" and r.seg_to != "none" for r in rows)
     assert years == list(range(years[0], years[-1] + 1))
+
+
+def test_wilcoxon_rank_conservation(spark):
+    (r,) = _rows(spark, "stats_wilcoxon_signed_rank")
+    # doubled ranks over the n nonzero pairs sum to n(n+1)
+    assert r.w2_plus + r.w2_minus == r.n_pairs * (r.n_pairs + 1)
+    assert r.z2_e6 >= 0 and r.t3 >= 0
+    den = 2 * r.n_pairs * (r.n_pairs + 1) * (2 * r.n_pairs + 1) - r.t3
+    if den:
+        num = (2 * r.w2_plus - r.n_pairs * (r.n_pairs + 1)) ** 2
+        assert r.z2_e6 == (3_000_000 * num) // den
