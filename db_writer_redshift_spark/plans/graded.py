@@ -207,10 +207,11 @@ round 8): 15 new operators —
     forecast_holt_linear_daily, window_range_interval_trailing7d.
 
 ROUND-9 WINDOW PLAN: the never-graded set now EXCEEDS one 50-slot
-window (59 names at round-8 close — recompute with
-tools/plan_rotation.py at round-9 open). Seat 50 never-graded names
-(oldest additions first so round-7/8 wave-1 names don't starve); the
-remainder plus keepers roll to round 10. Run
+window (61 names at round-8 close, assuming CORRECTNESS_r08 grades the
+seated window — recompute with tools/plan_rotation.py at round-9
+open). Seat 50 never-graded names (oldest additions first so round-7/8
+wave-1 names don't starve); the remainder plus keepers roll to round
+10. Run
 `python tools/correctness_union.py` at round open (the freshness guard
 self-heals since round 8, but the checked-in rollup should still be
 regenerated before the round-close commit).
