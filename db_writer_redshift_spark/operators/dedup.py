@@ -362,12 +362,18 @@ def minhash_lsh_pairs(
     cand = cand.join(
         sig.select(F.col("doc_id").alias("doc_a"), F.col("signature").alias("sig_a")), "doc_a"
     ).join(sig.select(F.col("doc_id").alias("doc_b"), F.col("signature").alias("sig_b")), "doc_b")
-    est = (
-        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)).cast(
-            "double"
-        )
-        / F.lit(float(num_hashes))
+    # Agreement count as an unrolled integer chain instead of an
+    # interpreted zip_with/filter lambda pair: exact integers, so the sum
+    # is order-independent and the estimate is IDENTICAL — but the chain
+    # compiles into the stage (guide §4.1; same move as dot_double_fixed).
+    n_agree = sum(
+        (
+            F.when(F.get("sig_a", i) == F.get("sig_b", i), 1).otherwise(0)
+            for i in range(1, num_hashes)
+        ),
+        F.when(F.get("sig_a", 0) == F.get("sig_b", 0), 1).otherwise(0),
     )
+    est = n_agree.cast("double") / F.lit(float(num_hashes))
     return cand.select("doc_a", "doc_b", F.round(est, 4).alias("est_jaccard")).filter(
         F.col("est_jaccard") >= threshold
     )
@@ -428,12 +434,16 @@ def minhash_cross_contamination(
         ),
         "eval_id",
     )
-    est = (
-        F.size(F.filter(F.zip_with("sig_t", "sig_e", lambda x, y: x == y), lambda m: m)).cast(
-            "double"
-        )
-        / F.lit(float(num_hashes))
+    # Unrolled integer agreement chain — identical estimate, codegen'd
+    # (see minhash_lsh_pairs).
+    n_agree = sum(
+        (
+            F.when(F.get("sig_t", i) == F.get("sig_e", i), 1).otherwise(0)
+            for i in range(1, num_hashes)
+        ),
+        F.when(F.get("sig_t", 0) == F.get("sig_e", 0), 1).otherwise(0),
     )
+    est = n_agree.cast("double") / F.lit(float(num_hashes))
     hits = paired.select(
         "train_id", "eval_id", F.round(est, 4).alias("est_jaccard")
     ).filter(F.col("est_jaccard") >= threshold)

@@ -27,18 +27,34 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql import functions as F
 
-from db_writer_redshift_spark.functions.vector import dot_double, norm_double
+from db_writer_redshift_spark.functions.vector import (
+    dot_double,
+    dot_double_fixed,
+    norm_double,
+    norm_double_fixed,
+)
 from db_writer_redshift_spark.operators.partitioning import ensure_parallelism
 
 
-def _cosine_from_norms(q_vec, c_vec, q_norm, c_norm):
+def _cosine_from_norms(q_vec, c_vec, q_norm, c_norm, dim: int | None = None):
     """Cosine from precomputed side norms. Same arithmetic as cosine_sim
     (norm·norm denominator, sequential-fold dot) — but each side's norm is
     evaluated once per ROW in a projection below the join instead of once
     per PAIR above it, which removes 2/3 of the higher-order-function work
-    in a k-NN join. Bit-identical results, so oracle hashes are unchanged."""
+    in a k-NN join. Bit-identical results, so oracle hashes are unchanged.
+
+    ``dim``: when the caller KNOWS the fixed vector width (every LSH/IVF
+    blocking stage already requires one), the dot is the unrolled codegen
+    chain (dot_double_fixed — bit-identical, ~3× per pair); None keeps the
+    generic fold for variable-width inputs."""
     denom = q_norm * c_norm
-    return F.when(denom > 0, dot_double(q_vec, c_vec) / denom)
+    dot = dot_double_fixed(q_vec, c_vec, dim) if dim else dot_double(q_vec, c_vec)
+    return F.when(denom > 0, dot / denom)
+
+
+def _norm(col, dim: int | None):
+    """norm_double, unrolled when the fixed width is known (bit-identical)."""
+    return norm_double_fixed(col, dim) if dim else norm_double(col)
 
 
 def brute_force_topk(
@@ -47,18 +63,21 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query vector.
 
     Output: (query_id, neighbor_id, cosine_sim, nn_rank), self-matches
     excluded, rank ties broken by neighbor id (deterministic set).
+    ``dim``: known fixed vector width → unrolled bit-identical dot/norm
+    (the per-pair fold dominates the O(N·Q) scan; see dot_double_fixed).
     """
     from pyspark.sql.window import Window
 
     q = queries_df.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        norm_double(F.col(vec_col)).alias("q_norm"),
+        _norm(F.col(vec_col), dim).alias("q_norm"),
     )
     # The corpus side carries the per-pair dot-product work; lift it to
     # cluster parallelism when the scan under-partitions (one-row-group
@@ -67,7 +86,7 @@ def brute_force_topk(
         corpus_df.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("c_vec"),
-            norm_double(F.col(vec_col)).alias("c_norm"),
+            _norm(F.col(vec_col), dim).alias("c_norm"),
         )
     )
     sims = (
@@ -78,7 +97,8 @@ def brute_force_topk(
             "neighbor_id",
             F.round(
                 _cosine_from_norms(
-                    F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
+                    F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm"),
+                    dim=dim,
                 ),
                 6,
             ).alias("cosine_sim"),
@@ -97,25 +117,27 @@ def cosine_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine ≥ threshold, id_a < id_b.
     Exact all-pairs form (oracle-checkable); the LSH tier is the scale path.
+    ``dim``: known fixed width → unrolled bit-identical dot/norm.
     """
     # Left side drives output parallelism of the nested-loop pair scan.
     a = ensure_parallelism(
         df.select(
             F.col(id_col).alias("id_a"),
             F.col(vec_col).alias("va"),
-            norm_double(F.col(vec_col)).alias("na"),
+            _norm(F.col(vec_col), dim).alias("na"),
         )
     )
     b = df.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vb"),
-        norm_double(F.col(vec_col)).alias("nb"),
+        _norm(F.col(vec_col), dim).alias("nb"),
     )
     sim = F.round(
-        _cosine_from_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 6
+        _cosine_from_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"), dim=dim), 6
     )
     return (
         a.crossJoin(b)
@@ -158,13 +180,19 @@ def lsh_dup_pairs(
         df.select(
             F.col(id_col).alias("vid"),
             F.col(vec_col).alias("vec"),
-            norm_double(F.col(vec_col)).alias("vnorm"),
+            norm_double_fixed(F.col(vec_col), dim).alias("vnorm"),
         )
     )
     # Narrow (id, table, bucket) rows — the only thing the blocking shuffles.
+    # Persist + eager count: the self-join consumes this relation from BOTH
+    # legs, and without the cache each leg re-runs the Arrow bucket GEMM
+    # stage (ArrowEvalPython appeared twice in the executed plan). ids-only
+    # rows, bands× row count — bounded, the same trade minhash_lsh_pairs
+    # makes for its signature relation.
     buckets = vecs.select(
         "vid", F.posexplode(bucket_of(F.col("vec"))).alias("t", "bkt")
-    )
+    ).persist()  # lazy-plan persist (persist_policy.py)
+    buckets.count()
     a = buckets.withColumnRenamed("vid", "id_a")
     b = buckets.withColumnRenamed("vid", "id_b")
     cand_ids = (
@@ -174,7 +202,7 @@ def lsh_dup_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     sim = F.round(
-        _cosine_from_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 6
+        _cosine_from_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"), dim=dim), 6
     )
     return (
         cand_ids.join(
@@ -207,6 +235,7 @@ def ivf_topk(
     num_centroids: int = 8,
     num_probes: int = 4,
     centroids: list[list[float]] | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """ANN top-k via an IVF (inverted-file) index: partition the corpus by
     nearest centroid, probe only the ``num_probes`` closest cells per query.
@@ -264,13 +293,13 @@ def ivf_topk(
         corpus_df.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("c_vec"),
-            norm_double(F.col(vec_col)).alias("c_norm"),
+            _norm(F.col(vec_col), dim).alias("c_norm"),
         )
     ).withColumn("cell", F.element_at(ranked_cells(F.col("c_vec")), 1))
     q_probed = queries_df.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        norm_double(F.col(vec_col)).alias("q_norm"),
+        _norm(F.col(vec_col), dim).alias("q_norm"),
         F.explode(F.slice(ranked_cells(F.col(vec_col)), 1, num_probes)).alias("cell"),
     )
     cand = (
@@ -281,7 +310,8 @@ def ivf_topk(
             "neighbor_id",
             F.round(
                 _cosine_from_norms(
-                    F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
+                    F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm"),
+                    dim=dim,
                 ),
                 6,
             ).alias("cosine_sim"),
@@ -384,13 +414,13 @@ def lsh_topk_portable(
     q_vecs = queries_df.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        norm_double(F.col(vec_col)).alias("q_norm"),
+        norm_double_fixed(F.col(vec_col), dim).alias("q_norm"),
     )
     c_vecs = ensure_parallelism(
         corpus_df.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("c_vec"),
-            norm_double(F.col(vec_col)).alias("c_norm"),
+            norm_double_fixed(F.col(vec_col), dim).alias("c_norm"),
         )
     )
     q = _int_bucket_bands(
@@ -418,7 +448,8 @@ def lsh_topk_portable(
             "neighbor_id",
             F.round(
                 _cosine_from_norms(
-                    F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
+                    F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm"),
+                    dim=dim,
                 ),
                 6,
             ).alias("cosine_sim"),
@@ -460,7 +491,7 @@ def lsh_dup_pairs_portable(
         df.select(
             F.col(id_col).alias("vid"),
             F.col(vec_col).alias("vec"),
-            norm_double(F.col(vec_col)).alias("vnorm"),
+            norm_double_fixed(F.col(vec_col), dim).alias("vnorm"),
         )
     )
     buckets = _int_bucket_bands(
@@ -532,13 +563,13 @@ def semantic_contamination_portable(
         train_df.select(
             F.col(id_col).alias("train_id"),
             F.col(vec_col).alias("t_vec"),
-            norm_double(F.col(vec_col)).alias("t_norm"),
+            norm_double_fixed(F.col(vec_col), dim).alias("t_norm"),
         )
     )
     e_vecs = eval_df.select(
         F.col(id_col).alias("eval_id"),
         F.col(vec_col).alias("e_vec"),
-        norm_double(F.col(vec_col)).alias("e_norm"),
+        norm_double_fixed(F.col(vec_col), dim).alias("e_norm"),
     )
     tb = _int_bucket_bands(
         t_vecs.select("train_id", "t_vec"), "train_id", "t_vec", planes_int, scale
@@ -553,7 +584,7 @@ def semantic_contamination_portable(
     )
     sim = F.round(
         _cosine_from_norms(
-            F.col("t_vec"), F.col("e_vec"), F.col("t_norm"), F.col("e_norm")
+            F.col("t_vec"), F.col("e_vec"), F.col("t_norm"), F.col("e_norm"), dim=dim
         ),
         6,
     )
@@ -578,6 +609,7 @@ def ivf_topk_portable(
     k: int = 5,
     num_centroids: int = 8,
     num_probes: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF cell-probe ANN, fully oracle-checkable: the ``num_centroids``
     lowest-id corpus vectors act as fixed centroids (the kmeans_assign_stats
@@ -650,7 +682,8 @@ def ivf_topk_portable(
             "neighbor_id",
             F.round(
                 _cosine_from_norms(
-                    F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
+                    F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm"),
+                    dim=dim,
                 ),
                 6,
             ).alias("cosine_sim"),
@@ -761,13 +794,13 @@ def lsh_topk(
     q_vecs = queries_df.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        norm_double(F.col(vec_col)).alias("q_norm"),
+        norm_double_fixed(F.col(vec_col), dim).alias("q_norm"),
     )
     c_vecs = ensure_parallelism(
         corpus_df.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("c_vec"),
-            norm_double(F.col(vec_col)).alias("c_norm"),
+            norm_double_fixed(F.col(vec_col), dim).alias("c_norm"),
         )
     )
     q = with_buckets(queries_df, id_col, vec_col).withColumnRenamed(id_col, "query_id")
@@ -789,7 +822,8 @@ def lsh_topk(
             "neighbor_id",
             F.round(
                 _cosine_from_norms(
-                    F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
+                    F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm"),
+                    dim=dim,
                 ),
                 6,
             ).alias("cosine_sim"),

@@ -67,12 +67,26 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+# (path, mtime) → parquet schema. Every load_table without an explicit
+# schema runs an eager driver-side footer-read JOB just to infer it; the
+# bench profile showed 1-6 such single-task jobs per query (one per table)
+# before any real work (guide §5: the driver should do almost no data
+# work). Schemas are a few KB of metadata — caching them is NOT result
+# caching: every action still scans the parquet data in full. Keyed on
+# mtime so rewritten fixtures (tests, scale probes) never see a stale
+# schema.
+_SCHEMA_CACHE: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one of the driver-provided parquet tables.
 
-    Plain ``spark.read.parquet`` — the vectorized reader + Catalyst give
-    column pruning and predicate pushdown for free; at cluster scale the
-    same call fans out over file splits.
+    ``spark.read.schema(cached).parquet`` — the vectorized reader +
+    Catalyst give column pruning and predicate pushdown for free; at
+    cluster scale the same call fans out over file splits. The explicit
+    schema (cached per (path, mtime) after one inference) skips the
+    per-call footer-inference job — the documented production practice
+    for repeated reads of a known table.
 
     Special case: ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's
     reader only accepts as long (spark.sql.legacy.parquet.nanosAsLong).
@@ -80,7 +94,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     applies when it coerces nanos to its micro-precision TIMESTAMP, so both
     engines see identical values.
     """
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    import os
+
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        key = (path, os.path.getmtime(path))
+    except OSError:
+        key = None
+    schema = _SCHEMA_CACHE.get(key) if key else None
+    if schema is None:
+        df = spark.read.parquet(path)
+        if key:
+            _SCHEMA_CACHE[key] = df.schema
+    else:
+        df = spark.read.schema(schema).parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(
             "ts", F.expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz")

@@ -48,6 +48,21 @@ def get_spark(
         )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Coalesce post-shuffle partitions toward the advisory SIZE rather
+        # than stopping at defaultParallelism (the parallelismFirst default
+        # keeps ≥#cores micro-partitions; Spark's own tuning guide
+        # recommends false for efficiency). Scale story: partitions track
+        # data volume, not a core-count constant — tiny stages collapse to
+        # one task locally, 100 TB shuffles still fan out by size. Both
+        # knobs env-overridable for cluster runs.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"),
+        )
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_AQE_ADVISORY_SIZE", "64m"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # runtime bloom-filter pushdown: a selective dim-side filter
         # builds a bloom filter that prunes the fact scan before the
@@ -87,6 +102,14 @@ def configure_existing(spark: SparkSession) -> SparkSession:
         # many tasks for local runs (AQE coalesces, but task setup still
         # costs); align with the core count like get_spark does
         "spark.sql.shuffle.partitions": str(DEFAULT_SHUFFLE_PARTITIONS),
+        # size-targeted AQE coalescing (see get_spark) — post-shuffle
+        # partition count follows data volume, not the core-count floor
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst": os.environ.get(
+            "SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"
+        ),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": os.environ.get(
+            "SPARK_GRAFT_AQE_ADVISORY_SIZE", "64m"
+        ),
     }.items():
         try:
             spark.conf.set(k, v)
