@@ -5,6 +5,22 @@ Determinism note (load-bearing for the DuckDB oracle): ``F.aggregate`` is a
 sequential left fold, byte-identical to DuckDB's ``list_reduce`` over the
 same doubles — verified bit-exact. Never replace these with a parallel /
 reordered reduction when an oracle comparison depends on them.
+
+The ``*_fixed`` variants below are the round-8 fast path for KNOWN
+fixed-width arrays: the same left-associated sequential sum written as one
+flat scalar expression, so it compiles into whole-stage codegen instead of
+being interpreted per element (guide §4.1). Two implementation rules,
+both measured:
+
+* the chain is built as ONE SQL string handed to ``F.expr`` — composing it
+  from ~6·dim Column operator calls costs ~6·dim py4j round trips
+  (measured 2.5 s of DRIVER time for dim=64, vs 8 ms for the string);
+* it is only legal where every array has exactly ``dim`` elements
+  (``get`` past the end yields NULL and nulls the whole sum where a fold
+  would sum the shorter array), and only a clear win when the operand
+  columns are plain stored/cached columns — referencing a heavy
+  transform-derived alias ``dim`` times invites projection collapse to
+  inline it per element (observed codegen OOM; keep the fold there).
 """
 
 from __future__ import annotations
@@ -39,37 +55,61 @@ def cosine_sim(a: Column, b: Column) -> Column:
     return F.when(denom > 0, dot_double(a, b) / denom)
 
 
-def dot_double_fixed(a: Column, b: Column, dim: int) -> Column:
+def sql_ident(name: str) -> str:
+    """Backtick-quote a (possibly alias-qualified) column name for use
+    inside the generated chain expressions."""
+    return ".".join(f"`{part}`" for part in name.split("."))
+
+
+def dot_double_fixed(a: str, b: str, dim: int) -> Column:
     """``dot_double`` unrolled for KNOWN fixed-width arrays: the same
-    left-associated sequential sum ``((0.0 + a0·b0) + a1·b1) + …`` written
-    as a flat codegen'd scalar expression instead of an interpreted
-    ``F.aggregate``/``F.zip_with`` lambda chain.
+    left-associated sequential sum ``((0.0 + a0·b0) + a1·b1) + …`` as one
+    flat codegen'd scalar expression (see the module docstring for why it
+    is a single SQL string and when it is legal).
 
-    Bit-identical to ``dot_double`` (same operand order, same IEEE-754
-    additions — validated exhaustively on the fixture corpus and on 1M
-    synthetic pairs in tests/test_vector_unrolled.py), but ~3.3× faster
-    per pair (guide §4.1: higher-order-function lambdas are evaluated
-    per element outside whole-stage codegen; a flat arithmetic chain
-    compiles into the stage). Per-pair cost is what dominates the k-NN /
-    LSH-refine joins, where every candidate pair pays one dot.
+    Bit-identical to ``dot_double`` — same operand order, same IEEE-754
+    additions; validated on adversarial cases and the full fixture
+    all-pairs sweep in tests/test_vector_unrolled.py — and ~3.3× faster
+    per pair, which is what dominates k-NN / LSH-refine joins.
 
-    ONLY safe when every array has exactly ``dim`` elements: ``F.get``
-    past the end yields NULL and would null the whole sum where the fold
-    would sum the shorter array. Callers pass the same ``dim`` their
-    blocking/hyperplane stage already requires.
+    ``a``/``b`` are column NAMES (optionally alias-qualified).
     """
-    expr: Column = F.lit(0.0)
-    for i in range(dim):
-        expr = expr + F.get(a, i).cast("double") * F.get(b, i).cast("double")
-    return expr
+    qa, qb = sql_ident(a), sql_ident(b)
+    terms = " + ".join(
+        f"(CAST(get({qa}, {i}) AS DOUBLE) * CAST(get({qb}, {i}) AS DOUBLE))"
+        for i in range(dim)
+    )
+    return F.expr(f"CAST(0.0 AS DOUBLE) + {terms}")
 
 
-def norm_double_fixed(a: Column, dim: int) -> Column:
+def dot_long_fixed(a: str, b: str, dim: int) -> Column:
+    """Exact integer dot product of two KNOWN fixed-width BIGINT arrays as
+    a flat codegen chain. Integer addition is order-independent, so this
+    is IDENTICAL (not merely bit-identical) to any fold over the same
+    products; same fixed-width caveat as dot_double_fixed."""
+    qa, qb = sql_ident(a), sql_ident(b)
+    terms = " + ".join(f"(get({qa}, {i}) * get({qb}, {i}))" for i in range(dim))
+    return F.expr(f"CAST(0 AS BIGINT) + {terms}")
+
+
+def sqdist_long_fixed(a: str, b: str, dim: int) -> Column:
+    """Exact integer squared L2 distance of two KNOWN fixed-width BIGINT
+    arrays — same contract as dot_long_fixed."""
+    qa, qb = sql_ident(a), sql_ident(b)
+    terms = " + ".join(
+        f"((get({qa}, {i}) - get({qb}, {i})) * (get({qa}, {i}) - get({qb}, {i})))"
+        for i in range(dim)
+    )
+    return F.expr(f"CAST(0 AS BIGINT) + {terms}")
+
+
+def norm_double_fixed(a: str, dim: int) -> Column:
     """``norm_double`` unrolled for KNOWN fixed-width arrays — same
     sequential left-fold sum of squares, as a flat codegen expression.
     Bit-identical (see dot_double_fixed); same fixed-width caveat."""
-    expr: Column = F.lit(0.0)
-    for i in range(dim):
-        x = F.get(a, i).cast("double")
-        expr = expr + x * x
-    return F.sqrt(expr)
+    qa = sql_ident(a)
+    terms = " + ".join(
+        f"(CAST(get({qa}, {i}) AS DOUBLE) * CAST(get({qa}, {i}) AS DOUBLE))"
+        for i in range(dim)
+    )
+    return F.expr(f"SQRT(CAST(0.0 AS DOUBLE) + {terms})")

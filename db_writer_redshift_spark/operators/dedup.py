@@ -366,12 +366,13 @@ def minhash_lsh_pairs(
     # interpreted zip_with/filter lambda pair: exact integers, so the sum
     # is order-independent and the estimate is IDENTICAL — but the chain
     # compiles into the stage (guide §4.1; same move as dot_double_fixed).
-    n_agree = sum(
-        (
-            F.when(F.get("sig_a", i) == F.get("sig_b", i), 1).otherwise(0)
-            for i in range(1, num_hashes)
-        ),
-        F.when(F.get("sig_a", 0) == F.get("sig_b", 0), 1).otherwise(0),
+    # ONE SQL string — per-operator Column composition costs ~num_hashes
+    # py4j round trips of driver latency (functions/vector.py docstring).
+    n_agree = F.expr(
+        " + ".join(
+            f"IF(get(`sig_a`, {i}) = get(`sig_b`, {i}), 1, 0)"
+            for i in range(num_hashes)
+        )
     )
     est = n_agree.cast("double") / F.lit(float(num_hashes))
     return cand.select("doc_a", "doc_b", F.round(est, 4).alias("est_jaccard")).filter(
@@ -436,12 +437,11 @@ def minhash_cross_contamination(
     )
     # Unrolled integer agreement chain — identical estimate, codegen'd
     # (see minhash_lsh_pairs).
-    n_agree = sum(
-        (
-            F.when(F.get("sig_t", i) == F.get("sig_e", i), 1).otherwise(0)
-            for i in range(1, num_hashes)
-        ),
-        F.when(F.get("sig_t", 0) == F.get("sig_e", 0), 1).otherwise(0),
+    n_agree = F.expr(
+        " + ".join(
+            f"IF(get(`sig_t`, {i}) = get(`sig_e`, {i}), 1, 0)"
+            for i in range(num_hashes)
+        )
     )
     est = n_agree.cast("double") / F.lit(float(num_hashes))
     hits = paired.select(
@@ -815,6 +815,21 @@ def ppjoin_exact_pairs(
             F.col("b.sz").alias("sz_b"),
         )
         .distinct()
+    )
+    # Pin the verify stage's parallelism (guide §2.5/§1.2: knowledge the
+    # optimizer lacks): candidate rows are BYTES-small (4 ints) but each
+    # costs an array_intersect over two full shingle arrays — size-based
+    # AQE coalescing of the upstream prefix exchange serialized the whole
+    # verify onto ONE task (observed 16 s serial tail at sf0.1). The
+    # explicit (doc_a, doc_b)-keyed repartition with a pinned partition
+    # count is exempt from AQE coalescing AND not removable as redundant
+    # (the inherited partitioning is doc_id-only), so the
+    # array_intersect work always fans out; the following doc_a join
+    # builds on it or broadcasts, adding no exchange either way.
+    cand = cand.repartition(
+        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+        "doc_a",
+        "doc_b",
     )
     # Verify via row-local set intersection of the two docs' shingle
     # arrays (exact — shingles() is array_distinct, so set semantics):

@@ -36,25 +36,31 @@ from db_writer_redshift_spark.functions.vector import (
 from db_writer_redshift_spark.operators.partitioning import ensure_parallelism
 
 
-def _cosine_from_norms(q_vec, c_vec, q_norm, c_norm, dim: int | None = None):
+def _cosine_from_norms(q_vec: str, c_vec: str, q_norm, c_norm, dim: int | None = None):
     """Cosine from precomputed side norms. Same arithmetic as cosine_sim
     (norm·norm denominator, sequential-fold dot) — but each side's norm is
     evaluated once per ROW in a projection below the join instead of once
     per PAIR above it, which removes 2/3 of the higher-order-function work
     in a k-NN join. Bit-identical results, so oracle hashes are unchanged.
 
-    ``dim``: when the caller KNOWS the fixed vector width (every LSH/IVF
-    blocking stage already requires one), the dot is the unrolled codegen
-    chain (dot_double_fixed — bit-identical, ~3× per pair); None keeps the
-    generic fold for variable-width inputs."""
+    ``q_vec``/``c_vec`` are column NAMES. ``dim``: when the caller KNOWS
+    the fixed vector width (every LSH/IVF blocking stage already requires
+    one), the dot is the unrolled codegen chain (dot_double_fixed —
+    bit-identical, ~3× per pair); None keeps the generic fold for
+    variable-width inputs."""
     denom = q_norm * c_norm
-    dot = dot_double_fixed(q_vec, c_vec, dim) if dim else dot_double(q_vec, c_vec)
+    dot = (
+        dot_double_fixed(q_vec, c_vec, dim)
+        if dim
+        else dot_double(F.col(q_vec), F.col(c_vec))
+    )
     return F.when(denom > 0, dot / denom)
 
 
-def _norm(col, dim: int | None):
-    """norm_double, unrolled when the fixed width is known (bit-identical)."""
-    return norm_double_fixed(col, dim) if dim else norm_double(col)
+def _norm(name: str, dim: int | None):
+    """norm_double, unrolled when the fixed width is known (bit-identical).
+    ``name`` is a column NAME (string-built chain — see functions/vector)."""
+    return norm_double_fixed(name, dim) if dim else norm_double(F.col(name))
 
 
 def brute_force_topk(
@@ -77,7 +83,7 @@ def brute_force_topk(
     q = queries_df.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        _norm(F.col(vec_col), dim).alias("q_norm"),
+        _norm(vec_col, dim).alias("q_norm"),
     )
     # The corpus side carries the per-pair dot-product work; lift it to
     # cluster parallelism when the scan under-partitions (one-row-group
@@ -86,7 +92,7 @@ def brute_force_topk(
         corpus_df.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("c_vec"),
-            _norm(F.col(vec_col), dim).alias("c_norm"),
+            _norm(vec_col, dim).alias("c_norm"),
         )
     )
     sims = (
@@ -96,10 +102,7 @@ def brute_force_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                _cosine_from_norms(
-                    F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm"),
-                    dim=dim,
-                ),
+                _cosine_from_norms("q_vec", "c_vec", F.col("q_norm"), F.col("c_norm"), dim=dim),
                 6,
             ).alias("cosine_sim"),
         )
@@ -128,16 +131,16 @@ def cosine_dup_pairs(
         df.select(
             F.col(id_col).alias("id_a"),
             F.col(vec_col).alias("va"),
-            _norm(F.col(vec_col), dim).alias("na"),
+            _norm(vec_col, dim).alias("na"),
         )
     )
     b = df.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vb"),
-        _norm(F.col(vec_col), dim).alias("nb"),
+        _norm(vec_col, dim).alias("nb"),
     )
     sim = F.round(
-        _cosine_from_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"), dim=dim), 6
+        _cosine_from_norms("va", "vb", F.col("na"), F.col("nb"), dim=dim), 6
     )
     return (
         a.crossJoin(b)
@@ -180,7 +183,7 @@ def lsh_dup_pairs(
         df.select(
             F.col(id_col).alias("vid"),
             F.col(vec_col).alias("vec"),
-            norm_double_fixed(F.col(vec_col), dim).alias("vnorm"),
+            norm_double_fixed(vec_col, dim).alias("vnorm"),
         )
     )
     # Narrow (id, table, bucket) rows — the only thing the blocking shuffles.
@@ -202,7 +205,7 @@ def lsh_dup_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     sim = F.round(
-        _cosine_from_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"), dim=dim), 6
+        _cosine_from_norms("va", "vb", F.col("na"), F.col("nb"), dim=dim), 6
     )
     return (
         cand_ids.join(
@@ -293,13 +296,13 @@ def ivf_topk(
         corpus_df.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("c_vec"),
-            _norm(F.col(vec_col), dim).alias("c_norm"),
+            _norm(vec_col, dim).alias("c_norm"),
         )
     ).withColumn("cell", F.element_at(ranked_cells(F.col("c_vec")), 1))
     q_probed = queries_df.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        _norm(F.col(vec_col), dim).alias("q_norm"),
+        _norm(vec_col, dim).alias("q_norm"),
         F.explode(F.slice(ranked_cells(F.col(vec_col)), 1, num_probes)).alias("cell"),
     )
     cand = (
@@ -309,10 +312,7 @@ def ivf_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                _cosine_from_norms(
-                    F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm"),
-                    dim=dim,
-                ),
+                _cosine_from_norms("q_vec", "c_vec", F.col("q_norm"), F.col("c_norm"), dim=dim),
                 6,
             ).alias("cosine_sim"),
         )
@@ -414,13 +414,13 @@ def lsh_topk_portable(
     q_vecs = queries_df.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        norm_double_fixed(F.col(vec_col), dim).alias("q_norm"),
+        norm_double_fixed(vec_col, dim).alias("q_norm"),
     )
     c_vecs = ensure_parallelism(
         corpus_df.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("c_vec"),
-            norm_double_fixed(F.col(vec_col), dim).alias("c_norm"),
+            norm_double_fixed(vec_col, dim).alias("c_norm"),
         )
     )
     q = _int_bucket_bands(
@@ -447,10 +447,7 @@ def lsh_topk_portable(
             "query_id",
             "neighbor_id",
             F.round(
-                _cosine_from_norms(
-                    F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm"),
-                    dim=dim,
-                ),
+                _cosine_from_norms("q_vec", "c_vec", F.col("q_norm"), F.col("c_norm"), dim=dim),
                 6,
             ).alias("cosine_sim"),
         )
@@ -491,7 +488,7 @@ def lsh_dup_pairs_portable(
         df.select(
             F.col(id_col).alias("vid"),
             F.col(vec_col).alias("vec"),
-            norm_double_fixed(F.col(vec_col), dim).alias("vnorm"),
+            norm_double_fixed(vec_col, dim).alias("vnorm"),
         )
     )
     buckets = _int_bucket_bands(
@@ -506,7 +503,7 @@ def lsh_dup_pairs_portable(
         .dropDuplicates(["id_a", "id_b"])
     )
     sim = F.round(
-        _cosine_from_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 6
+        _cosine_from_norms("va", "vb", F.col("na"), F.col("nb"), dim=dim), 6
     )
     return (
         cand_ids.join(
@@ -563,13 +560,13 @@ def semantic_contamination_portable(
         train_df.select(
             F.col(id_col).alias("train_id"),
             F.col(vec_col).alias("t_vec"),
-            norm_double_fixed(F.col(vec_col), dim).alias("t_norm"),
+            norm_double_fixed(vec_col, dim).alias("t_norm"),
         )
     )
     e_vecs = eval_df.select(
         F.col(id_col).alias("eval_id"),
         F.col(vec_col).alias("e_vec"),
-        norm_double_fixed(F.col(vec_col), dim).alias("e_norm"),
+        norm_double_fixed(vec_col, dim).alias("e_norm"),
     )
     tb = _int_bucket_bands(
         t_vecs.select("train_id", "t_vec"), "train_id", "t_vec", planes_int, scale
@@ -583,9 +580,7 @@ def semantic_contamination_portable(
         .dropDuplicates(["train_id", "eval_id"])
     )
     sim = F.round(
-        _cosine_from_norms(
-            F.col("t_vec"), F.col("e_vec"), F.col("t_norm"), F.col("e_norm"), dim=dim
-        ),
+        _cosine_from_norms("t_vec", "e_vec", F.col("t_norm"), F.col("e_norm"), dim=dim),
         6,
     )
     hits = (
@@ -681,10 +676,7 @@ def ivf_topk_portable(
             "query_id",
             "neighbor_id",
             F.round(
-                _cosine_from_norms(
-                    F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm"),
-                    dim=dim,
-                ),
+                _cosine_from_norms("q_vec", "c_vec", F.col("q_norm"), F.col("c_norm"), dim=dim),
                 6,
             ).alias("cosine_sim"),
         )
@@ -794,13 +786,13 @@ def lsh_topk(
     q_vecs = queries_df.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        norm_double_fixed(F.col(vec_col), dim).alias("q_norm"),
+        norm_double_fixed(vec_col, dim).alias("q_norm"),
     )
     c_vecs = ensure_parallelism(
         corpus_df.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("c_vec"),
-            norm_double_fixed(F.col(vec_col), dim).alias("c_norm"),
+            norm_double_fixed(vec_col, dim).alias("c_norm"),
         )
     )
     q = with_buckets(queries_df, id_col, vec_col).withColumnRenamed(id_col, "query_id")
@@ -821,10 +813,7 @@ def lsh_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                _cosine_from_norms(
-                    F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm"),
-                    dim=dim,
-                ),
+                _cosine_from_norms("q_vec", "c_vec", F.col("q_norm"), F.col("c_norm"), dim=dim),
                 6,
             ).alias("cosine_sim"),
         )
@@ -911,11 +900,10 @@ def margin_bitext_pairs_portable(
         .select("x_id", "y_id")
         .dropDuplicates(["x_id", "y_id"])
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("xqv"), F.col("yqv"), lambda a, b: a * b),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
+    # unrolled exact-integer chain — identical value (round-8 optimization)
+    from db_writer_redshift_spark.functions.vector import dot_long_fixed
+
+    dot = dot_long_fixed("xqv", "yqv", dim)
     # dots feeds BOTH k-NN statistic windows AND the final margin test —
     # persist so the candidate join + per-pair integer dot folds run
     # once, not three times (measured 13.3s -> ~6s at sf0.1)

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from db_writer_redshift_spark.functions.vector import sqdist_long_fixed
 from db_writer_redshift_spark.plans.registry import load_table, register
 
 # ---------------------------------------------------------------------------
@@ -615,6 +616,14 @@ def embedding_pq_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     subspace_structs = []
     for s in range(_PQ_SUBSPACES):
+        # NOTE(round-8): the unrolled-chain rewrite applied elsewhere is NOT
+        # safe here — ``ve`` is an unpersisted transform-derived column, and
+        # projection collapse inlines the full 64-element transform into
+        # every F.get reference (~1.5k copies), exploding the expression
+        # tree into a codegen OOM. The fold references ``sub`` once per
+        # anchor, which keeps the tree bounded. (ann_pq_adc_recall CAN use
+        # the chain because it persists the quantized relation — the cache
+        # is a collapse barrier.)
         sub = F.slice(F.col("ve"), s * _PQ_SUBDIM + 1, _PQ_SUBDIM)
         dists = F.array(
             *[
@@ -768,21 +777,18 @@ def ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
 
     def sub_dists(s: int):
-        sub = F.slice(F.col("ve"), s * _PQ_SUBDIM + 1, _PQ_SUBDIM)
-        return [
-            F.aggregate(
-                F.zip_with(
-                    sub,
-                    F.array(
-                        *[F.lit(v) for v in a[s * _PQ_SUBDIM : (s + 1) * _PQ_SUBDIM]]
-                    ),
-                    lambda x, y: (x - y) * (x - y),
-                ),
-                F.lit(0).cast("bigint"),
-                lambda acc, x: acc + x,
+        def _anchor_dist(a):
+            # unrolled exact-integer chain (identical value; round-8 opt);
+            # ONE SQL string — py4j-per-operator construction measured
+            # ~9 s of pure driver latency for this site's 2x4x8x16 terms
+            terms = " + ".join(
+                f"((get(`ve`, {s * _PQ_SUBDIM + j}) - {int(a[s * _PQ_SUBDIM + j])}L)"
+                f" * (get(`ve`, {s * _PQ_SUBDIM + j}) - {int(a[s * _PQ_SUBDIM + j])}L))"
+                for j in range(_PQ_SUBDIM)
             )
-            for a in anchors
-        ]
+            return F.expr(f"CAST(0 AS BIGINT) + {terms}")
+
+        return [_anchor_dist(a) for a in anchors]
 
     # Candidate codes: per (vec_id, subspace) the argmin anchor.
     code_structs = []
@@ -837,11 +843,7 @@ def ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            F.aggregate(
-                F.zip_with(F.col("qve"), F.col("ve"), lambda x, y: (x - y) * (x - y)),
-                F.lit(0).cast("bigint"),
-                lambda acc, x: acc + x,
-            ).alias("l2"),
+            sqdist_long_fixed("qve", "ve", 64).alias("l2"),
         )
     )
     w_ex = Window.partitionBy("query_id").orderBy("l2", "neighbor_id")

@@ -1311,22 +1311,15 @@ def vocab_trigram_coverage_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bounded by distinct trigrams, the quality_prune_sweep precedent),
     never over corpus rows; the 5-budget probe is a constant cross
     join against the cumulative relation."""
+    from db_writer_redshift_spark.functions.text import ngrams
+
     d = load_table(spark, sf_dir, "documents")
-    g = d.select(
-        F.explode(
-            # sequence(1, 0) is NOT empty in Spark (step defaults to -1 and
-            # yields [1, 0]), so short docs need an explicit <3-token guard
-            # or they emit spurious grams the oracle's generate_series(1, 0)
-            # never produces (ADVICE r6 #1).
-            F.expr(
-                "CASE WHEN size(split(lower(text), ' ')) >= 3 THEN"
-                " transform(sequence(1, size(split(lower(text), ' ')) - 2),"
-                " i -> concat_ws(' ', split(lower(text), ' ')[i - 1],"
-                " split(lower(text), ' ')[i], split(lower(text), ' ')[i + 1]))"
-                " ELSE cast(array() as array<string>) END"
-            )
-        ).alias("gram")
-    )
+    # ngrams() carries the short-doc guard (ADVICE r6 #1: Spark's
+    # sequence(1, 0) is [1, 0], not empty) and let-binds the word split so
+    # it runs once per row instead of 4× per gram — same grams, same
+    # order (round-8 optimization; the previous inline SQL re-split the
+    # lowered text on every element reference of the interpreted lambda).
+    g = d.select(F.explode(ngrams(F.lower(F.col("text")), 3)).alias("gram"))
     tf = g.groupBy("gram").agg(F.count("*").cast("long").alias("c"))
     r = tf.select(
         "c",

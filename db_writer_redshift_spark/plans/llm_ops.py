@@ -621,17 +621,31 @@ def contrastive_pairs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         portable=True,
         max_bucket_size=32,
     )
-    pos = pairs.filter(F.col("est_jaccard") >= 0.5).select(
-        "doc_a", "doc_b", "est_jaccard", F.lit("pos").alias("pair_type")
+    # ONE pass over the candidate relation (round-8 optimization): the
+    # previous pos-filter / neg-filter unionByName consumed the ENTIRE
+    # banded-join pipeline twice — the executed plan duplicated the
+    # bucket self-join + both signature rejoins (persisted signatures
+    # notwithstanding), ~2× the heaviest stage. Partitioning the hardness
+    # window by (doc_a, is_pos) ranks negatives among negatives exactly
+    # as the old neg-only window did, so the emitted row SET is identical
+    # (driver hash is order-insensitive; oracle unchanged).
+    w = Window.partitionBy("doc_a", "is_pos").orderBy(
+        F.col("est_jaccard").desc(), "doc_b"
     )
-    w = Window.partitionBy("doc_a").orderBy(F.col("est_jaccard").desc(), "doc_b")
-    neg = (
-        pairs.filter(F.col("est_jaccard") < 0.15)
+    return (
+        pairs.filter((F.col("est_jaccard") >= 0.5) | (F.col("est_jaccard") < 0.15))
+        .withColumn("is_pos", F.col("est_jaccard") >= 0.5)
         .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 3)
-        .select("doc_a", "doc_b", "est_jaccard", F.lit("hard_neg").alias("pair_type"))
+        .filter(F.col("is_pos") | (F.col("rk") <= 3))
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            F.when(F.col("is_pos"), F.lit("pos"))
+            .otherwise(F.lit("hard_neg"))
+            .alias("pair_type"),
+        )
     )
-    return pos.unionByName(neg)
 
 
 @register("dedup_minhash_portable", oracle=_minhash_portable_oracle())
@@ -2523,30 +2537,23 @@ def kmeans_assign_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect(),
         key=lambda r: r.vec_id,
     )
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(int(r.vec_id)).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in r.embedding]).alias("ce"),
-            )
-            for r in cents
-        ]
-    )
-    sqdist = lambda ce: F.aggregate(  # noqa: E731
-        F.zip_with(
-            F.col("embedding"), ce, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    # array_min over (dist, cid) structs: one distance eval per centroid
-    # (higher-order funcs are interpreted, not codegen'd — an aggregate
-    # fold re-evaluating sqdist in both branches of its `when` costs 2×),
-    # and struct ordering gives the (sqdist, centroid_id) tie rule.
+    # array_min over (dist, cid) structs; each distance is the UNROLLED
+    # literal-centroid chain (operators/clustering._sqdist_double_unrolled)
+    # — the same left-associated sequential sum as the previous
+    # zip_with/aggregate fold, bit-identical to DuckDB's list_reduce, but
+    # codegen'd instead of interpreted per element (round-8 optimization).
+    # Struct ordering gives the (sqdist, centroid_id) tie rule.
+    from db_writer_redshift_spark.operators.clustering import _sqdist_double_unrolled
+
     best = F.array_min(
-        F.transform(
-            cent_arr,
-            lambda c: F.struct(sqdist(c["ce"]).alias("dist"), c["cid"].alias("cid")),
+        F.array(
+            *[
+                F.struct(
+                    _sqdist_double_unrolled("embedding", [float(x) for x in r.embedding]).alias("dist"),
+                    F.lit(int(r.vec_id)).alias("cid"),
+                )
+                for r in cents
+            ]
         )
     )
     assigned = emb.select(best["cid"].alias("centroid_id"), best["dist"].alias("sqdist"))
@@ -4445,28 +4452,19 @@ def cluster_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect(),
         key=lambda r: r.vec_id,
     )
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(int(r.vec_id)).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in r.embedding]).alias("ce"),
-            )
-            for r in cents
-        ]
-    )
-    sqdist = lambda ce: F.aggregate(  # noqa: E731
-        F.zip_with(
-            F.col("embedding"),
-            ce,
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    # unrolled literal-centroid chains — bit-identical sequential sums,
+    # codegen'd (round-8 optimization; see kmeans_assign_stats)
+    from db_writer_redshift_spark.operators.clustering import _sqdist_double_unrolled
+
     best = F.array_min(
-        F.transform(
-            cent_arr,
-            lambda c: F.struct(sqdist(c["ce"]).alias("dist"), c["cid"].alias("cid")),
+        F.array(
+            *[
+                F.struct(
+                    _sqdist_double_unrolled("embedding", [float(x) for x in r.embedding]).alias("dist"),
+                    F.lit(int(r.vec_id)).alias("cid"),
+                )
+                for r in cents
+            ]
         )
     )
     assigned = emb.select(best["cid"].alias("centroid_id"), F.col("label"))
@@ -5058,11 +5056,10 @@ def mix_cluster_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = v.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), F.col("q").alias("cq")
     )
-    sqd = F.aggregate(
-        F.zip_with(F.col("q"), F.col("cq"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
+    from db_writer_redshift_spark.functions.vector import sqdist_long_fixed
+
+    # unrolled exact-integer chain — identical value (round-8 optimization)
+    sqd = sqdist_long_fixed("q", "cq", 64)
     d = v.crossJoin(F.broadcast(c)).select("vec_id", "centroid_id", sqd.alias("sqd"))
     from pyspark.sql.window import Window
 

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from db_writer_redshift_spark.functions.text import ngrams
 from db_writer_redshift_spark.operators.bloom import _md5_int32
 from db_writer_redshift_spark.plans.curation_extra import _duck_md5_int32
+from db_writer_redshift_spark.functions.vector import dot_long_fixed, sqdist_long_fixed
 from db_writer_redshift_spark.plans.registry import load_table, register
 
 #: Seed-centroid count floor and target cluster size for SemDeDup.
@@ -63,13 +64,13 @@ def _quantize_e3(vec_col):
     )
 
 
-def _dot(a, b):
-    """Exact integer dot product of two quantized BIGINT arrays."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+def _dot(a: str, b: str, dim: int = 64):
+    """Exact integer dot product of two quantized BIGINT arrays (fixture
+    width 64), by column NAME. Unrolled codegen chain — integer addition
+    is order-independent, so the value is identical to the previous
+    zip_with/aggregate fold (round-8 optimization, see
+    functions/vector.dot_long_fixed)."""
+    return dot_long_fixed(a, b, dim)
 
 
 _DUCK_Q = (
@@ -162,9 +163,7 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = q.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
     )
-    d2 = _dot(F.col("qv"), F.col("qv")) - 2 * _dot(F.col("qv"), F.col("cv")) + _dot(
-        F.col("cv"), F.col("cv")
-    )
+    d2 = _dot("qv", "qv") - 2 * _dot("qv", "cv") + _dot("cv", "cv")
     dist = q.join(F.broadcast(cent)).select("vec_id", "cid", "qv", d2.alias("d2"))
     from pyspark.sql import Window
 
@@ -175,12 +174,12 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         dist.withColumn("rn", rn)
         .filter(F.col("rn") == 1)
         .select(
-            "vec_id", "cid", "qv", _dot(F.col("qv"), F.col("qv")).alias("n2")
+            "vec_id", "cid", "qv", _dot("qv", "qv").alias("n2")
         )
     )
     a = assign.alias("a")
     b = assign.alias("b")
-    dot = _dot(F.col("a.qv"), F.col("b.qv"))
+    dot = _dot("a.qv", "b.qv")
     pruned = (
         a.join(b, (F.col("a.cid") == F.col("b.cid")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .filter(
@@ -942,9 +941,7 @@ def d4_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = q.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
     )
-    d2 = _dot(F.col("qv"), F.col("qv")) - 2 * _dot(F.col("qv"), F.col("cv")) + _dot(
-        F.col("cv"), F.col("cv")
-    )
+    d2 = _dot("qv", "qv") - 2 * _dot("qv", "cv") + _dot("cv", "cv")
     dist = q.join(F.broadcast(cent)).select("vec_id", "cid", d2.alias("d2"))
     from pyspark.sql import Window
 
@@ -2026,11 +2023,8 @@ def knn_shapley_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("tr_label"),
         F.col("qv").alias("tq"),
     )
-    sqd = F.aggregate(
-        F.zip_with(F.col("vq"), F.col("tq"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
+    # unrolled exact-integer chain (identical value — round-8 optimization)
+    sqd = sqdist_long_fixed("vq", "tq", 64)
     pairs = tr.crossJoin(F.broadcast(val)).select(
         "val_id",
         "train_id",
@@ -2189,11 +2183,11 @@ def selection_mmr_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
         cvs = [[int(x) for x in first.qv]]
 
         def dot_to(c):
-            ce = F.array(*[F.lit(int(x)).cast("long") for x in c])
-            return F.aggregate(
-                F.zip_with(F.col("qv"), ce, lambda a, b: a * b),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
+            # literal-center integer dot, unrolled (identical value); ONE
+            # SQL string — see functions/vector.py on py4j construction cost
+            return F.expr(
+                "CAST(0 AS BIGINT) + "
+                + " + ".join(f"(get(`qv`, {j}) * {int(x)}L)" for j, x in enumerate(c))
             )
 
         for r in range(1, 8):

@@ -48,16 +48,19 @@ def get_spark(
         )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # Coalesce post-shuffle partitions toward the advisory SIZE rather
-        # than stopping at defaultParallelism (the parallelismFirst default
-        # keeps ≥#cores micro-partitions; Spark's own tuning guide
-        # recommends false for efficiency). Scale story: partitions track
-        # data volume, not a core-count constant — tiny stages collapse to
-        # one task locally, 100 TB shuffles still fan out by size. Both
-        # knobs env-overridable for cluster runs.
+        # AQE coalescing knobs, env-overridable for cluster runs. NOTE
+        # (round-8, measured): parallelismFirst=false (the "efficiency"
+        # setting) coalesces small-BYTES shuffle reads to one task by
+        # size — which serialized CPU-dense verify stages whose rows are
+        # narrow but each cost an array_intersect (dedup_ppjoin_exact's
+        # verify collapsed to a single 16 s task). Size is the wrong
+        # proxy for CPU density, so the default stays parallelismFirst
+        # (partition count floors at the cluster's parallelism); the
+        # advisory size governs how big coalesced partitions get where
+        # data IS the cost.
         .config(
             "spark.sql.adaptive.coalescePartitions.parallelismFirst",
-            os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"),
+            os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"),
         )
         .config(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
@@ -102,10 +105,10 @@ def configure_existing(spark: SparkSession) -> SparkSession:
         # many tasks for local runs (AQE coalesces, but task setup still
         # costs); align with the core count like get_spark does
         "spark.sql.shuffle.partitions": str(DEFAULT_SHUFFLE_PARTITIONS),
-        # size-targeted AQE coalescing (see get_spark) — post-shuffle
-        # partition count follows data volume, not the core-count floor
+        # AQE coalescing knobs (see get_spark for the parallelismFirst
+        # serial-tail rationale)
         "spark.sql.adaptive.coalescePartitions.parallelismFirst": os.environ.get(
-            "SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"
+            "SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"
         ),
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": os.environ.get(
             "SPARK_GRAFT_AQE_ADVISORY_SIZE", "64m"

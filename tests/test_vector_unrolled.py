@@ -40,14 +40,14 @@ def vec_pairs(spark):
 
 def test_dot_bit_identical(vec_pairs):
     bad = vec_pairs.select(
-        (dot_double(F.col("a"), F.col("b")) != dot_double_fixed(F.col("a"), F.col("b"), 4)).alias("x")
+        (dot_double(F.col("a"), F.col("b")) != dot_double_fixed("a", "b", 4)).alias("x")
     ).filter("x")
     assert bad.count() == 0
 
 
 def test_norm_bit_identical(vec_pairs):
     bad = vec_pairs.select(
-        (norm_double(F.col("a")) != norm_double_fixed(F.col("a"), 4)).alias("x")
+        (norm_double(F.col("a")) != norm_double_fixed("a", 4)).alias("x")
     ).filter("x")
     assert bad.count() == 0
 
@@ -60,7 +60,7 @@ def test_fixture_embeddings_bit_identical(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     assert (
         emb.select(
-            (norm_double(F.col("embedding")) != norm_double_fixed(F.col("embedding"), 64)).alias("x")
+            (norm_double(F.col("embedding")) != norm_double_fixed("embedding", 64)).alias("x")
         )
         .filter("x")
         .count()
@@ -72,7 +72,7 @@ def test_fixture_embeddings_bit_identical(spark):
     assert (
         pairs.select(
             (dot_double(F.col("va"), F.col("vb"))
-             != dot_double_fixed(F.col("va"), F.col("vb"), 64)).alias("x")
+             != dot_double_fixed("va", "vb", 64)).alias("x")
         )
         .filter("x")
         .count()
