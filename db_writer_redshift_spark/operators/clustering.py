@@ -34,8 +34,6 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from db_writer_redshift_spark.functions.vector import sql_ident
-
 
 @dataclass(frozen=True)
 class KMeansResult:
@@ -45,49 +43,27 @@ class KMeansResult:
     converged: bool
 
 
-def _sqdist_double_unrolled(vec: str, cent: list[float]):
-    """Squared L2 distance of column ``vec`` (a NAME) to a LITERAL centroid
-    as a flat codegen chain — the same left-associated sequential sum the
-    zip_with/aggregate fold computed (seed 0.0, ((0+d₀)+d₁)+…), so results
-    are bit-identical (guide §4.1: per-element lambdas are interpreted; a
-    literal-centroid chain compiles into the stage — round-8 optimization).
-    Built as ONE SQL string: composing ~4·dim Column operators costs
-    ~4·dim py4j round trips of pure driver latency (functions/vector.py
-    module docstring). Centroid literals go through CAST('repr' AS DOUBLE)
-    — shortest-repr strings parse to the identical IEEE-754 double."""
-    q = sql_ident(vec)
-    terms = " + ".join(
-        f"((CAST(get({q}, {j}) AS DOUBLE) - CAST('{float(c)!r}' AS DOUBLE))"
-        f" * (CAST(get({q}, {j}) AS DOUBLE) - CAST('{float(c)!r}' AS DOUBLE)))"
-        for j, c in enumerate(cent)
-    )
-    return F.expr(f"CAST(0.0 AS DOUBLE) + {terms}")
-
-
-def _sqdist_int_unrolled(vec: str, cent: list[int]):
-    """Integer twin of _sqdist_double_unrolled — exact BIGINT arithmetic,
-    order-independent, so identical by construction."""
-    q = sql_ident(vec)
-    terms = " + ".join(
-        f"((get({q}, {j}) - {int(c)}L) * (get({q}, {j}) - {int(c)}L))"
-        for j, c in enumerate(cent)
-    )
-    return F.expr(f"CAST(0 AS BIGINT) + {terms}")
-
-
 def _assign(df: DataFrame, id_col: str, vec_col: str, cents: list[list[float]]) -> DataFrame:
-    # array_min over per-centroid (dist, cid) structs — the same argmin
-    # tiebreak as the previous transform-over-literal-array formulation,
-    # with each distance an unrolled codegen chain instead of a fold.
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in c]).alias("ce"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+    sqdist = lambda ce: F.aggregate(  # noqa: E731
+        F.zip_with(
+            F.col(vec_col), ce, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     best = F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    _sqdist_double_unrolled(vec_col, c).alias("dist"),
-                    F.lit(i).alias("cid"),
-                )
-                for i, c in enumerate(cents)
-            ]
+        F.transform(
+            cent_arr,
+            lambda c: F.struct(sqdist(c["ce"]).alias("dist"), c["cid"].alias("cid")),
         )
     )
     return df.select(
@@ -237,15 +213,24 @@ def kmeans_fit_portable(
     dim = len(cents[0])
 
     def assign(cur: list[list[int]]) -> DataFrame:
+        cent_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("cid"),
+                    F.array(*[F.lit(int(x)).cast("long") for x in c]).alias("ce"),
+                )
+                for i, c in enumerate(cur)
+            ]
+        )
+        sqdist = lambda ce: F.aggregate(  # noqa: E731
+            F.zip_with(F.col("qv"), ce, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
         best = F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        _sqdist_int_unrolled("qv", c).alias("dist"),
-                        F.lit(i).alias("cid"),
-                    )
-                    for i, c in enumerate(cur)
-                ]
+            F.transform(
+                cent_arr,
+                lambda c: F.struct(sqdist(c["ce"]).alias("dist"), c["cid"].alias("cid")),
             )
         )
         return q.select(
@@ -330,7 +315,12 @@ def kcenter_greedy_portable(
         trajectory: list[tuple[int, int, list[int]]] = [(0, int(seed[0].id), 0)]
 
         def dist_to(c: list[int]):
-            return _sqdist_int_unrolled("qv", c)
+            ce = F.array(*[F.lit(int(x)).cast("long") for x in c])
+            return F.aggregate(
+                F.zip_with(F.col("qv"), ce, lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
 
         for r in range(1, k):
             mind = F.least(*[dist_to(c) for c in centers]) if len(centers) > 1 else dist_to(centers[0])
@@ -349,15 +339,24 @@ def kcenter_greedy_portable(
             centers.append([int(x) for x in far.qv])
             trajectory.append((r, int(-far.nid), int(far.d)))
 
+        cent_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("r"),
+                    F.array(*[F.lit(int(x)).cast("long") for x in c]).alias("ce"),
+                )
+                for i, c in enumerate(centers)
+            ]
+        )
+        sqd = lambda ce: F.aggregate(  # noqa: E731
+            F.zip_with(F.col("qv"), ce, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
         best = F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        _sqdist_int_unrolled("qv", c).alias("dist"),
-                        F.lit(i).alias("r"),
-                    )
-                    for i, c in enumerate(centers)
-                ]
+            F.transform(
+                cent_arr,
+                lambda c: F.struct(sqd(c["ce"]).alias("dist"), c["r"].alias("r")),
             )
         )
         assignment = q.select(

@@ -362,19 +362,12 @@ def minhash_lsh_pairs(
     cand = cand.join(
         sig.select(F.col("doc_id").alias("doc_a"), F.col("signature").alias("sig_a")), "doc_a"
     ).join(sig.select(F.col("doc_id").alias("doc_b"), F.col("signature").alias("sig_b")), "doc_b")
-    # Agreement count as an unrolled integer chain instead of an
-    # interpreted zip_with/filter lambda pair: exact integers, so the sum
-    # is order-independent and the estimate is IDENTICAL — but the chain
-    # compiles into the stage (guide §4.1; same move as dot_double_fixed).
-    # ONE SQL string — per-operator Column composition costs ~num_hashes
-    # py4j round trips of driver latency (functions/vector.py docstring).
-    n_agree = F.expr(
-        " + ".join(
-            f"IF(get(`sig_a`, {i}) = get(`sig_b`, {i}), 1, 0)"
-            for i in range(num_hashes)
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)).cast(
+            "double"
         )
+        / F.lit(float(num_hashes))
     )
-    est = n_agree.cast("double") / F.lit(float(num_hashes))
     return cand.select("doc_a", "doc_b", F.round(est, 4).alias("est_jaccard")).filter(
         F.col("est_jaccard") >= threshold
     )
@@ -435,15 +428,12 @@ def minhash_cross_contamination(
         ),
         "eval_id",
     )
-    # Unrolled integer agreement chain — identical estimate, codegen'd
-    # (see minhash_lsh_pairs).
-    n_agree = F.expr(
-        " + ".join(
-            f"IF(get(`sig_t`, {i}) = get(`sig_e`, {i}), 1, 0)"
-            for i in range(num_hashes)
+    est = (
+        F.size(F.filter(F.zip_with("sig_t", "sig_e", lambda x, y: x == y), lambda m: m)).cast(
+            "double"
         )
+        / F.lit(float(num_hashes))
     )
-    est = n_agree.cast("double") / F.lit(float(num_hashes))
     hits = paired.select(
         "train_id", "eval_id", F.round(est, 4).alias("est_jaccard")
     ).filter(F.col("est_jaccard") >= threshold)

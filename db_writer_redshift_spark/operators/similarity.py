@@ -27,12 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql import functions as F
 
-from db_writer_redshift_spark.functions.vector import (
-    dot_double,
-    dot_double_fixed,
-    norm_double,
-    norm_double_fixed,
-)
+from db_writer_redshift_spark.functions.vector import dot_double, norm_double
 from db_writer_redshift_spark.operators.partitioning import ensure_parallelism
 
 
@@ -43,24 +38,22 @@ def _cosine_from_norms(q_vec: str, c_vec: str, q_norm, c_norm, dim: int | None =
     per PAIR above it, which removes 2/3 of the higher-order-function work
     in a k-NN join. Bit-identical results, so oracle hashes are unchanged.
 
-    ``q_vec``/``c_vec`` are column NAMES. ``dim``: when the caller KNOWS
-    the fixed vector width (every LSH/IVF blocking stage already requires
-    one), the dot is the unrolled codegen chain (dot_double_fixed —
-    bit-identical, ~3× per pair); None keeps the generic fold for
-    variable-width inputs."""
+    ``q_vec``/``c_vec`` are column NAMES. ``dim`` is accepted for call-site
+    stability but the dot is ALWAYS the sequential fold: the round-8
+    unrolled-chain experiment (dot_double_fixed) measured SLOWER in every
+    real query context at sf0.1 — brute-force exec 0.73→1.12 s, portable
+    IVF 1.09→1.79 s — because 300+-operation generated methods lose
+    whole-stage-codegen/JIT compilation, while the isolated microbench
+    (simple projection over persisted arrays) had shown 3×. Details in
+    OPTIMIZATION_r08.md."""
     denom = q_norm * c_norm
-    dot = (
-        dot_double_fixed(q_vec, c_vec, dim)
-        if dim
-        else dot_double(F.col(q_vec), F.col(c_vec))
-    )
-    return F.when(denom > 0, dot / denom)
+    return F.when(denom > 0, dot_double(F.col(q_vec), F.col(c_vec)) / denom)
 
 
-def _norm(name: str, dim: int | None):
-    """norm_double, unrolled when the fixed width is known (bit-identical).
-    ``name`` is a column NAME (string-built chain — see functions/vector)."""
-    return norm_double_fixed(name, dim) if dim else norm_double(F.col(name))
+def _norm(name: str, dim: int | None = None):
+    """norm_double by column NAME (``dim`` accepted, fold always used —
+    see _cosine_from_norms on the rejected unrolled-chain experiment)."""
+    return norm_double(F.col(name))
 
 
 def brute_force_topk(
@@ -75,8 +68,6 @@ def brute_force_topk(
 
     Output: (query_id, neighbor_id, cosine_sim, nn_rank), self-matches
     excluded, rank ties broken by neighbor id (deterministic set).
-    ``dim``: known fixed vector width → unrolled bit-identical dot/norm
-    (the per-pair fold dominates the O(N·Q) scan; see dot_double_fixed).
     """
     from pyspark.sql.window import Window
 
@@ -124,7 +115,6 @@ def cosine_dup_pairs(
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine ≥ threshold, id_a < id_b.
     Exact all-pairs form (oracle-checkable); the LSH tier is the scale path.
-    ``dim``: known fixed width → unrolled bit-identical dot/norm.
     """
     # Left side drives output parallelism of the nested-loop pair scan.
     a = ensure_parallelism(
@@ -183,7 +173,7 @@ def lsh_dup_pairs(
         df.select(
             F.col(id_col).alias("vid"),
             F.col(vec_col).alias("vec"),
-            norm_double_fixed(vec_col, dim).alias("vnorm"),
+            _norm(vec_col, dim).alias("vnorm"),
         )
     )
     # Narrow (id, table, bucket) rows — the only thing the blocking shuffles.
@@ -414,13 +404,13 @@ def lsh_topk_portable(
     q_vecs = queries_df.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        norm_double_fixed(vec_col, dim).alias("q_norm"),
+        _norm(vec_col, dim).alias("q_norm"),
     )
     c_vecs = ensure_parallelism(
         corpus_df.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("c_vec"),
-            norm_double_fixed(vec_col, dim).alias("c_norm"),
+            _norm(vec_col, dim).alias("c_norm"),
         )
     )
     q = _int_bucket_bands(
@@ -488,7 +478,7 @@ def lsh_dup_pairs_portable(
         df.select(
             F.col(id_col).alias("vid"),
             F.col(vec_col).alias("vec"),
-            norm_double_fixed(vec_col, dim).alias("vnorm"),
+            _norm(vec_col, dim).alias("vnorm"),
         )
     )
     buckets = _int_bucket_bands(
@@ -560,13 +550,13 @@ def semantic_contamination_portable(
         train_df.select(
             F.col(id_col).alias("train_id"),
             F.col(vec_col).alias("t_vec"),
-            norm_double_fixed(vec_col, dim).alias("t_norm"),
+            _norm(vec_col, dim).alias("t_norm"),
         )
     )
     e_vecs = eval_df.select(
         F.col(id_col).alias("eval_id"),
         F.col(vec_col).alias("e_vec"),
-        norm_double_fixed(vec_col, dim).alias("e_norm"),
+        _norm(vec_col, dim).alias("e_norm"),
     )
     tb = _int_bucket_bands(
         t_vecs.select("train_id", "t_vec"), "train_id", "t_vec", planes_int, scale
@@ -786,13 +776,13 @@ def lsh_topk(
     q_vecs = queries_df.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        norm_double_fixed(vec_col, dim).alias("q_norm"),
+        _norm(vec_col, dim).alias("q_norm"),
     )
     c_vecs = ensure_parallelism(
         corpus_df.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("c_vec"),
-            norm_double_fixed(vec_col, dim).alias("c_norm"),
+            _norm(vec_col, dim).alias("c_norm"),
         )
     )
     q = with_buckets(queries_df, id_col, vec_col).withColumnRenamed(id_col, "query_id")
@@ -900,10 +890,11 @@ def margin_bitext_pairs_portable(
         .select("x_id", "y_id")
         .dropDuplicates(["x_id", "y_id"])
     )
-    # unrolled exact-integer chain — identical value (round-8 optimization)
-    from db_writer_redshift_spark.functions.vector import dot_long_fixed
-
-    dot = dot_long_fixed("xqv", "yqv", dim)
+    dot = F.aggregate(
+        F.zip_with(F.col("xqv"), F.col("yqv"), lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
     # dots feeds BOTH k-NN statistic windows AND the final margin test —
     # persist so the candidate join + per-pair integer dot folds run
     # once, not three times (measured 13.3s -> ~6s at sf0.1)

@@ -17,7 +17,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from db_writer_redshift_spark.functions.vector import sqdist_long_fixed
 from db_writer_redshift_spark.plans.registry import load_table, register
 
 # ---------------------------------------------------------------------------
@@ -777,18 +776,21 @@ def ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
 
     def sub_dists(s: int):
-        def _anchor_dist(a):
-            # unrolled exact-integer chain (identical value; round-8 opt);
-            # ONE SQL string — py4j-per-operator construction measured
-            # ~9 s of pure driver latency for this site's 2x4x8x16 terms
-            terms = " + ".join(
-                f"((get(`ve`, {s * _PQ_SUBDIM + j}) - {int(a[s * _PQ_SUBDIM + j])}L)"
-                f" * (get(`ve`, {s * _PQ_SUBDIM + j}) - {int(a[s * _PQ_SUBDIM + j])}L))"
-                for j in range(_PQ_SUBDIM)
+        sub = F.slice(F.col("ve"), s * _PQ_SUBDIM + 1, _PQ_SUBDIM)
+        return [
+            F.aggregate(
+                F.zip_with(
+                    sub,
+                    F.array(
+                        *[F.lit(v) for v in a[s * _PQ_SUBDIM : (s + 1) * _PQ_SUBDIM]]
+                    ),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
             )
-            return F.expr(f"CAST(0 AS BIGINT) + {terms}")
-
-        return [_anchor_dist(a) for a in anchors]
+            for a in anchors
+        ]
 
     # Candidate codes: per (vec_id, subspace) the argmin anchor.
     code_structs = []
@@ -843,7 +845,11 @@ def ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            sqdist_long_fixed("qve", "ve", 64).alias("l2"),
+            F.aggregate(
+                F.zip_with(F.col("qve"), F.col("ve"), lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("l2"),
         )
     )
     w_ex = Window.partitionBy("query_id").orderBy("l2", "neighbor_id")

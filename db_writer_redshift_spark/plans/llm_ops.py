@@ -2537,23 +2537,30 @@ def kmeans_assign_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect(),
         key=lambda r: r.vec_id,
     )
-    # array_min over (dist, cid) structs; each distance is the UNROLLED
-    # literal-centroid chain (operators/clustering._sqdist_double_unrolled)
-    # — the same left-associated sequential sum as the previous
-    # zip_with/aggregate fold, bit-identical to DuckDB's list_reduce, but
-    # codegen'd instead of interpreted per element (round-8 optimization).
-    # Struct ordering gives the (sqdist, centroid_id) tie rule.
-    from db_writer_redshift_spark.operators.clustering import _sqdist_double_unrolled
-
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(r.vec_id)).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in r.embedding]).alias("ce"),
+            )
+            for r in cents
+        ]
+    )
+    sqdist = lambda ce: F.aggregate(  # noqa: E731
+        F.zip_with(
+            F.col("embedding"), ce, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # array_min over (dist, cid) structs: one distance eval per centroid
+    # (higher-order funcs are interpreted, not codegen'd — an aggregate
+    # fold re-evaluating sqdist in both branches of its `when` costs 2×),
+    # and struct ordering gives the (sqdist, centroid_id) tie rule.
     best = F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    _sqdist_double_unrolled("embedding", [float(x) for x in r.embedding]).alias("dist"),
-                    F.lit(int(r.vec_id)).alias("cid"),
-                )
-                for r in cents
-            ]
+        F.transform(
+            cent_arr,
+            lambda c: F.struct(sqdist(c["ce"]).alias("dist"), c["cid"].alias("cid")),
         )
     )
     assigned = emb.select(best["cid"].alias("centroid_id"), best["dist"].alias("sqdist"))
@@ -4452,19 +4459,28 @@ def cluster_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect(),
         key=lambda r: r.vec_id,
     )
-    # unrolled literal-centroid chains — bit-identical sequential sums,
-    # codegen'd (round-8 optimization; see kmeans_assign_stats)
-    from db_writer_redshift_spark.operators.clustering import _sqdist_double_unrolled
-
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(r.vec_id)).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in r.embedding]).alias("ce"),
+            )
+            for r in cents
+        ]
+    )
+    sqdist = lambda ce: F.aggregate(  # noqa: E731
+        F.zip_with(
+            F.col("embedding"),
+            ce,
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     best = F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    _sqdist_double_unrolled("embedding", [float(x) for x in r.embedding]).alias("dist"),
-                    F.lit(int(r.vec_id)).alias("cid"),
-                )
-                for r in cents
-            ]
+        F.transform(
+            cent_arr,
+            lambda c: F.struct(sqdist(c["ce"]).alias("dist"), c["cid"].alias("cid")),
         )
     )
     assigned = emb.select(best["cid"].alias("centroid_id"), F.col("label"))
@@ -5056,10 +5072,11 @@ def mix_cluster_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = v.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), F.col("q").alias("cq")
     )
-    from db_writer_redshift_spark.functions.vector import sqdist_long_fixed
-
-    # unrolled exact-integer chain — identical value (round-8 optimization)
-    sqd = sqdist_long_fixed("q", "cq", 64)
+    sqd = F.aggregate(
+        F.zip_with(F.col("q"), F.col("cq"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
     d = v.crossJoin(F.broadcast(c)).select("vec_id", "centroid_id", sqd.alias("sqd"))
     from pyspark.sql.window import Window
 

@@ -31,7 +31,6 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from db_writer_redshift_spark.functions.text import ngrams
 from db_writer_redshift_spark.operators.bloom import _md5_int32
 from db_writer_redshift_spark.plans.curation_extra import _duck_md5_int32
-from db_writer_redshift_spark.functions.vector import dot_long_fixed, sqdist_long_fixed
 from db_writer_redshift_spark.plans.registry import load_table, register
 
 #: Seed-centroid count floor and target cluster size for SemDeDup.
@@ -64,13 +63,16 @@ def _quantize_e3(vec_col):
     )
 
 
-def _dot(a: str, b: str, dim: int = 64):
-    """Exact integer dot product of two quantized BIGINT arrays (fixture
-    width 64), by column NAME. Unrolled codegen chain — integer addition
-    is order-independent, so the value is identical to the previous
-    zip_with/aggregate fold (round-8 optimization, see
-    functions/vector.dot_long_fixed)."""
-    return dot_long_fixed(a, b, dim)
+def _dot(a: str, b: str):
+    """Exact integer dot product of two quantized BIGINT arrays, by column
+    NAME. Sequential zip_with/aggregate fold — the round-8 unrolled-chain
+    variant measured slower in real query contexts (JIT loses on 300+-op
+    generated methods; OPTIMIZATION_r08.md)."""
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
 
 _DUCK_Q = (
@@ -2023,8 +2025,11 @@ def knn_shapley_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("tr_label"),
         F.col("qv").alias("tq"),
     )
-    # unrolled exact-integer chain (identical value — round-8 optimization)
-    sqd = sqdist_long_fixed("vq", "tq", 64)
+    sqd = F.aggregate(
+        F.zip_with(F.col("vq"), F.col("tq"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
     pairs = tr.crossJoin(F.broadcast(val)).select(
         "val_id",
         "train_id",
@@ -2183,11 +2188,11 @@ def selection_mmr_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
         cvs = [[int(x) for x in first.qv]]
 
         def dot_to(c):
-            # literal-center integer dot, unrolled (identical value); ONE
-            # SQL string — see functions/vector.py on py4j construction cost
-            return F.expr(
-                "CAST(0 AS BIGINT) + "
-                + " + ".join(f"(get(`qv`, {j}) * {int(x)}L)" for j, x in enumerate(c))
+            ce = F.array(*[F.lit(int(x)).cast("long") for x in c])
+            return F.aggregate(
+                F.zip_with(F.col("qv"), ce, lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
             )
 
         for r in range(1, 8):
