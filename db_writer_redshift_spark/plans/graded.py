@@ -206,73 +206,82 @@ round 8): 15 new operators —
     (epoch-day BIGINT keys): both ingest round trips,
     forecast_holt_linear_daily, window_range_interval_trailing7d.
 
-ROUND-9 WINDOW PLAN: the never-graded set now EXCEEDS one 50-slot
-window (61 names at round-8 close, assuming CORRECTNESS_r08 grades the
-seated window — recompute with tools/plan_rotation.py at round-9
-open). Seat 50 never-graded names (oldest additions first so round-7/8
-wave-1 names don't starve); the remainder plus keepers roll to round
-10. Run
-`python tools/correctness_union.py` at round open (the freshness guard
-self-heals since round 8, but the checked-in rollup should still be
-regenerated before the round-close commit).
+ROUND-9 WINDOW (this window, seated at round-9 open per the plan
+written at round-8 close and VERDICT r8 "Next round" #2, exactly the
+tools/plan_rotation.py proposal computed from CORRECTNESS_r01-r08):
+the 44 never-graded oracle-bearing round-8 additions first (every one
+certified against its DuckDB oracle at sf0.001/0.01/0.1 on
+registration day in round 8, and the full window re-certified at
+sf0.01 at round-9 open before seating), then 6 family keepers already
+green in r08 (multimodal_png_decode, c4_rules_audit, survival_km_curve,
+graph_degree_assortativity, stats_mann_kendall_daily,
+text_readability_fkgl). The remaining never-graded names are the
+rows-only oracle=None queries (not seatable — a rows-only row can't
+fully pass) plus the two DEFER_LAST baselines; after this window the
+union over r01-r09 covers every oracle-bearing registered query at
+least once.
+
+ROUND 10 PLAN: recompute with tools/plan_rotation.py at round-10 open;
+run `python tools/correctness_union.py` at round open and regenerate
+the checked-in rollup before the round-close commit.
 """
 
 from __future__ import annotations
 
 GRADED_FIRST: list[str] = [
-    # ---- ROUND-8 WINDOW (see module docstring; = tools/plan_rotation.py proposal) ----
-    # 17 never-graded round-7 additions:
+    # ---- ROUND-9 WINDOW (see module docstring; = tools/plan_rotation.py proposal) ----
+    # 44 never-graded oracle-bearing round-8 additions:
+    "multimodal_png_palette_decode",
+    "multimodal_png16_adam7_decode",
+    "multimodal_png_subbyte_decode",
+    "multimodal_adpcm_multiblock_decode",
+    "multimodal_adpcm_decode",
+    "ingest_xml_orders_roundtrip",
+    "ingest_jsonl_orders_roundtrip",
+    "ingest_fixedwidth_orders_roundtrip",
+    "pipe_syntax_orders_rollup",
+    "agg_mode_percentile_disc",
+    "events_fano_factor_daily",
+    "stats_cohens_kappa_value_weekend",
+    "stats_levene_brown_forsythe",
+    "forecast_holt_linear_daily",
+    "sketch_kmv_distinct_portable",
+    "privacy_entropy_l_diversity",
+    "embedding_prefix_norm_curve",
+    "stats_gini_impurity_split",
+    "er_levenshtein_verify",
+    "stats_ols_discount_quantity",
+    "window_range_interval_trailing7d",
+    "agg_filter_clause_rollup",
+    "text_simpson_diversity",
+    "window_ntile_decile_stats",
+    "stats_welch_t_weekend",
+    "events_transition_entropy",
+    "session_window_batch_native",
+    "graph_modularity_copurchase",
+    "agg_listagg_topk_ordered",
+    "stats_trimmed_winsorized_prices",
+    "stats_mcnemar_urgent_weekend",
+    "mix_temperature_sweep",
+    "dq_null_profile_unpivot",
+    "window_trailing_distinct_customers",
+    "recursive_cte_part_hierarchy",
+    "window_locf_gap_fill",
+    "stats_cochran_q_order_flags",
+    "agg_group_by_all_revenue",
+    "streaming_left_join_batch_twin",
+    "stats_kruskal_wallis_priority",
+    "sketch_kmv_intersection_portable",
+    "graph_hits_part_supplier",
+    "customer_segment_migration",
+    "stats_wilcoxon_signed_rank",
+    # 6 family keepers (already green in r08):
     "multimodal_png_decode",
     "c4_rules_audit",
     "survival_km_curve",
     "graph_degree_assortativity",
     "stats_mann_kendall_daily",
     "text_readability_fkgl",
-    "dq_outlier_iqr_prices",
-    "events_activity_islands",
-    "orders_new_vs_returning_monthly",
-    "stats_cramers_v_type_dow",
-    "privacy_dp_clipping_audit",
-    "stats_runs_test_daily",
-    "graph_rich_club_coefficient",
-    "streaming_psi_drift_batch_twin",
-    "events_variant_extract",
-    "lateral_topk_per_segment",
-    "orders_cohort_ltv_curve",
-    # 33 family keepers (first green in r07):
-    "graph_kcore_copurchase",
-    "stats_two_proportion_ab",
-    "text_chargram_gini",
-    "events_seasonal_dow_anomaly",
-    "lm_good_turing_counts",
-    "dedup_simhash_hamming_hist",
-    "embedding_pq_quantization",
-    "ann_pq_adc_recall",
-    "privacy_t_closeness_customer",
-    "events_theil_sen_trend",
-    "sketch_hll_registers_portable",
-    "layout_zorder_pruning",
-    "storage_rle_dict_stats",
-    "dq_functional_dependencies",
-    "stats_bootstrap_ci_revenue",
-    "events_frequent_sequences",
-    "graph_ktruss_copurchase",
-    "vocab_keyness_llr",
-    "window_rolling_median_orders",
-    "stats_pmi_cells",
-    "ce_histogram_join_audit",
-    "drift_psi_doclen",
-    "privacy_recursive_cl_diversity",
-    "dq_referential_integrity",
-    "events_interarrival_cv",
-    "embedding_isotropy_by_label",
-    "events_autocorr_weekly",
-    "vocab_trigram_coverage_sweep",
-    "er_trigram_cosine_pairs",
-    "sketch_bloom_fpp_audit",
-    "events_binary_segmentation",
-    "stats_kendall_tau_daily",
-    "multimodal_patch_grid",
 ]
 
 WINDOW = 50
