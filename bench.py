@@ -108,9 +108,10 @@ def _steal_rate(window_s: float = 2.0) -> float:
 
     Round-8 finding: the sandbox host intermittently steals 1-10 cores'
     worth of CPU; loadavg does NOT see it (a run with loadavg 0.3 was
-    13× slower than a quiet-steal run of identical code). Sampled before
-    and after the bench so a stolen-box run is flagged the same way a
-    loaded-box run is."""
+    13× slower than a quiet-steal run of identical code). Sampled at
+    process start, after the steal gate (the go-time sample), and at
+    bench end; a go-time sample above the gate marks the run
+    ``contaminated`` exactly like a hot loadavg does (ADVICE r8 #2)."""
     def ticks() -> int:
         try:
             with open("/proc/stat") as f:
@@ -165,18 +166,19 @@ def main() -> int:
     # as the loadavg gate; steal is invisible to loadavg).
     steal_gate = float(os.environ.get("SPARK_GRAFT_BENCH_STEAL_GATE", "50"))
     steal_wait = float(os.environ.get("SPARK_GRAFT_BENCH_STEAL_WAIT", "120"))
-    steal_start = _steal_rate()
+    steal_initial = _steal_rate()  # first sample, before any waiting
+    steal_go = steal_initial
     waited = 0.0
-    while steal_start > steal_gate and waited < steal_wait:
+    while steal_go > steal_gate and waited < steal_wait:
         print(
-            f"[bench] stolen box (steal {steal_start:.0f} ticks/s > {steal_gate:.0f}); "
+            f"[bench] stolen box (steal {steal_go:.0f} ticks/s > {steal_gate:.0f}); "
             f"waited {waited:.0f}s of {steal_wait:.0f}s",
             file=sys.stderr,
             flush=True,
         )
         time.sleep(5.0)
         waited += 7.0
-        steal_start = _steal_rate()
+        steal_go = _steal_rate()
 
     foreign_start = _foreign_spark_procs()
 
@@ -243,11 +245,13 @@ def main() -> int:
                 "foreign_spark_procs": sorted(set(foreign_start) | set(foreign_end)),
                 "load_gate_waited_s": quiet_waited,
                 "load_gate_go_loadavg": quiet_load,
-                "steal_ticks_per_s_start": steal_start,
+                "steal_ticks_per_s_initial": steal_initial,
+                "steal_ticks_per_s_go": steal_go,
                 "steal_ticks_per_s_end": _steal_rate(),
                 "contaminated": bool(foreign_start or foreign_end)
                 or quiet_load
-                > float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_GATE", "5")),
+                > float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_GATE", "5"))
+                or steal_go > steal_gate,
             }
         )
     )

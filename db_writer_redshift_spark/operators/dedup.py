@@ -811,15 +811,18 @@ def ppjoin_exact_pairs(
     # costs an array_intersect over two full shingle arrays — size-based
     # AQE coalescing of the upstream prefix exchange serialized the whole
     # verify onto ONE task (observed 16 s serial tail at sf0.1). The
-    # explicit (doc_a, doc_b)-keyed repartition with a pinned partition
-    # count is exempt from AQE coalescing AND not removable as redundant
-    # (the inherited partitioning is doc_id-only), so the
-    # array_intersect work always fans out; the following doc_a join
-    # builds on it or broadcasts, adding no exchange either way.
+    # explicit doc_a-keyed repartition with a pinned partition count is
+    # exempt from AQE coalescing AND not removable as redundant (the
+    # inherited partitioning is the sh-keyed join's), so the
+    # array_intersect work always fans out. Keyed on doc_a ALONE
+    # (ADVICE r8 #3): hash partitioning on (doc_a, doc_b) does NOT
+    # satisfy the following doc_a-keyed join, so the pair key bought a
+    # net extra exchange on the non-broadcast path; doc_a-only is still
+    # near-uniform (prefix candidates spread over many doc_a values)
+    # and lets the doc_a sort-merge/hash join reuse this exchange.
     cand = cand.repartition(
         int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")),
         "doc_a",
-        "doc_b",
     )
     # Verify via row-local set intersection of the two docs' shingle
     # arrays (exact — shingles() is array_distinct, so set semantics):

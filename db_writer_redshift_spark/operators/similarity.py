@@ -31,28 +31,27 @@ from db_writer_redshift_spark.functions.vector import dot_double, norm_double
 from db_writer_redshift_spark.operators.partitioning import ensure_parallelism
 
 
-def _cosine_from_norms(q_vec: str, c_vec: str, q_norm, c_norm, dim: int | None = None):
+def _cosine_from_norms(q_vec: str, c_vec: str, q_norm, c_norm):
     """Cosine from precomputed side norms. Same arithmetic as cosine_sim
     (norm·norm denominator, sequential-fold dot) — but each side's norm is
     evaluated once per ROW in a projection below the join instead of once
     per PAIR above it, which removes 2/3 of the higher-order-function work
     in a k-NN join. Bit-identical results, so oracle hashes are unchanged.
 
-    ``q_vec``/``c_vec`` are column NAMES. ``dim`` is accepted for call-site
-    stability but the dot is ALWAYS the sequential fold: the round-8
-    unrolled-chain experiment (dot_double_fixed) measured SLOWER in every
-    real query context at sf0.1 — brute-force exec 0.73→1.12 s, portable
-    IVF 1.09→1.79 s — because 300+-operation generated methods lose
-    whole-stage-codegen/JIT compilation, while the isolated microbench
-    (simple projection over persisted arrays) had shown 3×. Details in
-    OPTIMIZATION_r08.md."""
+    ``q_vec``/``c_vec`` are column NAMES. The dot is ALWAYS the
+    sequential fold: the round-8 unrolled-chain experiment
+    (dot_double_fixed) measured SLOWER in every real query context at
+    sf0.1 — brute-force exec 0.73→1.12 s, portable IVF 1.09→1.79 s —
+    because 300+-operation generated methods lose whole-stage-codegen/JIT
+    compilation, while the isolated microbench (simple projection over
+    persisted arrays) had shown 3×. Details in OPTIMIZATION_r08.md."""
     denom = q_norm * c_norm
     return F.when(denom > 0, dot_double(F.col(q_vec), F.col(c_vec)) / denom)
 
 
-def _norm(name: str, dim: int | None = None):
-    """norm_double by column NAME (``dim`` accepted, fold always used —
-    see _cosine_from_norms on the rejected unrolled-chain experiment)."""
+def _norm(name: str):
+    """norm_double by column NAME (fold always used — see
+    _cosine_from_norms on the rejected unrolled-chain experiment)."""
     return norm_double(F.col(name))
 
 
@@ -62,7 +61,6 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query vector.
 
@@ -74,7 +72,7 @@ def brute_force_topk(
     q = queries_df.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        _norm(vec_col, dim).alias("q_norm"),
+        _norm(vec_col).alias("q_norm"),
     )
     # The corpus side carries the per-pair dot-product work; lift it to
     # cluster parallelism when the scan under-partitions (one-row-group
@@ -83,7 +81,7 @@ def brute_force_topk(
         corpus_df.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("c_vec"),
-            _norm(vec_col, dim).alias("c_norm"),
+            _norm(vec_col).alias("c_norm"),
         )
     )
     sims = (
@@ -93,7 +91,7 @@ def brute_force_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                _cosine_from_norms("q_vec", "c_vec", F.col("q_norm"), F.col("c_norm"), dim=dim),
+                _cosine_from_norms("q_vec", "c_vec", F.col("q_norm"), F.col("c_norm")),
                 6,
             ).alias("cosine_sim"),
         )
@@ -111,7 +109,6 @@ def cosine_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
-    dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine ≥ threshold, id_a < id_b.
     Exact all-pairs form (oracle-checkable); the LSH tier is the scale path.
@@ -121,16 +118,16 @@ def cosine_dup_pairs(
         df.select(
             F.col(id_col).alias("id_a"),
             F.col(vec_col).alias("va"),
-            _norm(vec_col, dim).alias("na"),
+            _norm(vec_col).alias("na"),
         )
     )
     b = df.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vb"),
-        _norm(vec_col, dim).alias("nb"),
+        _norm(vec_col).alias("nb"),
     )
     sim = F.round(
-        _cosine_from_norms("va", "vb", F.col("na"), F.col("nb"), dim=dim), 6
+        _cosine_from_norms("va", "vb", F.col("na"), F.col("nb")), 6
     )
     return (
         a.crossJoin(b)
@@ -173,7 +170,7 @@ def lsh_dup_pairs(
         df.select(
             F.col(id_col).alias("vid"),
             F.col(vec_col).alias("vec"),
-            _norm(vec_col, dim).alias("vnorm"),
+            _norm(vec_col).alias("vnorm"),
         )
     )
     # Narrow (id, table, bucket) rows — the only thing the blocking shuffles.
@@ -195,7 +192,7 @@ def lsh_dup_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     sim = F.round(
-        _cosine_from_norms("va", "vb", F.col("na"), F.col("nb"), dim=dim), 6
+        _cosine_from_norms("va", "vb", F.col("na"), F.col("nb")), 6
     )
     return (
         cand_ids.join(
@@ -228,7 +225,6 @@ def ivf_topk(
     num_centroids: int = 8,
     num_probes: int = 4,
     centroids: list[list[float]] | None = None,
-    dim: int | None = None,
 ) -> DataFrame:
     """ANN top-k via an IVF (inverted-file) index: partition the corpus by
     nearest centroid, probe only the ``num_probes`` closest cells per query.
@@ -286,13 +282,13 @@ def ivf_topk(
         corpus_df.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("c_vec"),
-            _norm(vec_col, dim).alias("c_norm"),
+            _norm(vec_col).alias("c_norm"),
         )
     ).withColumn("cell", F.element_at(ranked_cells(F.col("c_vec")), 1))
     q_probed = queries_df.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        _norm(vec_col, dim).alias("q_norm"),
+        _norm(vec_col).alias("q_norm"),
         F.explode(F.slice(ranked_cells(F.col(vec_col)), 1, num_probes)).alias("cell"),
     )
     cand = (
@@ -302,7 +298,7 @@ def ivf_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                _cosine_from_norms("q_vec", "c_vec", F.col("q_norm"), F.col("c_norm"), dim=dim),
+                _cosine_from_norms("q_vec", "c_vec", F.col("q_norm"), F.col("c_norm")),
                 6,
             ).alias("cosine_sim"),
         )
@@ -404,13 +400,13 @@ def lsh_topk_portable(
     q_vecs = queries_df.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        _norm(vec_col, dim).alias("q_norm"),
+        _norm(vec_col).alias("q_norm"),
     )
     c_vecs = ensure_parallelism(
         corpus_df.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("c_vec"),
-            _norm(vec_col, dim).alias("c_norm"),
+            _norm(vec_col).alias("c_norm"),
         )
     )
     q = _int_bucket_bands(
@@ -437,7 +433,7 @@ def lsh_topk_portable(
             "query_id",
             "neighbor_id",
             F.round(
-                _cosine_from_norms("q_vec", "c_vec", F.col("q_norm"), F.col("c_norm"), dim=dim),
+                _cosine_from_norms("q_vec", "c_vec", F.col("q_norm"), F.col("c_norm")),
                 6,
             ).alias("cosine_sim"),
         )
@@ -478,7 +474,7 @@ def lsh_dup_pairs_portable(
         df.select(
             F.col(id_col).alias("vid"),
             F.col(vec_col).alias("vec"),
-            _norm(vec_col, dim).alias("vnorm"),
+            _norm(vec_col).alias("vnorm"),
         )
     )
     buckets = _int_bucket_bands(
@@ -493,7 +489,7 @@ def lsh_dup_pairs_portable(
         .dropDuplicates(["id_a", "id_b"])
     )
     sim = F.round(
-        _cosine_from_norms("va", "vb", F.col("na"), F.col("nb"), dim=dim), 6
+        _cosine_from_norms("va", "vb", F.col("na"), F.col("nb")), 6
     )
     return (
         cand_ids.join(
@@ -550,13 +546,13 @@ def semantic_contamination_portable(
         train_df.select(
             F.col(id_col).alias("train_id"),
             F.col(vec_col).alias("t_vec"),
-            _norm(vec_col, dim).alias("t_norm"),
+            _norm(vec_col).alias("t_norm"),
         )
     )
     e_vecs = eval_df.select(
         F.col(id_col).alias("eval_id"),
         F.col(vec_col).alias("e_vec"),
-        _norm(vec_col, dim).alias("e_norm"),
+        _norm(vec_col).alias("e_norm"),
     )
     tb = _int_bucket_bands(
         t_vecs.select("train_id", "t_vec"), "train_id", "t_vec", planes_int, scale
@@ -570,7 +566,7 @@ def semantic_contamination_portable(
         .dropDuplicates(["train_id", "eval_id"])
     )
     sim = F.round(
-        _cosine_from_norms("t_vec", "e_vec", F.col("t_norm"), F.col("e_norm"), dim=dim),
+        _cosine_from_norms("t_vec", "e_vec", F.col("t_norm"), F.col("e_norm")),
         6,
     )
     hits = (
@@ -594,7 +590,6 @@ def ivf_topk_portable(
     k: int = 5,
     num_centroids: int = 8,
     num_probes: int = 4,
-    dim: int | None = None,
 ) -> DataFrame:
     """IVF cell-probe ANN, fully oracle-checkable: the ``num_centroids``
     lowest-id corpus vectors act as fixed centroids (the kmeans_assign_stats
@@ -666,7 +661,7 @@ def ivf_topk_portable(
             "query_id",
             "neighbor_id",
             F.round(
-                _cosine_from_norms("q_vec", "c_vec", F.col("q_norm"), F.col("c_norm"), dim=dim),
+                _cosine_from_norms("q_vec", "c_vec", F.col("q_norm"), F.col("c_norm")),
                 6,
             ).alias("cosine_sim"),
         )
@@ -776,13 +771,13 @@ def lsh_topk(
     q_vecs = queries_df.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        _norm(vec_col, dim).alias("q_norm"),
+        _norm(vec_col).alias("q_norm"),
     )
     c_vecs = ensure_parallelism(
         corpus_df.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("c_vec"),
-            _norm(vec_col, dim).alias("c_norm"),
+            _norm(vec_col).alias("c_norm"),
         )
     )
     q = with_buckets(queries_df, id_col, vec_col).withColumnRenamed(id_col, "query_id")
@@ -803,7 +798,7 @@ def lsh_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                _cosine_from_norms("q_vec", "c_vec", F.col("q_norm"), F.col("c_norm"), dim=dim),
+                _cosine_from_norms("q_vec", "c_vec", F.col("q_norm"), F.col("c_norm")),
                 6,
             ).alias("cosine_sim"),
         )

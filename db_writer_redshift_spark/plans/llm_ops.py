@@ -883,7 +883,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs over a 1-in-10 sample (exact
     all-pairs form — the LSH tier in ann_lsh_topk is the scale path)."""
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
-    return similarity.cosine_dup_pairs(emb, "vec_id", "embedding", threshold=0.2, dim=64)
+    return similarity.cosine_dup_pairs(emb, "vec_id", "embedding", threshold=0.2)
 
 
 def _embedding_lsh_portable_oracle(threshold: float = 0.2, scale: int = 1000) -> str:
@@ -1061,7 +1061,7 @@ def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries × corpus scan, sequential-fold dot product, windowed top-k."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
-    return similarity.brute_force_topk(queries, emb, "vec_id", "embedding", k=5, dim=64)
+    return similarity.brute_force_topk(queries, emb, "vec_id", "embedding", k=5)
 
 
 @register("ann_lsh_topk", oracle=None)
@@ -1081,7 +1081,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     force asserted in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
-    return similarity.ivf_topk(queries, emb, "vec_id", "embedding", k=5, dim=64)
+    return similarity.ivf_topk(queries, emb, "vec_id", "embedding", k=5)
 
 
 def _ann_lsh_portable_ctes(scale: int = 1000) -> str:
@@ -1206,7 +1206,6 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "embedding",
         k=5,
-        dim=64,
     ).select("query_id", "neighbor_id")
     approx = similarity.lsh_topk_portable(
         load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 50 == 0),
@@ -1280,7 +1279,7 @@ def ann_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-internal tier; both share candidate-plan shape."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
-    return similarity.ivf_topk_portable(queries, emb, "vec_id", "embedding", k=5, dim=64)
+    return similarity.ivf_topk_portable(queries, emb, "vec_id", "embedding", k=5)
 
 
 @register(
@@ -1324,10 +1323,10 @@ def ann_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     exact = similarity.brute_force_topk(
-        queries, emb, "vec_id", "embedding", k=5, dim=64
+        queries, emb, "vec_id", "embedding", k=5
     ).select("query_id", "neighbor_id")
     approx = similarity.ivf_topk_portable(
-        queries, emb, "vec_id", "embedding", k=5, dim=64
+        queries, emb, "vec_id", "embedding", k=5
     ).select("query_id", "neighbor_id", F.col("nn_rank").alias("approx_rank"))
     joined = exact.join(approx, ["query_id", "neighbor_id"], "left")
     return joined.groupBy("query_id").agg(

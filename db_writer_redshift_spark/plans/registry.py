@@ -67,15 +67,39 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-# (path, mtime) → parquet schema. Every load_table without an explicit
-# schema runs an eager driver-side footer-read JOB just to infer it; the
-# bench profile showed 1-6 such single-task jobs per query (one per table)
-# before any real work (guide §5: the driver should do almost no data
-# work). Schemas are a few KB of metadata — caching them is NOT result
-# caching: every action still scans the parquet data in full. Keyed on
-# mtime so rewritten fixtures (tests, scale probes) never see a stale
+# fingerprint(path) → parquet schema. Every load_table without an
+# explicit schema runs an eager driver-side footer-read JOB just to
+# infer it; the bench profile showed 1-6 such single-task jobs per query
+# (one per table) before any real work (guide §5: the driver should do
+# almost no data work). Schemas are a few KB of metadata — caching them
+# is NOT result caching: every action still scans the parquet data in
+# full. Keyed on (mtime, size) of every leaf data file (ADVICE r8 #1:
+# a same-named part-file rewrite inside a directory dataset does not
+# bump the directory mtime, and mtime granularity can be 1s — size
+# catches the common rewrite) so rewritten fixtures never see a stale
 # schema.
 _SCHEMA_CACHE: dict = {}
+
+
+def _dataset_fingerprint(path: str):
+    """Hashable identity of a parquet file or directory dataset: the
+    (relpath, mtime, size) of each leaf data file. Driver-side stat calls
+    only — fixture datasets have few files; a directory large enough for
+    this walk to matter should carry an explicit schema anyway."""
+    import os
+
+    if os.path.isfile(path):
+        st = os.stat(path)
+        return (path, st.st_mtime, st.st_size)
+    leaves = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue  # _SUCCESS, .crc — metadata, not data
+            fp = os.path.join(root, f)
+            st = os.stat(fp)
+            leaves.append((os.path.relpath(fp, path), st.st_mtime, st.st_size))
+    return (path, tuple(sorted(leaves)))
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -84,9 +108,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``spark.read.schema(cached).parquet`` — the vectorized reader +
     Catalyst give column pruning and predicate pushdown for free; at
     cluster scale the same call fans out over file splits. The explicit
-    schema (cached per (path, mtime) after one inference) skips the
-    per-call footer-inference job — the documented production practice
-    for repeated reads of a known table.
+    schema (cached per leaf-file fingerprint after one inference) skips
+    the per-call footer-inference job — the documented production
+    practice for repeated reads of a known table.
 
     Special case: ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's
     reader only accepts as long (spark.sql.legacy.parquet.nanosAsLong).
@@ -94,11 +118,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     applies when it coerces nanos to its micro-precision TIMESTAMP, so both
     engines see identical values.
     """
-    import os
-
     path = f"{sf_dir}/{name}.parquet"
     try:
-        key = (path, os.path.getmtime(path))
+        key = _dataset_fingerprint(path)
     except OSError:
         key = None
     schema = _SCHEMA_CACHE.get(key) if key else None

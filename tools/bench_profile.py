@@ -104,40 +104,39 @@ def main() -> int:
                 with open(p) as fh:
                     yield from fh
 
-    if True:
-        for line in iter_lines():
-            ev = json.loads(line)
-            e = ev.get("Event")
-            if e == "SparkListenerJobStart":
-                jid = ev["Job ID"]
-                job_desc[jid] = ev.get("Properties", {}).get(
-                    "spark.job.description", ""
-                )
-                job_span[jid] = [ev.get("Submission Time", 0) / 1e3, 0.0]
-                for s in ev.get("Stage Infos", []):
-                    job_of_stage[s["Stage ID"]] = jid
-            elif e == "SparkListenerJobEnd":
-                jid = ev["Job ID"]
-                if jid in job_span:
-                    job_span[jid][1] = ev.get("Completion Time", 0) / 1e3
-            elif e == "SparkListenerStageCompleted":
-                si = ev["Stage Info"]
-                sid = si["Stage ID"]
-                sub = si.get("Submission Time")
-                comp = si.get("Completion Time")
-                stages[sid] = {
-                    "wall": ((comp - sub) / 1e3) if sub and comp else 0.0,
-                    "name": si.get("Stage Name", "")[:90],
-                    "ntask": si.get("Number of Tasks", 0),
-                }
-            elif e == "SparkListenerTaskEnd":
-                sid = ev["Stage ID"]
-                ti = ev.get("Task Info", {})
-                task_time[sid] += (ti.get("Finish Time", 0) - ti.get("Launch Time", 0)) / 1e3
-                task_count[sid] += 1
-                tm = ev.get("Task Metrics") or {}
-                srm = tm.get("Shuffle Read Metrics") or {}
-                fetch_wait[sid] += srm.get("Fetch Wait Time", 0) / 1e3
+    for line in iter_lines():
+        ev = json.loads(line)
+        e = ev.get("Event")
+        if e == "SparkListenerJobStart":
+            jid = ev["Job ID"]
+            job_desc[jid] = ev.get("Properties", {}).get(
+                "spark.job.description", ""
+            )
+            job_span[jid] = [ev.get("Submission Time", 0) / 1e3, 0.0]
+            for s in ev.get("Stage Infos", []):
+                job_of_stage[s["Stage ID"]] = jid
+        elif e == "SparkListenerJobEnd":
+            jid = ev["Job ID"]
+            if jid in job_span:
+                job_span[jid][1] = ev.get("Completion Time", 0) / 1e3
+        elif e == "SparkListenerStageCompleted":
+            si = ev["Stage Info"]
+            sid = si["Stage ID"]
+            sub = si.get("Submission Time")
+            comp = si.get("Completion Time")
+            stages[sid] = {
+                "wall": ((comp - sub) / 1e3) if sub and comp else 0.0,
+                "name": si.get("Stage Name", "")[:90],
+                "ntask": si.get("Number of Tasks", 0),
+            }
+        elif e == "SparkListenerTaskEnd":
+            sid = ev["Stage ID"]
+            ti = ev.get("Task Info", {})
+            task_time[sid] += (ti.get("Finish Time", 0) - ti.get("Launch Time", 0)) / 1e3
+            task_count[sid] += 1
+            tm = ev.get("Task Metrics") or {}
+            srm = tm.get("Shuffle Read Metrics") or {}
+            fetch_wait[sid] += srm.get("Fetch Wait Time", 0) / 1e3
 
     by_query: dict[str, list[int]] = defaultdict(list)
     for jid, desc in job_desc.items():
