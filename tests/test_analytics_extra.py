@@ -30,6 +30,7 @@ def _run(spark, name):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_kcore_peel_is_monotone_and_degree_valid(spark):
     rows = {r["round"]: (r["n_nodes"], r["n_edges"]) for r in
             _run(spark, "graph_kcore_copurchase").collect()}

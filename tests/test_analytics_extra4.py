@@ -197,6 +197,7 @@ def test_pipe_syntax_equals_ansi_sql(spark):
     assert rows_pipe == rows_ansi
 
 
+@pytest.mark.slow
 def test_ingest_roundtrips_exercise_both_date_branches(spark):
     # the date-format alternation is key parity; both parities must be
     # present in each slice or the lenient-parse branch is untested
@@ -324,6 +325,7 @@ def test_ntile_quickselect_equals_window_form(spark):
     assert got == ref
 
 
+@pytest.mark.slow
 def test_ntile_forced_quickselect_path_equals_window(spark):
     # the scale path must stay bit-equal even when the sort cutoff would
     # normally choose the window form
@@ -339,4 +341,39 @@ def test_ntile_forced_quickselect_path_equals_window(spark):
     )
     a = {tuple(r) for r in _ntile_decile_stats(v).collect()}
     b = {tuple(r) for r in _ntile_decile_stats(v, force_quickselect=True).collect()}
+    assert a == b
+
+
+@pytest.mark.slow
+def test_kappa_forced_quickselect_path_equals_window(spark):
+    # the scale path (kths_smallest_multi median) must stay bit-equal to
+    # the cume_dist window form below the cutoff
+    from pyspark.sql import functions as F
+    from db_writer_redshift_spark.plans.analytics_extra4 import (
+        _kappa_from_events,
+    )
+
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).select(
+        F.round(F.col("value") * 1_000_000).cast("long").alias("v"),
+        F.col("ts"),
+    )
+    a = {tuple(r) for r in _kappa_from_events(ev).collect()}
+    b = {tuple(r) for r in _kappa_from_events(ev, force_quickselect=True).collect()}
+    assert a == b
+
+
+@pytest.mark.slow
+def test_gini_forced_quickselect_path_equals_window(spark):
+    # all four quintile thresholds from one shared quickselect pass must
+    # reproduce the window path exactly
+    from pyspark.sql import functions as F
+    from db_writer_redshift_spark.plans.analytics_extra4 import _gini_split
+
+    orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    v = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderstatus").alias("cls"),
+    )
+    a = {tuple(r) for r in _gini_split(v).collect()}
+    b = {tuple(r) for r in _gini_split(v, force_quickselect=True).collect()}
     assert a == b

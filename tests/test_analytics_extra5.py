@@ -71,6 +71,7 @@ def test_trimmed_winsorized_bounds(spark):
         assert r.winsor_sum_cents >= r.trimmed_sum_cents
 
 
+@pytest.mark.slow
 def test_trimmed_winsorized_quickselect_path_bit_equal(spark):
     # the scale path (kths_smallest_multi boundaries) must reproduce the
     # window path exactly, row for row

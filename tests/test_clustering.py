@@ -93,6 +93,7 @@ def test_kmeans_fit_portable_matches_python_reference(spark):
     assert r0[0] == d0
 
 
+@pytest.mark.slow
 def test_kmeans_fit_portable_partition_invariant(spark):
     from db_writer_redshift_spark.operators.clustering import kmeans_fit_portable
 

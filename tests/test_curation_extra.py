@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from collections import Counter
 
+import pytest
 from pyspark.sql import functions as F
 
 from db_writer_redshift_spark.operators.bloom import (
@@ -381,6 +382,7 @@ class TestRecallAuditSampleContract:
 
     SF = "/root/testdata/sf0.001"
 
+    @pytest.mark.slow
     def test_default_keeps_small_corpus_whole(self, spark):
         import os
 
@@ -407,6 +409,7 @@ class TestRecallAuditSampleContract:
         )
         assert got == full and got
 
+    @pytest.mark.slow
     def test_tiny_target_shrinks_true_pair_mass(self, spark):
         import os
 

@@ -180,6 +180,7 @@ def test_simhash_portable_same_contract(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+@pytest.mark.slow
 def test_connected_components_random_graphs_match_union_find(spark):
     """Property: BSP hash-min labels equal a plain-python union-find on
     deterministic pseudo-random graphs (varied density incl. long chains

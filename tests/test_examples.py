@@ -28,6 +28,7 @@ def _run(args, cwd):
     )
 
 
+@pytest.mark.slow
 def test_quickstart_cli_full_load(tmp_path):
     res = _run(
         ["-m", "db_writer_redshift_spark", "--data",
@@ -43,6 +44,7 @@ def test_quickstart_cli_full_load(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_curation_example(tmp_path):
     if not os.path.isdir(SF_DIR):
         pytest.skip(f"testdata missing: {SF_DIR}")
@@ -55,6 +57,7 @@ def test_curation_example(tmp_path):
     assert out.is_dir(), res.stdout[-2000:]
 
 
+@pytest.mark.slow
 def test_streaming_example(tmp_path):
     if not os.path.isdir(SF_DIR):
         pytest.skip(f"testdata missing: {SF_DIR}")

@@ -8,6 +8,8 @@ never silently push a graded family out of it.
 
 from __future__ import annotations
 
+import pytest
+
 from db_writer_redshift_spark import plans
 from db_writer_redshift_spark.plans.graded import GRADED_FIRST, WINDOW
 
@@ -79,6 +81,7 @@ def test_every_window_query_is_registered_with_callable():
         assert callable(spec.fn), name
 
 
+@pytest.mark.slow
 def test_window_output_schemas_are_canonicalizer_safe(spark):
     """Round-1 CORRECTNESS failures came from two output-shape classes:
     array-typed cells (harness error: unhashable in the driver's pandas

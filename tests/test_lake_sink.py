@@ -58,6 +58,7 @@ def test_export_refuses_high_cardinality(spark, tmp_path):
         export_partitioned(df, str(tmp_path / "bad2"), [])
 
 
+@pytest.mark.slow
 def test_dynamic_partition_pruning_through_lake(spark, tmp_path):
     """Dynamic partition pruning end-to-end through the lake sink: a fact
     table Hive-partitioned on the JOIN key joined against a dimension

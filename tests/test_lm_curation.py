@@ -247,6 +247,7 @@ class TestKNPerplexity:
 
 
 class TestKCenterCoreset:
+    @pytest.mark.slow
     def test_trajectory_radii_non_increasing_and_assignment_complete(self, spark):
         """Gonzalez's invariant: the coverage radius of the first r
         centers is non-increasing in r (each pick is the current
@@ -268,6 +269,7 @@ class TestKCenterCoreset:
         ).fetchone()[0]
         assert sum(r.n_assigned for r in rows) == n
 
+    @pytest.mark.slow
     def test_seed_is_lowest_id_and_own_cluster_contains_it(self, spark):
         rows = {r.sel_round: r for r in _run(spark, "coreset_kcenter_trajectory").collect()}
         import duckdb
@@ -392,6 +394,7 @@ class TestKnnShapley:
 
 
 class TestMMRSelection:
+    @pytest.mark.slow
     def test_round0_is_quality_argmax_and_diversity_binds(self, spark):
         """Carbonell & Goldstein's recursion re-checked from the output:
         round 0 is the pure-quality argmax, mmr_score == rel - penalty on

@@ -64,10 +64,24 @@ _SEED_BOUND = re.compile(
 )
 
 
+# Plans whose trees take >5s just to BUILD (iterative trajectory plans
+# with hundreds of operators) — slow-marked so the default gate keeps
+# the no-CartesianProduct guard over the other ~350 queries cheaply.
+_HEAVY_PLANS = {
+    "selection_mmr_trajectory",
+    "coreset_kcenter_trajectory",
+    "kmeans_fit_clusters",
+    "kmeans_fit_portable_stats",
+}
+
+
 def _names():
     import __spark_entry__ as entry_mod
 
-    return list(entry_mod.queries())
+    return [
+        pytest.param(n, marks=pytest.mark.slow) if n in _HEAVY_PLANS else n
+        for n in entry_mod.queries()
+    ]
 
 
 def _broadcast_hint_subtrees(plan_str: str) -> list[str]:

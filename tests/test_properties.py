@@ -12,6 +12,8 @@ Example counts are capped — every example runs Spark jobs.
 
 from __future__ import annotations
 
+import pytest
+
 import csv
 import io
 
@@ -74,6 +76,7 @@ keyed_rows = st.dictionaries(
 
 @given(target=keyed_rows, staging=keyed_rows)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_merge_algebra(spark, target, staging):
     schema = "id int, v string"
     t = spark.createDataFrame(list(target.items()) or [(None, None)], schema).filter(
@@ -158,6 +161,7 @@ def _uf_components(pairs):
     )
 )
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_connected_components_matches_union_find(spark, pairs):
     from db_writer_redshift_spark.operators.dedup import connected_components
 
@@ -180,6 +184,7 @@ _scd_snapshot = st.lists(
 
 @settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(snaps=st.lists(_scd_snapshot, min_size=1, max_size=4))
+@pytest.mark.slow
 def test_scd2_apply_matches_python_model(spark, snaps):
     from db_writer_redshift_spark.operators import scd
 
@@ -213,6 +218,7 @@ def test_scd2_apply_matches_python_model(spark, snaps):
 
 @given(old=keyed_rows, new=keyed_rows)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_snapshot_diff_is_apply_inverse(spark, old, new):
     from db_writer_redshift_spark.operators.diff import snapshot_diff
 
@@ -285,6 +291,7 @@ def test_epoch_shuffle_is_a_permutation(spark):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 def test_waterfill_budget_exact_and_bounded(spark, counts, budget_pct):
     """Water-filling invariants for arbitrary source-count profiles:
     allocations are per-source bounded, ordered monotonically with
@@ -453,6 +460,7 @@ def test_retraction_delta_equals_multiset_ground_truth(spark, base, ops):
     ),
 )
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_quantiles_disc_multi_matches_sorted_reference(spark, vals, qs):
     """quantile_disc semantics vs the sorted-list model: the q-quantile
     is sorted(vals)[ceil(q*n) - 1] for every q, any value distribution

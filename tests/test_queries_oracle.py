@@ -23,10 +23,54 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def _names():
+# The default verify gate runs this curated per-family smoke subset —
+# the verify skill's recommended flows plus one cheap oracle-bearing
+# representative per operator family and every query whose internals
+# round 9 touched (hits/kappa/gini/png/minhash/similarity). The FULL
+# registry sweep (the phase-5 certification) is slow-marked: run it
+# with -m "slow or not slow" before a round close.
+FAST_SMOKE = {
+    # verify-skill flows
+    "q1_pricing_summary",
+    "events_sessionization",
+    "dedup_minhash_portable",
+    "dedup_cc_clusters",
+    # relational / temporal representatives
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "topk_expensive_orders",
+    "window_rank_orders_per_customer",
+    "merge_upsert_orders",
+    "asof_join_purchase_attribution",
+    "range_join_purchase_window",
+    # LLM-ops / text / similarity
+    "dedup_exact_docs",
+    "text_quality_scores",
+    "ann_lsh_portable",
+    "dedup_embedding_lsh_portable",
+    # round-9 touched internals
+    "graph_hits_part_supplier",
+    "stats_cohens_kappa_value_weekend",
+    "stats_gini_impurity_split",
+    "multimodal_png_decode",
+    "multimodal_png16_adam7_decode",
+    "multimodal_png_subbyte_decode",
+    "multimodal_png_palette_decode",
+    "dedup_ppjoin_exact",
+    # ingest / window families
+    "ingest_jsonl_orders_roundtrip",
+    "window_ntile_decile_stats",
+    "stats_trimmed_winsorized_prices",
+}
+
+
+def _params():
     import __spark_entry__ as entry_mod
 
-    return list(entry_mod.queries())
+    return [
+        n if n in FAST_SMOKE else pytest.param(n, marks=pytest.mark.slow)
+        for n in entry_mod.queries()
+    ]
 
 
 @pytest.fixture(scope="module")
@@ -36,7 +80,7 @@ def duck():
     con.close()
 
 
-@pytest.mark.parametrize("name", _names())
+@pytest.mark.parametrize("name", _params())
 def test_query_matches_oracle(spark, duck, name):
     r = compare_query(spark, name, SF_DIR, duck)
     assert r["status"] in ("ok", "rows_only"), r["detail"]

@@ -14,6 +14,7 @@ def _df(spark, vals, parts=8):
     return spark.createDataFrame([(v,) for v in vals], "x long").repartition(parts)
 
 
+@pytest.mark.slow
 def test_kth_matches_sorted_reference(spark):
     rng = random.Random(11)
     vals = [rng.randint(-10**9, 10**9) for _ in range(5000)]
@@ -31,6 +32,7 @@ def test_heavy_duplicates_and_tiny_range(spark):
         assert kth_smallest(df, "x", k) == ref[k - 1]
 
 
+@pytest.mark.slow
 def test_quantile_disc_matches_duckdb(spark):
     import duckdb
 
@@ -83,6 +85,7 @@ def test_pareto_frontier_dominance_and_ties(spark):
     assert ranks[("b", 1)] == 1
 
 
+@pytest.mark.slow
 def test_quantiles_disc_multi_matches_single_probes(spark):
     """The shared-round multi-quantile quickselect is bit-equal to the
     one-at-a-time quantile_disc for every target, including duplicate
@@ -114,6 +117,7 @@ def test_quantiles_disc_multi_validates_inputs(spark):
         quantiles_disc_multi(empty, "v", [0.5])
 
 
+@pytest.mark.slow
 def test_kths_smallest_multi_adjacent_ranks(spark):
     """Adjacent order statistics (the percentile_cont anchors) resolve
     correctly in one shared pass, including duplicate ranks and the
@@ -151,6 +155,7 @@ def test_quantiles_cont_interpolation_identity(spark):
         assert 100 * r.v_lo_cents <= r.interp_cents_e2 <= 100 * r.v_hi_cents
 
 
+@pytest.mark.slow
 def test_weighted_kth_matches_expanded_multiset(spark):
     """Weighted k-th smallest == unweighted k-th over the weight-expanded
     multiset, for every k in range."""

@@ -83,6 +83,7 @@ def test_ivf_topk_recall_floor(spark, emb):
     assert recall >= 0.6, f"IVF recall@5 = {recall:.2f}"
 
 
+@pytest.mark.slow
 def test_ivf_topk_with_trained_centroids(spark, emb):
     """IVF probing k-means-trained cells matches or beats the stride-sample
     baseline's recall floor — the index-training integration path."""

@@ -101,6 +101,7 @@ def _run_to_memory(spark, df, name, tmp_path, mode="append"):
     return spark.table(name)
 
 
+@pytest.mark.slow
 def test_stream_tumbling_counts(spark, events_dir, tmp_path):
     src = read_events_stream(spark, events_dir, max_files_per_trigger=1)
     # complete mode: finite test stream ends before the watermark would
@@ -115,6 +116,7 @@ def test_stream_tumbling_counts(spark, events_dir, tmp_path):
     assert rows[(11, "click")] == 2  # e3 @ +90m, e5 @ +95m
 
 
+@pytest.mark.slow
 def test_stream_hopping_counts_overlap(spark, events_dir, tmp_path):
     src = read_events_stream(spark, events_dir, max_files_per_trigger=1)
     out = _run_to_memory(
@@ -156,6 +158,7 @@ def test_stream_sessionize_gap_split(spark, events_dir, tmp_path):
     assert 200 in per_user
 
 
+@pytest.mark.slow
 def test_stream_dedup_across_batches(spark, events_dir, tmp_path):
     src = read_events_stream(spark, events_dir, max_files_per_trigger=1)
     out = _run_to_memory(spark, stream_dedup_events(src), "t_dedup", tmp_path)
@@ -163,6 +166,7 @@ def test_stream_dedup_across_batches(spark, events_dir, tmp_path):
     assert ids == [1, 2, 3, 4, 5]  # duplicate e4 dropped by state
 
 
+@pytest.mark.slow
 def test_streaming_running_totals_state(spark, events_dir, tmp_path):
     src = read_events_stream(spark, events_dir)
     out = _run_to_memory(
@@ -189,6 +193,7 @@ def test_merge_sink_idempotent_upsert(spark, events_dir, tmp_path):
         catalog.drop_table(spark, "events_merged")
 
 
+@pytest.mark.slow
 def test_merge_sink_survives_orphan_staging_table(spark, events_dir, tmp_path):
     """Crash-recovery regression (round-2 ADVICE): a previous run that
     died between the staging write and its drop leaves parquet at a
@@ -270,6 +275,7 @@ def test_stream_anomaly_filter_static_join(spark, events_dir, tmp_path):
     assert rows == {(5, 6.0)}
 
 
+@pytest.mark.slow
 def test_stream_stream_click_purchase_interval_join(spark, tmp_path):
     """Stream-stream inner interval join: purchases land on the click
     within the window; out-of-window purchases drop; both sides
@@ -306,6 +312,7 @@ def test_stream_stream_click_purchase_interval_join(spark, tmp_path):
     assert got == {(1, 2, 30 * 60 * 1_000_000)}
 
 
+@pytest.mark.slow
 def test_scd2_sink_accumulates_history(spark, tmp_path):
     from db_writer_redshift_spark.operators import catalog
     from db_writer_redshift_spark.streaming.jobs import scd2_sink
@@ -389,6 +396,7 @@ def test_incremental_agg_sink_matches_batch_aggregate(spark, events_dir, tmp_pat
         catalog.drop_table(spark, "events_summary")
 
 
+@pytest.mark.slow
 def test_near_dup_filter_sink_first_seen_wins(spark, tmp_path):
     """Streaming MinHash-LSH curation: batch-2 near-copy of a batch-1 doc
     is dropped (store collision), intra-batch near-copies keep the min id,
@@ -594,6 +602,7 @@ def test_budget_gate_processor_logic_with_fake_state():
     assert h.state.get() == (100,)
 
 
+@pytest.mark.slow
 def test_streaming_ewma_matches_sequential_fold(spark, events_dir, tmp_path):
     """The stateful streaming EWMA must equal the same fold computed over
     each user's history in PROCESSING order (micro-batch arrival order,
@@ -621,6 +630,7 @@ def test_streaming_ewma_matches_sequential_fold(spark, events_dir, tmp_path):
     assert latest == expected
 
 
+@pytest.mark.slow
 def test_streaming_cusum_matches_integer_model(spark, events_dir, tmp_path):
     """The stateful streaming CUSUM must equal the closed-form integer
     model replayed in processing order against static per-type targets."""
@@ -725,6 +735,7 @@ def test_cdc_retraction_agg_sink_applies_deletes(spark, tmp_path):
         catalog.drop_table(spark, "cdc_view")
 
 
+@pytest.mark.slow
 def test_stream_psi_drift_matches_exact_replay(spark, tmp_path):
     """The streaming PSI monitor's per-window, per-bucket terms equal an
     exact Python replay of the same formula on the same rows — windowed
@@ -799,6 +810,7 @@ def test_stream_psi_drift_matches_exact_replay(spark, tmp_path):
     assert len(by_win) == 2 and max(by_win.values()) > 250_000_000
 
 
+@pytest.mark.slow
 def test_state_store_reader_inspects_window_state(spark, tmp_path):
     """Spark 4's statestore reader opens a finished query's checkpoint
     and returns exactly the window state the aggregation kept: one row
@@ -849,6 +861,7 @@ def test_state_store_reader_inspects_window_state(spark, tmp_path):
     assert sum(census.values()) == len(expected)
 
 
+@pytest.mark.slow
 def test_stream_stream_left_join_emits_unmatched_on_watermark(spark, tmp_path):
     """LEFT OUTER stream-stream join: the unmatched click emits with
     NULL purchase columns — but only after the watermark proves no
@@ -913,6 +926,7 @@ def test_stream_stream_left_join_emits_unmatched_on_watermark(spark, tmp_path):
     assert got == {(1, 2, 30 * 60 * 1_000_000), (3, None, None)}
 
 
+@pytest.mark.slow
 def test_left_join_stream_equals_batch_twin_on_real_data(spark, tmp_path):
     """The registered batch twin (streaming_left_join_batch_twin) is
     exactly what the stream converges to on the real sf0.001 events

@@ -12,6 +12,8 @@ shared, not re-derived.
 
 from __future__ import annotations
 
+import pytest
+
 import glob
 import shutil
 
@@ -67,6 +69,7 @@ def _corpus():
 EXPECTED_ADMITTED = {1, 2, 4, 8}
 
 
+@pytest.mark.slow
 def test_batch_twin_matches_streaming_sink(spark, tmp_path):
     batches = _corpus()
 
@@ -110,6 +113,7 @@ def test_batch_twin_matches_streaming_sink(spark, tmp_path):
     assert twin_admitted == sink_admitted == EXPECTED_ADMITTED
 
 
+@pytest.mark.slow
 def test_fold_portable_tier_same_verdicts(spark):
     """The driver-graded portable tier reaches the same verdicts on this
     fixture (near-copies collide, distinct docs don't, under either hash
