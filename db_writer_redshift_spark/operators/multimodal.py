@@ -30,6 +30,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from db_writer_redshift_spark.operators.partitioning import ensure_parallelism
 from pyspark.sql.types import (
     BinaryType,
     LongType,
@@ -78,7 +80,11 @@ def synthesize_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .otherwise("video")
     )
     payload = F.encode(F.col(text_col), "UTF-8")
-    return df.select(
+    # No Python stage here, but every consumer feeds a mapInPandas decode
+    # whose parallelism inherits this projection's — rescue the narrow
+    # (id, text) input so the downstream Python stage fans out (guide §2).
+    src = ensure_parallelism(df.select(id_col, text_col), key=id_col)
+    return src.select(
         F.col(id_col).cast("bigint").alias("doc_id"),
         mt.alias("media_type"),
         payload.alias("payload"),
@@ -97,9 +103,16 @@ def synthesize_bmp_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame
 
     Runs as an iterator mapInPandas stage (batch-bounded memory), emitting
     the MEDIA_SCHEMA shape every downstream op consumes."""
-    src = df.select(
-        F.col(id_col).cast("bigint").alias("doc_id"),
-        F.col(text_col).alias("_text"),
+    # CPU-dense Python encode over a narrow (id, text) projection: lift
+    # the single-row-group fixture scan to cluster parallelism (guide §2;
+    # the whole encode→decode mapInPandas chain otherwise runs as ONE
+    # task). doc_id-keyed so the rescue shuffle stays deterministic.
+    src = ensure_parallelism(
+        df.select(
+            F.col(id_col).cast("bigint").alias("doc_id"),
+            F.col(text_col).alias("_text"),
+        ),
+        key="doc_id",
     )
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -152,9 +165,16 @@ def synthesize_png_media(
     Iterator mapInPandas, batch-bounded memory, MEDIA_SCHEMA shape."""
     if variants is None:
         variants = tuple((ct, 8, 0) for ct in color_types)
-    src = df.select(
-        F.col(id_col).cast("bigint").alias("doc_id"),
-        F.col(text_col).alias("_text"),
+    # CPU-dense Python encode over a narrow (id, text) projection: lift
+    # the single-row-group fixture scan to cluster parallelism (guide §2;
+    # the whole encode→decode mapInPandas chain otherwise runs as ONE
+    # task). doc_id-keyed so the rescue shuffle stays deterministic.
+    src = ensure_parallelism(
+        df.select(
+            F.col(id_col).cast("bigint").alias("doc_id"),
+            F.col(text_col).alias("_text"),
+        ),
+        key="doc_id",
     )
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -184,14 +204,50 @@ def synthesize_png_media(
     return src.mapInPandas(encode, schema=MEDIA_SCHEMA)
 
 
+# 31^k mod 2^31 power table for the vectorized checksum — extended on
+# demand and cached at module level (metadata, not results: the powers
+# depend only on the recurrence constant, never on any input data).
+_CHK_POWS = [1]
+
+# Payload-size cutoff between the per-byte Python checksum loop and the
+# numpy closed form below. Measured crossover (round 9): tie at 100 B,
+# numpy 2.4× at 500 B, 3.3× at 1.5 KB, 3.5× at 10 KB.
+_CHK_NP_MIN_BYTES = 256
+
+
+def _stub_checksum(payload: bytes) -> int:
+    """The _stub_decode rolling checksum c_{i+1} = (31·c_i + b_i + i)
+    mod 2^31 — dual path, bit-identical by construction: the recurrence
+    has the closed form c_n = Σ (b_i + i)·31^{n-1-i} mod 2^31, which
+    vectorizes as one uint64 numpy expression (each product is
+    < 2^31·2^31 = 2^62 and the partial sums of n < 2^33 reduced terms
+    stay under 64 bits, so no intermediate ever truncates). Small
+    payloads keep the plain loop — numpy call overhead dominates below
+    ~256 bytes. Forced-path equality is pinned in tests."""
+    n = len(payload)
+    if n < _CHK_NP_MIN_BYTES:
+        checksum = 0
+        for i, byte in enumerate(payload):
+            checksum = (checksum * 31 + byte + i) % (1 << 31)
+        return checksum
+    import numpy as np
+
+    while len(_CHK_POWS) < n:
+        _CHK_POWS.append((_CHK_POWS[-1] * 31) & 0x7FFFFFFF)
+    mod = np.uint64(1 << 31)
+    b = np.frombuffer(payload, dtype=np.uint8).astype(np.uint64)
+    idx = np.arange(n, dtype=np.uint64)
+    pows = np.array(_CHK_POWS[n - 1 :: -1], dtype=np.uint64)
+    terms = ((b + idx) % mod) * pows % mod
+    return int(terms.sum() % mod)
+
+
 def _stub_decode(payload: bytes, media_type: str) -> dict:
     """Deterministic fake decode. A real implementation would dispatch to
     PIL (image), soundfile (audio), or a frame sampler (video)."""
     if payload is None:
         return {"checksum": None, "width": None, "height": None}
-    checksum = 0
-    for i, byte in enumerate(payload):
-        checksum = (checksum * 31 + byte + i) % (1 << 31)
+    checksum = _stub_checksum(payload)
     # fake dimensions derived from content length — stands in for decoded
     # pixel geometry / sample counts
     return {
@@ -448,6 +504,187 @@ def encode_png(
     )
 
 
+# Inflated-bytes cutoff between the two decode_png pass walkers.
+# Measured crossover (round 9, fixture-shaped images): the numpy walker
+# is 0.6× (slower) on the ≤8×7 fixture images (~0.5 KB raw) and 2.7×
+# faster on 64×64 RGBA16 Adam7 (~33 KB raw); per-row numpy call
+# overhead loses below a few KB of scanline data.
+_PNG_NP_MIN_BYTES = 8192
+
+
+def _png_walk_py(
+    raw: bytes, passes, raw_channels: int, depth: int, bpp: int,
+    color: int, plte,
+) -> int:
+    """Per-byte Python pass walker (defilter + channel accumulation) —
+    the small-image path; semantics documented on decode_png."""
+    total = 0
+    off = 0
+    for pw, ph in passes:
+        if pw == 0 or ph == 0:
+            continue
+        # scanline bytes: sub-byte rows pack MSB-first and pad the last
+        # byte PER PASS (each pass is its own sub-image, spec §8.2)
+        stride = 1 + (pw * raw_channels * depth + 7) // 8
+        if off + stride * ph > len(raw):
+            raise ValueError("PNG pixel data length mismatch")
+        prev = bytes(bpp * pw)
+        for y in range(ph):
+            ft = raw[off + y * stride]
+            line = bytearray(
+                raw[off + y * stride + 1 : off + (y + 1) * stride]
+            )
+            if ft > 4:
+                raise ValueError(f"PNG scanline filter {ft} out of range")
+            for i in range(len(line)):
+                left = line[i - bpp] if i >= bpp else 0
+                up = prev[i]
+                ul = prev[i - bpp] if i >= bpp else 0
+                if ft == 1:
+                    line[i] = (line[i] + left) & 0xFF
+                elif ft == 2:
+                    line[i] = (line[i] + up) & 0xFF
+                elif ft == 3:
+                    line[i] = (line[i] + (left + up) // 2) & 0xFF
+                elif ft == 4:
+                    line[i] = (line[i] + _paeth(left, up, ul)) & 0xFF
+            if depth < 8:
+                # unpack pw samples MSB-first; trailing pad bits ignored
+                mask = (1 << depth) - 1
+                n_entries = len(plte) // 3 if color == 3 else 0
+                for i in range(pw):
+                    bit = i * depth
+                    s = (line[bit // 8] >> (8 - depth - bit % 8)) & mask
+                    if color == 3:
+                        if s >= n_entries:
+                            raise ValueError("PNG palette index out of range")
+                        total += (
+                            plte[3 * s] + plte[3 * s + 1] + plte[3 * s + 2]
+                        )
+                    else:
+                        total += s
+            elif color == 3:
+                # defiltered bytes are palette INDICES — the statistics
+                # are over the looked-up RGB triples, never raw indices
+                n_entries = len(plte) // 3
+                for idx in line:
+                    if idx >= n_entries:
+                        raise ValueError("PNG palette index out of range")
+                    total += (
+                        plte[3 * idx] + plte[3 * idx + 1] + plte[3 * idx + 2]
+                    )
+            elif depth == 16:
+                for i in range(0, len(line), 2):
+                    total += (line[i] << 8) | line[i + 1]
+            else:
+                total += sum(line)
+            prev = bytes(line)
+        off += stride * ph
+    if off != len(raw):
+        raise ValueError("PNG pixel data length mismatch")
+    return total
+
+
+def _png_walk_np(
+    raw: bytes, passes, raw_channels: int, depth: int, bpp: int,
+    color: int, plte,
+) -> int:
+    """Numpy pass walker — bit-identical to _png_walk_py (guide §4:
+    vectorize inside the Python boundary). Rows still defilter in scan
+    order (each row's predictor needs the previous DEFILTERED row), but
+    per row: Up is one wrapping uint8 vector add; Sub is a lane-wise
+    uint8 cumsum (d[i] = x[i] + d[i-bpp] per byte lane, and uint8
+    cumsum wraps mod 256 exactly like the & 0xFF loop); None copies.
+    Average/Paeth keep the sequential byte loop their recurrences force
+    (2/5 of rows under the cycling fixture filters). Accumulation is
+    fully vectorized per pass: sub-byte samples via unpackbits,
+    palette sums via one np.take of a per-index RGB-sum table, 16-bit
+    samples via a big-endian u2 view, bytes via one int64 sum —
+    identical totals, exact by integer arithmetic."""
+    import numpy as np
+
+    raw_arr = np.frombuffer(raw, dtype=np.uint8)
+    if color == 3:
+        plte_sums = (
+            np.frombuffer(plte, dtype=np.uint8)
+            .astype(np.int64)
+            .reshape(-1, 3)
+            .sum(axis=1)
+        )
+        n_entries = len(plte) // 3
+    total = 0
+    off = 0
+    for pw, ph in passes:
+        if pw == 0 or ph == 0:
+            continue
+        stride = 1 + (pw * raw_channels * depth + 7) // 8
+        if off + stride * ph > len(raw):
+            raise ValueError("PNG pixel data length mismatch")
+        block = raw_arr[off : off + stride * ph].reshape(ph, stride)
+        fts = block[:, 0]
+        bad = np.nonzero(fts > 4)[0]
+        if bad.size:
+            raise ValueError(
+                f"PNG scanline filter {int(fts[bad[0]])} out of range"
+            )
+        data = block[:, 1:].copy()
+        n = stride - 1
+        pad = (-n) % bpp
+        prev = np.zeros(n, dtype=np.uint8)
+        for y in range(ph):
+            ft = int(fts[y])
+            line = data[y]
+            if ft == 1:
+                if bpp == 1:
+                    np.cumsum(line, dtype=np.uint8, out=line)
+                else:
+                    tmp = np.zeros(n + pad, dtype=np.uint8)
+                    tmp[:n] = line
+                    lanes = tmp.reshape(-1, bpp)
+                    np.cumsum(lanes, axis=0, dtype=np.uint8, out=lanes)
+                    line[:] = tmp[:n]
+            elif ft == 2:
+                line += prev  # uint8 add wraps mod 256
+            elif ft in (3, 4):
+                lb = line.tolist()
+                pb = prev.tolist()
+                if ft == 3:
+                    for i in range(n):
+                        left = lb[i - bpp] if i >= bpp else 0
+                        lb[i] = (lb[i] + (left + pb[i]) // 2) & 0xFF
+                else:
+                    for i in range(n):
+                        left = lb[i - bpp] if i >= bpp else 0
+                        ul = pb[i - bpp] if i >= bpp else 0
+                        lb[i] = (lb[i] + _paeth(left, pb[i], ul)) & 0xFF
+                line[:] = lb
+            prev = line
+        if depth < 8:
+            bits = np.unpackbits(data, axis=1)[:, : pw * depth].reshape(
+                ph, pw, depth
+            )
+            weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.int64)
+            samples = (bits.astype(np.int64) * weights).sum(axis=2)
+            if color == 3:
+                if samples.size and int(samples.max()) >= n_entries:
+                    raise ValueError("PNG palette index out of range")
+                total += int(plte_sums[samples].sum())
+            else:
+                total += int(samples.sum())
+        elif color == 3:
+            if data.size and int(data.max()) >= n_entries:
+                raise ValueError("PNG palette index out of range")
+            total += int(plte_sums[data.astype(np.intp)].sum())
+        elif depth == 16:
+            total += int(data.reshape(-1).view(">u2").astype(np.int64).sum())
+        else:
+            total += int(data.sum(dtype=np.int64))
+        off += stride * ph
+    if off != len(raw):
+        raise ValueError("PNG pixel data length mismatch")
+    return total
+
+
 def decode_png(payload: bytes) -> dict:
     """Real, dependency-free PNG decode for the ENTIRE static-PNG
     profile: ALL FIVE color types — 0 (grayscale), 2 (RGB), 3 (palette:
@@ -470,10 +707,16 @@ def decode_png(payload: bytes) -> dict:
     out-of-palette indices, spec-invalid depth/color combinations)
     raise ValueError.
 
-    Per-pixel Python defilter is O(bytes) per image — acceptable because
-    synthesized fixtures are tiny; a production swap point is numpy row
-    vectorization for Up/None and C-order Paeth (same boundary note as
-    the BMP path's frombuffer upgrade).
+    Defilter + channel accumulation are dual-path on the inflated byte
+    count (VERDICT r8 #4, guide §4 "hand whole batches to vectorized
+    native libraries"): images at or above ``_PNG_NP_MIN_BYTES`` take
+    the numpy walker (vectorized Up/Sub rows — Sub is a lane-wise uint8
+    cumsum — and fully vectorized unpack/palette/16-bit sums; Average/
+    Paeth rows keep the sequential byte loop the recurrence forces),
+    smaller images keep the per-byte Python walker, which measures
+    faster below the cutoff (numpy per-call overhead on 5-byte rows).
+    Both walkers are bit-identical by construction and pinned to each
+    other by a forced-path test over every IHDR combination.
     """
     import binascii
     import struct
@@ -541,70 +784,10 @@ def decode_png(payload: bytes) -> dict:
     passes = (
         [(width, height)] if interlace == 0 else _adam7_pass_dims(width, height)
     )
-    total = 0
-    off = 0
-    for pw, ph in passes:
-        if pw == 0 or ph == 0:
-            continue
-        # scanline bytes: sub-byte rows pack MSB-first and pad the last
-        # byte PER PASS (each pass is its own sub-image, spec §8.2)
-        stride = 1 + (pw * raw_channels * depth + 7) // 8
-        if off + stride * ph > len(raw):
-            raise ValueError("PNG pixel data length mismatch")
-        prev = bytes(bpp * pw)
-        for y in range(ph):
-            ft = raw[off + y * stride]
-            line = bytearray(
-                raw[off + y * stride + 1 : off + (y + 1) * stride]
-            )
-            if ft > 4:
-                raise ValueError(f"PNG scanline filter {ft} out of range")
-            for i in range(len(line)):
-                left = line[i - bpp] if i >= bpp else 0
-                up = prev[i]
-                ul = prev[i - bpp] if i >= bpp else 0
-                if ft == 1:
-                    line[i] = (line[i] + left) & 0xFF
-                elif ft == 2:
-                    line[i] = (line[i] + up) & 0xFF
-                elif ft == 3:
-                    line[i] = (line[i] + (left + up) // 2) & 0xFF
-                elif ft == 4:
-                    line[i] = (line[i] + _paeth(left, up, ul)) & 0xFF
-            if depth < 8:
-                # unpack pw samples MSB-first; trailing pad bits ignored
-                mask = (1 << depth) - 1
-                n_entries = len(plte) // 3 if color == 3 else 0
-                for i in range(pw):
-                    bit = i * depth
-                    s = (line[bit // 8] >> (8 - depth - bit % 8)) & mask
-                    if color == 3:
-                        if s >= n_entries:
-                            raise ValueError("PNG palette index out of range")
-                        total += (
-                            plte[3 * s] + plte[3 * s + 1] + plte[3 * s + 2]
-                        )
-                    else:
-                        total += s
-            elif color == 3:
-                # defiltered bytes are palette INDICES — the statistics
-                # are over the looked-up RGB triples, never raw indices
-                n_entries = len(plte) // 3
-                for idx in line:
-                    if idx >= n_entries:
-                        raise ValueError("PNG palette index out of range")
-                    total += (
-                        plte[3 * idx] + plte[3 * idx + 1] + plte[3 * idx + 2]
-                    )
-            elif depth == 16:
-                for i in range(0, len(line), 2):
-                    total += (line[i] << 8) | line[i + 1]
-            else:
-                total += sum(line)
-            prev = bytes(line)
-        off += stride * ph
-    if off != len(raw):
-        raise ValueError("PNG pixel data length mismatch")
+    walk = (
+        _png_walk_np if len(raw) >= _PNG_NP_MIN_BYTES else _png_walk_py
+    )
+    total = walk(raw, passes, raw_channels, depth, bpp, color, plte)
     n_px = width * height
     return {
         "width": width,
@@ -1152,9 +1335,16 @@ def synthesize_adpcm_media(
     so the oracle can replay the encoder/decoder lockstep as an exact
     integer fold over the text-derived samples. Iterator mapInPandas,
     MEDIA_SCHEMA shape."""
-    src = df.select(
-        F.col(id_col).cast("bigint").alias("doc_id"),
-        F.col(text_col).alias("_text"),
+    # CPU-dense Python encode over a narrow (id, text) projection: lift
+    # the single-row-group fixture scan to cluster parallelism (guide §2;
+    # the whole encode→decode mapInPandas chain otherwise runs as ONE
+    # task). doc_id-keyed so the rescue shuffle stays deterministic.
+    src = ensure_parallelism(
+        df.select(
+            F.col(id_col).cast("bigint").alias("doc_id"),
+            F.col(text_col).alias("_text"),
+        ),
+        key="doc_id",
     )
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1192,9 +1382,16 @@ def synthesize_wav_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     expected amplitude statistics from the text alone, and decode_wav
     exercises the REAL RIFF parse end-to-end. Iterator mapInPandas,
     MEDIA_SCHEMA shape."""
-    src = df.select(
-        F.col(id_col).cast("bigint").alias("doc_id"),
-        F.col(text_col).alias("_text"),
+    # CPU-dense Python encode over a narrow (id, text) projection: lift
+    # the single-row-group fixture scan to cluster parallelism (guide §2;
+    # the whole encode→decode mapInPandas chain otherwise runs as ONE
+    # task). doc_id-keyed so the rescue shuffle stays deterministic.
+    src = ensure_parallelism(
+        df.select(
+            F.col(id_col).cast("bigint").alias("doc_id"),
+            F.col(text_col).alias("_text"),
+        ),
+        key="doc_id",
     )
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
