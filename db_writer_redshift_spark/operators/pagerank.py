@@ -96,24 +96,49 @@ def hits_int(
 
     Returns (hubs, auths): ``(node, score_ppm)`` DataFrames.
 
-    Scale: two map-side-combined shuffles per iteration (group on dst
-    for authorities, on src for hubs) plus one scalar-sum broadcast per
-    side; lineage truncated per round via localCheckpoint."""
+    Scale: the distinct edge relation is built ONCE and persisted
+    pre-partitioned by each join key (ids-only, |E| rows — round 9,
+    guide §2.4: every phase previously re-scanned and re-distincted the
+    source and re-shuffled the edges, 2·iterations times in total; now
+    each phase's join reuses the cached partitioning and only the
+    bounded (node, score) relation moves). Per iteration that leaves
+    two map-side-combined score shuffles plus one scalar-sum broadcast
+    per side; lineage truncated per round via localCheckpoint."""
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
+    spark = edges.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     e = edges.select(
         F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
     ).distinct()
+    # Two persisted layouts of the same ids-only relation: the auth
+    # phase joins on _s, the hub phase on _d — each join consumes the
+    # matching cached partitioning, so no phase ever re-exchanges the
+    # edge side. Hash partitioning (not broadcastable scores) keeps the
+    # plan valid when |nodes| is cluster-scale. The scores side carries
+    # a SHUFFLE_HASH hint: sort-merge would re-SORT the cached edge
+    # partitions every round (caches preserve partitioning, not order —
+    # 2·iterations full sorts of |E|); hashing the bounded (node, score)
+    # side streams the edges unsorted (guide §3.1).
+    e_s = e.repartition(nparts, "_s").persist()  # lazy-plan persist (persist_policy.py)
+    # _d layout derives from the cached _s layout — one ids-only
+    # re-shuffle instead of a second scan+distinct of the source.
+    e_d = e_s.repartition(nparts, "_d").persist()  # lazy-plan persist (persist_policy.py)
     hubs = (
-        e.select("_s").distinct()
+        e_s.select("_s").distinct()
         .select(F.col("_s").alias("node"), F.lit(INIT_RANK).cast("long").alias("score_ppm"))
     )
     auths = None
     for i in range(iterations):
+        # raw feeds BOTH the scalar-total broadcast and the score build —
+        # unpersisted, the join+aggregate subtree executed twice per
+        # phase (the round-9 profile's duplicated heavy stage pairs);
+        # |nodes| rows, bounded.
         raw_a = (
-            e.join(hubs.withColumnRenamed("node", "_s"), "_s")
+            e_s.join(hubs.withColumnRenamed("node", "_s").hint("shuffle_hash"), "_s")
             .groupBy("_d")
             .agg(F.sum("score_ppm").alias("raw"))
+            .persist()  # lazy-plan persist (persist_policy.py)
         )
         tot_a = raw_a.agg(F.sum("raw").alias("tot"))
         auths = (
@@ -128,9 +153,10 @@ def hits_int(
             .localCheckpoint(eager=False)
         )
         raw_h = (
-            e.join(auths.withColumnRenamed("node", "_d"), "_d")
+            e_d.join(auths.withColumnRenamed("node", "_d").hint("shuffle_hash"), "_d")
             .groupBy("_s")
             .agg(F.sum("score_ppm").alias("raw"))
+            .persist()  # lazy-plan persist (persist_policy.py)
         )
         tot_h = raw_h.agg(F.sum("raw").alias("tot"))
         hubs = (
