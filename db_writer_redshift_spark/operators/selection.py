@@ -24,6 +24,23 @@ from pyspark.sql import functions as F
 _BUCKETS = 256
 
 
+def disc_rank(n: int, p: float) -> int:
+    """The exact 1-based rank the ``CUME_DIST() >= p`` window predicate
+    selects: min k with k/n >= p under IEEE double division — replicated
+    driver-side with the same double arithmetic so a quickselect path is
+    bit-equal to the window path (and to the DuckDB oracle). Shared by
+    every PERCENTILE_DISC-style dual-path query (trimmed/winsorized,
+    kappa median, gini thresholds)."""
+    import math
+
+    k = max(1, min(n, math.ceil(p * n)))
+    while k > 1 and (k - 1) / n >= p:
+        k -= 1
+    while k / n < p:
+        k += 1
+    return k
+
+
 def kth_smallest(df: DataFrame, col: str, k: int) -> int:
     """Exact k-th smallest (1-based) of an integer column.
 

@@ -258,6 +258,13 @@ def events_fano_factor_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Cohen's kappa between two event labelings (Cohen 1960)
 # ---------------------------------------------------------------------------
 
+# Shared sort cutoff for the global-CUME_DIST dual paths below (kappa
+# median, gini thresholds) — same rationale as _NTILE_SORT_CUTOFF: below
+# it the one-partition sort window is cheaper in wall-clock and the
+# sorted partition is bounded (~160 MB of longs); above it the
+# quickselect boundary path is scan-proportional with no global sort.
+_CUME_SORT_CUTOFF = 10_000_000
+
 
 @register(
     "stats_cohens_kappa_value_weekend",
@@ -322,21 +329,42 @@ def stats_cohens_kappa_value_weekend(
     multiplying. The agreement-measure member beside Cramér's V
     (association) and the PMI cells (pointwise association).
 
-    Scale: the median is one global window (same cost class as
-    exact_quantiles — at 100 TB swap for the documented two-pass
-    quickselect); labeling is codegen arithmetic; the contingency is a
-    single map-side-combined aggregate to 5 scalars."""
+    Scale: the median is DUAL-PATH on corpus size (the
+    window_ntile_decile_stats discipline, round 9): below the sort
+    cutoff the global cume_dist window runs (one sorted partition,
+    bounded by the cutoff); above it the median comes from
+    selection.kths_smallest_multi at the driver-replicated disc_rank —
+    scan-proportional, no corpus-sized sort. Labeling is codegen
+    arithmetic; the contingency is a single map-side-combined aggregate
+    to 5 scalars."""
     ev = load_table(spark, sf_dir, "events").select(
         F.round(F.col("value") * 1_000_000).cast("long").alias("v"),
         F.col("ts"),
     )
-    med = (
-        ev.select(
-            "v", F.cume_dist().over(Window.orderBy("v")).alias("cd")
-        )
-        .filter(F.col("cd") >= 0.5)
-        .agg(F.min("v").alias("m"))
+    return _kappa_from_events(ev)
+
+
+def _kappa_from_events(ev: DataFrame, force_quickselect: bool = False) -> DataFrame:
+    from db_writer_redshift_spark.operators.selection import (
+        disc_rank,
+        kths_smallest_multi,
     )
+
+    n_rows = ev.count()
+    if n_rows < _CUME_SORT_CUTOFF and not force_quickselect:
+        med = (
+            ev.select(
+                "v", F.cume_dist().over(Window.orderBy("v")).alias("cd")
+            )
+            .filter(F.col("cd") >= 0.5)
+            .agg(F.min("v").alias("m"))
+        )
+    else:
+        # min v with cume_dist >= 0.5 IS the disc_rank(n, 0.5)-th
+        # smallest (any smaller value has cd <= (k-1)/n < 0.5) — same
+        # argument as _trimmed_winsorized; bit-equal, forced-path pytest
+        m_val = kths_smallest_multi(ev, "v", [disc_rank(n_rows, 0.5)])[0]
+        med = ev.sparkSession.createDataFrame([(m_val,)], "m long")
     lab = ev.crossJoin(F.broadcast(med)).select(
         F.when(F.col("v") >= F.col("m"), 1).otherwise(0).alias("a"),
         F.when(F.weekday(F.col("ts")) + 1 >= 6, 1).otherwise(0).alias("b"),
@@ -923,22 +951,48 @@ def stats_gini_impurity_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: thresholds are a 4-row broadcast; the (q, side, class) cell
     table is a map-side-combined aggregate bounded by 4×2×|statuses|;
-    the global cume_dist window is the exact_quantiles cost class (the
-    documented 100 TB swap is the two-pass quickselect)."""
+    the threshold build is DUAL-PATH on corpus size (round 9): below the
+    sort cutoff the global cume_dist window runs, above it all four
+    quintile boundaries come from ONE shared kths_smallest_multi pass at
+    the driver-replicated disc_ranks — scan-proportional, no global
+    sort."""
     v = load_table(spark, sf_dir, "orders").select(
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
         F.col("o_orderstatus").alias("cls"),
     )
-    cd = v.select(
-        "cents", F.cume_dist().over(Window.orderBy("cents")).alias("cd")
+    return _gini_split(v)
+
+
+def _gini_split(v: DataFrame, force_quickselect: bool = False) -> DataFrame:
+    from db_writer_redshift_spark.operators.selection import (
+        disc_rank,
+        kths_smallest_multi,
     )
-    qs = F.explode(F.array(*[F.lit(q) for q in (20, 40, 60, 80)])).alias("q")
-    thr = (
-        cd.select("cents", "cd", qs)
-        .filter(F.col("cd") >= F.col("q") / 100.0)
-        .groupBy("q")
-        .agg(F.min("cents").alias("t"))
-    )
+
+    n_rows = v.count()
+    if n_rows < _CUME_SORT_CUTOFF and not force_quickselect:
+        cd = v.select(
+            "cents", F.cume_dist().over(Window.orderBy("cents")).alias("cd")
+        )
+        qs = F.explode(F.array(*[F.lit(q) for q in (20, 40, 60, 80)])).alias("q")
+        thr = (
+            cd.select("cents", "cd", qs)
+            .filter(F.col("cd") >= F.col("q") / 100.0)
+            .groupBy("q")
+            .agg(F.min("cents").alias("t"))
+        )
+    else:
+        # min cents with cume_dist >= q/100 IS the disc_rank(n, q/100)-th
+        # smallest (the _trimmed_winsorized argument); the window divides
+        # the INT column q by the double literal 100.0, so the rank
+        # replica uses the same IEEE quotient. All four boundaries
+        # resolve in one shared set of quickselect rounds.
+        targets = {q: disc_rank(n_rows, q / 100.0) for q in (20, 40, 60, 80)}
+        ks = sorted(set(targets.values()))
+        by_rank = dict(zip(ks, kths_smallest_multi(v, "cents", ks)))
+        thr = v.sparkSession.createDataFrame(
+            [(q, by_rank[k]) for q, k in targets.items()], "q int, t long"
+        )
     cells = (
         v.crossJoin(F.broadcast(thr))
         .select(

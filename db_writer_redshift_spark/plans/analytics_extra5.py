@@ -358,18 +358,11 @@ _TRIM_SORT_CUTOFF = 10_000_000
 
 
 def _disc_rank(n: int, p: float) -> int:
-    """The exact rank the CUME_DIST >= p window predicate selects:
-    min k with k/n >= p under IEEE double division — replicated
-    driver-side with the same double arithmetic so the quickselect
-    path is bit-equal to the window path (and to the DuckDB oracle)."""
-    import math
+    """Shared with the other PERCENTILE_DISC dual paths — see
+    operators/selection.disc_rank (moved there in round 9)."""
+    from db_writer_redshift_spark.operators.selection import disc_rank
 
-    k = max(1, min(n, math.ceil(p * n)))
-    while k > 1 and (k - 1) / n >= p:
-        k -= 1
-    while k / n < p:
-        k += 1
-    return k
+    return disc_rank(n, p)
 
 
 def _trimmed_winsorized(li: DataFrame, force_quickselect: bool = False) -> DataFrame:
