@@ -12,8 +12,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-OUTDIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                      "plans", "r08")
+OUTDIR = os.environ.get(
+    "SPARK_GRAFT_PLANS_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "plans", "r08"),
+)
 
 
 def main() -> int:
