@@ -166,6 +166,11 @@ def lsh_dup_pairs(
     planes = _hyperplanes(dim, num_planes, num_tables, seed)
     bucket_of = _bucket_udf(planes)
 
+    # The rejoin legs keep the parallelism rescue: their projection carries
+    # the per-row norm fold, which otherwise serializes into a single-task
+    # broadcast build when the planner broadcasts the side (round-9 A/B on
+    # lsh_topk). The bucket leg below derives from the same relation with
+    # the norm column pruned away.
     vecs = ensure_parallelism(
         df.select(
             F.col(id_col).alias("vid"),
@@ -185,10 +190,22 @@ def lsh_dup_pairs(
     buckets.count()
     a = buckets.withColumnRenamed("vid", "id_a")
     b = buckets.withColumnRenamed("vid", "id_b")
+    # Pin the refine stage's parallelism (guide §2.5; the ppjoin_exact_pairs
+    # discipline): candidate rows are BYTES-small (two ids) but each costs
+    # an interpreted 64-term fold cosine downstream — size-based AQE
+    # coalescing of the bucket join's output serialized the refine onto 1-2
+    # tasks (round-9 profile: the whole exact-cosine pass on one core).
+    # Keyed on id_a BEFORE dropDuplicates so one pinned exchange feeds the
+    # dedup aggregate (hash partitioning on a subset of its keys satisfies
+    # its required distribution), both broadcast rejoins, and the refine.
     cand_ids = (
         a.join(b, ["t", "bkt"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
+        .repartition(
+            int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+            "id_a",
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
     sim = F.round(
@@ -402,6 +419,8 @@ def lsh_topk_portable(
         F.col(vec_col).alias("q_vec"),
         _norm(vec_col).alias("q_norm"),
     )
+    # Rejoin leg keeps its rescue (it carries the per-row norm fold that
+    # otherwise serializes into the broadcast build — see lsh_topk).
     c_vecs = ensure_parallelism(
         corpus_df.select(
             F.col(id_col).alias("neighbor_id"),
@@ -417,13 +436,18 @@ def lsh_topk_portable(
         scale,
     )
     c = _int_bucket_bands(
-        c_vecs.select("neighbor_id", F.col("c_vec")), "neighbor_id", "c_vec", planes_int, scale
+        c_vecs.select("neighbor_id", "c_vec"), "neighbor_id", "c_vec", planes_int, scale
     )
+    # Pinned pre-dedup repartition: same §2.5 re-rank fan-out as lsh_topk.
     cand_ids = (
         F.broadcast(q)
         .join(c, ["t", "bkt"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
+        .repartition(
+            int(queries_df.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+            "query_id",
+        )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     cand = (
@@ -470,6 +494,9 @@ def lsh_dup_pairs_portable(
     """
     planes_int = quantized_planes(dim, num_planes, num_tables, seed, scale)
 
+    # Rejoin legs keep the rescue (per-row norm fold rides them — see
+    # lsh_dup_pairs); the bands leg derives from the same relation with
+    # the norm pruned.
     vecs = ensure_parallelism(
         df.select(
             F.col(id_col).alias("vid"),
@@ -482,10 +509,16 @@ def lsh_dup_pairs_portable(
     )
     a = buckets.withColumnRenamed("vid", "id_a")
     b = buckets.withColumnRenamed("vid", "id_b")
+    # Pinned pre-dedup repartition: same §2.5 refine fan-out as
+    # lsh_dup_pairs.
     cand_ids = (
         a.join(b, ["t", "bkt"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
+        .repartition(
+            int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+            "id_a",
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
     sim = F.round(
@@ -542,6 +575,8 @@ def semantic_contamination_portable(
     flagged training vector."""
     planes_int = quantized_planes(dim, num_planes, num_tables, seed, scale)
 
+    # Rejoin leg keeps its rescue (it carries the per-row norm fold that
+    # otherwise serializes into the broadcast build — see lsh_topk).
     t_vecs = ensure_parallelism(
         train_df.select(
             F.col(id_col).alias("train_id"),
@@ -560,9 +595,16 @@ def semantic_contamination_portable(
     eb = _int_bucket_bands(
         e_vecs.select("eval_id", "e_vec"), "eval_id", "e_vec", planes_int, scale
     )
+    # Pinned pre-dedup repartition keyed on train_id (§2.5): one exchange
+    # feeds the dedup aggregate, the fold-cosine refine, and the final
+    # train_id groupBy.
     cand = (
         tb.join(F.broadcast(eb), ["t", "bkt"])
         .select("train_id", "eval_id")
+        .repartition(
+            int(train_df.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+            "train_id",
+        )
         .dropDuplicates(["train_id", "eval_id"])
     )
     sim = F.round(
@@ -773,6 +815,11 @@ def lsh_topk(
         F.col(vec_col).alias("q_vec"),
         _norm(vec_col).alias("q_norm"),
     )
+    # The rejoin leg KEEPS its parallelism rescue: its projection carries
+    # the per-row norm fold, and when the planner broadcasts this side the
+    # broadcast build otherwise runs that fold single-task (round-9 A/B:
+    # dropping the rescue here moved ~0.6 s of norm folds onto one task
+    # and regressed the bench 1.89→2.27 s; the exchange is NOT waste).
     c_vecs = ensure_parallelism(
         corpus_df.select(
             F.col(id_col).alias("neighbor_id"),
@@ -781,14 +828,27 @@ def lsh_topk(
         )
     )
     q = with_buckets(queries_df, id_col, vec_col).withColumnRenamed(id_col, "query_id")
-    c = with_buckets(c_vecs.select(F.col("neighbor_id"), F.col("c_vec")), "neighbor_id", "c_vec")
+    c = with_buckets(c_vecs.select("neighbor_id", "c_vec"), "neighbor_id", "c_vec")
     # Bucket-collision candidates carry ids only; the (small) query side
     # broadcasts, so candidate generation never shuffles the corpus.
+    # Pinned query_id-keyed repartition BEFORE the dedup (guide §2.5; the
+    # ppjoin_exact_pairs discipline): candidate rows are bytes-small but
+    # each costs an interpreted 64-term fold cosine in the re-rank —
+    # size-based AQE coalescing serialized the re-rank onto one task
+    # (round-9 profile: 0.5-4.5 s single-task tail, the source of this
+    # query's run-to-run variance). One pinned exchange now feeds the
+    # dedup aggregate (query_id is a subset of its grouping keys), both
+    # broadcast rejoins, the re-rank, AND the query_id window — the final
+    # window exchange disappears with it.
     cand_ids = (
         F.broadcast(q)
         .join(c, ["t", "bkt"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
+        .repartition(
+            int(queries_df.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+            "query_id",
+        )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     cand = (
@@ -862,6 +922,9 @@ def margin_bitext_pairs_portable(
         f"transform({vec_col}, v -> cast(round(cast(v as double) * {scale}) as bigint))"
     )
     xs = x_df.select(F.col(id_col).cast("long").alias("x_id"), qv.alias("qv"))
+    # The y rejoin leg keeps its rescue: it carries the per-row
+    # quantization transform, which otherwise serializes into a broadcast
+    # build (see lsh_topk).
     ys = ensure_parallelism(
         y_df.select(F.col(id_col).cast("long").alias("y_id"), qv.alias("qv"))
     )
@@ -879,10 +942,17 @@ def margin_bitext_pairs_portable(
         planes_int,
         scale,
     )
+    # Pinned pre-dedup repartition keyed on y_id (§2.5): fans out the
+    # integer dot folds that build ``dots`` and lets the dedup aggregate,
+    # the ys rejoin, and the y-side k-NN window share the one exchange.
     cand = (
         F.broadcast(xb)
         .join(yb, ["t", "bkt"])
         .select("x_id", "y_id")
+        .repartition(
+            int(y_df.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+            "y_id",
+        )
         .dropDuplicates(["x_id", "y_id"])
     )
     dot = F.aggregate(
