@@ -22,7 +22,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from db_writer_redshift_spark.functions.text import ngrams, shingles
-from db_writer_redshift_spark.operators.partitioning import ensure_parallelism
+from db_writer_redshift_spark.operators.partitioning import (
+    TEXT_KERNEL_BYTES_PER_TASK,
+    ensure_parallelism,
+)
 
 # Mersenne prime 2^31-1 for the universal-hash family (a*h + b) mod p.
 # 31-bit domain keeps a*h + b < 2^62 — no int64 overflow under ANSI mode.
@@ -61,7 +64,8 @@ def shingle_jaccard_pairs(
     # to full cluster parallelism when the scan layout under-partitions
     # (no-op on a healthy many-split layout).
     base = ensure_parallelism(
-        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")),
+        bytes_per_task=TEXT_KERNEL_BYTES_PER_TASK,
     )
     sh = base.select("doc_id", F.explode(shingles(F.col("__t"), n)).alias("sh"))
     # Document-frequency cap, persisted AND eagerly materialized: three
@@ -123,7 +127,8 @@ def ngram_overlap(
     (train_id, n_shared_grams, n_eval_docs, first_eval_id).
     """
     tg = ensure_parallelism(
-        train.select(F.col(id_col).alias("train_id"), F.col(text_col).alias("__t"))
+        train.select(F.col(id_col).alias("train_id"), F.col(text_col).alias("__t")),
+        bytes_per_task=TEXT_KERNEL_BYTES_PER_TASK,
     ).select("train_id", F.explode(shingles(F.col("__t"), n)).alias("g"))
     eg = eval_df.select(
         F.col(id_col).alias("eval_id"),
@@ -214,6 +219,7 @@ def minhash_signatures(
     base = ensure_parallelism(
         df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")),
         key="doc_id",
+        bytes_per_task=TEXT_KERNEL_BYTES_PER_TASK,
     )
     if portable:
         exploded = base.select(
@@ -455,6 +461,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, seed: int = 42) -> DataFr
     base = ensure_parallelism(
         df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")),
         key="doc_id",  # the 64-bit-sum groupBy reuses this exchange
+        bytes_per_task=TEXT_KERNEL_BYTES_PER_TASK,
     )
     tokens = base.select(
         "doc_id",
@@ -569,6 +576,7 @@ def simhash_portable(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     base = ensure_parallelism(
         df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")),
         key="doc_id",  # the 60-bit-sum groupBy reuses this exchange
+        bytes_per_task=TEXT_KERNEL_BYTES_PER_TASK,
     )
     tokens = base.select(
         "doc_id",
@@ -761,7 +769,8 @@ def ppjoin_exact_pairs(
     # persist so the shingle explode runs once (measured ~2x at sf0.1)
     g = (
         ensure_parallelism(
-            df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
+            df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")),
+            bytes_per_task=TEXT_KERNEL_BYTES_PER_TASK,
         )
         .select("doc_id", F.explode(shingles(F.col("__t"), n)).alias("sh"))
         .persist()  # lazy-plan persist (persist_policy.py)
@@ -890,7 +899,8 @@ def span_coverage_stats(
     here because this is the zero-false-positive exact tier.
     """
     g = ensure_parallelism(
-        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")),
+        bytes_per_task=TEXT_KERNEL_BYTES_PER_TASK,
     ).select(
         "doc_id", F.posexplode(ngrams(F.col("__t"), n)).alias("pos", "g")
     )
@@ -962,7 +972,8 @@ def shingle_containment_pairs(
     smaller side's) clears ``threshold_permille``.
     """
     base = ensure_parallelism(
-        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")),
+        bytes_per_task=TEXT_KERNEL_BYTES_PER_TASK,
     )
     sh = base.select("doc_id", F.explode(shingles(F.col("__t"), n)).alias("sh"))
     rare = (

@@ -31,7 +31,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from db_writer_redshift_spark.operators.partitioning import ensure_parallelism
+from db_writer_redshift_spark.operators.partitioning import (
+    DECODE_KERNEL_BYTES_PER_TASK,
+    ensure_parallelism,
+)
 from pyspark.sql.types import (
     BinaryType,
     LongType,
@@ -83,7 +86,7 @@ def synthesize_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # No Python stage here, but every consumer feeds a mapInPandas decode
     # whose parallelism inherits this projection's — rescue the narrow
     # (id, text) input so the downstream Python stage fans out (guide §2).
-    src = ensure_parallelism(df.select(id_col, text_col), key=id_col)
+    src = ensure_parallelism(df.select(id_col, text_col), key=id_col, bytes_per_task=DECODE_KERNEL_BYTES_PER_TASK)
     return src.select(
         F.col(id_col).cast("bigint").alias("doc_id"),
         mt.alias("media_type"),
@@ -113,6 +116,7 @@ def synthesize_bmp_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame
             F.col(text_col).alias("_text"),
         ),
         key="doc_id",
+        bytes_per_task=DECODE_KERNEL_BYTES_PER_TASK,
     )
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -175,6 +179,7 @@ def synthesize_png_media(
             F.col(text_col).alias("_text"),
         ),
         key="doc_id",
+        bytes_per_task=DECODE_KERNEL_BYTES_PER_TASK,
     )
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1345,6 +1350,7 @@ def synthesize_adpcm_media(
             F.col(text_col).alias("_text"),
         ),
         key="doc_id",
+        bytes_per_task=DECODE_KERNEL_BYTES_PER_TASK,
     )
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1392,6 +1398,7 @@ def synthesize_wav_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame
             F.col(text_col).alias("_text"),
         ),
         key="doc_id",
+        bytes_per_task=DECODE_KERNEL_BYTES_PER_TASK,
     )
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -101,7 +101,10 @@ def bm25_bigram_topk(
     qterms = spark.createDataFrame(pairs, "query_id long, term string")
     term_set = sorted({t for _, t in pairs})  # tiny: literal probe list
 
-    from db_writer_redshift_spark.operators.partitioning import ensure_parallelism
+    from db_writer_redshift_spark.operators.partitioning import (
+    TEXT_KERNEL_BYTES_PER_TASK,
+    ensure_parallelism,
+)
 
     # grams feeds the corpus totals AND the inverted-list probe: persist
     # so the bigram explode runs once, and guard scan parallelism (the
@@ -109,7 +112,8 @@ def bm25_bigram_topk(
     # nDCG audit at sf0.1, shared by every BM25-family query)
     grams = (
         ensure_parallelism(
-            docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
+            docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")),
+            bytes_per_task=TEXT_KERNEL_BYTES_PER_TASK,
         )
         .select("doc_id", _bigram_positions(F.col("__t")).alias("g"))
         .select("doc_id", F.size("g").alias("dl"), "g")

@@ -28,7 +28,10 @@ from pyspark.sql import types as T
 from pyspark.sql import functions as F
 
 from db_writer_redshift_spark.functions.vector import dot_double, norm_double
-from db_writer_redshift_spark.operators.partitioning import ensure_parallelism
+from db_writer_redshift_spark.operators.partitioning import (
+    adaptive_partitions,
+    ensure_parallelism,
+)
 
 
 def _cosine_from_norms(q_vec: str, c_vec: str, q_norm, c_norm):
@@ -202,10 +205,7 @@ def lsh_dup_pairs(
         a.join(b, ["t", "bkt"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .repartition(
-            int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")),
-            "id_a",
-        )
+        .repartition(adaptive_partitions(df.select(id_col, vec_col)), "id_a")
         .dropDuplicates(["id_a", "id_b"])
     )
     sim = F.round(
@@ -445,8 +445,7 @@ def lsh_topk_portable(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .repartition(
-            int(queries_df.sparkSession.conf.get("spark.sql.shuffle.partitions")),
-            "query_id",
+            adaptive_partitions(corpus_df.select(id_col, vec_col)), "query_id"
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
@@ -515,10 +514,7 @@ def lsh_dup_pairs_portable(
         a.join(b, ["t", "bkt"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .repartition(
-            int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")),
-            "id_a",
-        )
+        .repartition(adaptive_partitions(df.select(id_col, vec_col)), "id_a")
         .dropDuplicates(["id_a", "id_b"])
     )
     sim = F.round(
@@ -602,8 +598,7 @@ def semantic_contamination_portable(
         tb.join(F.broadcast(eb), ["t", "bkt"])
         .select("train_id", "eval_id")
         .repartition(
-            int(train_df.sparkSession.conf.get("spark.sql.shuffle.partitions")),
-            "train_id",
+            adaptive_partitions(train_df.select(id_col, vec_col)), "train_id"
         )
         .dropDuplicates(["train_id", "eval_id"])
     )
@@ -846,8 +841,7 @@ def lsh_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .repartition(
-            int(queries_df.sparkSession.conf.get("spark.sql.shuffle.partitions")),
-            "query_id",
+            adaptive_partitions(corpus_df.select(id_col, vec_col)), "query_id"
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
@@ -950,8 +944,7 @@ def margin_bitext_pairs_portable(
         .join(yb, ["t", "bkt"])
         .select("x_id", "y_id")
         .repartition(
-            int(y_df.sparkSession.conf.get("spark.sql.shuffle.partitions")),
-            "y_id",
+            adaptive_partitions(y_df.select(id_col, vec_col)), "y_id"
         )
         .dropDuplicates(["x_id", "y_id"])
     )

@@ -739,13 +739,17 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     text_rolling_fingerprint) cannot give. Selection rule and the
     integer-packed rightmost-min window live in
     operators/text.winnow_fingerprints."""
-    from db_writer_redshift_spark.operators.partitioning import ensure_parallelism
+    from db_writer_redshift_spark.operators.partitioning import (
+        TEXT_KERNEL_BYTES_PER_TASK,
+        ensure_parallelism,
+    )
     from db_writer_redshift_spark.operators.text import winnow_fingerprints
 
     # both consumers below are row-local CPU-heavy gram kernels: guard
     # scan parallelism (measured 13.8s -> 9.0s at sf0.1)
     d = ensure_parallelism(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        bytes_per_task=TEXT_KERNEL_BYTES_PER_TASK,
     )
     sel = winnow_fingerprints(d, "doc_id", "text", k=4, w=5)
     n_grams = d.select(

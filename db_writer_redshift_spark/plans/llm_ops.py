@@ -2312,13 +2312,17 @@ def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate-n-gram fractions, Rae et al. 2021): per doc, the fraction of
     n-gram occurrences (n ∈ {1,2,3}) that repeat an earlier occurrence,
     plus the repetitive flag. Narrow scan-stage projection — no shuffle."""
-    from db_writer_redshift_spark.operators.partitioning import ensure_parallelism
+    from db_writer_redshift_spark.operators.partitioning import (
+        TEXT_KERNEL_BYTES_PER_TASK,
+        ensure_parallelism,
+    )
 
     # row-local but CPU-heavy (three n-gram arrays per row): guard scan
     # parallelism — measured 16.9s -> 2.0s on the one-row-group fixture
     rep = text.repetition_features(
         ensure_parallelism(
-            load_table(spark, sf_dir, "documents").select("doc_id", "text")
+            load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+            bytes_per_task=TEXT_KERNEL_BYTES_PER_TASK,
         ),
         "doc_id",
         "text",
@@ -3377,9 +3381,12 @@ def chargram_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     not the corpus; the join is equi-shaped on short strings with exact
     refine on candidates — the block-then-refine discipline of the
     MinHash/SimHash tiers applied to edit distance."""
-    from db_writer_redshift_spark.operators.partitioning import ensure_parallelism
+    from db_writer_redshift_spark.operators.partitioning import (
+        TEXT_KERNEL_BYTES_PER_TASK,
+        ensure_parallelism,
+    )
 
-    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"), bytes_per_task=TEXT_KERNEL_BYTES_PER_TASK)
     grams = (
         d.select(
             F.explode(
@@ -5683,10 +5690,14 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-hash."""
     from db_writer_redshift_spark.functions.text import shingles
 
-    from db_writer_redshift_spark.operators.partitioning import ensure_parallelism
+    from db_writer_redshift_spark.operators.partitioning import (
+        TEXT_KERNEL_BYTES_PER_TASK,
+        ensure_parallelism,
+    )
 
     d = ensure_parallelism(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        bytes_per_task=TEXT_KERNEL_BYTES_PER_TASK,
     )
     # grams feeds the first-occurrence aggregate AND the join back —
     # persist + parallel scan: measured 13.1s -> 2.0s at sf0.1
