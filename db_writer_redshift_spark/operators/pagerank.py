@@ -106,11 +106,17 @@ def hits_int(
     per side; lineage truncated per round via localCheckpoint."""
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
-    spark = edges.sparkSession
-    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     e = edges.select(
         F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
     ).distinct()
+    # Size-adaptive layout width (round 9, guide §2): every one of the
+    # 6·iterations-ish stages downstream inherits this partition count,
+    # so a constant cluster-width split of a small ids-only relation
+    # multiplies per-task fixed costs across the whole round structure.
+    # Capped at the cluster parallelism — at-scale behavior unchanged.
+    from db_writer_redshift_spark.operators.partitioning import adaptive_partitions
+
+    nparts = adaptive_partitions(e)
     # Two persisted layouts of the same ids-only relation: the auth
     # phase joins on _s, the hub phase on _d — each join consumes the
     # matching cached partitioning, so no phase ever re-exchanges the
